@@ -1,0 +1,124 @@
+"""Scalar column functions (SURVEY.md §2.6 F1-F13) — all JVM-side built-ins
+so they stay inside whole-stage codegen; no Python in the hot path.
+
+Each function cites the reference behavior it reproduces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def norm_name(col: Column) -> Column:
+    """F1 — canonical entity key: replace(lower(x),' ','').
+
+    reference: global_node_repository.py:25-34 (same expression is used in
+    every normalized-name predicate, :109,:146-149)."""
+    return F.regexp_replace(F.lower(col), " ", "")
+
+
+def nonblank(col: Column) -> Column:
+    """F1 guard — trim(x) != '' (global_node_repository.py:31)."""
+    return F.trim(col) != ""
+
+
+def confidence_pct(col: Column) -> Column:
+    """F3 — round(confidence*100, 2) (file_analysis_service.py:94)."""
+    return F.round(col * 100.0, 2)
+
+
+def flatten_polygon(col: Column) -> Column:
+    """F4 — [[{x,y},...]] -> [x1,y1,x2,y2,...] (file_analysis_service.py:96-101)."""
+    return F.flatten(F.transform(col, lambda p: F.array(p["x"], p["y"])))
+
+
+def display_name(name: Column, product_no: Column, upc: Column) -> Column:
+    """F5 — material display name: name + ' (product_no)' + ' (upc)' with
+    each parenthesized part included only when non-blank.
+
+    reference: combine_material_name, artifact_ingestor_service.py:725-742."""
+    part = lambda c: F.when(  # noqa: E731
+        c.isNotNull() & (F.trim(c) != ""), F.concat(F.lit(" ("), c, F.lit(")"))
+    ).otherwise(F.lit(""))
+    return F.concat(name, part(product_no), part(upc))
+
+
+def cas_trim_or_null(col: Column) -> Column:
+    """F6 — cas_no.strip() if cas_no else None; '-' placeholder and blank
+    both mean missing (artifact_ingestor_service.py:1035-1039)."""
+    t = F.trim(col)
+    return F.when(col.isNull() | (t == "") | (t == "-"), F.lit(None)).otherwise(t)
+
+
+def b64_id(col: Column) -> Column:
+    """F7 — identity key = base64(utf8(x)) (utils/encoding.py:9-13). Spark's
+    base64 inserts no line breaks, matching python base64.b64encode."""
+    return F.base64(F.encode(col, "utf-8"))
+
+
+def page_text_concat(spans: Column) -> Column:
+    """F10 — ' '.join of text spans in offset order
+    (file_analysis_service.py:556-564; order invariant W2)."""
+    ordered = F.array_sort(
+        F.filter(spans, lambda s: s["kind"] == F.lit("text")),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    return F.array_join(F.transform(ordered, lambda s: s["text"]), " ")
+
+
+def tag_to_status(tag: Column) -> Column:
+    """F11 — PFAS->YES, NO_PFAS->NO, else PENDING
+    (artifact_ingestor_service.py:881-887)."""
+    return (
+        F.when(tag == "PFAS", F.lit("YES"))
+        .when(tag == "NO_PFAS", F.lit("NO"))
+        .otherwise(F.lit("PENDING"))
+    )
+
+
+def zero_pad_page(col: Column) -> Column:
+    """F13 — '{:03}'.format(page_no) (file_analysis_service.py:604)."""
+    return F.lpad(col.cast("string"), 3, "0")
+
+
+def span_sequence_fingerprint(spans: Column) -> Column:
+    """W2 invariant — deterministic fingerprint of the ordered span sequence
+    (kind, text, media_ref, offset). Two rows have equal fingerprints iff
+    their span sequences are identical in content AND order. Used by every
+    stage's output check (BASELINE.json input_hint row invariant)."""
+    ordered = F.array_sort(
+        spans,
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    return F.sha2(
+        F.to_json(
+            F.transform(
+                ordered,
+                lambda s: F.struct(
+                    s["kind"].alias("k"),
+                    s["text"].alias("t"),
+                    s["media_ref"].alias("m"),
+                    s["offset"].alias("o"),
+                ),
+            )
+        ),
+        256,
+    )
+
+
+def entity_id(node_type: Column, key1: Column, key2: Column) -> Column:
+    """Deterministic entity id. The reference mints uuid4 ids
+    (artifact_ingestor_service.py:997,1016,1065); opaque ids with no join
+    semantics beyond identity. We derive them from the identity key instead
+    so distributed runs are reproducible and idempotent re-ingest is a no-op
+    MERGE. Format: '<type>:<sha1(key1|key2)>'."""
+    return F.concat_ws(
+        ":",
+        node_type,
+        F.sha1(F.concat_ws("\x1f", F.coalesce(key1, F.lit("")), F.coalesce(key2, F.lit("")))),
+    )

@@ -1,0 +1,65 @@
+"""Connected components over an edge DataFrame — the canonicalization
+primitive (stage s5). GraphFrames-style iterative DataFrame joins, no RDDs.
+
+Algorithm: hash-min label propagation. Each vertex starts labeled with its
+own id; each iteration every vertex takes the min label among itself and
+its neighbors; converges in O(graph diameter) rounds. The KG equivalence
+graphs here are bipartite name<->CAS stars (diameter <= ~4 after unions),
+so 2-4 rounds close them; for adversarially deep graphs the alternating
+large-star/small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond") drops rounds to O(log d) — plug-compatible here.
+
+Scale notes (10^12-doc corpus, hub chemicals => skewed degree):
+  * the min() aggregations are algebraic => map-side partial aggregation
+    absorbs hub-key skew before any shuffle;
+  * the edges-to-labels join is skewed on hub vertices => AQE skew-join
+    splitting (enabled in session.py) handles it at runtime;
+  * per-iteration localCheckpoint truncates the lineage so the plan does
+    not grow with iterations (SURVEY.md §4 iterative-graph row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """edges(src,dst) [undirected] -> (vertex, component) where component is
+    the min vertex id (lexicographic) in the vertex's component."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    und = und.localCheckpoint(eager=True)
+
+    labels = (
+        und.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # neighbor labels: for edge (u,v) send label(v) to u
+        msgs = und.join(
+            labels.withColumnRenamed("vertex", "dst"), "dst"
+        ).select(F.col("src").alias("vertex"), "component")
+        new_labels = (
+            msgs.union(labels)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "vertex")
+            .where(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

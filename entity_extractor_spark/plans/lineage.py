@@ -1,0 +1,115 @@
+"""Per-stage / per-partition lineage for checkpoint-resume (T2/T4).
+
+The reference tracks per-file stage state rows
+(models/artifact_upload_run_state_details.py:17-37) and per-page lock files
+(file_analysis_service.py:190-227) so a killed worker resumes mid-document.
+Re-expressed set-at-a-time: each pipeline stage commits its output table
+atomically (write to _tmp, rename) and then appends lineage rows
+(stage, partition_id, status, counters). On restart, stages whose lineage
+row says 'done' and whose output exists are READ, not recomputed — the
+resume test kills the pipeline between stages and asserts bit-identical
+outputs with zero recompute of done stages.
+
+Iceberg would give us this via snapshot commits (SURVEY.md §7 risk (b));
+offline, the same contract is implemented over parquet directories with a
+tmp-dir rename as the atomic commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class LineageLog:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.path = os.path.join(out_dir, "_lineage.json")
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _read(self) -> dict:
+        if not os.path.exists(self.path):
+            return {"stages": {}}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def is_done(self, stage: str) -> bool:
+        rec = self._read()["stages"].get(stage)
+        return bool(rec) and rec["status"] == "done" and os.path.exists(self._stage_dir(stage))
+
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.out_dir, stage)
+
+    def mark_done(self, stage: str, counters: dict | None = None, partitions: list[dict] | None = None) -> None:
+        rec = self._read()
+        rec["stages"][stage] = {
+            "status": "done",
+            "ts": time.time(),
+            "counters": counters or {},
+            "partitions": partitions or [],
+        }
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1)
+        os.replace(tmp, self.path)
+
+    def invalidate_from(self, stage: str, order: list[str]) -> None:
+        """force-rerun semantics (reference 'force' flag,
+        file_analysis_service.py:244-253): drop this stage and everything
+        after it."""
+        rec = self._read()
+        if stage in order:
+            for s in order[order.index(stage):]:
+                rec["stages"].pop(s, None)
+                d = self._stage_dir(s)
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1)
+        os.replace(tmp, self.path)
+
+    def stage_counters(self, stage: str) -> dict:
+        return self._read()["stages"].get(stage, {}).get("counters", {})
+
+
+def commit_stage(
+    log: LineageLog,
+    spark: SparkSession,
+    stage: str,
+    df: DataFrame,
+    counters_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Atomically materialize `df` as the stage output and record lineage
+    (with per-partition row counts). Returns the re-read DataFrame so
+    downstream stages consume the committed table, truncating lineage."""
+    final = log._stage_dir(stage)
+    tmp = final + "._tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+
+    committed = spark.read.parquet(final)
+    parts = [
+        {"partition_id": int(r["pid"]), "rows": int(r["rows"]), "status": "done"}
+        for r in committed.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    ]
+    counters = {"rows": int(sum(p["rows"] for p in parts))}
+    for name, col in (counters_cols or {}).items():
+        counters[name] = int(committed.agg(F.sum(col)).collect()[0][0] or 0)
+    log.mark_done(stage, counters=counters, partitions=parts)
+    return committed
+
+
+def load_stage(log: LineageLog, spark: SparkSession, stage: str) -> DataFrame:
+    return spark.read.parquet(log._stage_dir(stage))

@@ -1,0 +1,169 @@
+"""End-to-end KG-construction pipeline (SURVEY.md §7 stage graph):
+
+documents -> s2 mentions -> s3 extract (headers/chemicals/winners) ->
+s4+s5 link+canonicalize -> s6 propagate -> s7 materialize
+(nodes, edges, triples, mentions, manufacturers) with per-stage lineage
+commits so a killed run resumes without recomputing done stages.
+
+Partitioning: documents are explicitly repartitioned on hash(doc_id) before
+the extract stage (north rule) so all per-doc work is co-located and the
+winner-filter / dedupe windows shuffle once on doc-aligned keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.core import entity_id
+from ..operators import extract as X
+from ..operators import link as L
+from ..operators import mentions as M
+from ..operators import propagate as P
+from .lineage import LineageLog, commit_stage, load_stage
+
+STAGE_ORDER = [
+    "mentions",
+    "observations",
+    "materials",
+    "manufacturers",
+    "chem_nodes",
+    "edges",
+    "nodes",
+    "triples",
+]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    out_dir: str,
+    gazetteer: list[dict] | None = None,
+    existing_nodes: DataFrame | None = None,
+    resume: bool = True,
+    repartition: int | None = None,
+) -> dict[str, DataFrame]:
+    log = LineageLog(out_dir)
+    if not resume:
+        log.invalidate_from(STAGE_ORDER[0], STAGE_ORDER)
+
+    n_part = repartition or spark.sparkContext.defaultParallelism
+    docs = documents.repartition(n_part, F.hash("doc_id"))
+
+    def stage(name: str, build) -> DataFrame:
+        if resume and log.is_done(name):
+            return load_stage(log, spark, name)
+        return commit_stage(log, spark, name, build())
+
+    out: dict[str, DataFrame] = {}
+
+    # s2 — mentions (independent of the graph path)
+    if gazetteer is not None:
+        out["mentions"] = stage("mentions", lambda: M.detect_mentions(docs, gazetteer))
+
+    # s3 — extract. headers/chems are cheap narrow scans; winners is the
+    # one keyed shuffle (window over mat_key).
+    spans = X.text_spans(docs)
+    headers = X.parse_headers(spans)
+    chems = X.parse_chemicals(spans, headers)
+    existing_keys = None
+    if existing_nodes is not None and "manufacturer_name" in existing_nodes.columns:
+        # re-ingest MERGE: prior materials make their identity keys occupied
+        existing_keys = existing_nodes.where(F.col("node_type") == "MATERIAL").select(
+            F.concat_ws(
+                "\x1f",
+                F.regexp_replace(F.lower(F.col("name")), " ", ""),
+                F.col("manufacturer_name"),
+            ).alias("mat_key")
+        )
+    winners = X.winner_docs(headers, chems.select("doc_id").distinct(), existing_keys)
+
+    out["observations"] = stage("observations", lambda: X.observations(winners, chems))
+    out["materials"] = stage("materials", lambda: X.materials_table(winners))
+    out["manufacturers"] = stage("manufacturers", lambda: X.manufacturers_table(winners))
+
+    # s4+s5 — link + canonicalize
+    def build_chem_nodes() -> DataFrame:
+        clustered = L.assign_clusters(out["observations"], existing_nodes)
+        return L.fold_chemical_nodes(clustered)
+
+    out["chem_nodes"] = stage("chem_nodes", build_chem_nodes)
+
+    def build_edges() -> DataFrame:
+        clustered = L.assign_clusters(out["observations"], existing_nodes)
+        return L.chemical_edges(clustered)
+
+    out["edges"] = stage("edges", build_edges)
+
+    # s6 — propagate + s7 — materialize node/triple tables
+    def build_nodes() -> DataFrame:
+        resolved = P.resolve_materials(out["edges"], out["chem_nodes"])
+        mats = (
+            out["materials"]
+            .drop("pfas_status", "pfas_information_source")
+            .join(resolved, out["materials"]["id"] == resolved["material_id"], "left")
+            .drop("material_id")
+            .fillna({"pfas_status": "PENDING", "pfas_information_source": "NONE"})
+            .select(
+                "id", "name", "node_type", "cas_number", "manufacturer_id",
+                "pfas_status", "pfas_information_source",
+            )
+        )
+        chem = out["chem_nodes"].select(
+            entity_id(F.lit("chem"), F.col("cluster"), F.lit("")).alias("id"),
+            "name",
+            F.lit("CHEMICAL").alias("node_type"),
+            "cas_number",
+            "manufacturer_id",
+            "pfas_status",
+            "pfas_information_source",
+        )
+        return mats.unionByName(chem)
+
+    out["nodes"] = stage("nodes", build_nodes)
+
+    def build_triples() -> DataFrame:
+        manu = out["manufacturers"]
+        mats = out["materials"]
+        chem = out["chem_nodes"].withColumn(
+            "chem_id", entity_id(F.lit("chem"), F.col("cluster"), F.lit(""))
+        )
+        has_chem = (
+            out["edges"]
+            .join(mats.select(F.col("id").alias("material_id"), F.col("name").alias("subj")), "material_id")
+            .join(chem.select("cluster", F.col("name").alias("obj"), "chem_id"), "cluster")
+            .select(
+                "subj",
+                F.lit("hasChemical").alias("pred"),
+                "obj",
+                F.col("material_id").alias("subj_id"),
+                F.col("chem_id").alias("obj_id"),
+                F.col("chemical_weight_percent").alias("weight_percent"),
+                F.lit(None).cast("string").alias("doc_id"),
+            )
+        )
+        made_by = mats.join(
+            F.broadcast(manu.select(F.col("id").alias("mid"), F.col("name").alias("obj"))),
+            mats["manufacturer_id"] == F.col("mid"),
+        ).select(
+            F.col("name").alias("subj"),
+            F.lit("manufacturedBy").alias("pred"),
+            "obj",
+            F.col("id").alias("subj_id"),
+            F.col("mid").alias("obj_id"),
+            F.lit(None).cast("string").alias("weight_percent"),
+            F.lit(None).cast("string").alias("doc_id"),
+        )
+        evidenced = mats.select(
+            F.col("name").alias("subj"),
+            F.lit("evidencedBy").alias("pred"),
+            F.col("doc_id").alias("obj"),
+            F.col("id").alias("subj_id"),
+            F.col("doc_id").alias("obj_id"),
+            F.lit(None).cast("string").alias("weight_percent"),
+            "doc_id",
+        )
+        return has_chem.unionByName(made_by).unionByName(evidenced)
+
+    out["triples"] = stage("triples", build_triples)
+    return out

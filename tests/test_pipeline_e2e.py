@@ -1,0 +1,145 @@
+"""Golden end-to-end: Spark pipeline vs the pure-Python oracle replaying the
+reference control flow (SURVEY.md §5.2). Gate: triple P/R >= 0.95
+(BASELINE.json); in practice the corpus constraints make the match exact,
+and we assert exactness to catch regressions early.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.corpus import (
+    CorpusConfig,
+    gazetteer_rows,
+    generate_documents_df,
+    generate_documents_local,
+)
+from entity_extractor_spark.oracle import finalize, ingest_corpus, scan_mentions
+from entity_extractor_spark.plans.pipeline import run_pipeline
+
+CFG = CorpusConfig(n_docs=150)
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    docs = generate_documents_local(CFG)
+    return finalize(ingest_corpus(docs)), docs
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("kg_out")
+    docs = generate_documents_df(spark, CFG)
+    return run_pipeline(spark, docs, str(out), gazetteer=gazetteer_rows(CFG))
+
+
+def _spark_triples(tables) -> set:
+    manu = {r["id"]: r["name"] for r in tables["manufacturers"].collect()}
+    rows = tables["triples"].collect()
+    return {
+        (r["subj"], r["pred"], r["obj"], r["weight_percent"]) for r in rows
+    }
+
+
+def _oracle_triples(res) -> set:
+    return {(s, p, o, w) for (s, p, o, w) in res["triples"]}
+
+
+def test_corpus_generators_agree(spark):
+    local = generate_documents_local(CorpusConfig(n_docs=40))
+    dist = generate_documents_df(spark, CorpusConfig(n_docs=40)).collect()
+    d = {r["doc_id"]: r["spans"] for r in dist}
+    assert len(d) == 40
+    for doc in local:
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d[doc["doc_id"]]]
+        want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in doc["spans"]]
+        assert got == want
+
+
+def test_triples_match_oracle(spark_result, oracle_result):
+    res, _docs = oracle_result
+    got = _spark_triples(spark_result)
+    want = _oracle_triples(res)
+    missing = want - got
+    extra = got - want
+    precision = 1 - len(extra) / max(1, len(got))
+    recall = 1 - len(missing) / max(1, len(want))
+    assert precision >= 0.95 and recall >= 0.95, (
+        f"P={precision:.3f} R={recall:.3f} missing={list(missing)[:5]} extra={list(extra)[:5]}"
+    )
+    # strict: the constrained corpus should match exactly
+    assert got == want, f"missing={list(missing)[:5]} extra={list(extra)[:5]}"
+
+
+def test_nodes_match_oracle(spark_result, oracle_result):
+    res, _docs = oracle_result
+    manu = {r["id"]: r["name"] for r in spark_result["manufacturers"].collect()}
+    got = {
+        (
+            r["name"],
+            r["node_type"],
+            r["cas_number"],
+            manu.get(r["manufacturer_id"]),
+            r["pfas_status"],
+            r["pfas_information_source"],
+        )
+        for r in spark_result["nodes"].collect()
+    }
+    want = set(res["nodes"])
+    assert got == want, (
+        f"missing={list(want - got)[:5]} extra={list(got - want)[:5]}"
+    )
+
+
+def test_mentions_match_oracle(spark_result, oracle_result):
+    _res, docs = oracle_result
+    want = scan_mentions(docs, gazetteer_rows(CFG))
+    got = {
+        (r["doc_id"], r["span_offset"], r["keyword"], r["word"], r["confidence"], r["mtype"])
+        for r in spark_result["mentions"]
+        .select("doc_id", "span_offset", "keyword", "word", "confidence", "mtype")
+        .collect()
+    }
+    # oracle rows carry word multiplicity via word index; compare as sets of
+    # the same shape (spark side also keeps word_idx; set-compare without it
+    # plus count-compare with it)
+    want_flat = {(d, o, k, w, c, m) for (d, o, k, w, c, m) in want}
+    assert got == want_flat
+    n_spark = spark_result["mentions"].count()
+    assert n_spark == len(want)
+
+
+def test_resume_skips_done_stages(spark, oracle_result, tmp_path):
+    _res, _docs = oracle_result
+    cfg = CorpusConfig(n_docs=30)
+    docs = generate_documents_df(spark, cfg)
+    out = str(tmp_path / "resume_out")
+    t1 = run_pipeline(spark, docs, out, gazetteer=gazetteer_rows(cfg))
+    first = {(r["subj"], r["pred"], r["obj"]) for r in t1["triples"].collect()}
+
+    # simulate a crash after 'observations': invalidate later stages
+    from entity_extractor_spark.plans.lineage import LineageLog
+    from entity_extractor_spark.plans.pipeline import STAGE_ORDER
+
+    log = LineageLog(out)
+    log.invalidate_from("chem_nodes", STAGE_ORDER)
+    assert log.is_done("observations")
+    assert not log.is_done("chem_nodes")
+
+    t2 = run_pipeline(spark, docs, out, gazetteer=gazetteer_rows(cfg))
+    second = {(r["subj"], r["pred"], r["obj"]) for r in t2["triples"].collect()}
+    assert first == second
+    assert log.is_done("chem_nodes")
+
+
+def test_span_invariant_preserved(spark):
+    """input_hint per-row invariant: every doc-level table keeps the ordered
+    span sequence intact. The pipeline never mutates spans; assert the
+    repartitioned pass-through is fingerprint-identical to the input."""
+    from entity_extractor_spark.operators.assemble import check_span_invariant
+
+    cfg = CorpusConfig(n_docs=25)
+    docs = generate_documents_df(spark, cfg)
+    shuffled = docs.repartition(8, F.hash("doc_id"))
+    assert check_span_invariant(docs, shuffled) == 0
