@@ -1,0 +1,651 @@
+"""Driver-contract queries: each SURVEY.md §2 operator demonstrated over the
+driver-provided tables (/root/testdata/sf*/), paired with an ANSI-SQL
+oracle that DuckDB runs on the same parquet (CORRECTNESS_r{N}.json gate).
+
+Conventions for exact Spark<->DuckDB agreement:
+  * every computed column aliased identically on both sides;
+  * double aggregations routed through DECIMAL(18,2) (deterministic under
+    parallel partial aggregation) then cast back to DOUBLE;
+  * derived doubles ROUND()ed to a fixed precision on both sides;
+  * row_number ranks cast to BIGINT (Spark would emit INT);
+  * timestamps reduced to DATE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.core import b64_id, display_name, norm_name
+from .operators import dedupe as D
+from .operators import multimodal as MM
+from .operators import similarity as SIM
+from .operators import text_quality as TQ
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+SQL: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if sql is not None:
+            SQL[name] = sql
+        return fn
+
+    return deco
+
+
+_DEC = "decimal(18,2)"
+
+
+def _sum2(col: str, alias: str):
+    return F.sum(F.col(col).cast(_DEC)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------- filters --
+
+@query(
+    "p1_filter_projection",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem
+       WHERE l_returnflag = 'R' AND l_quantity BETWEEN 30 AND 40
+         AND l_linestatus IN ('F', 'O')""",
+)
+def p1_filter_projection(spark, sf_dir):
+    """P1/P2/P7 — conjunctive filter + projection; predicate and column
+    pruning must reach the parquet scan (asserted in tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_returnflag") == "R")
+        & F.col("l_quantity").between(30, 40)
+        & F.col("l_linestatus").isin("F", "O")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "p3_norm_name_key",
+    """SELECT replace(lower(c_name), ' ', '') AS norm_key, c_custkey
+       FROM customer WHERE trim(c_name) != ''""",
+)
+def p3_norm_name_key(spark, sf_dir):
+    """F1/P3 — the reference's canonical entity key
+    (global_node_repository.py:25-34)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.where(F.trim("c_name") != "").select(
+        norm_name(F.col("c_name")).alias("norm_key"), "c_custkey"
+    )
+
+
+@query(
+    "p4_substring_predicate",
+    """SELECT p_partkey, p_name, p_type FROM part
+       WHERE contains(lower(p_name), 'widget')""",
+)
+def p4_substring_predicate(spark, sf_dir):
+    """P4 — case-insensitive LIKE '%x%'
+    (global_node_repository.py:172-183)."""
+    p = _t(spark, sf_dir, "part")
+    return p.where(F.lower(F.col("p_name")).contains("widget")).select(
+        "p_partkey", "p_name", "p_type"
+    )
+
+
+@query(
+    "p6_notin_count",
+    """SELECT count(*) AS cnt FROM supplier
+       WHERE s_nationkey NOT IN (1, 2, 3)""",
+)
+def p6_notin_count(spark, sf_dir):
+    """P6 — NOT-IN anti-predicate count
+    (global_node_repository.py:125-137)."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.where(~F.col("s_nationkey").isin(1, 2, 3)).agg(F.count("*").alias("cnt"))
+
+
+# ------------------------------------------------------------------ joins --
+
+@query(
+    "j1_multiway_join_agg",
+    """SELECT r_name, n_name, count(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       FROM orders JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name""",
+)
+def j1_multiway_join_agg(spark, sf_dir):
+    """J1/J3 — multi-hop equi join chain + aggregate; nation/region are
+    broadcast (Catalyst auto / explicit hint)."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), _sum2("o_totalprice", "total_price"))
+    )
+
+
+@query(
+    "j2_broadcast_dim",
+    """SELECT n_name, count(*) AS n_suppliers,
+              CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       GROUP BY n_name""",
+)
+def j2_broadcast_dim(spark, sf_dir):
+    """J2 — node x small dimension (manufacturer analog) broadcast join."""
+    s, n = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_suppliers"), _sum2("s_acctbal", "total_bal"))
+    )
+
+
+@query(
+    "j3_distinct_report",
+    """SELECT DISTINCT c_mktsegment, n_name, r_name
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey""",
+)
+def j3_distinct_report(spark, sf_dir):
+    """J3 — 3-way reporting join + DISTINCT
+    (global_node_repository.py:160-183)."""
+    c, n, r = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_mktsegment", "n_name", "r_name")
+        .distinct()
+    )
+
+
+@query(
+    "j5_link_cascade",
+    """SELECT l_orderkey, l_linenumber,
+              COALESCE(p.p_name, 'SUPP-' || s.s_name, 'NONE') AS resolved,
+              CASE WHEN p.p_name IS NOT NULL THEN 'primary'
+                   WHEN s.s_name IS NOT NULL THEN 'fallback'
+                   ELSE 'new' END AS match_kind
+       FROM lineitem l
+       LEFT JOIN (SELECT p_partkey, p_name FROM part WHERE p_size > 40) p
+              ON l.l_partkey = p.p_partkey
+       LEFT JOIN (SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal > 9000) s
+              ON l.l_suppkey = s.s_suppkey""",
+)
+def j5_link_cascade(spark, sf_dir):
+    """J5/W3/J6 — the priority-ordered linking cascade: primary key match
+    first, fallback key second, else 'new' (CAS-first/name-second,
+    artifact_ingestor_service.py:1027-1084)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where("p_size > 40").select("p_partkey", "p_name")
+    s = _t(spark, sf_dir, "supplier").where("s_acctbal > 9000").select("s_suppkey", "s_name")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.coalesce(F.col("p_name"), F.concat(F.lit("SUPP-"), F.col("s_name")), F.lit("NONE")).alias("resolved"),
+            F.when(F.col("p_name").isNotNull(), "primary")
+            .when(F.col("s_name").isNotNull(), "fallback")
+            .otherwise("new")
+            .alias("match_kind"),
+        )
+    )
+
+
+@query(
+    "j7_anti_join",
+    """SELECT c_mktsegment, count(*) AS n_customers
+       FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+       GROUP BY c_mktsegment""",
+)
+def j7_anti_join(spark, sf_dir):
+    """J7 — identity anti-join (first-wins dedupe probe,
+    artifact_ingestor_service.py:979-989)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ------------------------------------------------------------- aggregates --
+
+@query(
+    "a1_group_counts",
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+              count(DISTINCT l_partkey) AS n_parts,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def a1_group_counts(spark, sf_dir):
+    """A1/A2/A7 — count / countDistinct / sum rollup
+    (file_analysis_service.py:75-121,775-789)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        _sum2("l_quantity", "sum_qty"),
+    )
+
+
+@query(
+    "a3_status_fold",
+    """SELECT user_id,
+              CASE max(CASE event_type WHEN 'error' THEN 2 WHEN 'signup' THEN 1 ELSE 0 END)
+                   WHEN 2 THEN 'YES' WHEN 1 THEN 'PENDING' ELSE 'NO' END AS status
+       FROM events GROUP BY user_id""",
+)
+def a3_status_fold(spark, sf_dir):
+    """A3 — the ordered-domain ANY/ALL status lattice as max-over-rank
+    (artifact_ingestor_service.py:819-845)."""
+    e = _t(spark, sf_dir, "events")
+    rank = (
+        F.when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 1)
+        .otherwise(0)
+    )
+    return (
+        e.withColumn("r", rank)
+        .groupBy("user_id")
+        .agg(F.max("r").alias("mr"))
+        .select(
+            "user_id",
+            F.when(F.col("mr") == 2, "YES")
+            .when(F.col("mr") == 1, "PENDING")
+            .otherwise("NO")
+            .alias("status"),
+        )
+    )
+
+
+@query(
+    "a4_preference_mode",
+    """SELECT user_id,
+              CASE min(CASE event_type WHEN 'purchase' THEN 0 WHEN 'click' THEN 1
+                       WHEN 'signup' THEN 2 WHEN 'error' THEN 3 ELSE 4 END)
+                   WHEN 0 THEN 'purchase' WHEN 1 THEN 'click' WHEN 2 THEN 'signup'
+                   WHEN 3 THEN 'error' ELSE 'other' END AS preferred_event
+       FROM events GROUP BY user_id""",
+)
+def a4_preference_mode(spark, sf_dir):
+    """A4 — preference-ordered source pick: first entry of a fixed
+    preference list with count > 0 (artifact_ingestor_service.py:846-879)."""
+    e = _t(spark, sf_dir, "events")
+    pref = (
+        F.when(F.col("event_type") == "purchase", 0)
+        .when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "signup", 2)
+        .when(F.col("event_type") == "error", 3)
+        .otherwise(4)
+    )
+    return (
+        e.withColumn("pr", pref)
+        .groupBy("user_id")
+        .agg(F.min("pr").alias("mp"))
+        .select(
+            "user_id",
+            F.when(F.col("mp") == 0, "purchase")
+            .when(F.col("mp") == 1, "click")
+            .when(F.col("mp") == 2, "signup")
+            .when(F.col("mp") == 3, "error")
+            .otherwise("other")
+            .alias("preferred_event"),
+        )
+    )
+
+
+@query(
+    "a5_last_wins",
+    """SELECT user_id, event_type AS last_event_type, value AS last_value
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events) WHERE rn = 1""",
+)
+def a5_last_wins(spark, sf_dir):
+    """A5 — last-occurrence-wins dedupe per key
+    (artifact_ingestor_service.py:788-791)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", F.col("event_type").alias("last_event_type"), F.col("value").alias("last_value"))
+    )
+
+
+# ------------------------------------------------- windows / sort / union --
+
+@query(
+    "w1_topk_per_group",
+    """SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT o_custkey, o_orderkey,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             FROM orders) WHERE rnk <= 3""",
+)
+def w1_topk_per_group(spark, sf_dir):
+    """W1 — top-k per group (pgvector top-5 analog,
+    vector_repository.py:56-67)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where("rnk <= 3")
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@query(
+    "w3_first_match",
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS first_date
+       FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS rn
+             FROM orders) WHERE rn = 1""",
+)
+def w3_first_match(spark, sf_dir):
+    """W3 — first-match-wins (result[0] linking semantics,
+    artifact_ingestor_service.py:1050-1060)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("o_custkey", "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_date"))
+    )
+
+
+@query(
+    "u1_union_all",
+    """SELECT l_returnflag, count(*) AS cnt FROM (
+         SELECT l_returnflag FROM lineitem WHERE l_quantity > 45
+         UNION ALL
+         SELECT l_returnflag FROM lineitem WHERE l_returnflag = 'R'
+       ) GROUP BY l_returnflag""",
+)
+def u1_union_all(spark, sf_dir):
+    """U1 — duplicate-preserving union (keyword scope union,
+    file_analysis_service.py:467-489)."""
+    li = _t(spark, sf_dir, "lineitem")
+    u = li.where("l_quantity > 45").select("l_returnflag").unionAll(
+        li.where("l_returnflag = 'R'").select("l_returnflag")
+    )
+    return u.groupBy("l_returnflag").agg(F.count("*").alias("cnt"))
+
+
+# ------------------------------------------------------- scalar functions --
+
+@query(
+    "f_scalar_bundle",
+    """SELECT c_custkey,
+              replace(lower(c_name), ' ', '') AS norm_key,
+              base64(encode(c_name)) AS b64_name,
+              lpad(CAST(c_nationkey AS VARCHAR), 3, '0') AS padded_nation,
+              nullif(trim(c_mktsegment), '') AS seg_or_null,
+              c_name || CASE WHEN trim(c_mktsegment) != ''
+                             THEN ' (' || c_mktsegment || ')' ELSE '' END AS display
+       FROM customer""",
+)
+def f_scalar_bundle(spark, sf_dir):
+    """F1 norm / F7 base64 identity / F13 zero-pad / F6 trim-or-null /
+    F5 display-name compose — one row-parallel scalar pipeline."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        norm_name(F.col("c_name")).alias("norm_key"),
+        b64_id(F.col("c_name")).alias("b64_name"),
+        F.lpad(F.col("c_nationkey").cast("string"), 3, "0").alias("padded_nation"),
+        F.nullif(F.trim(F.col("c_mktsegment")), F.lit("")).alias("seg_or_null"),
+        display_name(F.col("c_name"), F.col("c_mktsegment"), F.lit("")).alias("display"),
+    )
+
+
+@query(
+    "f2_keyword_match",
+    """SELECT kw, count(*) AS n_docs
+       FROM documents CROSS JOIN (VALUES ('scan'), ('merge'), ('window'), ('vector')) k(kw)
+       WHERE regexp_matches(lower(text), '\\b' || kw || '\\b')
+          OR contains(lower(text), kw)
+       GROUP BY kw""",
+)
+def f2_keyword_match(spark, sf_dir):
+    """F2 — the word-boundary-OR-substring keyword predicate
+    (file_analysis_service.py:83-87) at document granularity."""
+    d = _t(spark, sf_dir, "documents")
+    kws = spark.createDataFrame([("scan",), ("merge",), ("window",), ("vector",)], ["kw"])
+    joined = d.crossJoin(F.broadcast(kws)).where(
+        F.expr(r"lower(text) rlike concat('\\b', kw, '\\b')")
+        | F.expr("contains(lower(text), kw)")
+    )
+    return joined.groupBy("kw").agg(F.count("*").alias("n_docs"))
+
+
+# ------------------------------------------------ training-data operators --
+
+@query(
+    "dedup_exact",
+    """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper
+       FROM documents GROUP BY md5(text)""",
+)
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_duplicates(d, "doc_id", "text")
+
+
+@query(
+    "dedup_minhash",
+    """WITH sh AS (
+         SELECT doc_id, unnest(list_distinct(
+                  list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                                 i -> toks[i] || ' ' || toks[i + 1]))) AS shingle
+         FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents WHERE doc_id % 10 = 0)
+       ), hx AS (
+         SELECT doc_id, shingle,
+                CAST(('0x' || substr(md5(shingle), 1, 12)) AS BIGINT) AS x
+         FROM sh
+       )
+       SELECT doc_id, hash_id,
+              min(((hash_id * 2 + 3) * x + (hash_id * 5 + 7)) % 2305843009213693951) AS minhash
+       FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS hash_id)
+       GROUP BY doc_id, hash_id""",
+)
+def dedup_minhash(spark, sf_dir):
+    """MinHash signatures (16 permutations over word-bigram shingles) —
+    exactly replayable by the DuckDB oracle (md5-derived 60-bit hashes)."""
+    d = _t(spark, sf_dir, "documents").where("doc_id % 10 = 0")
+    return D.minhash_signatures(d, "doc_id", "text", num_hashes=16, shingle_n=2)
+
+
+@query("dedup_minhash_lsh_pairs")  # rows-only: band hashing uses collect_list
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where("doc_id % 10 = 0")
+    sig = D.minhash_signatures(d, "doc_id", "text", num_hashes=16, shingle_n=2)
+    return D.lsh_candidate_pairs(sig, band_size=4)
+
+
+@query(
+    "dedup_simhash",
+    """WITH tok AS (
+         SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS t
+         FROM documents WHERE doc_id % 10 = 0
+       ), bits AS (
+         SELECT doc_id, t, md5(t) AS h, unnest(generate_series(0, 63)) AS bit
+         FROM tok
+       ), votes AS (
+         SELECT doc_id, bit,
+                SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                substr(h, (bit // 4) + 1, 1)) - 1)
+                               // POWER(2, bit % 4)::INT) % 2 = 1
+                         THEN 1 ELSE -1 END) AS v
+         FROM bits GROUP BY doc_id, bit
+       )
+       SELECT doc_id,
+              string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash64
+       FROM votes GROUP BY doc_id""",
+)
+def dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where("doc_id % 10 = 0")
+    return D.simhash(d, "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """WITH s AS (
+         SELECT doc_id, lang, list_distinct(
+                  list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS sh
+         FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents WHERE doc_id % 20 = 0)
+       )
+       SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+              ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.2""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where("doc_id % 20 = 0")
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", "lang", shingle_n=2, threshold=0.2)
+
+
+@query("ann_brute_topk")  # SQL filled in dynamically (needs the query vector)
+def ann_brute_topk(spark, sf_dir):
+    """Exact cosine top-10 against the embedding of vec_id=0 (W1 analog)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.where("vec_id = 0").select("embedding").head()[0]]
+    return SIM.brute_force_topk(e.where("vec_id <> 0"), qv, k=10).select(
+        "vec_id", "score", "rank"
+    )
+
+
+def _ann_sql(sf_dir: str) -> str:
+    return """
+       WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       SELECT vec_id, score, CAST(rnk AS BIGINT) AS rank FROM (
+         SELECT vec_id,
+                ROUND(list_dot_product(embedding::DOUBLE[], (SELECT qv::DOUBLE[] FROM q))
+                      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                         * sqrt(list_dot_product((SELECT qv::DOUBLE[] FROM q), (SELECT qv::DOUBLE[] FROM q)))), 5) AS score,
+                row_number() OVER (ORDER BY ROUND(list_dot_product(embedding::DOUBLE[], (SELECT qv::DOUBLE[] FROM q))
+                      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                         * sqrt(list_dot_product((SELECT qv::DOUBLE[] FROM q), (SELECT qv::DOUBLE[] FROM q)))), 5) DESC, vec_id) AS rnk
+         FROM embeddings WHERE vec_id <> 0)
+       WHERE rnk <= 10"""
+
+
+SQL["ann_brute_topk"] = _ann_sql("")
+
+
+@query("ann_lsh_bucketed")  # rows-only: hyperplane bucket probing
+def ann_lsh_bucketed(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.where("vec_id = 0").select("embedding").head()[0]]
+    return SIM.lsh_bucketed_topk(e.where("vec_id <> 0"), qv, dims=len(qv), k=10, bits=6)
+
+
+@query(
+    "text_token_counts",
+    """SELECT doc_id,
+              CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+              CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS re_tokens
+       FROM documents""",
+)
+def text_token_counts(spark, sf_dir):
+    return TQ.token_counts(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_quality_score",
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+       feats AS (
+         SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                ROUND(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks), 6) AS mean_token_len,
+                ROUND(CAST(len(list_filter(toks, x -> list_contains(
+                      ['the','a','of','and','to','in','is','it','for','on'], x))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+         FROM t)
+       SELECT doc_id, n_words, mean_token_len, stopword_ratio,
+              LEAST(CAST(1.0 AS DOUBLE),
+                CAST(0.4 AS DOUBLE) * LEAST(n_words / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                + CAST(0.3 AS DOUBLE) * LEAST(mean_token_len / CAST(8.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stopword_ratio)) AS quality
+       FROM feats""",
+)
+def text_quality_score(spark, sf_dir):
+    return TQ.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("text_language_id")  # rows-only: marker-profile argmax
+def text_language_id(spark, sf_dir):
+    return TQ.language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_fingerprint",
+    """SELECT doc_id,
+              md5(array_to_string(list_sort(list_distinct(
+                    string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fp
+       FROM documents""",
+)
+def text_fingerprint(spark, sf_dir):
+    return TQ.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "multimodal_metadata",
+    """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              sha256(text) AS sha256
+       FROM documents""",
+)
+def multimodal_metadata(spark, sf_dir):
+    """Binary-column plumbing: encode -> mapInPandas metadata extraction
+    (decode itself is stubbed; byte length + sha256 are oracle-checked)."""
+    d = _t(spark, sf_dir, "documents")
+    binary = MM.attach_binary_payload(d, "doc_id", "text")
+    return MM.extract_media_metadata(binary).select("doc_id", "n_bytes", "sha256")
+
+
+# -------------------------------------------------------- KG (rows-only) --
+
+@query("kg_triples_synthetic")
+def kg_triples_synthetic(spark, sf_dir):
+    """Flagship KG pipeline on the deterministic synthetic corpus (the
+    north-star semantics aren't SQL-expressible; exact-match correctness is
+    enforced against the pure-Python reference oracle in tests)."""
+    import tempfile
+
+    from .corpus import CorpusConfig, generate_documents_df
+    from .plans.pipeline import run_pipeline
+
+    cfg = CorpusConfig(n_docs=80)
+    docs = generate_documents_df(spark, cfg)
+    out = tempfile.mkdtemp(prefix="kg_contract_")
+    tables = run_pipeline(spark, docs, out)
+    return tables["triples"].select("subj", "pred", "obj", "weight_percent")
+
+
+@query("kg_mentions_synthetic")
+def kg_mentions_synthetic(spark, sf_dir):
+    from .corpus import CorpusConfig, gazetteer_rows, generate_documents_df
+    from .operators.mentions import detect_mentions
+
+    cfg = CorpusConfig(n_docs=60)
+    docs = generate_documents_df(spark, cfg)
+    return detect_mentions(docs, gazetteer_rows(cfg)).select(
+        "doc_id", "span_offset", "keyword", "word", "confidence", "mtype"
+    )

@@ -1,0 +1,177 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashing is derived from md5/sha2 built-ins (JVM-side, codegen'd) so the
+operators are deterministic across executors AND reproducible by any ANSI
+engine (the DuckDB oracle in __spark_entry__ runs the same formulas).
+
+Scale design:
+  * exact dedupe — one hash-groupBy; map-side combine, no skew concern;
+  * MinHash+LSH — shingle explode is a narrow map; the only shuffle is the
+    (doc, hash_id) min-agg (algebraic => partial agg) and the band-bucket
+    self-join (bucket ids are ~uniform because they're md5 prefixes);
+  * SimHash — explode(words) x explode(64 bits) stays narrow; the bit-vote
+    sum is algebraic;
+  * embedding near-dup — see similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """word n-gram shingles, distinct per doc. n=1 -> distinct tokens."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if n == 1:
+        sh = F.array_distinct(toks)
+    else:
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        )
+    return df.withColumn("shingle", F.explode(sh))
+
+
+def _hash48(col) -> F.Column:
+    """Deterministic 48-bit integer from a string via md5 (first 12 hex
+    digits) — portable to any engine with md5 + hex parsing. 48 bits keeps
+    (a*x+b) below 2^63 for the minhash permutations (no overflow on either
+    engine)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedupe: content hash -> group size + canonical keeper (min id)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 2
+) -> DataFrame:
+    """(doc_id, hash_id, minhash) — h_i(x) = (a_i*x + b_i) mod (2^61-1) over
+    60-bit shingle hashes; a_i=2i+3, b_i=5i+7 (odd multipliers, fixed so the
+    oracle can replay them)."""
+    sh = _shingles(df.select(F.col(id_col).alias("doc_id"), text_col), text_col, shingle_n)
+    sh = sh.withColumn("x", _hash48(F.col("shingle")))
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_id"),
+        "x",
+    ).withColumn(
+        "hv",
+        ((F.col("hash_id") * 2 + 3) * F.col("x") + (F.col("hash_id") * 5 + 7))
+        % F.lit(_MERSENNE),
+    )
+    return hashed.groupBy("doc_id", "hash_id").agg(F.min("hv").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, band_size: int = 4
+) -> DataFrame:
+    """Band the signature (rows of (doc_id, hash_id, minhash)), bucket-join:
+    docs sharing any band bucket become candidate pairs (doc1 < doc2)."""
+    banded = signatures.withColumn("band", (F.col("hash_id") / band_size).cast("int"))
+    buckets = banded.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("hash_id", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                "|",
+            )
+        ).alias("bucket")
+    )
+    a = buckets.select("band", "bucket", F.col("doc_id").alias("doc1"))
+    b = buckets.select("band", "bucket", F.col("doc_id").alias("doc2"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over distinct tokens; output as a 64-char '0/1' string
+    (portable). Bit b of token t = bit (b%4) of hex digit (b/4) of md5(t);
+    each token votes +1/-1 per bit; bit set iff the vote sum is positive."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    bits = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+    ).withColumn(
+        "digit",
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.col("h"), (F.col("bit") / 4).cast("int") + 1, 1),
+        )
+        - 1,
+    ).withColumn(
+        "vote",
+        F.when(
+            F.expr("(CAST(digit / CAST(pow(2, bit % 4) AS INT) AS INT)) % 2 = 1"), 1
+        ).otherwise(-1),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bit", "v"))),
+                lambda s: F.when(s["v"] > 0, "1").otherwise("0"),
+            ),
+            "",
+        ).alias("simhash64")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    shingle_n: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard within groups (blocking column keeps the
+    self-join from going quadratic over the whole corpus; at scale the
+    blocking key is an LSH bucket from lsh_candidate_pairs)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if shingle_n == 1:
+        sh = F.array_distinct(toks)
+    else:
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))),
+                lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " "),
+            )
+        )
+    s = df.select(
+        F.col(id_col).alias("doc_id"), F.col(group_col).alias("grp"), sh.alias("sh")
+    )
+    a = s.select(F.col("doc_id").alias("doc1"), "grp", F.col("sh").alias("sh1"))
+    b = s.select(F.col("doc_id").alias("doc2"), "grp", F.col("sh").alias("sh2"))
+    pairs = a.join(b, "grp").where(F.col("doc1") < F.col("doc2"))
+    jac = F.round(
+        F.size(F.array_intersect("sh1", "sh2"))
+        / F.size(F.array_distinct(F.concat("sh1", "sh2"))).cast("double"),
+        6,
+    )
+    return pairs.select("doc1", "doc2", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )

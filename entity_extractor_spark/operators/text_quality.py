@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All formulas are built-in column expressions (codegen'd); the language-ID
+marker profiles are a tiny broadcast literal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+# toy n-gram/stopword marker profiles per language — the structure (argmax
+# over marker-hit ratios) is the real operator; profiles are swappable.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "la", "et"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """whitespace tokens + BPE-ish regex tokens ([a-z]+ | digits | single
+    non-space symbol) — the standard pre-tokenizer split."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+            )
+        ).cast("long").alias("re_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """length / mean-token-length / stopword-ratio features + a composite
+    score in [0,1]; rounded so any engine reproduces the exact doubles."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_words = F.size(toks).cast("double")
+    sw = F.size(
+        F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(s) for s in STOPWORDS]), t))
+    )
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")), F.lit(0.0), lambda a, x: a + x
+        ) / n_words,
+        6,
+    )
+    sw_ratio = F.round(sw / n_words, 6)
+    # quality derives from the already-rounded components so every engine
+    # performs the identical IEEE double ops on identical inputs
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_token_len"),
+        sw_ratio.alias("stopword_ratio"),
+    )
+    # no final ROUND: both engines then run the identical IEEE double ops on
+    # identical (already-rounded) inputs => bitwise-equal results; a final
+    # round would sit on decimal-half landmines where rounding modes differ
+    score = F.least(
+        F.lit(1.0),
+        0.4 * F.least(F.col("n_words") / 100.0, F.lit(1.0))
+        + 0.3 * F.least(F.col("mean_token_len") / 8.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.col("stopword_ratio")),
+    )
+    return out.withColumn("quality", score)
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word heuristic language ID: argmax over per-language marker-hit
+    ratios, deterministic tie-break by language code."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+        scores.append(F.struct((hits / F.size(toks)).alias("s"), F.lit(lang).alias("lang")))
+    # argmax with lexicographic tie-break: sort by (-score, lang) -> first
+    best = F.array_sort(
+        F.array(*scores),
+        lambda a, b: F.when(a["s"] > b["s"], -1)
+        .when(a["s"] < b["s"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    )[0]
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        best["lang"].alias("pred_lang"),
+        F.round(best["s"], 6).alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprint: md5 over the sorted distinct token set of the
+    lowercased text — whitespace/ordering/duplication-insensitive identity."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))), " ")
+        ).alias("fp"),
+    )
