@@ -1,0 +1,117 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline workload on local[$SPARK_GRAFT_CPUS] against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name: sec},
+"sf", plus extra context keys (triples_per_sec, docs, cpus)}.
+
+Headline = the KG-construction pipeline (BASELINE.json metric is triples/sec
+end-to-end on the synthetic interleaved-doc corpus) + a representative slice
+of the relational/training-data operator queries at the sf dir. Scaling
+(N vs 4N cores) is measured separately by tools/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# ~sf-proportional synthetic corpus: sf0.1 -> 12k interleaved docs.
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "12000"))
+
+# sf marker parsed from the dir name, e.g. ".../sf0.1" -> 0.1
+def _sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+# Representative per-operator queries (one per SURVEY.md §2 family + the
+# training-data ops). Full 32-query coverage is exercised by
+# tools/check_contract.py; bench keeps the set small enough to be a fast
+# feedback loop while still touching every physical pattern: scan+filter
+# pushdown, broadcast join, multiway shuffle join, window top-k, groupBy agg,
+# minhash UDF, ANN cosine, text scoring.
+BENCH_QUERIES = [
+    "j1_multiway_join_agg",
+    "j2_broadcast_dim",
+    "j5_link_cascade",
+    "a1_group_counts",
+    "w1_topk_per_group",
+    "f2_keyword_match",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_brute_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from entity_extractor_spark import contract
+    from entity_extractor_spark.corpus import CorpusConfig, gazetteer_rows, generate_documents_df
+    from entity_extractor_spark.plans.pipeline import run_pipeline
+    from entity_extractor_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    queries: dict[str, float] = {}
+
+    # -- headline: end-to-end KG construction on the synthetic corpus --------
+    cfg = CorpusConfig(n_docs=N_DOCS)
+    out_dir = tempfile.mkdtemp(prefix="kg_bench_")
+    try:
+        docs = generate_documents_df(spark, cfg).cache()
+        n_in = docs.count()  # materialize input outside the timed window
+        t0 = time.time()
+        tables = run_pipeline(
+            spark, docs, out_dir, gazetteer=gazetteer_rows(cfg), resume=False
+        )
+        n_triples = tables["triples"].count()
+        kg_sec = time.time() - t0
+        docs.unpersist()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    queries["kg_pipeline_e2e"] = round(kg_sec, 3)
+    triples_per_sec = n_triples / kg_sec if kg_sec > 0 else 0.0
+
+    # -- operator queries at the sf dir --------------------------------------
+    for name in BENCH_QUERIES:
+        fn = contract.Q[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        # force full execution without driver materialization cost
+        df.agg(F.count(F.lit(1))).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construct_e2e_plus_operator_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf(SF_DIR),
+                "triples_per_sec": round(triples_per_sec, 1),
+                "kg_triples": n_triples,
+                "kg_docs": n_in,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

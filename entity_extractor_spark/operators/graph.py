@@ -43,23 +43,21 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # neighbor labels: for edge (u,v) send label(v) to u
+        # neighbor labels: for edge (u,v) send label(v) to u. The vertex's
+        # own old label rides along (old = component on the labels side,
+        # null on the msgs side) so convergence is checked with a cheap
+        # filter over the checkpointed result instead of an extra join+job.
         msgs = und.join(
             labels.withColumnRenamed("vertex", "dst"), "dst"
-        ).select(F.col("src").alias("vertex"), "component")
+        ).select(F.col("src").alias("vertex"), "component", F.lit(None).cast("string").alias("old"))
         new_labels = (
-            msgs.union(labels)
+            msgs.union(labels.select("vertex", "component", F.col("component").alias("old")))
             .groupBy("vertex")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component"), F.max("old").alias("old"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "vertex")
-            .where(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("component") != F.col("old")).limit(1).count()
+        labels = new_labels.select("vertex", "component")
         if changed == 0:
             break
     return labels

@@ -88,6 +88,7 @@ def commit_stage(
     """Atomically materialize `df` as the stage output and record lineage
     (with per-partition row counts). Returns the re-read DataFrame so
     downstream stages consume the committed table, truncating lineage."""
+    t0 = time.time()
     final = log._stage_dir(stage)
     tmp = final + "._tmp"
     if os.path.exists(tmp):
@@ -98,13 +99,19 @@ def commit_stage(
     os.replace(tmp, final)
 
     committed = spark.read.parquet(final)
-    parts = [
-        {"partition_id": int(r["pid"]), "rows": int(r["rows"]), "status": "done"}
-        for r in committed.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count("*").alias("rows"))
-        .collect()
-    ]
-    counters = {"rows": int(sum(p["rows"] for p in parts))}
+    # Per-partition counters come from the parquet footers (one part-file per
+    # write partition) — metadata-only, no extra Spark job. On Iceberg this
+    # is the snapshot manifest's per-file row counts.
+    import pyarrow.parquet as pq
+
+    parts = []
+    for fname in sorted(os.listdir(final)):
+        if not fname.startswith("part-"):
+            continue
+        pid = int(fname.split("-")[1])
+        nrows = pq.ParquetFile(os.path.join(final, fname)).metadata.num_rows
+        parts.append({"partition_id": pid, "rows": int(nrows), "status": "done"})
+    counters = {"rows": int(sum(p["rows"] for p in parts)), "wall_sec": round(time.time() - t0, 3)}
     for name, col in (counters_cols or {}).items():
         counters[name] = int(committed.agg(F.sum(col)).collect()[0][0] or 0)
     log.mark_done(stage, counters=counters, partitions=parts)

@@ -24,9 +24,11 @@ from .lineage import LineageLog, commit_stage, load_stage
 
 STAGE_ORDER = [
     "mentions",
+    "winners",
     "observations",
     "materials",
     "manufacturers",
+    "clustered",
     "chem_nodes",
     "edges",
     "nodes",
@@ -62,7 +64,9 @@ def run_pipeline(
         out["mentions"] = stage("mentions", lambda: M.detect_mentions(docs, gazetteer))
 
     # s3 — extract. headers/chems are cheap narrow scans; winners is the
-    # one keyed shuffle (window over mat_key).
+    # one keyed shuffle (window over mat_key). `winners` is committed so the
+    # three consumers (observations/materials/manufacturers) read the small
+    # committed table instead of re-running the span parse chain.
     spans = X.text_spans(docs)
     headers = X.parse_headers(spans)
     chems = X.parse_chemicals(spans, headers)
@@ -76,24 +80,24 @@ def run_pipeline(
                 F.col("manufacturer_name"),
             ).alias("mat_key")
         )
-    winners = X.winner_docs(headers, chems.select("doc_id").distinct(), existing_keys)
+    out["winners"] = stage(
+        "winners",
+        lambda: X.winner_docs(headers, chems.select("doc_id").distinct(), existing_keys),
+    )
+    winners = out["winners"]
 
     out["observations"] = stage("observations", lambda: X.observations(winners, chems))
     out["materials"] = stage("materials", lambda: X.materials_table(winners))
     out["manufacturers"] = stage("manufacturers", lambda: X.manufacturers_table(winners))
 
-    # s4+s5 — link + canonicalize
-    def build_chem_nodes() -> DataFrame:
-        clustered = L.assign_clusters(out["observations"], existing_nodes)
-        return L.fold_chemical_nodes(clustered)
-
-    out["chem_nodes"] = stage("chem_nodes", build_chem_nodes)
-
-    def build_edges() -> DataFrame:
-        clustered = L.assign_clusters(out["observations"], existing_nodes)
-        return L.chemical_edges(clustered)
-
-    out["edges"] = stage("edges", build_edges)
+    # s4+s5 — link + canonicalize. The connected-components cluster
+    # assignment is the expensive iterative step; commit it once and derive
+    # both chem_nodes and edges from the committed table.
+    out["clustered"] = stage(
+        "clustered", lambda: L.assign_clusters(out["observations"], existing_nodes)
+    )
+    out["chem_nodes"] = stage("chem_nodes", lambda: L.fold_chemical_nodes(out["clustered"]))
+    out["edges"] = stage("edges", lambda: L.chemical_edges(out["clustered"]))
 
     # s6 — propagate + s7 — materialize node/triple tables
     def build_nodes() -> DataFrame:
