@@ -71,6 +71,8 @@ class CorpusConfig:
     no_chem_doc_rate: float = 0.03
     noise_spans: tuple = (1, 4)
     image_spans: tuple = (1, 3)
+    noise_words: tuple = (3, 9)    # words per noise line; raise for realistic
+                                   # page-sized docs (bench scaling profile)
 
 
 @dataclass
@@ -198,7 +200,7 @@ def make_doc(i: int, cfg: CorpusConfig, pools: _Pools) -> dict:
 
     # interleave: noise, header, images, compositions, noise
     def noise_line(r: random.Random) -> str:
-        return " ".join(r.choice(_NOISE) for _ in range(r.randrange(3, 9)))
+        return " ".join(r.choice(_NOISE) for _ in range(r.randrange(*cfg.noise_words)))
 
     texts.append(noise_line(rng))
     texts.append(header)

@@ -24,16 +24,55 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+SMALL_GRAPH_EDGES = 2_000_000
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
 ) -> DataFrame:
     """edges(src,dst) [undirected] -> (vertex, component) where component is
-    the min vertex id (lexicographic) in the vertex's component."""
+    the min vertex id (lexicographic) in the vertex's component.
+
+    Adaptive strategy (same spirit as broadcast-vs-shuffle join selection):
+    the DISTINCT edge set is the *entity vocabulary* graph, orders of
+    magnitude smaller than the observation table that produced it. When it
+    fits comfortably on the driver (< SMALL_GRAPH_EDGES), a driver-side
+    union-find computes exact components in one pass and the result is
+    broadcast back — replacing ~2 jobs/iteration with one collect. Larger
+    graphs take the distributed hash-min label-propagation loop below."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
     und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     und = und.localCheckpoint(eager=True)
+
+    n_edges = und.count()
+    if n_edges <= SMALL_GRAPH_EDGES:
+        spark = edges.sparkSession
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        vertices: set[str] = set()
+        for row in und.collect():
+            a, b = row["src"], row["dst"]
+            vertices.add(a)
+            vertices.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min-root union keeps the "component = min vertex id" contract
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = sorted((v, find(v)) for v in vertices)
+        if not rows:
+            return spark.createDataFrame([], "vertex string, component string")
+        return spark.createDataFrame(rows, "vertex string, component string")
 
     labels = (
         und.select(F.col("src").alias("vertex"))

@@ -30,14 +30,10 @@ one task's memory.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
 
-from ..functions.lattice import TransitionError, fold_observation
+from ..functions.lattice import _STATUS_REPLACING_PAIRS, TRANSITION_MAP
 from .graph import connected_components
 
 _SEP = "\x1f"
@@ -92,61 +88,86 @@ def assign_clusters(obs: DataFrame, existing_nodes: DataFrame | None = None) -> 
     )
 
 
-_FOLD_SCHEMA = StructType(
-    [
-        StructField("cluster", StringType(), False),
-        StructField("name", StringType(), False),
-        StructField("cas_number", StringType(), True),
-        StructField("manufacturer_id", StringType(), False),
-        StructField("pfas_status", StringType(), False),
-        StructField("pfas_information_source", StringType(), False),
-        StructField("n_dropped", StringType(), True),
-    ]
+# The lattice fold is a DFA over a 15-state domain (3 statuses x 5 sources);
+# each observation is a state-transition function. Expressed as a JVM-side
+# `aggregate()` over the cluster's (doc_id, seq)-sorted observation array:
+# whole-stage codegen, zero Python in the hot path. Semantics are pinned
+# byte-for-byte against functions.lattice.fold_observation by
+# tests/test_lattice.py::test_spark_fold_matches_python.
+#
+# Scale note: collect_list holds one cluster's observations in one task.
+# Hub clusters at extreme scale would instead use the associative form —
+# function composition over the 16-state domain is associative, so each
+# partition can pre-compose its observations into a 16-entry transition
+# table and tables merge pairwise (map-side combine). Swap point documented;
+# not needed at benchable scales.
+_TRANS_SQL = "map(" + ", ".join(
+    f"'{k}', '{v if v is not None else ''}'" for k, v in TRANSITION_MAP.items()
+) + ")"
+_PAIRS_SQL = ", ".join(
+    f"'{a}_{b}'" for a, b in sorted(_STATUS_REPLACING_PAIRS)
 )
+_TAG_STATUS = "CASE WHEN {o}.tag = 'PFAS' THEN 'YES' WHEN {o}.tag = 'NO_PFAS' THEN 'NO' ELSE 'PENDING' END"
+
+_FOLD_EXPR = f"""
+aggregate(
+  obs,
+  named_struct('status', cast(null as string), 'source', cast(null as string),
+               'name', cast(null as string), 'cas', cast(null as string), 'dropped', 0),
+  (acc, o) -> CASE
+    WHEN acc.status IS NULL THEN named_struct(
+      'status', {_TAG_STATUS.format(o='o')},
+      'source', coalesce(o.source, 'NONE'),
+      'name', o.chemical_name,
+      'cas', o.cas_number,
+      'dropped', acc.dropped)
+    WHEN coalesce(element_at({_TRANS_SQL}, concat(acc.source, '_', coalesce(o.source, 'NONE'))), '') = ''
+      THEN named_struct('status', acc.status, 'source', acc.source, 'name', acc.name,
+                        'cas', acc.cas, 'dropped', acc.dropped + 1)
+    ELSE named_struct(
+      'status', CASE WHEN concat(acc.source, '_', coalesce(o.source, 'NONE')) IN ({_PAIRS_SQL})
+                     THEN {_TAG_STATUS.format(o='o')} ELSE acc.status END,
+      'source', element_at({_TRANS_SQL}, concat(acc.source, '_', coalesce(o.source, 'NONE'))),
+      'name', acc.name,
+      'cas', o.cas_number,
+      'dropped', acc.dropped)
+  END
+)
+"""
 
 
 def fold_chemical_nodes(clustered: DataFrame) -> DataFrame:
     """Per-cluster ordered lattice fold -> one chemical node per cluster.
 
     Observations are replayed in (doc_id, seq) order — the reference's queue
-    order. A TransitionError drops the observation (the reference rolls back
-    the whole doc, :609-612; the corpus generator keeps error transitions
-    out of e2e data, and `n_dropped` surfaces any occurrence)."""
-
-    def fold(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["doc_id", "seq"], kind="mergesort")
-        state = None
-        name = None
-        cas = None
-        dropped = 0
-        for row in pdf.itertuples(index=False):
-            try:
-                new_state = fold_observation(state, row.tag, row.source)
-            except TransitionError:
-                dropped += 1
-                continue
-            if state is None:
-                name = row.chemical_name
-            state = new_state
-            cas = row.cas_number if pd.notna(row.cas_number) else None
-        if state is None:  # every observation dropped
-            return pd.DataFrame(columns=[f.name for f in _FOLD_SCHEMA.fields])
-        return pd.DataFrame(
-            {
-                "cluster": [key[0]],
-                "name": [name],
-                "cas_number": [cas],
-                "manufacturer_id": [pdf["manufacturer_id"].iloc[0]],
-                "pfas_status": [state[0]],
-                "pfas_information_source": [state[1]],
-                "n_dropped": [str(dropped)],
-            }
+    order (artifact_ingestor_service.py:1237-1257). A TransitionError drops
+    the observation (the reference rolls back the whole doc, :609-612; the
+    corpus generator keeps error transitions out of e2e data, and
+    `n_dropped` surfaces any occurrence)."""
+    g = (
+        clustered.select(
+            "cluster", "manufacturer_id",
+            F.struct("doc_id", "seq", "chemical_name", "cas_number", "tag", "source").alias("o"),
         )
-
-    return clustered.select(
-        "cluster", "doc_id", "seq", "chemical_name", "cas_number",
-        "tag", "source", "manufacturer_id",
-    ).groupBy("cluster").applyInPandas(fold, schema=_FOLD_SCHEMA)
+        .groupBy("cluster")
+        .agg(
+            F.min("manufacturer_id").alias("manufacturer_id"),
+            F.array_sort(F.collect_list("o")).alias("obs"),
+        )
+    )
+    return g.select(
+        "cluster",
+        "manufacturer_id",
+        F.expr(_FOLD_EXPR).alias("st"),
+    ).select(
+        "cluster",
+        F.col("st.name").alias("name"),
+        F.col("st.cas").alias("cas_number"),
+        "manufacturer_id",
+        F.col("st.status").alias("pfas_status"),
+        F.col("st.source").alias("pfas_information_source"),
+        F.col("st.dropped").cast("string").alias("n_dropped"),
+    )
 
 
 def chemical_edges(clustered: DataFrame) -> DataFrame:

@@ -45,13 +45,20 @@ class LineageLog:
     def _stage_dir(self, stage: str) -> str:
         return os.path.join(self.out_dir, stage)
 
-    def mark_done(self, stage: str, counters: dict | None = None, partitions: list[dict] | None = None) -> None:
+    def mark_done(
+        self,
+        stage: str,
+        counters: dict | None = None,
+        partitions: list[dict] | None = None,
+        schema_json: str | None = None,
+    ) -> None:
         rec = self._read()
         rec["stages"][stage] = {
             "status": "done",
             "ts": time.time(),
             "counters": counters or {},
             "partitions": partitions or [],
+            "schema": schema_json,
         }
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
@@ -98,7 +105,8 @@ def commit_stage(
         shutil.rmtree(final)
     os.replace(tmp, final)
 
-    committed = spark.read.parquet(final)
+    # Known schema on re-read: skips the schema-inference job per stage.
+    committed = spark.read.schema(df.schema).parquet(final)
     # Per-partition counters come from the parquet footers (one part-file per
     # write partition) — metadata-only, no extra Spark job. On Iceberg this
     # is the snapshot manifest's per-file row counts.
@@ -114,9 +122,16 @@ def commit_stage(
     counters = {"rows": int(sum(p["rows"] for p in parts)), "wall_sec": round(time.time() - t0, 3)}
     for name, col in (counters_cols or {}).items():
         counters[name] = int(committed.agg(F.sum(col)).collect()[0][0] or 0)
-    log.mark_done(stage, counters=counters, partitions=parts)
+    log.mark_done(stage, counters=counters, partitions=parts, schema_json=df.schema.json())
     return committed
 
 
 def load_stage(log: LineageLog, spark: SparkSession, stage: str) -> DataFrame:
+    schema_json = log._read()["stages"].get(stage, {}).get("schema")
+    if schema_json:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(json.loads(schema_json))).parquet(
+            log._stage_dir(stage)
+        )
     return spark.read.parquet(log._stage_dir(stage))

@@ -50,7 +50,10 @@ def run_pipeline(
         log.invalidate_from(STAGE_ORDER[0], STAGE_ORDER)
 
     n_part = repartition or spark.sparkContext.defaultParallelism
-    docs = documents.repartition(n_part, F.hash("doc_id"))
+    # One explicit hash(doc_id) repartition (north rule), persisted so the
+    # multiple stages that scan the corpus (mentions, winners, observations)
+    # reuse one shuffle instead of re-shuffling the full corpus per job.
+    docs = documents.repartition(n_part, F.hash("doc_id")).persist()
 
     def stage(name: str, build) -> DataFrame:
         if resume and log.is_done(name):
@@ -170,4 +173,5 @@ def run_pipeline(
         return has_chem.unionByName(made_by).unionByName(evidenced)
 
     out["triples"] = stage("triples", build_triples)
+    docs.unpersist()  # all outputs read from committed stage tables
     return out

@@ -99,3 +99,69 @@ def test_resolve_material_source_preference_depends_on_status():
     # children not matching resolved status are not counted
     st, src = resolve_material([("YES", "NONE"), ("NO", "OECD")])
     assert (st, src) == ("YES", "NONE")
+
+
+# ---- Spark JVM fold (operators.link._FOLD_EXPR) vs the Python fold ----------
+
+def _python_fold(rows):
+    """Literal replay of the reference control flow over one cluster."""
+    state, name, cas, dropped = None, None, None, 0
+    for (doc_id, seq, chem_name, cas_number, tag, source) in sorted(rows):
+        try:
+            new_state = fold_observation(state, tag, source)
+        except TransitionError:
+            dropped += 1
+            continue
+        if state is None:
+            name = chem_name
+        state = new_state
+        cas = cas_number
+    return (name, cas, state[0], state[1], str(dropped))
+
+
+def test_spark_fold_matches_python(spark):
+    """Adversarial sequences: error cells (OECD_MANUAL / MANUAL_OECD),
+    unknown stored sources (VAI after OPENAI_OPENAI), ECHA, null sources,
+    null CAS overwrites — the JVM aggregate() fold must replay the Python
+    fold exactly, including drop counting."""
+    import random
+
+    from entity_extractor_spark.operators.link import fold_chemical_nodes
+
+    rng = random.Random(77)
+    tags = ["PFAS", "NO_PFAS", "PENDING", None]
+    sources = ["NONE", "MANUAL", "OECD", "OPENAI", "VAI", "ECHA", None]
+    clusters = {}
+    rows = []
+    for c in range(40):
+        n = rng.randrange(1, 12)
+        obs = []
+        for i in range(n):
+            obs.append(
+                (
+                    f"doc-{rng.randrange(5):03d}",
+                    i,
+                    f"chem name {rng.randrange(6)}",
+                    rng.choice([f"{rng.randrange(100)}-00-0", None]),
+                    rng.choice(tags),
+                    rng.choice(sources),
+                )
+            )
+        key = f"cl-{c:03d}"
+        clusters[key] = obs
+        rows += [(key, "m-1") + o for o in obs]
+
+    df = spark.createDataFrame(
+        rows,
+        "cluster string, manufacturer_id string, doc_id string, seq int, "
+        "chemical_name string, cas_number string, tag string, source string",
+    )
+    got = {
+        r["cluster"]: (
+            r["name"], r["cas_number"], r["pfas_status"],
+            r["pfas_information_source"], r["n_dropped"],
+        )
+        for r in fold_chemical_nodes(df).collect()
+    }
+    for key, obs in clusters.items():
+        assert got[key] == _python_fold(obs), key
