@@ -43,7 +43,10 @@ def text_spans(documents: DataFrame) -> DataFrame:
 
 def parse_headers(spans: DataFrame) -> DataFrame:
     """One material header per doc: first matching span by offset."""
-    h = spans.where(F.col("text").rlike(HEADER_RE) & F.col("text").contains(" manufactured by "))
+    # cheap substring prefilter first: the lazy-quantifier header regex
+    # backtracks on long non-matching noise lines, so only run it on spans
+    # that can possibly match (predicate order is preserved by codegen).
+    h = spans.where(F.col("text").contains(" manufactured by ") & F.col("text").rlike(HEADER_RE))
     w = Window.partitionBy("doc_id").orderBy("offset")
     h = h.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
     ex = lambda i: F.regexp_extract("text", HEADER_RE, i)  # noqa: E731
@@ -65,7 +68,7 @@ def parse_chemicals(spans: DataFrame, headers: DataFrame) -> DataFrame:
     """Chemical observation lines, deduped last-wins per (doc, name) with
     first-occurrence ordering (A5). Header spans are excluded from the
     chemical scan by construction (a header line can't match COMP_RE)."""
-    c = spans.where(F.col("text").rlike(COMP_RE))
+    c = spans.where(F.col("text").contains(" CAS ") & F.col("text").rlike(COMP_RE))
     ex = lambda i: F.regexp_extract("text", COMP_RE, i)  # noqa: E731
     obs = c.select(
         "doc_id",

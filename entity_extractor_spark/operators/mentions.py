@@ -56,8 +56,18 @@ def detect_mentions(documents: DataFrame, keywords: list[dict]) -> DataFrame:
         )
         .withColumn("word_lower", F.lower("word"))
     )
+    # Match against the DISTINCT lowered vocabulary, not the word stream:
+    # natural-language word streams have vocabulary orders of magnitude
+    # smaller than their length, and the distinct() is map-side combined so
+    # the shuffle moves only per-partition vocabularies. The surviving
+    # (vocab x keyword) nested-loop substring join is then tiny, and its
+    # result — still keyword-dimension sized — broadcast-hash-joins back to
+    # the stream: O(words) hash lookups instead of O(words x keywords)
+    # substring scans.
+    vocab = words.select("word_lower").distinct()
+    matched = F.broadcast(vocab.join(kw, F.col("word_lower").contains(F.col("kw_lower"))))
     return (
-        words.join(kw, F.col("word_lower").contains(F.col("kw_lower")))
+        words.join(matched, "word_lower")
         .select(
             "doc_id",
             "span_offset",

@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +32,9 @@ class LineageLog:
         self.out_dir = out_dir
         self.path = os.path.join(out_dir, "_lineage.json")
         os.makedirs(out_dir, exist_ok=True)
+        # stages commit from concurrent DAG-executor threads; read-modify-
+        # write of the lineage file must be atomic per commit
+        self._lock = threading.Lock()
 
     def _read(self) -> dict:
         if not os.path.exists(self.path):
@@ -52,18 +56,19 @@ class LineageLog:
         partitions: list[dict] | None = None,
         schema_json: str | None = None,
     ) -> None:
-        rec = self._read()
-        rec["stages"][stage] = {
-            "status": "done",
-            "ts": time.time(),
-            "counters": counters or {},
-            "partitions": partitions or [],
-            "schema": schema_json,
-        }
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(rec, f, indent=1)
-        os.replace(tmp, self.path)
+        with self._lock:
+            rec = self._read()
+            rec["stages"][stage] = {
+                "status": "done",
+                "ts": time.time(),
+                "counters": counters or {},
+                "partitions": partitions or [],
+                "schema": schema_json,
+            }
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(rec, f, indent=1)
+            os.replace(tmp, self.path)
 
     def invalidate_from(self, stage: str, order: list[str]) -> None:
         """force-rerun semantics (reference 'force' flag,

@@ -8,10 +8,18 @@ commits so a killed run resumes without recomputing done stages.
 Partitioning: documents are explicitly repartitioned on hash(doc_id) before
 the extract stage (north rule) so all per-doc work is co-located and the
 winner-filter / dedupe windows shuffle once on doc-aligned keys.
+
+Scheduling: stages form a DAG, not a chain — independent stages (e.g. the
+mention scan and the extract path; the three projections of `winners`) are
+submitted as CONCURRENT Spark jobs from a thread pool, so one stage's
+commit/barrier tail overlaps another stage's compute. On a large cluster
+this keeps executors busy across stage boundaries; the per-stage lineage
+contract is unchanged (each stage still commits atomically).
 """
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,6 +43,21 @@ STAGE_ORDER = [
     "triples",
 ]
 
+# stage -> direct dependencies (DAG edges); stages in the same "wave" run
+# as concurrent Spark jobs.
+STAGE_DEPS: dict[str, list[str]] = {
+    "mentions": [],
+    "winners": [],
+    "observations": ["winners"],
+    "materials": ["winners"],
+    "manufacturers": ["winners"],
+    "clustered": ["observations"],
+    "chem_nodes": ["clustered"],
+    "edges": ["clustered"],
+    "nodes": ["materials", "chem_nodes", "edges"],
+    "triples": ["manufacturers", "materials", "chem_nodes", "edges"],
+}
+
 
 def run_pipeline(
     spark: SparkSession,
@@ -55,17 +78,6 @@ def run_pipeline(
     # reuse one shuffle instead of re-shuffling the full corpus per job.
     docs = documents.repartition(n_part, F.hash("doc_id")).persist()
 
-    def stage(name: str, build) -> DataFrame:
-        if resume and log.is_done(name):
-            return load_stage(log, spark, name)
-        return commit_stage(log, spark, name, build())
-
-    out: dict[str, DataFrame] = {}
-
-    # s2 — mentions (independent of the graph path)
-    if gazetteer is not None:
-        out["mentions"] = stage("mentions", lambda: M.detect_mentions(docs, gazetteer))
-
     # s3 — extract. headers/chems are cheap narrow scans; winners is the
     # one keyed shuffle (window over mat_key). `winners` is committed so the
     # three consumers (observations/materials/manufacturers) read the small
@@ -83,27 +95,9 @@ def run_pipeline(
                 F.col("manufacturer_name"),
             ).alias("mat_key")
         )
-    out["winners"] = stage(
-        "winners",
-        lambda: X.winner_docs(headers, chems.select("doc_id").distinct(), existing_keys),
-    )
-    winners = out["winners"]
-
-    out["observations"] = stage("observations", lambda: X.observations(winners, chems))
-    out["materials"] = stage("materials", lambda: X.materials_table(winners))
-    out["manufacturers"] = stage("manufacturers", lambda: X.manufacturers_table(winners))
-
-    # s4+s5 — link + canonicalize. The connected-components cluster
-    # assignment is the expensive iterative step; commit it once and derive
-    # both chem_nodes and edges from the committed table.
-    out["clustered"] = stage(
-        "clustered", lambda: L.assign_clusters(out["observations"], existing_nodes)
-    )
-    out["chem_nodes"] = stage("chem_nodes", lambda: L.fold_chemical_nodes(out["clustered"]))
-    out["edges"] = stage("edges", lambda: L.chemical_edges(out["clustered"]))
 
     # s6 — propagate + s7 — materialize node/triple tables
-    def build_nodes() -> DataFrame:
+    def build_nodes(out: dict[str, DataFrame]) -> DataFrame:
         resolved = P.resolve_materials(out["edges"], out["chem_nodes"])
         mats = (
             out["materials"]
@@ -127,9 +121,7 @@ def run_pipeline(
         )
         return mats.unionByName(chem)
 
-    out["nodes"] = stage("nodes", build_nodes)
-
-    def build_triples() -> DataFrame:
+    def build_triples(out: dict[str, DataFrame]) -> DataFrame:
         manu = out["manufacturers"]
         mats = out["materials"]
         chem = out["chem_nodes"].withColumn(
@@ -172,6 +164,42 @@ def run_pipeline(
         )
         return has_chem.unionByName(made_by).unionByName(evidenced)
 
-    out["triples"] = stage("triples", build_triples)
+    builders: dict[str, object] = {
+        "mentions": lambda out: M.detect_mentions(docs, gazetteer),
+        "winners": lambda out: X.winner_docs(
+            headers, chems.select("doc_id").distinct(), existing_keys
+        ),
+        "observations": lambda out: X.observations(out["winners"], chems),
+        "materials": lambda out: X.materials_table(out["winners"]),
+        "manufacturers": lambda out: X.manufacturers_table(out["winners"]),
+        "clustered": lambda out: L.assign_clusters(out["observations"], existing_nodes),
+        "chem_nodes": lambda out: L.fold_chemical_nodes(out["clustered"]),
+        "edges": lambda out: L.chemical_edges(out["clustered"]),
+        "nodes": build_nodes,
+        "triples": build_triples,
+    }
+    active = [s for s in STAGE_ORDER if s != "mentions" or gazetteer is not None]
+    out: dict[str, DataFrame] = {}
+
+    def run_stage(name: str) -> DataFrame:
+        if resume and log.is_done(name):
+            return load_stage(log, spark, name)
+        return commit_stage(log, spark, name, builders[name](out))
+
+    # DAG wave execution: every stage whose deps are done is submitted as a
+    # concurrent Spark job (FIFO scheduler interleaves their tasks).
+    done: set[str] = set()
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        while len(done) < len(active):
+            ready = [
+                s
+                for s in active
+                if s not in done and all(d in done for d in STAGE_DEPS[s])
+            ]
+            futures = {s: ex.submit(run_stage, s) for s in ready}
+            for s, fut in futures.items():
+                out[s] = fut.result()
+                done.add(s)
+
     docs.unpersist()  # all outputs read from committed stage tables
     return out

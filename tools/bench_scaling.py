@@ -38,19 +38,39 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+GEN_CHILD = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+from entity_extractor_spark.session import get_spark
+from entity_extractor_spark.corpus import CorpusConfig, generate_documents_df
+
+spark = get_spark("scaling_gen", master="local[32]", shuffle_partitions=32)
+cfg = CorpusConfig(n_docs={n_docs}, noise_spans=(6, 14), noise_words=(20, 60))
+gen = generate_documents_df(spark, cfg, partitions=64)
+gen.write.mode("overwrite").parquet({input_dir!r})
+print("GENDONE")
+spark.stop()
+"""
+
 CHILD = r"""
 import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from entity_extractor_spark.session import get_spark
 from entity_extractor_spark.corpus import CorpusConfig, gazetteer_rows, generate_documents_df
+from entity_extractor_spark.schemas import DOCUMENTS_SCHEMA
 from entity_extractor_spark.plans.pipeline import run_pipeline
 
 cores = {cores}
 n_docs = {n_docs}
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 spark = get_spark("scaling_%d" % cores, master="local[%d]" % cores, shuffle_partitions=cores)
 cfg = CorpusConfig(n_docs=n_docs, noise_spans=(6, 14), noise_words=(20, 60))
-docs = generate_documents_df(spark, cfg, partitions=cores).cache()
-n_in = docs.count()  # materialize input outside the timed window
+scratch0 = "/dev/shm" if os.path.isdir("/dev/shm") else None
+# The corpus parquet table (input_hint shape) was generated once by the
+# parent at full parallelism; both levels read the SAME files.
+input_dir = {input_dir!r}
+docs = spark.read.schema(DOCUMENTS_SCHEMA).parquet(input_dir)
+n_in = docs.count()
 gaz = gazetteer_rows(cfg)
 
 # warmup: full pipeline on a small prefix corpus (JIT + codegen + Arrow init)
@@ -62,24 +82,38 @@ run_pipeline(spark, wdocs, wout, gazetteer=gazetteer_rows(wcfg), resume=False)["
 shutil.rmtree(wout, ignore_errors=True)
 
 # stage outputs on tmpfs: measures the job's compute/shuffle scaling, not
-# the sandbox's single virtual disk (a cluster writes to a parallel store)
-out = tempfile.mkdtemp(prefix="kg_scale_", dir=scratch)
-t0 = time.time()
-tables = run_pipeline(spark, docs, out, gazetteer=gaz, resume=False)
-n_triples = tables["triples"].count()
-dt = time.time() - t0
-shutil.rmtree(out, ignore_errors=True)
+# the sandbox's single virtual disk (a cluster writes to a parallel store).
+# Best-of-3 timed runs: the sandbox is a shared host with visible
+# run-to-run noise; min wall time is the standard noise-robust estimator.
+times = []
+for rep in range({reps}):
+    out = tempfile.mkdtemp(prefix="kg_scale_", dir=scratch)
+    t0 = time.time()
+    tables = run_pipeline(spark, docs, out, gazetteer=gaz, resume=False)
+    n_triples = tables["triples"].count()
+    times.append(time.time() - t0)
+    shutil.rmtree(out, ignore_errors=True)
+dt = min(times)
 print("RESULT " + json.dumps({{"cores": cores, "docs": n_in, "sec": round(dt, 2),
-                               "triples": n_triples,
+                               "triples": n_triples, "runs": [round(x, 2) for x in times],
                                "triples_per_sec": round(n_triples / dt, 1)}}))
 spark.stop()
 """
 
 
-def run_level(cores: int, n_docs: int) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, n_docs=n_docs)
+def generate_corpus(n_docs: int, input_dir: str) -> None:
+    code = GEN_CHILD.format(repo=REPO, n_docs=n_docs, input_dir=input_dir)
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO, timeout=1800
+    )
+    if "GENDONE" not in proc.stdout:
+        raise RuntimeError(f"corpus gen failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+
+
+def run_level(cores: int, n_docs: int, input_dir: str, reps: int) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, n_docs=n_docs, input_dir=input_dir, reps=reps)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO, timeout=3600
     )
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -91,15 +125,26 @@ def run_level(cores: int, n_docs: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "60000")))
+    ap.add_argument("--docs", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "240000")))
     ap.add_argument("--levels", default="4,16", help="N,4N core counts")
+    ap.add_argument("--reps", type=int, default=3, help="timed runs per level (min wins)")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
     assert hi == 4 * lo, "levels must be N,4N"
 
-    n = run_level(lo, args.docs)
-    n4 = run_level(hi, args.docs)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    import tempfile
+
+    input_dir = tempfile.mkdtemp(prefix="kg_scale_corpus_", dir=scratch)
+    try:
+        generate_corpus(args.docs, input_dir)
+        n = run_level(lo, args.docs, input_dir, args.reps)
+        n4 = run_level(hi, args.docs, input_dir, args.reps)
+    finally:
+        import shutil
+
+        shutil.rmtree(input_dir, ignore_errors=True)
     eff = n4["triples_per_sec"] / (4 * n["triples_per_sec"])
     result = {
         "metric": "scaling_efficiency_N_to_4N",
