@@ -649,3 +649,229 @@ def kg_mentions_synthetic(spark, sf_dir):
     return detect_mentions(docs, gazetteer_rows(cfg)).select(
         "doc_id", "span_offset", "keyword", "word", "confidence", "mtype"
     )
+
+
+# ------------------------------------------- §2 rows added in round 1 (b) --
+
+@query(
+    "j4_edge_child_lookup",
+    """SELECT l.l_orderkey, p.p_partkey, p.p_name, p.p_type
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE l.l_orderkey < 100""",
+)
+def j4_edge_child_lookup(spark, sf_dir):
+    """J4 — children-of-parent edge lookup
+    (global_node_repository.py:197-219: edge table filtered on parent id,
+    joined to the child node table)."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    return (
+        li.where(F.col("l_orderkey") < 100)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_partkey", "p_name", "p_type")
+    )
+
+
+@query(
+    "j6_exact_name_link",
+    """SELECT p.p_partkey,
+              COALESCE(d.dim_id, 'new:' || md5(p.p_brand)) AS linked_id,
+              d.dim_id IS NULL AS is_new
+       FROM part p
+       LEFT JOIN (SELECT DISTINCT p_brand AS brand, 'dim:' || md5(p_brand) AS dim_id
+                  FROM part WHERE p_size > 25) d
+              ON p.p_brand = d.brand""",
+)
+def j6_exact_name_link(spark, sf_dir):
+    """J6 — exact-name dimension link: reuse the existing id else mint a
+    deterministic new one (save_manufacturer,
+    artifact_ingestor_service.py:991-1008)."""
+    p = _t(spark, sf_dir, "part")
+    dim = (
+        p.where("p_size > 25")
+        .select(F.col("p_brand").alias("brand"))
+        .distinct()
+        .withColumn("dim_id", F.concat(F.lit("dim:"), F.md5(F.col("brand"))))
+    )
+    return p.join(F.broadcast(dim), p.p_brand == dim.brand, "left").select(
+        "p_partkey",
+        F.coalesce(F.col("dim_id"), F.concat(F.lit("new:"), F.md5(F.col("p_brand")))).alias("linked_id"),
+        F.col("dim_id").isNull().alias("is_new"),
+    )
+
+
+@query(
+    "j8_edge_upsert_merge",
+    """SELECT COALESCE(n.l_orderkey, o.l_orderkey) AS parent_id,
+              COALESCE(n.l_partkey, o.l_partkey) AS child_id,
+              CAST(COALESCE(n.l_quantity, o.l_quantity) AS DOUBLE) AS weight,
+              CASE WHEN n.l_orderkey IS NULL THEN 'kept'
+                   WHEN o.l_orderkey IS NULL THEN 'inserted'
+                   ELSE 'updated' END AS merge_action
+       FROM (SELECT * FROM lineitem WHERE l_linenumber = 1) o
+       FULL OUTER JOIN (SELECT * FROM lineitem WHERE l_linenumber = 2) n
+         ON o.l_orderkey = n.l_orderkey AND o.l_partkey = n.l_partkey""",
+)
+def j8_edge_upsert_merge(spark, sf_dir):
+    """J8 — edge upsert: MERGE INTO edges USING new ON (parent, child)
+    WHEN MATCHED UPDATE weight WHEN NOT MATCHED INSERT
+    (artifact_ingestor_service.py:1086-1106), expressed as a full-outer
+    merge join (Iceberg MERGE INTO compiles to the same plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    old = li.where("l_linenumber = 1").alias("o")
+    new = li.where("l_linenumber = 2").alias("n")
+    return old.join(
+        new,
+        (F.col("o.l_orderkey") == F.col("n.l_orderkey"))
+        & (F.col("o.l_partkey") == F.col("n.l_partkey")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("n.l_orderkey"), F.col("o.l_orderkey")).alias("parent_id"),
+        F.coalesce(F.col("n.l_partkey"), F.col("o.l_partkey")).alias("child_id"),
+        F.coalesce(F.col("n.l_quantity"), F.col("o.l_quantity")).cast("double").alias("weight"),
+        F.when(F.col("n.l_orderkey").isNull(), "kept")
+        .when(F.col("o.l_orderkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
+@query(
+    "j9_hierarchy_norm_name",
+    """SELECT l.l_orderkey, l.l_linenumber, p.p_name, s.s_name
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       WHERE contains(replace(lower(p.p_name), ' ', ''), 'redwidget')""",
+)
+def j9_hierarchy_norm_name(spark, sf_dir):
+    """J9 — hierarchy 3-way join with normalized-name predicate
+    (global_node_hierarchy_repository.py:42-50)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(norm_name(F.col("p_name")).contains("redwidget"))
+        .select("l_orderkey", "l_linenumber", "p_name", "s_name")
+    )
+
+
+@query(
+    "a2_ordered_rollup",
+    """SELECT l_orderkey,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+              string_agg(CAST(l_linenumber AS VARCHAR) || ':' ||
+                         CAST(CAST(l_quantity AS INT) AS VARCHAR), ','
+                         ORDER BY l_linenumber, l_quantity) AS pagewise
+       FROM lineitem GROUP BY l_orderkey""",
+)
+def a2_ordered_rollup(spark, sf_dir):
+    """A2 — file-level rollup: running sum + ORDERED per-page breakdown
+    (file_analysis_service.py:775-789). Order is made deterministic by
+    sorting the collected struct list (W2 invariant)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        _sum2("l_quantity", "total_qty"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("l_linenumber", "l_quantity"))),
+                lambda s: F.concat_ws(
+                    ":",
+                    s["l_linenumber"].cast("string"),
+                    s["l_quantity"].cast("int").cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("pagewise"),
+    )
+
+
+@query(
+    "a6_distinct_dims",
+    """SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders""",
+)
+def a6_distinct_dims(spark, sf_dir):
+    """A6 — DISTINCT dimension projections (artifact_repository.py:97-133)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderpriority", "o_orderstatus").distinct()
+
+
+@query(
+    "a7_degree_count",
+    """SELECT nodekey, count(*) AS degree FROM (
+         SELECT l_partkey AS nodekey FROM lineitem
+         UNION ALL SELECT l_suppkey AS nodekey FROM lineitem
+       ) GROUP BY nodekey HAVING count(*) > 50""",
+)
+def a7_degree_count(spark, sf_dir):
+    """A7 — edge-degree count with OR predicate (parent=:id OR child=:id,
+    node_hierarchy_repository.py:32-40) = union both endpoints, count."""
+    li = _t(spark, sf_dir, "lineitem")
+    deg = (
+        li.select(F.col("l_partkey").alias("nodekey"))
+        .unionAll(li.select(F.col("l_suppkey").alias("nodekey")))
+        .groupBy("nodekey")
+        .agg(F.count("*").alias("degree"))
+        .where("degree > 50")
+    )
+    return deg
+
+
+@query(
+    "w2_ordered_sequence",
+    """SELECT user_id,
+              string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+       FROM events GROUP BY user_id""",
+)
+def w2_ordered_sequence(spark, sf_dir):
+    """W2 — ordered-sequence preservation: per-key event journey in strict
+    (ts, id) order; the span-sequence invariant re-expressed relationally
+    (file_analysis_service.py:604,760-773)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("journey")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.35""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (training-data op; reference
+    analog: pgvector L2 ranking, common/repositories/vector_repository.py:56-67).
+    Brute-force pair join — the LSH-bucketed variant (ann_lsh_bucketed) is
+    the scale path; this is the exact baseline."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.sqrt(
+            F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x.cast("double") * x)
+        ).alias("nrm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos_sim_raw", cos)
+        .where(F.col("cos_sim_raw") > 0.35)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(F.col("cos_sim_raw"), 4).alias("cos_sim"),
+        )
+    )
