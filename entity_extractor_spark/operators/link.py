@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.core import entity_id
 from ..functions.lattice import _STATUS_REPLACING_PAIRS, TRANSITION_MAP
 from .graph import connected_components
 
@@ -51,41 +52,79 @@ def _atom_cols(obs: DataFrame) -> DataFrame:
     )
 
 
-def assign_clusters(obs: DataFrame, existing_nodes: DataFrame | None = None) -> DataFrame:
-    """observations -> observations + cluster column (canonical entity key).
+_INIT_COLS = ["existing_id", "init_status", "init_source", "init_name", "init_cas"]
 
-    existing_nodes (prior ingest) contribute their own name/cas atoms and
-    equivalence edges so re-ingest MERGEs into existing identities."""
+
+def assign_clusters(obs: DataFrame, existing_nodes: DataFrame | None = None) -> DataFrame:
+    """observations -> observations + cluster column (canonical entity key)
+    + per-cluster init state from any matched existing node.
+
+    existing_nodes (prior ingest / earlier stream batches) contribute their
+    own name/cas atoms and equivalence edges so re-ingest MERGEs into
+    existing identities: the matched node's id is adopted (reference links
+    to the existing row, artifact_ingestor_service.py:1050-1060) and its
+    (status, source, name, cas) become the fold's initial state, so a
+    corpus split across batches folds to the same final graph as one batch
+    (sequence splitting of the DFA fold is exact)."""
     obs = _atom_cols(obs)
     edges = obs.where(F.col("cas_atom").isNotNull()).select(
         F.col("name_atom").alias("src"), F.col("cas_atom").alias("dst")
     )
+    en = None
     if existing_nodes is not None:
+        id_col = F.col("id") if "id" in existing_nodes.columns else F.lit(None).cast("string")
         en = existing_nodes.where(F.col("node_type") == "CHEMICAL").select(
-            F.concat_ws(_SEP, F.lit("N"), F.col("manufacturer_id"), F.col("name")).alias("src"),
+            id_col.alias("existing_id"),
+            F.col("pfas_status").alias("init_status"),
+            F.col("pfas_information_source").alias("init_source"),
+            F.col("name").alias("init_name"),
+            F.col("cas_number").alias("init_cas"),
+            F.concat_ws(_SEP, F.lit("N"), F.col("manufacturer_id"), F.col("name")).alias("name_atom"),
             F.when(
                 F.col("cas_number").isNotNull(),
                 F.concat_ws(_SEP, F.lit("C"), F.col("manufacturer_id"), F.col("cas_number")),
-            ).alias("dst"),
-        ).where(F.col("dst").isNotNull())
-        edges = edges.union(en)
+            ).alias("cas_atom"),
+        )
+        edges = edges.union(
+            en.where(F.col("cas_atom").isNotNull()).select(
+                F.col("name_atom").alias("src"), F.col("cas_atom").alias("dst")
+            )
+        )
     comp = connected_components(edges.distinct())
 
     cas_comp = comp.withColumnRenamed("vertex", "cas_atom").withColumnRenamed("component", "cas_cluster")
     name_comp = comp.withColumnRenamed("vertex", "name_atom").withColumnRenamed("component", "name_cluster")
-    return (
-        obs.join(cas_comp, "cas_atom", "left")
-        .join(name_comp, "name_atom", "left")
-        .withColumn(
-            "cluster",
-            F.coalesce(
-                F.when(F.col("cas_atom").isNotNull(), F.col("cas_cluster")),
-                F.col("name_cluster"),
-                F.col("name_atom"),
-            ),
+
+    def with_cluster(df: DataFrame) -> DataFrame:
+        return (
+            df.join(cas_comp, "cas_atom", "left")
+            .join(name_comp, "name_atom", "left")
+            .withColumn(
+                "cluster",
+                F.coalesce(
+                    F.when(F.col("cas_atom").isNotNull(), F.col("cas_cluster")),
+                    F.col("name_cluster"),
+                    F.col("name_atom"),
+                ),
+            )
+            .drop("cas_cluster", "name_cluster")
         )
-        .drop("cas_cluster", "name_cluster")
+
+    clustered = with_cluster(obs)
+    if en is None:
+        for c in _INIT_COLS:
+            clustered = clustered.withColumn(c, F.lit(None).cast("string"))
+        return clustered
+    # one existing node per cluster under the identity invariants; if a new
+    # observation bridges two pre-existing nodes, the min-id node wins
+    # deterministically (the reference would have linked to its cas match)
+    init = (
+        with_cluster(en)
+        .groupBy("cluster")
+        .agg(F.min(F.struct(*_INIT_COLS)).alias("_i"))
+        .select("cluster", *[F.col(f"_i.{c}").alias(c) for c in _INIT_COLS])
     )
+    return clustered.join(init, "cluster", "left")
 
 
 # The lattice fold is a DFA over a 15-state domain (3 statuses x 5 sources);
@@ -112,8 +151,8 @@ _TAG_STATUS = "CASE WHEN {o}.tag = 'PFAS' THEN 'YES' WHEN {o}.tag = 'NO_PFAS' TH
 _FOLD_EXPR = f"""
 aggregate(
   obs,
-  named_struct('status', cast(null as string), 'source', cast(null as string),
-               'name', cast(null as string), 'cas', cast(null as string), 'dropped', 0),
+  named_struct('status', init_status, 'source', init_source,
+               'name', init_name, 'cas', init_cas, 'dropped', 0),
   (acc, o) -> CASE
     WHEN acc.status IS NULL THEN named_struct(
       'status', {_TAG_STATUS.format(o='o')},
@@ -144,23 +183,35 @@ def fold_chemical_nodes(clustered: DataFrame) -> DataFrame:
     the observation (the reference rolls back the whole doc, :609-612; the
     corpus generator keeps error transitions out of e2e data, and
     `n_dropped` surfaces any occurrence)."""
+    init_cols = [c for c in _INIT_COLS if c in clustered.columns]
     g = (
         clustered.select(
-            "cluster", "manufacturer_id",
+            "cluster", "manufacturer_id", *init_cols,
             F.struct("doc_id", "seq", "chemical_name", "cas_number", "tag", "source").alias("o"),
         )
         .groupBy("cluster")
         .agg(
             F.min("manufacturer_id").alias("manufacturer_id"),
+            *[F.min(c).alias(c) for c in init_cols],
             F.array_sort(F.collect_list("o")).alias("obs"),
         )
     )
+    for c in _INIT_COLS:
+        if c not in init_cols:
+            g = g.withColumn(c, F.lit(None).cast("string"))
     return g.select(
         "cluster",
         "manufacturer_id",
+        "existing_id",
         F.expr(_FOLD_EXPR).alias("st"),
     ).select(
         "cluster",
+        # stable identity: adopt the matched existing node's id, else mint a
+        # deterministic one from the cluster key
+        F.coalesce(
+            F.col("existing_id"),
+            entity_id(F.lit("chem"), F.col("cluster"), F.lit("")),
+        ).alias("chem_id"),
         F.col("st.name").alias("name"),
         F.col("st.cas").alias("cas_number"),
         "manufacturer_id",

@@ -111,7 +111,7 @@ def run_pipeline(
             )
         )
         chem = out["chem_nodes"].select(
-            entity_id(F.lit("chem"), F.col("cluster"), F.lit("")).alias("id"),
+            F.col("chem_id").alias("id"),
             "name",
             F.lit("CHEMICAL").alias("node_type"),
             "cas_number",
@@ -124,9 +124,7 @@ def run_pipeline(
     def build_triples(out: dict[str, DataFrame]) -> DataFrame:
         manu = out["manufacturers"]
         mats = out["materials"]
-        chem = out["chem_nodes"].withColumn(
-            "chem_id", entity_id(F.lit("chem"), F.col("cluster"), F.lit(""))
-        )
+        chem = out["chem_nodes"]
         has_chem = (
             out["edges"]
             .join(mats.select(F.col("id").alias("material_id"), F.col("name").alias("subj")), "material_id")

@@ -1,0 +1,123 @@
+"""Structured-Streaming ingest (S2/T5 analog): the corpus split into
+ordered micro-batches must consolidate to the SAME graph as one batch run /
+the sequential pure-Python oracle, and redelivery must be idempotent."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.corpus import (
+    CorpusConfig,
+    gazetteer_rows,
+    generate_documents_df,
+    generate_documents_local,
+)
+from entity_extractor_spark.oracle import finalize, ingest_corpus
+from entity_extractor_spark.streaming.ingest import (
+    consolidated,
+    process_batch,
+    streaming_ingest,
+)
+
+CFG = CorpusConfig(n_docs=120)
+
+
+def _write_batches(spark, tmp_path, n_batches=3):
+    """Corpus as n single parquet FILES (file-stream source wants plain
+    files), mtimes strictly increasing = queue arrival order."""
+    import glob
+    import shutil
+
+    in_dir = str(tmp_path / "stream_in")
+    os.makedirs(in_dir, exist_ok=True)
+    docs = generate_documents_df(spark, CFG)
+    per = CFG.n_docs // n_batches
+    for b in range(n_batches):
+        lo, hi = b * per, (b + 1) * per if b < n_batches - 1 else CFG.n_docs
+        part = docs.where(
+            (F.regexp_extract("doc_id", r"doc-(\d+)", 1).cast("int") >= lo)
+            & (F.regexp_extract("doc_id", r"doc-(\d+)", 1).cast("int") < hi)
+        )
+        tmp_out = str(tmp_path / f"_tmp_b{b}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        src = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        dst = f"{in_dir}/b{b}.parquet"
+        shutil.move(src, dst)
+        shutil.rmtree(tmp_out)
+        os.utime(dst, (1_700_000_000 + b * 60, 1_700_000_000 + b * 60))
+    return in_dir
+
+
+def _oracle_nodes():
+    res = finalize(ingest_corpus(generate_documents_local(CFG)))
+    return set(res["nodes"]), {(s, p, o, w) for (s, p, o, w) in res["triples"]}
+
+
+@pytest.fixture(scope="module")
+def stream_result(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("streaming")
+    in_dir = _write_batches(spark, tmp)
+    out_dir = str(tmp / "stream_out")
+    q = streaming_ingest(
+        spark, in_dir, out_dir, gazetteer=gazetteer_rows(CFG), max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    return out_dir
+
+
+def test_batches_processed_in_order(stream_result):
+    batches = sorted(d for d in os.listdir(stream_result) if d.startswith("batch_"))
+    assert len(batches) == 3, batches
+
+
+def test_consolidated_matches_oracle(spark, stream_result):
+    want_nodes, want_triples = _oracle_nodes()
+    tables = consolidated(spark, stream_result)
+    manu = {}  # id -> name, resolve via materials' manufacturer ids
+    # nodes comparison mirrors test_pipeline_e2e: (name, type, cas, manu_name, status, source)
+    acc = tables["nodes"].collect()
+    # manufacturer names: material rows carry manufacturer_name
+    manu_by_id = {
+        r["manufacturer_id"]: r["manufacturer_name"]
+        for r in acc
+        if r["node_type"] == "MATERIAL"
+    }
+    got_nodes = {
+        (
+            r["name"],
+            r["node_type"],
+            r["cas_number"],
+            manu_by_id.get(r["manufacturer_id"]),
+            r["pfas_status"],
+            r["pfas_information_source"],
+        )
+        for r in acc
+    }
+    assert got_nodes == want_nodes, (
+        f"missing={list(want_nodes - got_nodes)[:5]} extra={list(got_nodes - want_nodes)[:5]}"
+    )
+    got_triples = {
+        (r["subj"], r["pred"], r["obj"], r["weight_percent"])
+        for r in tables["triples"].collect()
+    }
+    assert got_triples == want_triples, (
+        f"missing={list(want_triples - got_triples)[:5]} extra={list(got_triples - want_triples)[:5]}"
+    )
+
+
+def test_redelivery_idempotent(spark, stream_result):
+    """Reprocessing an already-committed batch id changes nothing (T5)."""
+    before = consolidated(spark, stream_result)
+    before_triples = {(r["subj"], r["pred"], r["obj"]) for r in before["triples"].collect()}
+    # redeliver batch 1's input as the same batch id
+    in_files = spark.read.schema(
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    ).parquet(os.path.join(os.path.dirname(stream_result), "stream_in", "b1.parquet"))
+    process_batch(spark, in_files, 1, stream_result, gazetteer_rows(CFG))
+    after = consolidated(spark, stream_result)
+    after_triples = {(r["subj"], r["pred"], r["obj"]) for r in after["triples"].collect()}
+    assert before_triples == after_triples
