@@ -179,10 +179,18 @@ def run_pipeline(
     active = [s for s in STAGE_ORDER if s != "mentions" or gazetteer is not None]
     out: dict[str, DataFrame] = {}
 
+    # north-rule counters: rows-per-stage is always recorded; these add the
+    # named semantic counters (mentions=stage rows of 'mentions',
+    # candidates=rows of 'observations', linked=rows of 'edges',
+    # dropped=sum of lattice-fold drops)
+    counter_cols = {"chem_nodes": {"dropped": "n_dropped"}}
+
     def run_stage(name: str) -> DataFrame:
         if resume and log.is_done(name):
             return load_stage(log, spark, name)
-        return commit_stage(log, spark, name, builders[name](out))
+        return commit_stage(
+            log, spark, name, builders[name](out), counters_cols=counter_cols.get(name)
+        )
 
     # DAG wave execution: every stage whose deps are done is submitted as a
     # concurrent Spark job (FIFO scheduler interleaves their tasks).

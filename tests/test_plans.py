@@ -1,0 +1,83 @@
+"""Physical-plan quality gates: the optimizations SURVEY.md §4 claims are
+free must actually appear in the plans (pushdown, pruning, broadcast,
+whole-stage codegen). These catch silent regressions where an operator
+change knocks a filter off the scan or flips a broadcast join to shuffle."""
+
+from __future__ import annotations
+
+import pytest
+
+from entity_extractor_spark import contract
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return contract.Q[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "p1_filter_projection")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_returnflag)" in plan or "EqualTo(l_returnflag,R)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "p1_filter_projection")
+    # ReadSchema must NOT include untouched wide columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "l_comment" not in read[0] and "l_shipdate" not in read[0]
+
+
+def test_small_dims_broadcast(spark):
+    plan = _plan(spark, "j2_broadcast_dim")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_link_cascade_is_broadcast_not_shuffle(spark):
+    plan = _plan(spark, "j5_link_cascade")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregation_has_map_side_partial(spark):
+    plan = _plan(spark, "a1_group_counts")
+    # partial_count / partial aggregation before the exchange
+    assert "partial" in plan.lower()
+
+
+def test_whole_stage_codegen_spans(spark):
+    df = contract.Q["a1_group_counts"](spark, SF)
+    df.collect()  # AQE: codegen spans appear in the FINAL executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in plan
+
+
+def test_mentions_has_no_python_udf(spark):
+    """North rule: no per-row Python in the hot path — the mention scan is
+    pure JVM (broadcast join + contains), no BatchEvalPython / ArrowEval."""
+    from entity_extractor_spark.corpus import CorpusConfig, gazetteer_rows, generate_documents_df
+    from entity_extractor_spark.operators.mentions import detect_mentions
+
+    cfg = CorpusConfig(n_docs=10)
+    docs = generate_documents_df(spark, cfg)
+    plan = (
+        detect_mentions(docs, gazetteer_rows(cfg))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_extract_path_has_no_python_udf(spark):
+    from pyspark.sql import functions as F
+
+    from entity_extractor_spark.corpus import CorpusConfig, generate_documents_df
+    from entity_extractor_spark.operators import extract as X
+
+    docs = generate_documents_df(spark, CorpusConfig(n_docs=10)).repartition(2, F.hash("doc_id"))
+    spans = X.text_spans(docs)
+    headers = X.parse_headers(spans)
+    chems = X.parse_chemicals(spans, headers)
+    winners = X.winner_docs(headers, chems.select("doc_id").distinct())
+    plan = winners._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
