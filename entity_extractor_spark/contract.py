@@ -875,3 +875,45 @@ def dedup_embedding_cosine(spark, sf_dir):
             F.round(F.col("cos_sim_raw"), 4).alias("cos_sim"),
         )
     )
+
+
+_TFIDF_BUCKET_SQL = "CAST(CAST(concat('0x', substring(md5(tok), 1, 12)) AS BIGINT) % 64 AS BIGINT)"
+
+@query(
+    "link_cosine_disambiguation",
+    f"""WITH q AS (
+          SELECT id, tok FROM (
+            SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents) WHERE tok != ''
+        ),
+        qv AS (SELECT id, {_TFIDF_BUCKET_SQL} AS bucket, CAST(count(*) AS DOUBLE) AS tf
+               FROM q GROUP BY 1, 2),
+        c AS (
+          SELECT id, tok FROM (
+            SELECT p_partkey AS id, unnest(string_split_regex(lower(p_name), '\\s+')) AS tok
+            FROM part WHERE p_partkey < 100) WHERE tok != ''
+        ),
+        cv AS (SELECT id, {_TFIDF_BUCKET_SQL} AS bucket, CAST(count(*) AS DOUBLE) AS tf
+               FROM c GROUP BY 1, 2),
+        qn AS (SELECT id, sqrt(sum(tf * tf)) AS qnorm FROM qv GROUP BY 1),
+        cn AS (SELECT id, sqrt(sum(tf * tf)) AS cnorm FROM cv GROUP BY 1),
+        dots AS (SELECT qv.id AS qid, cv.id AS cid, sum(qv.tf * cv.tf) AS dot
+                 FROM qv JOIN cv USING (bucket) GROUP BY 1, 2),
+        scores AS (SELECT qid, cid, dot / (qnorm * cnorm) AS cos
+                   FROM dots JOIN qn ON qid = qn.id JOIN cn ON cid = cn.id
+                   WHERE dot / (qnorm * cnorm) > 0.0),
+        ranked AS (SELECT qid, cid, cos,
+                          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+                   FROM scores)
+        SELECT qid, cid AS best_candidate, ROUND(cos, 6) AS score FROM ranked WHERE rn = 1""",
+)
+def link_cosine_disambiguation(spark, sf_dir):
+    """s4b — hashed-TF cosine disambiguation: every document scored against
+    a candidate dictionary, top-1 above the floor (north-star 'TF-IDF
+    cosine disambiguation'; reference analog utils/llm_invoker.py:106-120).
+    The oracle SQL replays the identical md5-bucket formula."""
+    from .operators.disambiguate import best_candidate
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = _t(spark, sf_dir, "part").where("p_partkey < 100")
+    return best_candidate(docs, cands, "doc_id", "text", "p_partkey", "p_name")
