@@ -165,3 +165,51 @@ def test_spark_fold_matches_python(spark):
     }
     for key, obs in clusters.items():
         assert got[key] == _python_fold(obs), key
+
+
+def test_salted_fold_matches_sequential(spark):
+    """The associative per-doc-table fold must equal the sequential fold on
+    adversarial inputs (error cells, OTHER-class sources, creations into
+    OTHER, null CAS overwrites) — with and without init state."""
+    import random
+
+    from entity_extractor_spark.operators.link import (
+        fold_chemical_nodes,
+        fold_chemical_nodes_scalable,
+    )
+
+    rng = random.Random(123)
+    tags = ["PFAS", "NO_PFAS", "PENDING", None]
+    sources = ["NONE", "MANUAL", "OECD", "OPENAI", "VAI", "ECHA", "WEIRD", None]
+    rows = []
+    for c in range(60):
+        has_init = rng.random() < 0.4
+        init = (
+            (f"chem:{c}", rng.choice(["YES", "NO", "PENDING"]),
+             rng.choice(["NONE", "MANUAL", "OECD", "OPENAI", "VAI", "ODD"]),
+             f"init name {c}", rng.choice([f"{c}-11-1", None]))
+            if has_init else (None, None, None, None, None)
+        )
+        seq = 0
+        for d in range(rng.randrange(1, 5)):
+            for _ in range(rng.randrange(1, 6)):
+                rows.append(
+                    (f"cl-{c:03d}", "m-1", f"doc-{d:03d}", seq,
+                     f"nm {rng.randrange(5)}",
+                     rng.choice([f"{rng.randrange(50)}-00-0", None]),
+                     rng.choice(tags), rng.choice(sources)) + init
+                )
+                seq += 1
+    df = spark.createDataFrame(
+        rows,
+        "cluster string, manufacturer_id string, doc_id string, seq int, "
+        "chemical_name string, cas_number string, tag string, source string, "
+        "existing_id string, init_status string, init_source string, "
+        "init_name string, init_cas string",
+    )
+    cols = ["cluster", "chem_id", "name", "cas_number", "manufacturer_id",
+            "pfas_status", "pfas_information_source", "n_dropped"]
+    plain = {tuple(r[c] for c in cols) for r in fold_chemical_nodes(df).collect()}
+    salted = {tuple(r[c] for c in cols) for r in fold_chemical_nodes_scalable(df).collect()}
+    missing, extra = plain - salted, salted - plain
+    assert plain == salted, f"missing={list(missing)[:3]} extra={list(extra)[:3]}"
