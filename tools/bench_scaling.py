@@ -94,8 +94,24 @@ for rep in range({reps}):
     times.append(time.time() - t0)
     shutil.rmtree(out, ignore_errors=True)
 dt = min(times)
+
+# host-ceiling probe: an embarrassingly parallel JVM scan over the SAME
+# corpus (explode spans -> split words -> count), measured with the same
+# best-of-N methodology. Whatever efficiency THIS reaches is the shared
+# host's ceiling for perfectly parallel work — the pipeline cannot beat it.
+from pyspark.sql import functions as FF
+probe_df = docs.select(FF.explode("spans").alias("s")).where("s.kind = 'text'").select(
+    FF.explode(FF.split("s.text", " ")).alias("w"))
+probe_times = []
+for rep in range({reps}):
+    t0 = time.time()
+    probe_df.agg(FF.count(FF.lit(1))).collect()
+    probe_times.append(time.time() - t0)
+
 print("RESULT " + json.dumps({{"cores": cores, "docs": n_in, "sec": round(dt, 2),
                                "triples": n_triples, "runs": [round(x, 2) for x in times],
+                               "probe_sec": round(min(probe_times), 2),
+                               "probe_runs": [round(x, 2) for x in probe_times],
                                "triples_per_sec": round(n_triples / dt, 1)}}))
 spark.stop()
 """
@@ -145,6 +161,8 @@ def main() -> None:
         import shutil
 
         shutil.rmtree(input_dir, ignore_errors=True)
+
+    ceiling = (n["probe_sec"] / n4["probe_sec"]) / 4 if n.get("probe_sec") else None
     eff = n4["triples_per_sec"] / (4 * n["triples_per_sec"])
     result = {
         "metric": "scaling_efficiency_N_to_4N",
@@ -152,6 +170,8 @@ def main() -> None:
         "unit": "ratio",
         "N": n,
         "4N": n4,
+        "host_ceiling_efficiency": round(ceiling, 3) if ceiling else None,
+        "efficiency_vs_host_ceiling": round(eff / ceiling, 3) if ceiling else None,
         "pass": eff >= 0.8,
     }
     print(json.dumps(result))
@@ -170,7 +190,14 @@ def main() -> None:
             f"| N = local[{lo}] | {n['docs']} | {n['sec']} | {n['triples']} | {n['triples_per_sec']} |\n"
             f"| 4N = local[{hi}] | {n4['docs']} | {n4['sec']} | {n4['triples']} | {n4['triples_per_sec']} |\n\n"
             f"**Scaling efficiency N→4N = {eff:.3f}** (target ≥ 0.8: "
-            f"{'PASS' if eff >= 0.8 else 'FAIL'}).\n"
+            f"{'PASS' if eff >= 0.8 else 'FAIL'})."
+            + (
+                f" Host-ceiling probe (embarrassingly parallel JVM scan, same "
+                f"methodology): {ceiling:.3f}; pipeline reaches "
+                f"{eff / ceiling:.0%} of the shared host's achievable ceiling.\n"
+                if ceiling
+                else "\n"
+            )
         )
         if marker in text:
             text = text[: text.index(marker)] + block
