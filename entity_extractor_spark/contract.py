@@ -917,3 +917,43 @@ def link_cosine_disambiguation(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     cands = _t(spark, sf_dir, "part").where("p_partkey < 100")
     return best_candidate(docs, cands, "doc_id", "text", "p_partkey", "p_name")
+
+
+@query("kg_streaming_synthetic")
+def kg_streaming_synthetic(spark, sf_dir):
+    """S2/T5 — Structured-Streaming ingest: the synthetic corpus split into
+    2 ordered micro-batches via the file-source queue analog, consolidated
+    cross-batch (identity adoption + DFA-fold init state). Rows-only check;
+    exact-match equivalence vs the sequential oracle is enforced by
+    tests/test_streaming.py."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .corpus import CorpusConfig, gazetteer_rows, generate_documents_df
+    from .streaming.ingest import consolidated, streaming_ingest
+
+    cfg = CorpusConfig(n_docs=60)
+    root = tempfile.mkdtemp(prefix="kg_stream_contract_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    docs = generate_documents_df(spark, cfg)
+    for b, (lo, hi) in enumerate([(0, 30), (30, 60)]):
+        part = docs.where(
+            (F.regexp_extract("doc_id", r"doc-(\d+)", 1).cast("int") >= lo)
+            & (F.regexp_extract("doc_id", r"doc-(\d+)", 1).cast("int") < hi)
+        )
+        tmp_out = os.path.join(root, f"_b{b}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        src = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        dst = os.path.join(in_dir, f"b{b}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (1_700_000_000 + b * 60,) * 2)
+    out_dir = os.path.join(root, "out")
+    q = streaming_ingest(
+        spark, in_dir, out_dir, gazetteer=gazetteer_rows(cfg), max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    t = consolidated(spark, out_dir)["triples"]
+    return t.select("subj", "pred", "obj", "weight_percent")
