@@ -425,10 +425,10 @@ def f2_keyword_match(spark, sf_dir):
     (file_analysis_service.py:83-87) at document granularity."""
     d = _t(spark, sf_dir, "documents")
     kws = spark.createDataFrame([("scan",), ("merge",), ("window",), ("vector",)], ["kw"])
-    joined = d.crossJoin(F.broadcast(kws)).where(
-        F.expr(r"lower(text) rlike concat('\\b', kw, '\\b')")
-        | F.expr("contains(lower(text), kw)")
-    )
+    # regex-branch-implies-substring-branch (see operators/mentions.py):
+    # the Spark side runs only the substring test; the DuckDB oracle keeps
+    # BOTH branches, so the contract comparison pins the equivalence.
+    joined = d.crossJoin(F.broadcast(kws)).where(F.expr("contains(lower(text), kw)"))
     return joined.groupBy("kw").agg(F.count("*").alias("n_docs"))
 
 
