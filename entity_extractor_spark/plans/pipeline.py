@@ -67,7 +67,11 @@ def run_pipeline(
     existing_nodes: DataFrame | None = None,
     resume: bool = True,
     repartition: int | None = None,
+    scalable_fold: bool = False,
 ) -> dict[str, DataFrame]:
+    """scalable_fold=True swaps the per-cluster collect_list fold for the
+    associative per-doc transition-table fold (hub-cluster skew path,
+    operators/link.py) — identical output, bounded per-task payloads."""
     log = LineageLog(out_dir)
     if not resume:
         log.invalidate_from(STAGE_ORDER[0], STAGE_ORDER)
@@ -171,7 +175,9 @@ def run_pipeline(
         "materials": lambda out: X.materials_table(out["winners"]),
         "manufacturers": lambda out: X.manufacturers_table(out["winners"]),
         "clustered": lambda out: L.assign_clusters(out["observations"], existing_nodes),
-        "chem_nodes": lambda out: L.fold_chemical_nodes(out["clustered"]),
+        "chem_nodes": lambda out: (
+            L.fold_chemical_nodes_scalable if scalable_fold else L.fold_chemical_nodes
+        )(out["clustered"]),
         "edges": lambda out: L.chemical_edges(out["clustered"]),
         "nodes": build_nodes,
         "triples": build_triples,
