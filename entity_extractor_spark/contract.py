@@ -469,7 +469,37 @@ def dedup_minhash(spark, sf_dir):
     return D.minhash_signatures(d, "doc_id", "text", num_hashes=16, shingle_n=2)
 
 
-@query("dedup_minhash_lsh_pairs")  # rows-only: band hashing uses collect_list
+_MINHASH_SIG_SQL = """
+    WITH sh AS (
+         SELECT doc_id, unnest(list_distinct(
+                  list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                                 i -> toks[i] || ' ' || toks[i + 1]))) AS shingle
+         FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents WHERE doc_id % 10 = 0)
+       ), hx AS (
+         SELECT doc_id, shingle,
+                CAST(('0x' || substr(md5(shingle), 1, 12)) AS BIGINT) AS x
+         FROM sh
+       ), sig AS (
+         SELECT doc_id, hash_id,
+                min(((hash_id * 2 + 3) * x + (hash_id * 5 + 7)) % 2305843009213693951) AS minhash
+         FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS hash_id)
+         GROUP BY doc_id, hash_id
+       )
+"""
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    _MINHASH_SIG_SQL + """,
+       buckets AS (
+         SELECT doc_id, CAST(hash_id // 4 AS INT) AS band,
+                md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_id)) AS bucket
+         FROM sig GROUP BY doc_id, CAST(hash_id // 4 AS INT)
+       )
+       SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+       WHERE a.doc_id < b.doc_id""",
+)
 def dedup_minhash_lsh_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").where("doc_id % 10 = 0")
     sig = D.minhash_signatures(d, "doc_id", "text", num_hashes=16, shingle_n=2)
@@ -550,7 +580,48 @@ def _ann_sql(sf_dir: str) -> str:
 SQL["ann_brute_topk"] = _ann_sql("")
 
 
-@query("ann_lsh_bucketed")  # rows-only: hyperplane bucket probing
+_LSH_SIG_SQL = """
+       planes AS (
+         SELECT j, d,
+                CASE WHEN strpos('0123456789abcdef',
+                            substr(md5(j || ':' || d), 1, 1)) - 1 < 8
+                     THEN -1.0 ELSE 1.0 END AS sgn
+         FROM (SELECT unnest(generate_series(0, 5)) AS j)
+         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)
+       ),
+       vecs AS (
+         SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS v
+         FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)
+       ),
+       bits AS (
+         SELECT vec_id, j, CASE WHEN sum(v * sgn) > 0 THEN '1' ELSE '0' END AS bit
+         FROM vecs JOIN planes USING (d) GROUP BY vec_id, j
+       ),
+       sigs AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket
+                FROM bits GROUP BY vec_id)
+"""
+
+@query(
+    "ann_lsh_bucketed",
+    "WITH " + _LSH_SIG_SQL.strip() + """,
+       cand AS (
+         SELECT e.vec_id, e.embedding FROM embeddings e
+         JOIN sigs s ON e.vec_id = s.vec_id
+         WHERE e.vec_id <> 0
+           AND s.bucket = (SELECT bucket FROM sigs WHERE vec_id = 0)
+       ),
+       q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       SELECT vec_id, score, CAST(rnk AS BIGINT) AS rank FROM (
+         SELECT vec_id,
+                ROUND(list_dot_product(embedding::DOUBLE[], (SELECT qv::DOUBLE[] FROM q))
+                      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                         * sqrt(list_dot_product((SELECT qv::DOUBLE[] FROM q), (SELECT qv::DOUBLE[] FROM q)))), 5) AS score,
+                row_number() OVER (ORDER BY ROUND(list_dot_product(embedding::DOUBLE[], (SELECT qv::DOUBLE[] FROM q))
+                      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                         * sqrt(list_dot_product((SELECT qv::DOUBLE[] FROM q), (SELECT qv::DOUBLE[] FROM q)))), 5) DESC, vec_id) AS rnk
+         FROM cand)
+       WHERE rnk <= 10""",
+)
 def ann_lsh_bucketed(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.where("vec_id = 0").select("embedding").head()[0]]
@@ -589,7 +660,29 @@ def text_quality_score(spark, sf_dir):
     return TQ.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query("text_language_id")  # rows-only: marker-profile argmax
+@query(
+    "text_language_id",
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                  FROM documents),
+       profiles AS (
+         SELECT 'de' AS lang, ['der','und','die'] AS markers
+         UNION ALL SELECT 'en', ['the','and','of']
+         UNION ALL SELECT 'es', ['el','la','de']
+         UNION ALL SELECT 'fr', ['le','la','et']
+         UNION ALL SELECT 'zh', ['de','shi','le']
+       ),
+       scores AS (
+         SELECT doc_id, lang,
+                CAST(len(list_filter(toks, x -> list_contains(markers, x))) AS DOUBLE)
+                  / len(toks) AS s
+         FROM t CROSS JOIN profiles
+       ),
+       ranked AS (SELECT doc_id, lang, s,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+                  FROM scores)
+       SELECT doc_id, lang AS pred_lang, ROUND(s, 6) AS lang_score
+       FROM ranked WHERE rn = 1""",
+)
 def text_language_id(spark, sf_dir):
     return TQ.language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
