@@ -32,8 +32,6 @@ from .lineage import LineageLog, commit_stage, load_stage
 
 STAGE_ORDER = [
     "mentions",
-    "headers",
-    "chems",
     "winners",
     "observations",
     "materials",
@@ -46,15 +44,11 @@ STAGE_ORDER = [
 ]
 
 # stage -> direct dependencies (DAG edges); stages in the same "wave" run
-# as concurrent Spark jobs. The corpus is scanned only by the wave-1 stages
-# (mentions / headers / chems); everything downstream reads committed
-# tables.
+# as concurrent Spark jobs.
 STAGE_DEPS: dict[str, list[str]] = {
     "mentions": [],
-    "headers": [],
-    "chems": ["headers"],
-    "winners": ["headers", "chems"],
-    "observations": ["winners", "chems"],
+    "winners": [],
+    "observations": ["winners"],
     "materials": ["winners"],
     "manufacturers": ["winners"],
     "clustered": ["observations"],
@@ -88,11 +82,13 @@ def run_pipeline(
     # reuse one shuffle instead of re-shuffling the full corpus per job.
     docs = documents.repartition(n_part, F.hash("doc_id")).persist()
 
-    # s3 — extract. headers/chems are the only other corpus scans; winners
-    # is the one keyed shuffle (window over mat_key). Each is committed so
-    # downstream consumers read small committed tables instead of re-running
-    # the span parse chain.
+    # s3 — extract. headers/chems are cheap narrow scans; winners is the
+    # one keyed shuffle (window over mat_key). `winners` is committed so the
+    # three consumers (observations/materials/manufacturers) read the small
+    # committed table instead of re-running the span parse chain.
     spans = X.text_spans(docs)
+    headers = X.parse_headers(spans)
+    chems = X.parse_chemicals(spans, headers)
     existing_keys = None
     if existing_nodes is not None and "manufacturer_name" in existing_nodes.columns:
         # re-ingest MERGE: prior materials make their identity keys occupied
@@ -172,12 +168,10 @@ def run_pipeline(
 
     builders: dict[str, object] = {
         "mentions": lambda out: M.detect_mentions(docs, gazetteer),
-        "headers": lambda out: X.parse_headers(spans),
-        "chems": lambda out: X.parse_chemicals(spans, out["headers"]),
         "winners": lambda out: X.winner_docs(
-            out["headers"], out["chems"].select("doc_id").distinct(), existing_keys
+            headers, chems.select("doc_id").distinct(), existing_keys
         ),
-        "observations": lambda out: X.observations(out["winners"], out["chems"]),
+        "observations": lambda out: X.observations(out["winners"], chems),
         "materials": lambda out: X.materials_table(out["winners"]),
         "manufacturers": lambda out: X.manufacturers_table(out["winners"]),
         "clustered": lambda out: L.assign_clusters(out["observations"], existing_nodes),
