@@ -44,10 +44,13 @@ def connected_components(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
     und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    und = und.localCheckpoint(eager=True)
 
-    n_edges = und.count()
-    if n_edges <= SMALL_GRAPH_EDGES:
+    # Size probe and small-graph fetch in ONE job: collect at most
+    # SMALL_GRAPH_EDGES+1 rows. If the limit is not hit, the whole distinct
+    # vocabulary graph is already on the driver; only graphs that overflow
+    # pay for the checkpoint + distributed loop below.
+    probe = und.limit(SMALL_GRAPH_EDGES + 1).collect()
+    if len(probe) <= SMALL_GRAPH_EDGES:
         spark = edges.sparkSession
         parent: dict[str, str] = {}
 
@@ -60,7 +63,7 @@ def connected_components(
             return root
 
         vertices: set[str] = set()
-        for row in und.collect():
+        for row in probe:
             a, b = row["src"], row["dst"]
             vertices.add(a)
             vertices.add(b)
@@ -74,6 +77,7 @@ def connected_components(
             return spark.createDataFrame([], "vertex string, component string")
         return spark.createDataFrame(rows, "vertex string, component string")
 
+    und = und.localCheckpoint(eager=True)
     labels = (
         und.select(F.col("src").alias("vertex"))
         .distinct()

@@ -22,30 +22,15 @@ from pyspark.sql import functions as F
 
 def resolve_materials(edges: DataFrame, chem_nodes: DataFrame) -> DataFrame:
     """edges(material_id, cluster, weight) x chem_nodes(cluster, status,
-    source) -> (material_id, pfas_status, pfas_information_source)."""
-    status_rank = (
-        F.when(F.col("pfas_status") == "YES", 2)
-        .when(F.col("pfas_status") == "PENDING", 1)
-        .otherwise(0)
-    )
-    child = edges.join(
-        chem_nodes.select("cluster", "pfas_status", "pfas_information_source"), "cluster"
-    ).withColumn("status_rank", status_rank)
+    source) -> (material_id, pfas_status, pfas_information_source).
 
-    resolved = child.groupBy("material_id").agg(
-        F.max("status_rank").alias("max_rank")
-    ).withColumn(
-        "pfas_status",
-        F.when(F.col("max_rank") == 2, "YES")
-        .when(F.col("max_rank") == 1, "PENDING")
-        .otherwise("NO"),
-    )
-
-    # A4: preference rank depends on the resolved status
-    joined = child.join(resolved.select("material_id", "pfas_status").withColumnRenamed(
-        "pfas_status", "resolved_status"
-    ), "material_id").where(F.col("pfas_status") == F.col("resolved_status"))
-
+    A4's filter ("children whose status equals the RESOLVED status") looks
+    like it needs the A3 result first (join-back), but resolved status has
+    only 3 values — so a conditional min per candidate status turns the
+    whole resolve into ONE grouped pass over the child table: one shuffle,
+    fully map-side combined, instead of aggregate + join-back + second
+    aggregate + final join (3 shuffles of the hub-skewed child table)."""
+    st = F.col("pfas_status")
     pref_pending = (
         F.when(F.col("pfas_information_source") == "OECD", 0)
         .when(F.col("pfas_information_source") == "VAI", 1)
@@ -56,22 +41,39 @@ def resolve_materials(edges: DataFrame, chem_nodes: DataFrame) -> DataFrame:
         .when(F.col("pfas_information_source") == "OECD", 1)
         .when(F.col("pfas_information_source") == "MANUAL", 2)
     )
-    joined = joined.withColumn(
-        "pref_rank",
-        F.when(F.col("resolved_status") == "PENDING", pref_pending).otherwise(pref_other),
+    child = edges.join(
+        chem_nodes.select("cluster", "pfas_status", "pfas_information_source"), "cluster"
     )
-    best = joined.where(F.col("pref_rank").isNotNull()).groupBy("material_id").agg(
-        F.min("pref_rank").alias("best_rank"),
-        F.first("resolved_status").alias("resolved_status"),
-    ).withColumn(
-        "pfas_information_source",
-        F.when(F.col("resolved_status") == "PENDING",
-               F.when(F.col("best_rank") == 0, "OECD").when(F.col("best_rank") == 1, "VAI").otherwise("MANUAL"))
-        .otherwise(
-            F.when(F.col("best_rank") == 0, "VAI").when(F.col("best_rank") == 1, "OECD").otherwise("MANUAL")
-        ),
+    status_rank = F.when(st == "YES", 2).when(st == "PENDING", 1).otherwise(0)
+    agg = child.groupBy("material_id").agg(
+        F.max(status_rank).alias("max_rank"),
+        F.min(F.when(st == "YES", pref_other)).alias("p_yes"),
+        F.min(F.when(st == "PENDING", pref_pending)).alias("p_pend"),
+        F.min(F.when(st == "NO", pref_other)).alias("p_no"),
     )
-
-    return resolved.select("material_id", "pfas_status").join(
-        best.select("material_id", "pfas_information_source"), "material_id", "left"
-    ).fillna({"pfas_information_source": "NONE"})
+    best_rank = (
+        F.when(F.col("max_rank") == 2, F.col("p_yes"))
+        .when(F.col("max_rank") == 1, F.col("p_pend"))
+        .otherwise(F.col("p_no"))
+    )
+    decode_pending = (
+        F.when(F.col("best_rank") == 0, "OECD")
+        .when(F.col("best_rank") == 1, "VAI")
+        .otherwise("MANUAL")
+    )
+    decode_other = (
+        F.when(F.col("best_rank") == 0, "VAI")
+        .when(F.col("best_rank") == 1, "OECD")
+        .otherwise("MANUAL")
+    )
+    return agg.withColumn("best_rank", best_rank).select(
+        "material_id",
+        F.when(F.col("max_rank") == 2, "YES")
+        .when(F.col("max_rank") == 1, "PENDING")
+        .otherwise("NO")
+        .alias("pfas_status"),
+        F.when(F.col("best_rank").isNull(), "NONE")
+        .when(F.col("max_rank") == 1, decode_pending)
+        .otherwise(decode_other)
+        .alias("pfas_information_source"),
+    )

@@ -106,6 +106,7 @@ def commit_stage(
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     df.write.mode("overwrite").parquet(tmp)
+    t_write = time.time()
     if os.path.exists(final):
         shutil.rmtree(final)
     os.replace(tmp, final)
@@ -124,7 +125,11 @@ def commit_stage(
         pid = int(fname.split("-")[1])
         nrows = pq.ParquetFile(os.path.join(final, fname)).metadata.num_rows
         parts.append({"partition_id": pid, "rows": int(nrows), "status": "done"})
-    counters = {"rows": int(sum(p["rows"] for p in parts)), "wall_sec": round(time.time() - t0, 3)}
+    counters = {
+        "rows": int(sum(p["rows"] for p in parts)),
+        "wall_sec": round(time.time() - t0, 3),
+        "write_sec": round(t_write - t0, 3),
+    }
     for name, col in (counters_cols or {}).items():
         counters[name] = int(committed.agg(F.sum(col)).collect()[0][0] or 0)
     log.mark_done(stage, counters=counters, partitions=parts, schema_json=df.schema.json())

@@ -19,7 +19,7 @@ contract is unchanged (each stage still commits atomically).
 
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -198,20 +198,50 @@ def run_pipeline(
             log, spark, name, builders[name](out), counters_cols=counter_cols.get(name)
         )
 
-    # DAG wave execution: every stage whose deps are done is submitted as a
-    # concurrent Spark job (FIFO scheduler interleaves their tasks).
+    # Event-driven DAG execution: a stage is submitted the moment its last
+    # dependency commits (no wave barrier — a barrier would hold the
+    # observations->clustered->...->nodes critical path hostage to the
+    # unrelated `mentions` scan). Submission order within a ready set is
+    # critical-path-first (longest dependent chain to a sink): Spark's FIFO
+    # scheduler gives earlier-submitted jobs' tasks priority, so gating
+    # stages (`winners`) saturate the cores while leaf stages (`mentions`)
+    # fill whatever slots remain.
+    depth: dict[str, int] = {}
+
+    def _depth(s: str) -> int:
+        if s not in depth:
+            below = [d for d, deps in STAGE_DEPS.items() if s in deps and d in active]
+            depth[s] = 1 + max((_depth(d) for d in below), default=0)
+        return depth[s]
+
+    # Materialize the doc cache once, fully parallel, before any stage runs:
+    # two concurrent first jobs would otherwise race to compute the same
+    # cached partitions (block-lock waits + duplicated shuffle reads).
+    docs.count()
+
     done: set[str] = set()
+    submitted: set[str] = set()
     with ThreadPoolExecutor(max_workers=4) as ex:
-        while len(done) < len(active):
+        futures: dict = {}
+
+        def submit_ready() -> None:
             ready = [
                 s
                 for s in active
-                if s not in done and all(d in done for d in STAGE_DEPS[s])
+                if s not in submitted and all(d in done for d in STAGE_DEPS[s])
             ]
-            futures = {s: ex.submit(run_stage, s) for s in ready}
-            for s, fut in futures.items():
+            for s in sorted(ready, key=_depth, reverse=True):
+                futures[ex.submit(run_stage, s)] = s
+                submitted.add(s)
+
+        submit_ready()
+        while len(done) < len(active):
+            fin, _ = wait(futures, return_when=FIRST_COMPLETED)
+            for fut in fin:
+                s = futures.pop(fut)
                 out[s] = fut.result()
                 done.add(s)
+            submit_ready()
 
     docs.unpersist()  # all outputs read from committed stage tables
     return out
