@@ -80,7 +80,12 @@ def run_pipeline(
     # One explicit hash(doc_id) repartition (north rule), persisted so the
     # multiple stages that scan the corpus (mentions, winners, observations)
     # reuse one shuffle instead of re-shuffling the full corpus per job.
-    docs = documents.repartition(n_part, F.hash("doc_id")).persist()
+    # Partition on the COLUMN (hash partitioning on doc_id), not on
+    # F.hash(doc_id): HashPartitioning(doc_id) satisfies the clustering
+    # required by every downstream window/join keyed on doc_id (or any
+    # superset key), so the header window, the A5 dedupe window and the
+    # doc_id joins all reuse this one exchange instead of re-shuffling.
+    docs = documents.repartition(n_part, F.col("doc_id")).persist()
 
     # s3 — extract. headers/chems are cheap narrow scans; winners is the
     # one keyed shuffle (window over mat_key). `winners` is committed so the
