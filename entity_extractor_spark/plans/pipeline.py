@@ -43,8 +43,8 @@ STAGE_ORDER = [
     "triples",
 ]
 
-# stage -> direct dependencies (DAG edges); stages in the same "wave" run
-# as concurrent Spark jobs.
+# stage -> direct dependencies (DAG edges); independent stages run as
+# concurrent Spark jobs.
 STAGE_DEPS: dict[str, list[str]] = {
     "mentions": [],
     "winners": [],
@@ -56,6 +56,18 @@ STAGE_DEPS: dict[str, list[str]] = {
     "edges": ["clustered"],
     "nodes": ["materials", "chem_nodes", "edges"],
     "triples": ["manufacturers", "materials", "chem_nodes", "edges"],
+}
+
+# Scheduling-only extra edges (no data dependency): a leaf stage that would
+# compete with the gating extract chain yields to it instead. Two jobs that
+# each saturate the cluster finish at t_a+t_b whether run concurrently or
+# back-to-back — but back-to-back, `winners` commits at t_w instead of
+# t_w+t_m, so the whole observations->clustered->...->nodes critical path
+# starts ~t_m earlier and overlaps the mention scan. Pure win on any
+# cluster size; semantic STAGE_DEPS (resume, lineage) are unchanged.
+SCHED_DEPS: dict[str, list[str]] = {
+    **STAGE_DEPS,
+    "mentions": ["winners"],
 }
 
 
@@ -76,7 +88,10 @@ def run_pipeline(
     if not resume:
         log.invalidate_from(STAGE_ORDER[0], STAGE_ORDER)
 
-    n_part = repartition or spark.sparkContext.defaultParallelism
+    # 4 tasks per core: fine-grained tasks pack the cores through the
+    # concurrent-stage phases (a straggler wastes 1/4 core-second instead of
+    # a whole stage tail) and give AQE room to split skewed partitions.
+    n_part = repartition or 4 * spark.sparkContext.defaultParallelism
     # One explicit hash(doc_id) repartition (north rule), persisted so the
     # multiple stages that scan the corpus (mentions, winners, observations)
     # reuse one shuffle instead of re-shuffling the full corpus per job.
@@ -93,7 +108,9 @@ def run_pipeline(
     # committed table instead of re-running the span parse chain.
     spans = X.text_spans(docs)
     headers = X.parse_headers(spans)
-    chems = X.parse_chemicals(spans, headers)
+    # chems feeds BOTH the winner filter (doc ids with >=1 chemical) and the
+    # observations stage; persist so the corpus-wide regex scan runs once.
+    chems = X.parse_chemicals(spans, headers).persist()
     existing_keys = None
     if existing_nodes is not None and "manufacturer_name" in existing_nodes.columns:
         # re-ingest MERGE: prior materials make their identity keys occupied
@@ -215,7 +232,7 @@ def run_pipeline(
 
     def _depth(s: str) -> int:
         if s not in depth:
-            below = [d for d, deps in STAGE_DEPS.items() if s in deps and d in active]
+            below = [d for d, deps in SCHED_DEPS.items() if s in deps and d in active]
             depth[s] = 1 + max((_depth(d) for d in below), default=0)
         return depth[s]
 
@@ -233,7 +250,7 @@ def run_pipeline(
             ready = [
                 s
                 for s in active
-                if s not in submitted and all(d in done for d in STAGE_DEPS[s])
+                if s not in submitted and all(d in done for d in SCHED_DEPS[s])
             ]
             for s in sorted(ready, key=_depth, reverse=True):
                 futures[ex.submit(run_stage, s)] = s
@@ -249,4 +266,5 @@ def run_pipeline(
             submit_ready()
 
     docs.unpersist()  # all outputs read from committed stage tables
+    chems.unpersist()
     return out

@@ -42,6 +42,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan-task granularity: the default 128 MiB packs a whole small-ish
+        # corpus into a handful of map tasks, capping the scan/shuffle-write
+        # side of the first exchange at far below the core count. 32 MiB
+        # keeps enough tasks in flight to saturate every core; on a real
+        # cluster this is tuned to the object-store block size instead.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
     )
     # Shuffle/spill scratch on tmpfs when available: local mode funnels all
     # shuffle I/O through one virtual disk, which serializes otherwise-
