@@ -82,3 +82,48 @@ def test_extract_path_has_no_python_udf(spark):
     winners = X.winner_docs(headers, chems.select("doc_id").distinct())
     plan = winners._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sched_deps_superset_and_acyclic():
+    """Scheduling edges must contain every semantic dependency (a stage can
+    never start before its data exists) and stay acyclic (the event-driven
+    executor would deadlock on a cycle)."""
+    from entity_extractor_spark.plans.pipeline import SCHED_DEPS, STAGE_DEPS, STAGE_ORDER
+
+    assert set(STAGE_DEPS) == set(STAGE_ORDER) == set(SCHED_DEPS)
+    for s, deps in STAGE_DEPS.items():
+        assert set(deps) <= set(SCHED_DEPS[s]), s
+
+    seen: dict[str, int] = {}  # 0=visiting, 1=done
+
+    def visit(s: str) -> None:
+        if seen.get(s) == 0:
+            raise AssertionError(f"cycle through {s}")
+        if s in seen:
+            return
+        seen[s] = 0
+        for d in SCHED_DEPS[s]:
+            visit(d)
+        seen[s] = 1
+
+    for s in STAGE_ORDER:
+        visit(s)
+
+
+def test_doc_window_reuses_corpus_partitioning(spark):
+    """The corpus is hash-partitioned on doc_id once; the header window
+    (partitionBy doc_id) must NOT introduce another Exchange on top of it."""
+    from pyspark.sql import functions as F
+
+    from entity_extractor_spark.corpus import CorpusConfig, generate_documents_df
+    from entity_extractor_spark.operators import extract as X
+
+    docs = generate_documents_df(spark, CorpusConfig(n_docs=20)).repartition(
+        4, F.col("doc_id")
+    )
+    plan = (
+        X.parse_headers(X.text_spans(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly the one explicit repartition exchange; the window reuses it
+    assert plan.count("Exchange") == 1, plan

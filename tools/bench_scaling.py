@@ -160,8 +160,27 @@ def main() -> None:
     input_dir = tempfile.mkdtemp(prefix="kg_scale_corpus_", dir=scratch)
     try:
         generate_corpus(args.docs, input_dir)
-        n = run_level(lo, args.docs, input_dir, args.reps)
-        n4 = run_level(hi, args.docs, input_dir, args.reps)
+        # INTERLEAVED reps: the sandbox shares the host with invisible
+        # co-tenants whose load drifts over minutes. Running all N reps then
+        # all 4N reps lets a load spike poison one whole level; alternating
+        # N,4N per rep exposes both levels to the same noise windows, and
+        # min-aggregation then compares two quiet-window measurements.
+        n_reps: list[dict] = []
+        n4_reps: list[dict] = []
+        for _ in range(args.reps):
+            n_reps.append(run_level(lo, args.docs, input_dir, 1))
+            n4_reps.append(run_level(hi, args.docs, input_dir, 1))
+
+        def agg(reps_list: list[dict]) -> dict:
+            best = min(reps_list, key=lambda r: r["sec"])
+            out = dict(best)
+            out["runs"] = [r["sec"] for r in reps_list]
+            out["probe_sec"] = min(r["probe_sec"] for r in reps_list)
+            out["probe_runs"] = [r["probe_sec"] for r in reps_list]
+            out["triples_per_sec"] = round(out["triples"] / out["sec"], 1)
+            return out
+
+        n, n4 = agg(n_reps), agg(n4_reps)
     finally:
         import shutil
 
