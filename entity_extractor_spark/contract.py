@@ -713,6 +713,107 @@ def multimodal_metadata(spark, sf_dir):
     return MM.extract_media_metadata(binary).select("doc_id", "n_bytes", "sha256")
 
 
+
+
+def spanify_driver_documents(docs: DataFrame) -> DataFrame:
+    """Deterministically reshape the driver documents table
+    (doc_id,text,lang,source,...) into the interleaved-span input shape of
+    BASELINE.json input_hint: header + composition lines derived from the
+    row, an image span, and the body text — all built-in column ops, and
+    replayable in ANSI SQL (see kg_mention_scan_driver's oracle)."""
+    word = lambda i: F.split(F.trim(F.col("text")), r"\s+")[i]  # noqa: E731
+    header = F.concat(
+        F.lit("Mat "), F.col("doc_id").cast("string"),
+        F.lit(" manufactured by "), F.col("source"), F.lit(" Works, City-"),
+        F.col("lang"), F.lit(", Country-"), F.col("lang"),
+    )
+    comp1 = F.concat(
+        word(0), F.lit(" alpha CAS 10"), F.pmod(F.col("doc_id"), 90).cast("string"),
+        F.lit("-11-1 12.5% PFAS src=NONE"),
+    )
+    comp2 = F.concat(
+        word(1), F.lit(" beta CAS 20"), F.pmod(F.col("doc_id"), 70).cast("string"),
+        F.lit("-22-2 3.4% NO_PFAS src=OECD"),
+    )
+    span = lambda k, t, m, o: F.struct(  # noqa: E731
+        F.lit(k).alias("kind"), t.alias("text"), F.lit(m).alias("media_ref"),
+        F.lit(o).cast("int").alias("offset"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            span("text", header, "", 0),
+            span("text", comp1, "", 1),
+            F.struct(
+                F.lit("image").alias("kind"), F.lit("").alias("text"),
+                F.concat(F.lit("blob://"), F.col("doc_id").cast("string"), F.lit("/img_0.png")).alias("media_ref"),
+                F.lit(2).cast("int").alias("offset"),
+            ),
+            span("text", comp2, "", 3),
+            span("text", F.col("text"), "", 4),
+        ).alias("spans"),
+    )
+
+
+_DRIVER_GAZ = [
+    {"keyword": "alpha", "mtype": "CHEMICAL"},
+    {"keyword": "beta", "mtype": "CHEMICAL"},
+    {"keyword": "manufactured", "mtype": "HEADER"},
+    {"keyword": "tab", "mtype": "NOISE"},
+    {"keyword": "CAS", "mtype": "MARKER"},
+]
+
+_KG_MENTION_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source,
+         regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, 0 AS span_offset,
+         'Mat ' || doc_id || ' manufactured by ' || source || ' Works, City-' || lang || ', Country-' || lang AS text
+  FROM base
+  UNION ALL
+  SELECT doc_id, 1, arr[1] || ' alpha CAS 10' || CAST(did % 90 AS VARCHAR) || '-11-1 12.5% PFAS src=NONE' FROM base
+  UNION ALL
+  SELECT doc_id, 3, arr[2] || ' beta CAS 20' || CAST(did % 70 AS VARCHAR) || '-22-2 3.4% NO_PFAS src=OECD' FROM base
+  UNION ALL
+  SELECT doc_id, 4, text FROM base
+),
+toks AS (
+  SELECT doc_id, span_offset,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS word,
+         unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1)) AS pos
+  FROM spans WHERE text <> ''
+),
+words AS (
+  SELECT doc_id, span_offset, word,
+         CAST(row_number() OVER (PARTITION BY doc_id, span_offset ORDER BY pos) - 1 AS INTEGER) AS word_idx
+  FROM toks WHERE word <> ''
+)
+SELECT w.doc_id, CAST(w.span_offset AS INTEGER) AS span_offset, k.keyword, w.word,
+       100.0 AS confidence, k.mtype, w.word_idx
+FROM words w
+JOIN (VALUES ('alpha','CHEMICAL'),('beta','CHEMICAL'),('manufactured','HEADER'),
+             ('tab','NOISE'),('CAS','MARKER')) k(keyword, mtype)
+  ON contains(lower(w.word), lower(k.keyword))
+"""
+
+
+@query("kg_mention_scan_driver", _KG_MENTION_SQL)
+def kg_mention_scan_driver(spark, sf_dir):
+    """S4/S5/F2 value-checked end-to-end: the driver documents table is
+    span-ified into the input_hint shape and scanned by the REAL mention
+    operator (operators/mentions.py detect_mentions); DuckDB replays the
+    span synthesis + whitespace tokenization + case-insensitive substring
+    gazetteer match in pure SQL. This pins the production scan (not a
+    simplified stand-in) against an independent engine."""
+    from .operators.mentions import detect_mentions
+
+    docs = spanify_driver_documents(_t(spark, sf_dir, "documents"))
+    return detect_mentions(docs, _DRIVER_GAZ)
+
+
 # -------------------------------------------------------- KG (rows-only) --
 
 @query("kg_triples_synthetic")
