@@ -814,6 +814,88 @@ def kg_mention_scan_driver(spark, sf_dir):
     return detect_mentions(docs, _DRIVER_GAZ)
 
 
+
+
+_KG_TRIPLES_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source,
+         regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+),
+obs AS (
+  SELECT doc_id, 1 AS seq, arr[1] || ' alpha' AS name,
+         '10' || CAST(did % 90 AS VARCHAR) || '-11-1' AS cas,
+         '12.5' AS weight, source || ' Works' AS manu
+  FROM base
+  UNION ALL
+  SELECT doc_id, 3, arr[2] || ' beta',
+         '20' || CAST(did % 70 AS VARCHAR) || '-22-2', '3.4', source || ' Works'
+  FROM base
+),
+verts AS (
+  SELECT manu, 'N|' || name AS v, 'C|' || cas AS w FROM obs
+),
+edges2 AS (
+  SELECT manu, v AS a, w AS b FROM verts
+  UNION SELECT manu, w, v FROM verts
+  UNION SELECT manu, v, v FROM verts
+  UNION SELECT manu, w, w FROM verts
+),
+closure AS (
+  WITH RECURSIVE reach(manu, src, dst) AS (
+    SELECT manu, a, b FROM edges2
+    UNION
+    SELECT r.manu, r.src, e.b FROM reach r JOIN edges2 e ON r.manu = e.manu AND r.dst = e.a
+  )
+  SELECT manu, src AS vertex, min(dst) AS component FROM reach GROUP BY manu, src
+),
+clustered AS (
+  SELECT o.*, c.component AS cluster
+  FROM obs o JOIN closure c ON c.manu = o.manu AND c.vertex = 'C|' || o.cas
+),
+canon AS (
+  SELECT manu, cluster, name AS canon_name
+  FROM (SELECT manu, cluster, name,
+               row_number() OVER (PARTITION BY manu, cluster ORDER BY doc_id, seq) AS rn
+        FROM clustered)
+  WHERE rn = 1
+),
+has_chem AS (
+  SELECT 'Mat ' || cl.doc_id AS subj, 'hasChemical' AS pred, cn.canon_name AS obj,
+         cl.weight AS weight_percent
+  FROM clustered cl JOIN canon cn ON cn.manu = cl.manu AND cn.cluster = cl.cluster
+),
+made_by AS (
+  SELECT 'Mat ' || doc_id, 'manufacturedBy', manu, CAST(NULL AS VARCHAR) FROM obs GROUP BY doc_id, manu
+),
+evidenced AS (
+  SELECT 'Mat ' || doc_id, 'evidencedBy', doc_id, CAST(NULL AS VARCHAR) FROM base
+)
+SELECT * FROM has_chem UNION ALL SELECT * FROM made_by UNION ALL SELECT * FROM evidenced
+"""
+
+
+@query("kg_triples_driver", _KG_TRIPLES_SQL)
+def kg_triples_driver(spark, sf_dir):
+    """Flagship end-to-end, VALUE-CHECKED: the real pipeline (mentions ->
+    extract -> link -> canonicalize -> propagate -> materialize,
+    plans/pipeline.py) runs over the span-ified driver documents table; the
+    DuckDB oracle independently replays extraction, the name<->CAS
+    connected components (recursive-CTE closure), canonical-name selection
+    (first observation in replay order) and edge weights, and must produce
+    the identical (subj, pred, obj, weight_percent) multiset. The general
+    lattice fold is pinned separately (tests/test_lattice.py, e2e oracle);
+    on this corpus its closed form is what the SQL encodes."""
+    import tempfile
+
+    from .plans.pipeline import run_pipeline
+
+    docs = spanify_driver_documents(_t(spark, sf_dir, "documents"))
+    out = tempfile.mkdtemp(prefix="kg_driver_")
+    tables = run_pipeline(spark, docs, out)
+    return tables["triples"].select("subj", "pred", "obj", "weight_percent")
+
+
 # -------------------------------------------------------- KG (rows-only) --
 
 @query("kg_triples_synthetic")
