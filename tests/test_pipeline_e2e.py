@@ -143,3 +143,37 @@ def test_span_invariant_preserved(spark):
     docs = generate_documents_df(spark, cfg)
     shuffled = docs.repartition(8, F.hash("doc_id"))
     assert check_span_invariant(docs, shuffled) == 0
+
+
+def test_hub_skew_corpus_and_scalable_fold(spark, tmp_path):
+    """Hub-entity skew end-to-end: a corpus where ~90% of chemical draws hit
+    one hub chemical puts most observations into one cluster. Both fold
+    paths (per-cluster collect_list DFA and the associative per-doc
+    transition-table composition) must produce the identical graph, and
+    both must match the sequential pure-Python oracle."""
+    from entity_extractor_spark.oracle import finalize, ingest_corpus
+    from entity_extractor_spark.corpus import generate_documents_local
+
+    cfg = CorpusConfig(n_docs=120, n_chemicals=8, n_hub=1, hub_rate=0.9)
+    docs = generate_documents_df(spark, cfg)
+    t_simple = run_pipeline(
+        spark, docs, str(tmp_path / "hub_a"), gazetteer=gazetteer_rows(cfg)
+    )
+    t_assoc = run_pipeline(
+        spark, docs, str(tmp_path / "hub_b"), gazetteer=gazetteer_rows(cfg),
+        scalable_fold=True,
+    )
+    trip_a = {(r["subj"], r["pred"], r["obj"], r["weight_percent"])
+              for r in t_simple["triples"].collect()}
+    trip_b = {(r["subj"], r["pred"], r["obj"], r["weight_percent"])
+              for r in t_assoc["triples"].collect()}
+    assert trip_a == trip_b
+    nodes_a = {(r["name"], r["node_type"], r["cas_number"], r["pfas_status"],
+                r["pfas_information_source"]) for r in t_simple["nodes"].collect()}
+    nodes_b = {(r["name"], r["node_type"], r["cas_number"], r["pfas_status"],
+                r["pfas_information_source"]) for r in t_assoc["nodes"].collect()}
+    assert nodes_a == nodes_b
+
+    res = finalize(ingest_corpus(generate_documents_local(cfg)))
+    want = {(s, p, o, w) for (s, p, o, w) in res["triples"]}
+    assert trip_a == want
