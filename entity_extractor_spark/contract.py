@@ -601,6 +601,62 @@ _LSH_SIG_SQL = """
                 FROM bits GROUP BY vec_id)
 """
 
+_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 5)"
+)
+
+_IVF_SQL = (
+    """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY """
+    + _COS.format(a="e.embedding::DOUBLE[]", b="c.cv")
+    + """ DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (ORDER BY """
+    + _COS.format(a="(SELECT qv FROM q)", b="c.cv")
+    + """ DESC, c.cid) AS rn
+    FROM cents c) WHERE rn <= 2
+),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN assign a USING (vec_id)
+  WHERE a.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0
+)
+SELECT vec_id, score, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT vec_id, """
+    + _COS.format(a="embedding::DOUBLE[]", b="(SELECT qv FROM q)")
+    + """ AS score,
+         row_number() OVER (ORDER BY """
+    + _COS.format(a="embedding::DOUBLE[]", b="(SELECT qv FROM q)")
+    + """ DESC, vec_id) AS rnk
+  FROM cand)
+WHERE rnk <= 10"""
+)
+
+
+@query("ann_ivf_topk", _IVF_SQL)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN scale path: deterministic coarse quantizer (first-8 corpus
+    vectors as centroids), probe the 2 nearest inverted lists, exact cosine
+    inside — value-checked against a DuckDB replay of the identical
+    quantization + probe + ranking."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.where("vec_id = 0").select("embedding").head()[0]]
+    return SIM.ivf_topk(e, qv, n_cells=8, n_probe=2, k=10, exclude_ids=[0]).select(
+        "vec_id", "score", "rank"
+    )
+
+
 @query(
     "ann_lsh_bucketed",
     "WITH " + _LSH_SIG_SQL.strip() + """,

@@ -161,3 +161,62 @@ def embedding_near_dup_pairs(
         .select("id1", "id2", F.round(cosine(F.col("v1"), F.col("v2")), 5).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    exclude_ids: list | None = None,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize vectors into n_cells inverted lists, probe
+    the n_probe lists nearest the query, exact cosine inside.
+
+    The quantizer here is training-free and fully deterministic — the
+    centroids ARE the first n_cells corpus vectors (by id) — so any engine
+    can replay the assignment (the DuckDB oracle does); swap in k-means||
+    centroids for real recall tuning, the dataflow is unchanged. Cell
+    scores are rounded before the argmax so the float summation order of
+    different engines cannot flip an assignment; ties break on cell id.
+
+    Scale: centroids broadcast (tiny); assignment is one narrow map over
+    the corpus; the probe prunes ~(1 - n_probe/n_cells) of candidates.
+    """
+    cents = F.broadcast(
+        embeddings.where(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("cv")), 5)
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
+    assign = (
+        embeddings.join(cents)
+        .withColumn("csim", sim)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where("rn = 1")
+        .select(id_col, "cid")
+    )
+    # driver-side probe-cell selection (centroids are tiny and local)
+    import math
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return round(d / (na * nb), 5)
+
+    crows = cents.collect()
+    probe = [
+        r["cid"]
+        for r in sorted(crows, key=lambda r: (-_cos(query_vec, list(r["cv"])), r["cid"]))
+    ][:n_probe]
+    cand = embeddings.join(assign, id_col).where(F.col("cid").isin(probe))
+    if exclude_ids:
+        # the query vector itself stays in the quantizer (it is corpus
+        # data) but is excluded from the result list
+        cand = cand.where(~F.col(id_col).isin(exclude_ids))
+    return brute_force_topk(cand, query_vec, id_col, vec_col, k)
