@@ -952,6 +952,82 @@ def kg_triples_driver(spark, sf_dir):
     return tables["triples"].select("subj", "pred", "obj", "weight_percent")
 
 
+
+
+_KG_NODES_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source,
+         regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+),
+obs AS (
+  SELECT doc_id, 1 AS seq, arr[1] || ' alpha' AS name,
+         '10' || CAST(did % 90 AS VARCHAR) || '-11-1' AS cas,
+         source || ' Works' AS manu FROM base
+  UNION ALL
+  SELECT doc_id, 3, arr[2] || ' beta',
+         '20' || CAST(did % 70 AS VARCHAR) || '-22-2', source || ' Works' FROM base
+),
+verts AS (SELECT manu, 'N|' || name AS v, 'C|' || cas AS w FROM obs),
+edges2 AS (
+  SELECT manu, v AS a, w AS b FROM verts
+  UNION SELECT manu, w, v FROM verts
+  UNION SELECT manu, v, v FROM verts
+  UNION SELECT manu, w, w FROM verts
+),
+closure AS (
+  WITH RECURSIVE reach(manu, src, dst) AS (
+    SELECT manu, a, b FROM edges2
+    UNION
+    SELECT r.manu, r.src, e.b FROM reach r JOIN edges2 e ON r.manu = e.manu AND r.dst = e.a
+  )
+  SELECT manu, src AS vertex, min(dst) AS component FROM reach GROUP BY manu, src
+),
+clustered AS (
+  SELECT o.*, c.component AS cluster
+  FROM obs o JOIN closure c ON c.manu = o.manu AND c.vertex = 'C|' || o.cas
+),
+chem AS (
+  SELECT manu, cluster,
+         min(name ORDER BY doc_id, seq) FILTER (WHERE rn_first = 1) AS name,
+         min(cas ORDER BY doc_id, seq) FILTER (WHERE rn_last = 1) AS cas_number,
+         CASE WHEN min(cas) LIKE '10%' THEN 'YES' ELSE 'NO' END AS pfas_status,
+         CASE WHEN min(cas) LIKE '10%' THEN 'NONE' ELSE 'OECD' END AS pfas_information_source
+  FROM (SELECT *,
+               row_number() OVER (PARTITION BY manu, cluster ORDER BY doc_id, seq) AS rn_first,
+               row_number() OVER (PARTITION BY manu, cluster ORDER BY doc_id DESC, seq DESC) AS rn_last
+        FROM clustered)
+  GROUP BY manu, cluster
+)
+SELECT name, 'CHEMICAL' AS node_type, cas_number, pfas_status, pfas_information_source FROM chem
+UNION ALL
+SELECT 'Mat ' || doc_id, 'MATERIAL', CAST(NULL AS VARCHAR), 'YES', 'NONE' FROM base
+"""
+
+
+@query("kg_nodes_driver", _KG_NODES_SQL)
+def kg_nodes_driver(spark, sf_dir):
+    """Node materialization + status propagation VALUE-CHECKED: the real
+    pipeline's nodes table (chemical lattice fold -> A3/A4 material
+    resolution) over the span-ified driver corpus vs a DuckDB replay. On
+    this corpus the fold's closed form is: alpha clusters (src NONE, tag
+    PFAS) resolve to (YES, NONE); beta clusters (src OECD, tag NO_PFAS) to
+    (NO, OECD); every material has one YES child => (YES) with no
+    preferred-source hit => NONE. canonical name = first observation,
+    cas = last observation (unconditional overwrite), both in replay
+    order. The general lattice is pinned by tests/test_lattice.py."""
+    import tempfile
+
+    from .plans.pipeline import run_pipeline
+
+    docs = spanify_driver_documents(_t(spark, sf_dir, "documents"))
+    out = tempfile.mkdtemp(prefix="kg_nodes_driver_")
+    tables = run_pipeline(spark, docs, out)
+    return tables["nodes"].select(
+        "name", "node_type", "cas_number", "pfas_status", "pfas_information_source"
+    )
+
+
 # -------------------------------------------------------- KG (rows-only) --
 
 @query("kg_triples_synthetic")
