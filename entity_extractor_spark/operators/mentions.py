@@ -31,10 +31,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Above this many distinct matched words, the span-prefilter array literal
+# stops being "tiny" and the prefilter is skipped (the join alone is fine).
+PREFILTER_VOCAB_MAX = 512
+
+_MENTIONS_SCHEMA = (
+    "doc_id string, span_offset int, keyword string, word string, "
+    "confidence double, mtype string, word_idx int"
+)
+
+
 def detect_mentions(documents: DataFrame, keywords: list[dict]) -> DataFrame:
     """documents(doc_id, spans) -> mentions(doc_id, span_offset, keyword,
     word, confidence, mtype, word_idx). confidence is 100.0 (synthetic spans
-    carry no OCR confidence; F3 transform = round(conf*100,2))."""
+    carry no OCR confidence; F3 transform = round(conf*100,2)).
+
+    Two JVM passes, no Python in either:
+      1. vocab pass — match the DISTINCT lowered word vocabulary against
+         the gazetteer (vocabulary is orders of magnitude smaller than the
+         word stream; the distinct() is map-side combined). The surviving
+         (word, keyword) pairs are collected — keyword-dimension sized.
+      2. probe pass — spans are first pruned by a codegen'd
+         arrays_overlap(split(lower(text)), <matched words literal>), so
+         the expensive word explode runs only over spans that can produce a
+         match; survivors explode and broadcast-hash-join the matched
+         pairs. O(words_of_matching_spans) hash lookups, zero substring
+         scans on the stream.
+    The pair collect makes this operator eager (like any broadcast build);
+    at gazetteer sizes past ~10^4 swap stage 2 for an Aho-Corasick
+    mapInPandas — the surrounding plumbing is unchanged."""
     spark = documents.sparkSession
     kw = F.broadcast(
         spark.createDataFrame(
@@ -42,32 +67,46 @@ def detect_mentions(documents: DataFrame, keywords: list[dict]) -> DataFrame:
             "keyword string, kw_lower string, mtype string",
         )
     )
+    spans = documents.select("doc_id", F.explode("spans").alias("span")).where(
+        (F.col("span.kind") == "text") & (F.col("span.text") != "")
+    )
+
     # python str.split(): whitespace split, empties dropped; word_idx indexes
     # the non-empty tokens — filter() before posexplode reproduces that.
-    words = (
-        documents.select("doc_id", F.explode("spans").alias("span"))
-        .where((F.col("span.kind") == "text") & (F.col("span.text") != ""))
-        .select(
+    def words_of(sp: DataFrame) -> DataFrame:
+        return sp.select(
             "doc_id",
             F.col("span.offset").alias("span_offset"),
             F.posexplode(F.filter(F.split("span.text", r"\s+"), lambda x: x != "")).alias(
                 "word_idx", "word"
             ),
+        ).withColumn("word_lower", F.lower("word"))
+
+    vocab = words_of(spans).select("word_lower").distinct()
+    matched_rows = vocab.join(
+        kw, F.col("word_lower").contains(F.col("kw_lower"))
+    ).collect()
+    if not matched_rows:
+        return spark.createDataFrame([], _MENTIONS_SCHEMA)
+    matched = F.broadcast(
+        spark.createDataFrame(
+            matched_rows, "word_lower string, keyword string, kw_lower string, mtype string"
         )
-        .withColumn("word_lower", F.lower("word"))
     )
-    # Match against the DISTINCT lowered vocabulary, not the word stream:
-    # natural-language word streams have vocabulary orders of magnitude
-    # smaller than their length, and the distinct() is map-side combined so
-    # the shuffle moves only per-partition vocabularies. The surviving
-    # (vocab x keyword) nested-loop substring join is then tiny, and its
-    # result — still keyword-dimension sized — broadcast-hash-joins back to
-    # the stream: O(words) hash lookups instead of O(words x keywords)
-    # substring scans.
-    vocab = words.select("word_lower").distinct()
-    matched = F.broadcast(vocab.join(kw, F.col("word_lower").contains(F.col("kw_lower"))))
+    matched_words = sorted({r["word_lower"] for r in matched_rows})
+    if len(matched_words) <= PREFILTER_VOCAB_MAX:
+        # lower() the whole text THEN split: identical tokens to
+        # split-then-lower (case has no whitespace), and everything stays
+        # inside whole-stage codegen (no higher-order lambdas).
+        spans = spans.where(
+            F.arrays_overlap(
+                F.split(F.lower("span.text"), r"\s+"),
+                F.array(*[F.lit(x) for x in matched_words]),
+            )
+        )
     return (
-        words.join(matched, "word_lower")
+        words_of(spans)
+        .join(matched, "word_lower")
         .select(
             "doc_id",
             "span_offset",
