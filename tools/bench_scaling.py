@@ -224,7 +224,13 @@ def main() -> None:
             )
         )
         if marker in text:
-            text = text[: text.index(marker)] + block
+            # replace ONLY the auto-written §(c) block: everything from the
+            # marker to the next "### " heading (or EOF) — hand-written
+            # sections below (e.g. the (c2) secondary datapoint) survive.
+            start = text.index(marker)
+            tail = text.find("\n### ", start)
+            rest = text[tail:] if tail != -1 else ""
+            text = text[:start] + block + rest
         else:
             text = text.rstrip() + "\n\n" + block
         with open(path, "w") as f:
