@@ -177,3 +177,25 @@ def test_hub_skew_corpus_and_scalable_fold(spark, tmp_path):
     res = finalize(ingest_corpus(generate_documents_local(cfg)))
     want = {(s, p, o, w) for (s, p, o, w) in res["triples"]}
     assert trip_a == want
+
+
+def test_mentions_no_match_and_prefilter_equivalence(spark, monkeypatch):
+    """The eager vocab pass may find nothing (empty result with the pinned
+    schema), and the arrays_overlap span prefilter must be a pure pruning
+    step: identical rows with the prefilter disabled."""
+    from entity_extractor_spark.operators import mentions as M
+
+    cfg = CorpusConfig(n_docs=40)
+    docs = generate_documents_df(spark, cfg)
+
+    none = M.detect_mentions(docs, [{"keyword": "zz-not-present-zz", "mtype": "X"}])
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == [
+        "doc_id", "span_offset", "keyword", "word", "confidence", "mtype", "word_idx",
+    ]
+
+    gaz = gazetteer_rows(cfg)
+    with_pf = {tuple(r) for r in M.detect_mentions(docs, gaz).collect()}
+    monkeypatch.setattr(M, "PREFILTER_VOCAB_MAX", -1)
+    without_pf = {tuple(r) for r in M.detect_mentions(docs, gaz).collect()}
+    assert with_pf == without_pf and len(with_pf) > 0
