@@ -199,3 +199,19 @@ def test_mentions_no_match_and_prefilter_equivalence(spark, monkeypatch):
     monkeypatch.setattr(M, "PREFILTER_VOCAB_MAX", -1)
     without_pf = {tuple(r) for r in M.detect_mentions(docs, gaz).collect()}
     assert with_pf == without_pf and len(with_pf) > 0
+
+
+def test_resume_with_stale_tmp_dir(spark, tmp_path):
+    """A run killed mid-write leaves a stage's _tmp directory behind; the
+    next run must clear it and commit cleanly (lineage.commit_stage)."""
+    import os
+
+    cfg = CorpusConfig(n_docs=20)
+    docs = generate_documents_df(spark, cfg)
+    out = str(tmp_path / "stale_tmp_out")
+    os.makedirs(os.path.join(out, "winners._tmp"))
+    with open(os.path.join(out, "winners._tmp", "part-junk"), "w") as f:
+        f.write("garbage from a killed writer")
+    tables = run_pipeline(spark, docs, out, gazetteer=gazetteer_rows(cfg))
+    assert tables["triples"].count() > 0
+    assert not os.path.exists(os.path.join(out, "winners._tmp"))
