@@ -67,16 +67,40 @@ def brute_force_topk(
     k: int = 10,
     metric: str = "cosine",
 ) -> DataFrame:
-    """Exact top-k: (id, score, rank). Deterministic tie-break on id."""
+    """Exact top-k: (id, score, rank). Deterministic tie-break on id.
+
+    Scale shape: orderBy().limit(k) plans as a distributed
+    TakeOrderedAndProject — every partition keeps its local top-k and only
+    k rows per partition reach the driver-side merge. No global Window (a
+    partitionless Window would serialize the whole scored corpus through
+    one task; gated by tests/test_plans.py). rank is derived from the <= k
+    survivors with array ops (collect_list -> array_sort -> posexplode),
+    so the post-limit plan touches k rows, not the corpus."""
     q = _query_lit(query_vec)
     score = cosine(F.col(vec_col), q) if metric == "cosine" else -l2(F.col(vec_col), q)
     scored = embeddings.select(
         F.col(id_col).alias("vec_id"), F.round(score, 5).alias("score")
     )
-    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+    top = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+    # rank over the k survivors without a Window: pack into one array,
+    # sort by (-score, vec_id) via struct field order, explode with position.
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("score")).alias("_neg_score"),
+                    F.col("vec_id").alias("vec_id"),
+                    F.col("score").alias("score"),
+                )
+            )
+        ).alias("arr")
+    )
+    return packed.select(
+        F.posexplode("arr").alias("_pos", "_r")
+    ).select(
+        F.col("_r.vec_id").alias("vec_id"),
+        F.col("_r.score").alias("score"),
+        (F.col("_pos") + 1).cast("long").alias("rank"),
     )
 
 
@@ -118,8 +142,6 @@ def lsh_bucketed_topk(
     Recall < 1 by construction; the candidate pruning is the point."""
     sig = hyperplane_signature(F.col(vec_col), dims, bits)
     bucketed = embeddings.withColumn("bucket", sig)
-    import hashlib
-
     qsig = "".join(
         "1" if _py_plane_dot(query_vec, j) > 0 else "0" for j in range(bits)
     )
@@ -202,12 +224,16 @@ def ivf_topk(
     )
     # driver-side probe-cell selection (centroids are tiny and local)
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     def _cos(a: list[float], b: list[float]) -> float:
         d = sum(float(x) * float(y) for x, y in zip(a, b))
         na = math.sqrt(sum(float(x) ** 2 for x in a))
         nb = math.sqrt(sum(float(y) ** 2 for y in b))
-        return round(d / (na * nb), 5)
+        # HALF_UP, not python round()'s half-to-even: the distributed
+        # assignment uses F.round (HALF_UP) and the DuckDB oracle ROUND
+        # (half away from zero) — all three paths share one mode.
+        return float(Decimal(repr(d / (na * nb))).quantize(Decimal("0.00001"), ROUND_HALF_UP))
 
     crows = cents.collect()
     probe = [

@@ -110,6 +110,46 @@ def test_sched_deps_superset_and_acyclic():
         visit(s)
 
 
+def _partitionless_windows(df) -> list[str]:
+    """Names of WindowExec-family nodes with an EMPTY partitionSpec in the
+    (initial) executed plan — the 'Moving all data to a single partition'
+    anti-pattern. Walks the physical tree via py4j, descending into AQE
+    wrappers and reused exchanges."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if "Window" in name and hasattr(node, "partitionSpec"):
+            if node.partitionSpec().isEmpty():
+                out.append(name)
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        children = node.children()
+        for i in range(children.length()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+@pytest.mark.parametrize("q", ["ann_brute_topk", "ann_ivf_topk", "ann_lsh_bucketed"])
+def test_ann_topk_has_no_global_window(spark, q):
+    """VERDICT r1 #1: top-k must plan as distributed TakeOrderedAndProject,
+    never a partitionless Window (single-task sort of the scored corpus)."""
+    df = contract.Q[q](spark, SF)
+    assert _partitionless_windows(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_w1_window_is_partitioned(spark):
+    """The per-group top-k (W1) legitimately uses a Window — but it must be
+    partitioned (no global sort)."""
+    df = contract.Q["w1_topk_per_group"](spark, SF)
+    assert _partitionless_windows(df) == []
+
+
 def test_doc_window_reuses_corpus_partitioning(spark):
     """The corpus is hash-partitioned on doc_id once; the header window
     (partitionBy doc_id) must NOT introduce another Exchange on top of it."""
