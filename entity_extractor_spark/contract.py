@@ -432,6 +432,139 @@ def f2_keyword_match(spark, sf_dir):
     return joined.groupBy("kw").agg(F.count("*").alias("n_docs"))
 
 
+@query(
+    "f9_json_parse",
+    r"""WITH raw AS (
+         SELECT p_partkey,
+                '```json' || chr(10) || '{"material_name": "' || p_name ||
+                '", "product_number": "' || CAST(p_partkey AS VARCHAR) ||
+                '", "manufacturer_name": "' || p_brand ||
+                '", "chemicals": [{"chemical_name": "' || p_type ||
+                '", "cas_no": "' || CAST(p_size AS VARCHAR) ||
+                '-00-1", "weight": ' || CAST(p_size AS VARCHAR) || '}]}' ||
+                chr(10) || '```' AS payload
+         FROM part),
+       stripped AS (
+         SELECT p_partkey,
+                regexp_replace(regexp_replace(payload, '^\s*```(json)?\s*', ''),
+                               '\s*```\s*$', '') AS j
+         FROM raw)
+       SELECT p_partkey,
+              json_extract_string(j, '$.material_name') AS material_name,
+              json_extract_string(j, '$.manufacturer_name') AS manufacturer_name,
+              json_extract_string(j, '$.chemicals[0].chemical_name') AS chem_name,
+              json_extract_string(j, '$.chemicals[0].cas_no') AS cas_no,
+              CAST(json_extract(j, '$.chemicals[0].weight') AS BIGINT) AS weight
+       FROM stripped""",
+)
+def f9_json_parse(spark, sf_dir):
+    """F9 — fence-strip + schema-on-read JSON parse of an MSDSAnalysis-shaped
+    extraction payload (artifact_ingestor_service.py:770-777,
+    dto/msds_openai_response.py:7-25). The payload is synthesized
+    deterministically from the part table so DuckDB can replay the identical
+    strip + json_extract; the Spark side runs the real F9 operator
+    (functions/core.py strip_json_fences + parse_msds_json)."""
+    from .functions.core import parse_msds_json
+
+    p = _t(spark, sf_dir, "part")
+    payload = F.concat(
+        F.lit('```json\n{"material_name": "'), F.col("p_name"),
+        F.lit('", "product_number": "'), F.col("p_partkey").cast("string"),
+        F.lit('", "manufacturer_name": "'), F.col("p_brand"),
+        F.lit('", "chemicals": [{"chemical_name": "'), F.col("p_type"),
+        F.lit('", "cas_no": "'), F.col("p_size").cast("string"),
+        F.lit('-00-1", "weight": '), F.col("p_size").cast("string"),
+        F.lit("}]}\n```"),
+    )
+    doc = parse_msds_json(payload)
+    chem = F.element_at(doc["chemicals"], 1)
+    return p.select(
+        "p_partkey",
+        doc["material_name"].alias("material_name"),
+        doc["manufacturer_name"].alias("manufacturer_name"),
+        chem["chemical_name"].alias("chem_name"),
+        chem["cas_no"].alias("cas_no"),
+        chem["weight"].alias("weight"),
+    )
+
+
+@query(
+    "f8_url_parse",
+    r"""WITH u AS (
+         SELECT doc_id,
+                'https://acct.blob.example.com/container-a/docs/' ||
+                CAST(doc_id AS VARCHAR) || '/page_001.png' ||
+                CASE WHEN doc_id % 3 <> 0
+                     THEN '?sig=' || lang || '&ts=' || CAST(doc_id AS VARCHAR)
+                     ELSE '' END ||
+                CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+         FROM documents)
+       SELECT doc_id,
+              regexp_extract(url, '^https?://([^/]+)', 1) AS blob_host,
+              regexp_extract(url, '^https?://[^/]+/container-a/([^?#]*)', 1)
+              || CASE WHEN contains(url, '?')
+                      THEN '?' || regexp_extract(url, '\?([^#]*)', 1) ELSE '' END
+              || CASE WHEN contains(url, '#')
+                      THEN '#' || regexp_extract(url, '#(.*)$', 1) ELSE '' END AS rel_path
+       FROM u""",
+)
+def f8_url_parse(spark, sf_dir):
+    """F8 — URL parse/split: host + container-relative path with
+    query/fragment re-attach (file_analysis_service.py:255-266,
+    utils/azure_blob_storage.py:69-79). URLs are synthesized from the
+    documents table (some rows without query, some with fragment) so both
+    engines parse the identical strings; the Spark side uses the real F8
+    operator (functions/core.py container_relative_path via parse_url)."""
+    from .functions.core import container_relative_path
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://acct.blob.example.com/container-a/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/page_001.png"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(F.lit("?sig="), F.col("lang"), F.lit("&ts="), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", url.alias("url")).select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("blob_host"),
+        container_relative_path(F.col("url"), "container-a").alias("rel_path"),
+    )
+
+
+@query(
+    "f4_flatten_polygon",
+    """SELECT p_partkey,
+              CAST(p_partkey AS VARCHAR) || ',' || CAST(p_size AS VARCHAR) || ',' ||
+              CAST(p_partkey + 10 AS VARCHAR) || ',' || CAST(p_size AS VARCHAR) || ',' ||
+              CAST(p_partkey + 10 AS VARCHAR) || ',' || CAST(p_size + 20 AS VARCHAR) || ',' ||
+              CAST(p_partkey AS VARCHAR) || ',' || CAST(p_size + 20 AS VARCHAR) AS flat_coords,
+              CAST(8 AS BIGINT) AS n_coords
+       FROM part""",
+)
+def f4_flatten_polygon(spark, sf_dir):
+    """F4 — boundingPolygon flatten: [{x,y},...] -> [x1,y1,x2,y2,...]
+    (file_analysis_service.py:96-101). A 4-point OCR-style polygon is built
+    from each part row, flattened by the real F4 operator
+    (functions/core.py flatten_polygon), and serialized for the value
+    check; DuckDB replays the flat coordinate order arithmetically."""
+    from .functions.core import flatten_polygon
+
+    p = _t(spark, sf_dir, "part")
+    pt = lambda x, y: F.struct(x.alias("x"), y.alias("y"))  # noqa: E731
+    x0, y0 = F.col("p_partkey"), F.col("p_size").cast("long")
+    poly = F.array(pt(x0, y0), pt(x0 + 10, y0), pt(x0 + 10, y0 + 20), pt(x0, y0 + 20))
+    flat = flatten_polygon(poly)
+    return p.select(
+        "p_partkey",
+        F.array_join(F.transform(flat, lambda v: v.cast("string")), ",").alias("flat_coords"),
+        F.size(flat).cast("long").alias("n_coords"),
+    )
+
+
 # ------------------------------------------------ training-data operators --
 
 @query(

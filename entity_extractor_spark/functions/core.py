@@ -57,6 +57,49 @@ def b64_id(col: Column) -> Column:
     return F.base64(F.encode(col, "utf-8"))
 
 
+def strip_json_fences(col: Column) -> Column:
+    """F9 (part 1) — strip leading ```/```json and trailing ``` markdown
+    fences around an extraction payload
+    (artifact_ingestor_service.py:770-777: the raw completion text is
+    fence-stripped before json.loads into MSDSAnalysis)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, r"^\s*```(json)?\s*", ""), r"\s*```\s*$", ""
+    )
+
+
+# MSDSAnalysis-shaped payload schema (dto/msds_openai_response.py:7-25 +
+# dto/chemical_dto.py:21-29, reduced to the fields the pipeline consumes).
+MSDS_JSON_SCHEMA = (
+    "material_name string, product_number string, manufacturer_name string, "
+    "chemicals array<struct<chemical_name string, cas_no string, weight bigint>>"
+)
+
+
+def parse_msds_json(col: Column) -> Column:
+    """F9 (part 2) — schema-on-read parse of the fence-stripped payload
+    (artifact_ingestor_service.py:770-777 json.loads -> pydantic validate;
+    from_json nulls malformed rows instead of raising, the set-at-a-time
+    analog of the reference's per-doc failure record)."""
+    return F.from_json(strip_json_fences(col), MSDS_JSON_SCHEMA)
+
+
+def container_relative_path(url: Column, container: str) -> Column:
+    """F8 — container-relative blob path with query/fragment re-attach
+    (file_analysis_service.py:255-266; utils/azure_blob_storage.py:69-79):
+    strip scheme+host+'/<container>/' from the path, keep '?query' and
+    '#fragment' when present."""
+    rel = F.regexp_replace(
+        F.parse_url(url, F.lit("PATH")), f"^/{container}/", ""
+    )
+    q = F.parse_url(url, F.lit("QUERY"))
+    frag = F.parse_url(url, F.lit("REF"))
+    return F.concat(
+        rel,
+        F.coalesce(F.concat(F.lit("?"), q), F.lit("")),
+        F.coalesce(F.concat(F.lit("#"), frag), F.lit("")),
+    )
+
+
 def page_text_concat(spans: Column) -> Column:
     """F10 — ' '.join of text spans in offset order
     (file_analysis_service.py:556-564; order invariant W2)."""
