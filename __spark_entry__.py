@@ -39,4 +39,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The synthetic-corpus oracles read a pyarrow-materialized copy of the
+    # deterministic corpus; make sure it exists regardless of whether the
+    # Spark query ran first (pure Python, idempotent, ~ms).
+    contract.ensure_synth_tables()
     return dict(contract.SQL)

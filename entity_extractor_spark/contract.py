@@ -1161,18 +1161,158 @@ def kg_nodes_driver(spark, sf_dir):
     )
 
 
-# -------------------------------------------------------- KG (rows-only) --
+# ------------------------------------------- KG (synthetic, value-checked) --
+#
+# The synthetic corpus is a pure function of (seed, doc index); the DuckDB
+# oracle reads an identical pyarrow-materialized copy (corpus.py
+# materialize_corpus_parquet) and replays the reference's SEQUENTIAL ingest
+# control flow (artifact_ingestor_service.py, see oracle.py) in closed-form
+# SQL. The closed form is valid because of the generator's invariants
+# (corpus.py module docstring): no lattice error cells, alias observations
+# always carry their CAS, names are unique per chemical — so
+#   * J7 first-wins  == min valid doc_id per (norm display, manufacturer);
+#   * per-manu name<->CAS connected components == "each name's unique CAS,
+#     else the name itself" (no chains longer than one CAS);
+#   * canonical node name == globally-first observation (doc_id, first
+#     occurrence offset) of the cluster;
+#   * A5 last-wins == arg_max by span offset within (doc, name);
+#   * J8 edge weight == the last-iterated entry of the doc mapping to the
+#     cluster (max first-occurrence offset), carrying its A5-final weight.
+# The general (non-closed-form) semantics stay pinned by the pure-Python
+# oracle in tests/test_pipeline_e2e.py.
 
-@query("kg_triples_synthetic")
+_HDR_RE = (
+    r"^(.*?)(?: \(P/N ([^)]*)\))?(?: \(UPC ([^)]*)\))?"
+    r" manufactured by ([^,]*), ([^,]*), ([^,]*)$"
+)
+_CMP_RE = r"^(.*?) CAS ([0-9\-]+|-) ([0-9.]+)% (PFAS|NO_PFAS|PENDING) src=([A-Z]+)$"
+
+
+def _synth_dir(n_docs: int, seed: int = 42) -> str:
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), f"eex_synth_{seed}_{n_docs}")
+
+
+def ensure_synth_tables() -> None:
+    """Materialize the oracle's parquet copies of every synthetic-corpus
+    config the contract references (idempotent, pure Python — callable from
+    both the Spark query and the DuckDB oracle side)."""
+    from .corpus import CorpusConfig, materialize_corpus_parquet
+
+    for n in (60, 80):
+        materialize_corpus_parquet(CorpusConfig(n_docs=n), _synth_dir(n))
+
+
+def _synth_triples_sql(n_docs: int) -> str:
+    docs = f"{_synth_dir(n_docs)}/documents.parquet"
+    return rf"""
+WITH sp0 AS (SELECT doc_id, unnest(spans) AS u FROM read_parquet('{docs}')),
+sp AS (
+  SELECT doc_id, u.text AS text, u."offset" AS off
+  FROM sp0 WHERE u.kind = 'text' AND u.text <> ''
+),
+hdr AS (
+  SELECT doc_id,
+         regexp_extract(text, '{_HDR_RE}', 1) AS mname,
+         regexp_extract(text, '{_HDR_RE}', 2) AS prod,
+         regexp_extract(text, '{_HDR_RE}', 3) AS upc,
+         regexp_extract(text, '{_HDR_RE}', 4) AS manu,
+         row_number() OVER (PARTITION BY doc_id ORDER BY off) AS rn
+  FROM sp WHERE regexp_matches(text, '{_HDR_RE}')
+),
+hdr1 AS (SELECT * FROM hdr WHERE rn = 1),
+comp AS (
+  SELECT doc_id, off,
+         regexp_extract(text, '{_CMP_RE}', 1) AS cname,
+         regexp_extract(text, '{_CMP_RE}', 2) AS cas_raw,
+         regexp_extract(text, '{_CMP_RE}', 3) AS weight
+  FROM sp WHERE regexp_matches(text, '{_CMP_RE}')
+),
+dedup AS (
+  SELECT doc_id, cname, min(off) AS first_seq,
+         arg_max(cas_raw, off) AS cas_raw, arg_max(weight, off) AS weight
+  FROM comp GROUP BY doc_id, cname
+),
+valid AS (
+  SELECT h.doc_id, h.manu,
+         h.mname
+           || CASE WHEN trim(h.prod) <> '' THEN ' (' || h.prod || ')' ELSE '' END
+           || CASE WHEN trim(h.upc)  <> '' THEN ' (' || h.upc  || ')' ELSE '' END
+           AS display
+  FROM hdr1 h WHERE EXISTS (SELECT 1 FROM dedup d WHERE d.doc_id = h.doc_id)
+),
+owners AS (
+  SELECT doc_id, manu, display FROM (
+    SELECT v.*, row_number() OVER (
+      PARTITION BY replace(lower(display), ' ', ''), manu ORDER BY doc_id) AS rn
+    FROM valid v) WHERE rn = 1
+),
+obs AS (
+  SELECT o.doc_id, o.display, o.manu, d.cname, d.first_seq,
+         nullif(nullif(trim(d.cas_raw), '-'), '') AS cas, d.weight
+  FROM owners o JOIN dedup d USING (doc_id)
+),
+name_cas AS (SELECT manu, cname, min(cas) AS ncas FROM obs GROUP BY manu, cname),
+clustered AS (
+  SELECT obs.*, COALESCE('C|' || nc.ncas, 'N|' || obs.cname) AS cluster
+  FROM obs JOIN name_cas nc ON nc.manu = obs.manu AND nc.cname = obs.cname
+),
+canon AS (
+  SELECT manu, cluster, cname AS canon_name FROM (
+    SELECT manu, cluster, cname, row_number() OVER (
+      PARTITION BY manu, cluster ORDER BY doc_id, first_seq) AS rn
+    FROM clustered) WHERE rn = 1
+),
+edges AS (
+  SELECT doc_id, display, manu, cluster, arg_max(weight, first_seq) AS weight
+  FROM clustered GROUP BY doc_id, display, manu, cluster
+)
+SELECT e.display AS subj, 'hasChemical' AS pred, c.canon_name AS obj,
+       e.weight AS weight_percent
+FROM edges e JOIN canon c ON c.manu = e.manu AND c.cluster = e.cluster
+UNION ALL
+SELECT display, 'manufacturedBy', manu, CAST(NULL AS VARCHAR) FROM owners
+UNION ALL
+SELECT display, 'evidencedBy', doc_id, CAST(NULL AS VARCHAR) FROM owners
+"""
+
+
+def _synth_mentions_sql(n_docs: int) -> str:
+    base = _synth_dir(n_docs)
+    return rf"""
+WITH sp0 AS (SELECT doc_id, unnest(spans) AS u
+             FROM read_parquet('{base}/documents.parquet')),
+sp AS (
+  SELECT doc_id, u.text AS text, u."offset" AS off
+  FROM sp0 WHERE u.kind = 'text' AND u.text <> ''
+),
+words AS (
+  SELECT doc_id, off, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM sp
+)
+SELECT w.doc_id, CAST(w.off AS INTEGER) AS span_offset, k.keyword, w.word,
+       CAST(100.0 AS DOUBLE) AS confidence, k.mtype
+FROM words w
+JOIN read_parquet('{base}/gazetteer.parquet') k
+  ON contains(lower(w.word), lower(k.keyword))
+WHERE w.word <> ''
+"""
+
+
+@query("kg_triples_synthetic", _synth_triples_sql(80))
 def kg_triples_synthetic(spark, sf_dir):
-    """Flagship KG pipeline on the deterministic synthetic corpus (the
-    north-star semantics aren't SQL-expressible; exact-match correctness is
-    enforced against the pure-Python reference oracle in tests)."""
+    """Flagship KG pipeline on the deterministic synthetic corpus,
+    VALUE-CHECKED: DuckDB replays the sequential reference ingest in the
+    closed-form SQL above over a byte-identical pyarrow copy of the corpus.
+    The pure-Python oracle (tests) pins the general semantics."""
     import tempfile
 
     from .corpus import CorpusConfig, generate_documents_df
     from .plans.pipeline import run_pipeline
 
+    ensure_synth_tables()
     cfg = CorpusConfig(n_docs=80)
     docs = generate_documents_df(spark, cfg)
     out = tempfile.mkdtemp(prefix="kg_contract_")
@@ -1180,11 +1320,15 @@ def kg_triples_synthetic(spark, sf_dir):
     return tables["triples"].select("subj", "pred", "obj", "weight_percent")
 
 
-@query("kg_mentions_synthetic")
+@query("kg_mentions_synthetic", _synth_mentions_sql(60))
 def kg_mentions_synthetic(spark, sf_dir):
+    """Gazetteer mention scan on the synthetic corpus, VALUE-CHECKED vs a
+    DuckDB replay (tokenize -> case-insensitive substring join) over the
+    materialized corpus + gazetteer parquet."""
     from .corpus import CorpusConfig, gazetteer_rows, generate_documents_df
     from .operators.mentions import detect_mentions
 
+    ensure_synth_tables()
     cfg = CorpusConfig(n_docs=60)
     docs = generate_documents_df(spark, cfg)
     return detect_mentions(docs, gazetteer_rows(cfg)).select(
@@ -1460,13 +1604,15 @@ def link_cosine_disambiguation(spark, sf_dir):
     return best_candidate(docs, cands, "doc_id", "text", "p_partkey", "p_name")
 
 
-@query("kg_streaming_synthetic")
+@query("kg_streaming_synthetic", _synth_triples_sql(60))
 def kg_streaming_synthetic(spark, sf_dir):
     """S2/T5 — Structured-Streaming ingest: the synthetic corpus split into
     2 ordered micro-batches via the file-source queue analog, consolidated
-    cross-batch (identity adoption + DFA-fold init state). Rows-only check;
-    exact-match equivalence vs the sequential oracle is enforced by
-    tests/test_streaming.py."""
+    cross-batch (identity adoption + DFA-fold init state). VALUE-CHECKED:
+    the cross-batch consolidated triples must equal the sequential replay
+    (same closed-form DuckDB SQL as kg_triples_synthetic, 60-doc corpus) —
+    pinning that batch splitting does not change the fixpoint."""
+    ensure_synth_tables()
     import glob
     import os
     import shutil

@@ -277,6 +277,64 @@ def generate_documents_df(spark: SparkSession, cfg: CorpusConfig, partitions: in
     return rng_df.mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
 
 
+def materialize_corpus_parquet(cfg: CorpusConfig, base_dir: str | None = None) -> str:
+    """Write the deterministic corpus + gazetteer to parquet WITHOUT Spark
+    (pure pyarrow), so the DuckDB correctness oracle can read the identical
+    input the distributed generator produces (byte-identical rows: both are
+    pure functions of (seed, doc index)).
+
+    Idempotent + atomic (tmp dir -> os.replace); keyed by (seed, n_docs) so
+    concurrent query/oracle evaluation can race safely. Returns the dir
+    containing documents.parquet and gazetteer.parquet."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = base_dir or os.path.join(
+        tempfile.gettempdir(), f"eex_synth_{cfg.seed}_{cfg.n_docs}"
+    )
+    docs_p = os.path.join(base, "documents.parquet")
+    gaz_p = os.path.join(base, "gazetteer.parquet")
+    if os.path.isfile(docs_p) and os.path.isfile(gaz_p):
+        return base
+
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    rows = generate_documents_local(cfg)
+    docs_tbl = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+            "spans": pa.array(
+                [[(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+                 for r in rows],
+                pa.list_(span_t),
+            ),
+        }
+    )
+    gaz = gazetteer_rows(cfg)
+    gaz_tbl = pa.table(
+        {
+            "keyword": pa.array([g["keyword"] for g in gaz], pa.string()),
+            "mtype": pa.array([g["mtype"] for g in gaz], pa.string()),
+        }
+    )
+    tmp = f"{base}._tmp_{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(docs_tbl, os.path.join(tmp, "documents.parquet"))
+    pq.write_table(gaz_tbl, os.path.join(tmp, "gazetteer.parquet"))
+    try:
+        os.replace(tmp, base)  # atomic on POSIX; fails if base exists non-empty
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: keep winner
+    return base
+
+
 def gazetteer_rows(cfg: CorpusConfig) -> list[dict]:
     """FIXTURES.md §A2 — broadcast keyword dictionary (reference:
     global_keywords.json via keywords_service.py:35-47)."""
