@@ -45,12 +45,14 @@ def connected_components(
     )
     und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
 
-    # Size probe and small-graph fetch in ONE job: collect at most
-    # SMALL_GRAPH_EDGES+1 rows. If the limit is not hit, the whole distinct
-    # vocabulary graph is already on the driver; only graphs that overflow
-    # pay for the checkpoint + distributed loop below.
-    probe = und.limit(SMALL_GRAPH_EDGES + 1).collect()
-    if len(probe) <= SMALL_GRAPH_EDGES:
+    # Materialize the distinct vocabulary graph once (both paths reuse it),
+    # then size-probe with a limit+count — the probe moves NO rows to the
+    # driver, so a graph that overflows the union-find cutoff costs two
+    # cheap jobs instead of a multi-hundred-MB discarded collect. Only
+    # graphs that pass the probe pay the driver transfer.
+    und = und.localCheckpoint(eager=True)
+    if und.limit(SMALL_GRAPH_EDGES + 1).count() <= SMALL_GRAPH_EDGES:
+        probe = und.collect()
         spark = edges.sparkSession
         parent: dict[str, str] = {}
 
@@ -77,7 +79,6 @@ def connected_components(
             return spark.createDataFrame([], "vertex string, component string")
         return spark.createDataFrame(rows, "vertex string, component string")
 
-    und = und.localCheckpoint(eager=True)
     labels = (
         und.select(F.col("src").alias("vertex"))
         .distinct()

@@ -239,7 +239,10 @@ def run_pipeline(
     # Materialize the doc cache once, fully parallel, before any stage runs:
     # two concurrent first jobs would otherwise race to compute the same
     # cached partitions (block-lock waits + duplicated shuffle reads).
-    docs.count()
+    # Skipped on a fully-resumed run — every active stage then loads from
+    # its committed parquet table and the corpus is never scanned.
+    if not (resume and all(log.is_done(s) for s in active)):
+        docs.count()
 
     done: set[str] = set()
     submitted: set[str] = set()

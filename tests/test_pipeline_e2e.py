@@ -201,6 +201,50 @@ def test_mentions_no_match_and_prefilter_equivalence(spark, monkeypatch):
     assert with_pf == without_pf and len(with_pf) > 0
 
 
+def test_mentions_three_paths_equivalent(spark, monkeypatch):
+    """The adaptive mention scan has three physical paths — eager JVM
+    (vocab collect + broadcast), lazy JVM (stream-side theta-join, the
+    MATCHED_VOCAB_MAX overflow fallback) and Aho-Corasick mapInPandas
+    (the >=AC_KEYWORDS_MIN gazetteer path) — all must produce the identical
+    row MULTISET (duplicates included: same word twice in a span = two
+    mentions)."""
+    from collections import Counter
+
+    from entity_extractor_spark.operators import mentions as M
+
+    cfg = CorpusConfig(n_docs=40)
+    docs = generate_documents_df(spark, cfg)
+    gaz = gazetteer_rows(cfg)
+
+    eager = Counter(tuple(r) for r in M.detect_mentions(docs, gaz).collect())
+    ac = Counter(tuple(r) for r in M.detect_mentions_ac(docs, gaz).collect())
+    monkeypatch.setattr(M, "MATCHED_VOCAB_MAX", 0)
+    lazy = Counter(tuple(r) for r in M.detect_mentions(docs, gaz).collect())
+    assert len(eager) > 0
+    assert eager == ac, f"ac diff: {(eager - ac) + (ac - eager)}"
+    assert eager == lazy, f"lazy diff: {(eager - lazy) + (lazy - eager)}"
+    # dispatch: a huge gazetteer routes to the AC path (plan has no join)
+    monkeypatch.setattr(M, "AC_KEYWORDS_MIN", 1)
+    plan = M.detect_mentions(docs, gaz)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BroadcastHashJoin" not in plan
+
+
+def test_aho_corasick_matches_bruteforce():
+    """Automaton vs brute-force substring scan on adversarial short/overlap
+    keyword sets (prefix-of-prefix, repeated chars, shared suffixes)."""
+    import random
+
+    from entity_extractor_spark.operators.mentions import AhoCorasick
+
+    kws = ["a", "aa", "aba", "ba", "bab", "abab", "chlor", "chloride", "id", "ride"]
+    ac = AhoCorasick(kws)
+    rng = random.Random(7)
+    for _ in range(300):
+        w = "".join(rng.choice("abcdehilor") for _ in range(rng.randrange(0, 14)))
+        want = {k for k in kws if k in w}
+        assert ac.match(w) == want, (w, ac.match(w), want)
+
+
 def test_resume_with_stale_tmp_dir(spark, tmp_path):
     """A run killed mid-write leaves a stage's _tmp directory behind; the
     next run must clear it and commit cleanly (lineage.commit_stage)."""
