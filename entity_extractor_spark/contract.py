@@ -44,6 +44,10 @@ def query(name: str, sql: str | None = None):
 
 _DEC = "decimal(18,2)"
 
+# md5 hashed-TF bucket (disambiguate.py formula), shared by the RAG and
+# disambiguation oracles
+_TFIDF_BUCKET_SQL = "CAST(CAST(concat('0x', substring(md5(tok), 1, 12)) AS BIGINT) % 64 AS BIGINT)"
+
 
 def _sum2(col: str, alias: str):
     return F.sum(F.col(col).cast(_DEC)).cast("double").alias(alias)
@@ -1562,7 +1566,6 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
-_TFIDF_BUCKET_SQL = "CAST(CAST(concat('0x', substring(md5(tok), 1, 12)) AS BIGINT) % 64 AS BIGINT)"
 
 @query(
     "link_cosine_disambiguation",
@@ -1602,6 +1605,95 @@ def link_cosine_disambiguation(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     cands = _t(spark, sf_dir, "part").where("p_partkey < 100")
     return best_candidate(docs, cands, "doc_id", "text", "p_partkey", "p_name")
+
+
+# ----------------------------------------------------- X4/S8 RAG lifecycle --
+
+
+_CHUNK_SQL_BODY = """
+d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, length(text) AS L FROM documents),
+starts AS (
+  SELECT doc_id, text, L, s,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT) AS chunk_idx
+  FROM (SELECT doc_id, text, L, unnest(range(0, greatest(L, 1), 96)) AS s FROM d)
+  WHERE s = 0 OR s - 96 + 120 < L
+),
+chunks AS (
+  SELECT doc_id, chunk_idx, doc_id || ':' || chunk_idx AS chunk_id,
+         substr(text, CAST(s AS INT) + 1, 120) AS text,
+         CAST(s AS INT) AS start_offset,
+         CAST(least(s + 120, L) AS INT) AS end_offset
+  FROM starts
+)"""
+
+
+@query(
+    "x4_chunk_fixed",
+    f"""WITH {_CHUNK_SQL_BODY}
+        SELECT doc_id, chunk_idx, chunk_id, text, start_offset, end_offset
+        FROM chunks""",
+)
+def x4_chunk_fixed(spark, sf_dir):
+    """X4 — fixed-window chunker (the reference's
+    RecursiveCharacterTextSplitter(2000,200) fallback, constants.py:122-130;
+    parameters scaled to the test corpus so multi-chunk docs + the
+    no-trailing-contained-chunk rule are exercised). Pure column algebra;
+    DuckDB replays the identical sequence/substr windows."""
+    from .operators.chunker import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_size=120, overlap=24)
+
+
+@query(
+    "rag_chunk_topk",
+    f"""WITH {_CHUNK_SQL_BODY},
+        t AS (
+          SELECT chunk_id AS id, tok FROM (
+            SELECT chunk_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM chunks) WHERE tok != ''
+        ),
+        cv AS (SELECT id, {_TFIDF_BUCKET_SQL} AS bucket, CAST(count(*) AS DOUBLE) AS tf
+               FROM t GROUP BY 1, 2),
+        q AS (
+          SELECT tok FROM (SELECT unnest(string_split_regex(lower(
+            'hash join order by window agg scan'), '\\s+')) AS tok) WHERE tok != ''
+        ),
+        qv AS (SELECT {_TFIDF_BUCKET_SQL} AS bucket, CAST(count(*) AS DOUBLE) AS tf
+               FROM q GROUP BY 1),
+        qn AS (SELECT sqrt(sum(tf * tf)) AS qnorm FROM qv),
+        cn AS (SELECT id, sqrt(sum(tf * tf)) AS cnorm FROM cv GROUP BY 1 HAVING sum(tf * tf) > 0),
+        dots AS (SELECT cv.id, sum(qv.tf * cv.tf) AS dot
+                 FROM cv JOIN qv USING (bucket) GROUP BY 1),
+        scores AS (SELECT cn.id, ROUND(COALESCE(dot, 0.0) / (qnorm * cnorm), 5) AS score
+                   FROM cn LEFT JOIN dots ON cn.id = dots.id CROSS JOIN qn),
+        ranked AS (SELECT id, score,
+                          row_number() OVER (ORDER BY score DESC, id ASC) AS rn
+                   FROM scores)
+        SELECT id AS chunk_id, score, CAST(rn AS BIGINT) AS rank
+        FROM ranked WHERE rn <= 20""",
+)
+def rag_chunk_topk(spark, sf_dir):
+    """S8 + W1 — the full RAG lifecycle (§3.3): chunk the corpus (X4),
+    embed every chunk (dense hashed-TF), WRITE the embeddings table (the
+    pgvector-table analog, vector_repository.py:16-54), then rank the
+    written table against a query embedding with the distributed top-k.
+    The DuckDB oracle replays chunking, the md5 bucket formula and the
+    cosine ranking end-to-end. TF counts are integers, so every sum is
+    exact in double and the engines agree bit-for-bit before ROUND."""
+    import tempfile
+
+    from .operators.chunker import build_chunk_embeddings, embed_chunks
+    from .operators.similarity import brute_force_topk
+
+    d = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="rag_s8_")
+    table = build_chunk_embeddings(spark, d, out, chunk_size=120, overlap=24)
+
+    qdf = spark.createDataFrame([("q", "hash join order by window agg scan")], "id string, text string")
+    qvec = [float(x) for x in embed_chunks(qdf, "id", "text").collect()[0]["embedding"]]
+    top = brute_force_topk(table, qvec, id_col="chunk_id", vec_col="embedding", k=20)
+    return top.select(F.col("vec_id").alias("chunk_id"), "score", "rank")
 
 
 @query("kg_streaming_synthetic", _synth_triples_sql(60))
