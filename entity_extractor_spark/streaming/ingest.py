@@ -144,16 +144,23 @@ def consolidated(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
         nodes.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn", "_b")
     )
 
-    batch_dirs = sorted(
-        d for d in os.listdir(out_dir) if d.startswith("batch_") and
-        os.path.isdir(os.path.join(out_dir, d, "triples"))
+    # ONE glob scan over every committed batch's triples (a per-batch union
+    # loop grows the plan linearly with batch count — at thousands of
+    # micro-batches that is a driver/lineage bottleneck); the batch id is
+    # derived from the file path, exactly as the nodes read above.
+    has_triples = any(
+        d.startswith("batch_") and os.path.isdir(os.path.join(out_dir, d, "triples"))
+        for d in os.listdir(out_dir)
     )
     triples = None
-    for d in batch_dirs:
-        t = spark.read.parquet(os.path.join(out_dir, d, "triples")).withColumn(
-            "_b", F.lit(d)
+    if has_triples:
+        from ..schemas import TRIPLES_SCHEMA
+
+        triples = spark.read.schema(TRIPLES_SCHEMA).parquet(
+            os.path.join(out_dir, "batch_*", "triples")
+        ).withColumn(
+            "_b", F.regexp_extract(F.input_file_name(), r"/(batch_\d+)/triples/", 1)
         )
-        triples = t if triples is None else triples.unionByName(t)
     if triples is not None:
         wt = Window.partitionBy("subj_id", "pred", "obj_id").orderBy(F.desc("_b"))
         triples = (

@@ -123,6 +123,49 @@ def test_redelivery_idempotent(spark, stream_result):
     assert before_triples == after_triples
 
 
+def test_consolidated_single_scan_50_batches(spark, tmp_path):
+    """Consolidation over 50 micro-batches must be ONE glob parquet scan of
+    the triples (a per-batch union loop grows the plan linearly with batch
+    count), and last-wins upsert semantics must hold across the glob read."""
+    out_dir = str(tmp_path / "many_out")
+    acc = os.path.join(out_dir, "nodes_acc")
+    node_rows = [
+        ("m1", "Mat One", "MATERIAL", None, "mfr1", "Acme", "PENDING", "NONE"),
+        ("c1", "Chem One", "CHEMICAL", "50-00-0", "mfr1", None, "PENDING", "REGEX"),
+    ]
+    acc_schema = (
+        "id string, name string, node_type string, cas_number string, "
+        "manufacturer_id string, manufacturer_name string, "
+        "pfas_status string, pfas_information_source string"
+    )
+    for b in range(50):
+        # chemical state upgrades to YES in the final batch: last write wins
+        rows = [
+            node_rows[0],
+            node_rows[1] if b < 49 else ("c1", "Chem One", "CHEMICAL", "50-00-0", "mfr1", None, "YES", "CAS"),
+        ]
+        spark.createDataFrame(rows, acc_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(acc, f"batch_{b:06d}"))
+        # hasChemical weight re-upserted each batch (J8): weight == batch id
+        spark.createDataFrame(
+            [("Mat One", "hasChemical", "Chem One", "m1", "c1", str(b), f"doc-{b}")],
+            "subj string, pred string, obj string, subj_id string, obj_id string, "
+            "weight_percent string, doc_id string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_{b:06d}", "triples")
+        )
+
+    tables = consolidated(spark, out_dir)
+    plan = tables["triples"]._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    trip = tables["triples"].collect()
+    assert len(trip) == 1 and trip[0]["weight_percent"] == "49"  # last batch wins
+    nodes = {r["id"]: r for r in tables["nodes"].collect()}
+    assert nodes["c1"]["pfas_status"] == "YES"
+    assert nodes["m1"]["pfas_status"] == "YES"  # re-folded from final chem state
+
+
 def test_stateful_first_delivery_dedupe(spark, tmp_path):
     """applyInPandasWithState keyed dedupe: overlapping doc_ids across
     micro-batches emit exactly once (T5 as a streaming-native operator)."""
