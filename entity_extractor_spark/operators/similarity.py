@@ -104,16 +104,36 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec_col: Column, dims: int, bits: int = 8) -> Column:
+TARGET_BUCKET_ROWS = 64  # expected rows per LSH bucket the blocking aims for
+
+
+def adaptive_signature_bits(
+    n_rows: int, target: int = TARGET_BUCKET_ROWS, lo: int = 8, hi: int = 24
+) -> int:
+    """Signature width as a function of corpus size: expected bucket
+    occupancy n/2^bits stays near `target`, so the within-bucket self-join
+    cost n * bucket_size stays LINEAR in the corpus instead of n^2/2^bits
+    with a fixed width. Clamped to [lo, hi] (2^24 buckets carries a
+    10^9-row corpus at ~64 rows/bucket)."""
+    import math
+
+    if n_rows <= target:
+        return lo
+    return min(hi, max(lo, math.ceil(math.log2(n_rows / target))))
+
+
+def hyperplane_signature(vec_col: Column, dims: int, bits: int = 8, band: int = 0) -> Column:
     """Deterministic random-hyperplane LSH signature (bit string).
 
     plane(j, d) = +1 if the first hex digit of md5('j:d') < 8 else -1;
     bit j = 1 iff sum_d plane(j,d) * v[d] > 0. md5-derived planes replay in
-    any engine (the DuckDB oracle recomputes them)."""
+    any engine (the DuckDB oracle recomputes them). band > 0 derives an
+    independent plane family (key 'b{band}:j:d'); band 0 keeps the
+    original keys so existing signatures/oracles are unchanged."""
     def bit(j: int) -> Column:
         terms = F.zip_with(
             vec_col,
-            F.array(*[_plane_sign(j, d) for d in range(dims)]),
+            F.array(*[_plane_sign(j, d, band) for d in range(dims)]),
             lambda v, s: v.cast("double") * s,
         )
         s = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
@@ -122,8 +142,9 @@ def hyperplane_signature(vec_col: Column, dims: int, bits: int = 8) -> Column:
     return F.concat(*[bit(j) for j in range(bits)])
 
 
-def _plane_sign(j: int, d: int) -> Column:
-    hexdig = F.substring(F.md5(F.lit(f"{j}:{d}")), 1, 1)
+def _plane_sign(j: int, d: int, band: int = 0) -> Column:
+    key = f"{j}:{d}" if band == 0 else f"b{band}:{j}:{d}"
+    hexdig = F.substring(F.md5(F.lit(key)), 1, 1)
     return F.when(F.instr(F.lit("0123456789abcdef"), hexdig) - 1 < 8, F.lit(-1.0)).otherwise(
         F.lit(1.0)
     )
@@ -165,24 +186,41 @@ def embedding_near_dup_pairs(
     dims: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 8,
+    bits: int | None = None,
+    n_bands: int = 1,
     threshold: float = 0.95,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via bucketed self-join —
-    the blocking keeps the join from being all-pairs."""
+    the blocking keeps the join from being all-pairs.
+
+    bits=None sizes the signature from the corpus (one count job):
+    bucket occupancy stays ~TARGET_BUCKET_ROWS so candidate pairs grow
+    linearly with the corpus, never n^2/2^const. Wider signatures lower
+    recall for borderline pairs; n_bands > 1 restores it MinHash-LSH-style
+    (dedupe.py banding): each band is an independent plane family, a pair
+    is a candidate if ANY band buckets them together, duplicates collapse
+    with one distinct. Cosine is exact, so precision is unaffected by the
+    blocking parameters."""
+    if bits is None:
+        bits = adaptive_signature_bits(embeddings.count())
+    sigs = F.array(
+        *[hyperplane_signature(F.col(vec_col), dims, bits, band=t) for t in range(n_bands)]
+    )
     b = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        hyperplane_signature(F.col(vec_col), dims, bits).alias("bucket"),
+        F.posexplode(sigs).alias("band", "bucket"),
     )
-    a = b.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "bucket")
-    c = b.select(F.col("id").alias("id2"), F.col("v").alias("v2"), "bucket")
-    return (
-        a.join(c, "bucket")
+    a = b.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "band", "bucket")
+    c = b.select(F.col("id").alias("id2"), F.col("v").alias("v2"), "band", "bucket")
+    pairs = (
+        a.join(c, ["band", "bucket"])
         .where(F.col("id1") < F.col("id2"))
         .select("id1", "id2", F.round(cosine(F.col("v1"), F.col("v2")), 5).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+    # same pair can collide in several bands; single-band output is unique
+    return pairs.distinct() if n_bands > 1 else pairs
 
 
 def ivf_topk(

@@ -1,0 +1,102 @@
+"""Embedding near-dup blocking: adaptive signature width + banded recall.
+
+Gates the two 100-TB properties of embedding_near_dup_pairs:
+  * cardinality — signature bits grow with corpus size so bucket occupancy
+    (and with it the within-bucket self-join) stays ~TARGET_BUCKET_ROWS,
+    i.e. candidate pairs are LINEAR in the corpus, not n^2/2^const;
+  * recall — wider signatures drop borderline pairs; independent bands
+    (MinHash-LSH style) win them back without touching precision (the
+    cosine inside the block is exact)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.operators.similarity import (
+    TARGET_BUCKET_ROWS,
+    adaptive_signature_bits,
+    embedding_near_dup_pairs,
+    hyperplane_signature,
+)
+
+DIMS = 8
+
+
+def _vec_df(spark, arr: np.ndarray):
+    rows = [(str(i).zfill(6), [float(x) for x in v]) for i, v in enumerate(arr)]
+    return spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+
+
+def test_adaptive_bits_formula():
+    assert adaptive_signature_bits(0) == 8
+    assert adaptive_signature_bits(TARGET_BUCKET_ROWS) == 8
+    assert adaptive_signature_bits(64 * 2**9) == 9
+    assert adaptive_signature_bits(64 * 2**9 + 1) == 10
+    assert adaptive_signature_bits(10**9) == 24  # hi clamp
+    # monotone non-decreasing
+    widths = [adaptive_signature_bits(n) for n in (10, 10**4, 10**6, 10**8, 10**10)]
+    assert widths == sorted(widths)
+
+
+def test_near_dup_adaptive_bucket_cardinality(spark):
+    """20k corpus -> 9-bit signature; max bucket and candidate-pair mass
+    stay far below the fixed-8-bit quadratic blowup."""
+    n = 20_000
+    rng = np.random.RandomState(7)
+    df = _vec_df(spark, rng.standard_normal((n, DIMS))).cache()
+    bits = adaptive_signature_bits(n)
+    assert bits == 9
+    sizes = (
+        df.select(hyperplane_signature(F.col("embedding"), DIMS, bits).alias("b"))
+        .groupBy("b").count().select("count").collect()
+    )
+    counts = [r["count"] for r in sizes]
+    assert max(counts) < n / 10  # no runaway bucket
+    cand_pairs = sum(c * (c - 1) // 2 for c in counts)
+    assert cand_pairs < n * n / 50  # blocking removed >= 98% of all pairs
+    df.unpersist()
+
+
+def test_near_dup_banding_recall_and_exact_precision(spark):
+    """Planted ~0.96-cos pairs at threshold 0.95: 4 bands recover pairs a
+    single wide signature loses; every reported pair is a true pair."""
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((150, DIMS))
+    # near-duplicates: small additive noise => cos ~0.95-0.99
+    dup = base + 0.18 * rng.standard_normal((150, DIMS))
+    noise = rng.standard_normal((300, DIMS))
+    arr = np.vstack([base, dup, noise])
+    df = _vec_df(spark, arr).cache()
+
+    # ground truth over ALL pairs (exact numpy cosine)
+    nrm = arr / np.linalg.norm(arr, axis=1, keepdims=True)
+    cos = nrm @ nrm.T
+    ids = [str(i).zfill(6) for i in range(len(arr))]
+    truth = {
+        (ids[i], ids[j])
+        for i in range(len(arr))
+        for j in range(i + 1, len(arr))
+        if cos[i, j] >= 0.95 - 1e-9
+    }
+    assert len(truth) >= 50  # the plant worked
+
+    single = {
+        (r["id1"], r["id2"])
+        for r in embedding_near_dup_pairs(df, DIMS, bits=12, n_bands=1).collect()
+    }
+    banded = {
+        (r["id1"], r["id2"])
+        for r in embedding_near_dup_pairs(df, DIMS, bits=12, n_bands=4).collect()
+    }
+    slack = {
+        (ids[i], ids[j])
+        for i in range(len(arr))
+        for j in range(i + 1, len(arr))
+        if cos[i, j] >= 0.95 - 1e-4
+    }
+    assert single <= slack and banded <= slack  # exact cosine -> no false pairs
+    assert single <= banded  # band 0 is the single-band family
+    assert len(banded) > len(single)  # extra bands recovered lost pairs
+    assert len(banded) >= 0.8 * len(truth)
+    df.unpersist()
