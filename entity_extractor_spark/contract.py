@@ -1696,6 +1696,204 @@ def rag_chunk_topk(spark, sf_dir):
     return top.select(F.col("vec_id").alias("chunk_id"), "score", "rank")
 
 
+# -------------------------------------------------------- review/update path --
+
+
+def _review_sql() -> str:
+    """DuckDB replay of the review path (save_msds else-branch): recursive-CTE
+    lattice fold per chemical + trigger/override/re-resolve algebra, generated
+    from the SAME lattice constants the Spark operator uses."""
+    from .functions.lattice import _STATUS_REPLACING_PAIRS, TRANSITION_MAP
+
+    trans_case = (
+        "CASE (f.so || '_' || coalesce(o.source, 'NONE')) "
+        + " ".join(
+            f"WHEN '{k}' THEN '{v}'" for k, v in TRANSITION_MAP.items() if v is not None
+        )
+        + " ELSE '' END"
+    )
+    pairs = ", ".join(f"'{a}_{b}'" for a, b in sorted(_STATUS_REPLACING_PAIRS))
+    tag_st = "CASE o.tag WHEN 'PFAS' THEN 'YES' WHEN 'NO_PFAS' THEN 'NO' ELSE 'PENDING' END"
+
+    def resolve(src: str, key: str) -> str:
+        """One-pass A3/A4 resolve over child rows (key, st, so)."""
+        return f"""
+  SELECT {key},
+    CASE max_rank WHEN 2 THEN 'YES' WHEN 1 THEN 'PENDING' ELSE 'NO' END AS r_st,
+    CASE
+      WHEN best IS NULL THEN 'NONE'
+      WHEN max_rank = 1 THEN CASE best WHEN 0 THEN 'OECD' WHEN 1 THEN 'VAI' ELSE 'MANUAL' END
+      ELSE CASE best WHEN 0 THEN 'VAI' WHEN 1 THEN 'OECD' ELSE 'MANUAL' END
+    END AS r_so
+  FROM (
+    SELECT *, CASE max_rank WHEN 2 THEN p_yes WHEN 1 THEN p_pend ELSE p_no END AS best
+    FROM (
+      SELECT {key},
+        max(CASE st WHEN 'YES' THEN 2 WHEN 'PENDING' THEN 1 ELSE 0 END) AS max_rank,
+        min(CASE WHEN st = 'YES' THEN CASE so WHEN 'VAI' THEN 0 WHEN 'OECD' THEN 1 WHEN 'MANUAL' THEN 2 END END) AS p_yes,
+        min(CASE WHEN st = 'PENDING' THEN CASE so WHEN 'OECD' THEN 0 WHEN 'VAI' THEN 1 WHEN 'MANUAL' THEN 2 END END) AS p_pend,
+        min(CASE WHEN st = 'NO' THEN CASE so WHEN 'VAI' THEN 0 WHEN 'OECD' THEN 1 WHEN 'MANUAL' THEN 2 END END) AS p_no
+      FROM ({src}) GROUP BY {key}
+    )
+  )"""
+
+    return f"""
+WITH RECURSIVE
+chems AS (
+  SELECT 'c' || CAST(p_partkey AS VARCHAR) AS id, p_name AS name,
+         CASE p_partkey % 3 WHEN 0 THEN 'YES' WHEN 1 THEN 'NO' ELSE 'PENDING' END AS st0,
+         CASE p_partkey % 5 WHEN 0 THEN 'MANUAL' WHEN 1 THEN 'OECD' WHEN 2 THEN 'NONE'
+              WHEN 3 THEN 'OPENAI' ELSE 'VAI' END AS so0
+  FROM part
+),
+mats AS (SELECT 'm' || CAST(o_orderkey AS VARCHAR) AS id FROM orders),
+edges AS (SELECT DISTINCT 'm' || CAST(l_orderkey AS VARCHAR) AS material_id,
+                          'c' || CAST(l_partkey AS VARCHAR) AS chem_id FROM lineitem),
+reviews AS (SELECT o_orderkey AS review_seq, 'm' || CAST(o_orderkey AS VARCHAR) AS material_id
+            FROM orders WHERE o_orderkey % 7 = 0),
+rchems AS (
+  SELECT l.l_orderkey AS review_seq, l.l_linenumber AS chem_seq, p.p_name AS chemical_name,
+         CASE l.l_linenumber % 3 WHEN 0 THEN 'PFAS' WHEN 1 THEN 'NO_PFAS' ELSE 'OTHER' END AS tag,
+         CASE l.l_partkey % 4 WHEN 0 THEN 'OPENAI' WHEN 1 THEN 'MANUAL'
+              WHEN 2 THEN 'OECD' ELSE 'NONE' END AS source
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_orderkey % 7 = 0
+),
+matched AS (
+  SELECT review_seq, chem_id, tag, source FROM (
+    SELECT r.review_seq, e.chem_id, rc.tag, rc.source,
+           row_number() OVER (PARTITION BY r.review_seq, e.chem_id
+                              ORDER BY rc.chem_seq, rc.tag NULLS FIRST, rc.source NULLS FIRST) AS rn
+    FROM reviews r
+    JOIN edges e ON e.material_id = r.material_id
+    JOIN chems c ON c.id = e.chem_id
+    JOIN rchems rc ON rc.review_seq = r.review_seq AND lower(rc.chemical_name) = lower(c.name)
+  ) WHERE rn = 1
+),
+obs AS (
+  SELECT chem_id, review_seq, tag, source,
+         row_number() OVER (PARTITION BY chem_id ORDER BY review_seq) AS k
+  FROM matched
+),
+f(chem_id, k, st, so) AS (
+  SELECT c.id, 0, c.st0, c.so0
+  FROM chems c WHERE EXISTS (SELECT 1 FROM obs o WHERE o.chem_id = c.id)
+  UNION ALL
+  SELECT f.chem_id, f.k + 1,
+    CASE WHEN ({trans_case}) = '' THEN f.st
+         WHEN (f.so || '_' || coalesce(o.source, 'NONE')) IN ({pairs}) THEN {tag_st}
+         ELSE f.st END,
+    CASE WHEN ({trans_case}) = '' THEN f.so ELSE ({trans_case}) END
+  FROM f JOIN obs o ON o.chem_id = f.chem_id AND o.k = f.k + 1
+),
+chem_final AS (
+  SELECT chem_id, st, so FROM (
+    SELECT *, row_number() OVER (PARTITION BY chem_id ORDER BY k DESC) AS rn FROM f
+  ) WHERE rn = 1
+),
+chem_states AS (
+  SELECT c.id, coalesce(cf.st, c.st0) AS st, coalesce(cf.so, c.so0) AS so
+  FROM chems c LEFT JOIN chem_final cf ON cf.chem_id = c.id
+),
+trig AS (
+  SELECT e2.material_id, max(r.review_seq) AS last_trigger
+  FROM reviews r
+  JOIN edges e1 ON e1.material_id = r.material_id
+  JOIN edges e2 ON e2.chem_id = e1.chem_id
+  GROUP BY e2.material_id
+),
+last_rev AS (SELECT material_id, max(review_seq) AS last_review FROM reviews GROUP BY material_id),
+ov AS ({resolve("SELECT review_seq, " + tag_st.replace('o.tag', 'tag') + " AS st, source AS so FROM rchems", "review_seq")}),
+rr AS ({resolve("SELECT e.material_id, cs.st, cs.so FROM edges e JOIN chem_states cs ON cs.id = e.chem_id", "material_id")})
+SELECT m.id,
+  CASE
+    WHEN lr.last_review IS NOT NULL AND (t.last_trigger IS NULL OR lr.last_review >= t.last_trigger)
+      THEN coalesce(ov.r_st, 'NO')
+    WHEN t.last_trigger IS NOT NULL THEN rr.r_st
+    ELSE 'PENDING'
+  END AS pfas_status,
+  CASE
+    WHEN lr.last_review IS NOT NULL AND (t.last_trigger IS NULL OR lr.last_review >= t.last_trigger)
+      THEN coalesce(ov.r_so, 'NONE')
+    WHEN t.last_trigger IS NOT NULL THEN rr.r_so
+    ELSE 'NONE'
+  END AS pfas_information_source
+FROM mats m
+LEFT JOIN last_rev lr ON lr.material_id = m.id
+LEFT JOIN trig t ON t.material_id = m.id
+LEFT JOIN ov ON ov.review_seq = lr.last_review
+LEFT JOIN rr ON rr.material_id = m.id
+UNION ALL
+SELECT id, st AS pfas_status, so AS pfas_information_source FROM chem_states
+"""
+
+
+@query("review_repropagate", _review_sql())
+def review_repropagate(spark, sf_dir):
+    """T-review — the save_msds review/update entry point
+    (artifact_ingestor_service.py:559-607): reviewed analyses (synthesized
+    deterministically from orders/lineitem/part) merge into chemical nodes
+    via the F12 lattice, shared-child materials re-resolve, reviewed
+    materials take the resolve over their review's own chemical list. The
+    DuckDB oracle replays the whole path — recursive-CTE sequential fold
+    included — from the same lattice constants."""
+    from .operators.review import apply_review
+
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    chems = part.select(
+        F.concat(F.lit("c"), F.col("p_partkey").cast("string")).alias("id"),
+        F.col("p_name").alias("name"),
+        F.lit("CHEMICAL").alias("node_type"),
+        F.element_at(
+            F.array(F.lit("YES"), F.lit("NO"), F.lit("PENDING")),
+            (F.col("p_partkey") % 3 + 1).cast("int"),
+        ).alias("pfas_status"),
+        F.element_at(
+            F.array(F.lit("MANUAL"), F.lit("OECD"), F.lit("NONE"), F.lit("OPENAI"), F.lit("VAI")),
+            (F.col("p_partkey") % 5 + 1).cast("int"),
+        ).alias("pfas_information_source"),
+    )
+    mats = orders.select(
+        F.concat(F.lit("m"), F.col("o_orderkey").cast("string")).alias("id"),
+        F.concat(F.lit("Mat "), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("MATERIAL").alias("node_type"),
+        F.lit("PENDING").alias("pfas_status"),
+        F.lit("NONE").alias("pfas_information_source"),
+    )
+    nodes = mats.unionByName(chems)
+    edges = li.select(
+        F.concat(F.lit("m"), F.col("l_orderkey").cast("string")).alias("material_id"),
+        F.concat(F.lit("c"), F.col("l_partkey").cast("string")).alias("chem_id"),
+    ).distinct()
+    reviews = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").cast("long").alias("review_seq"),
+        F.concat(F.lit("m"), F.col("o_orderkey").cast("string")).alias("material_id"),
+    )
+    review_chems = (
+        li.where(F.col("l_orderkey") % 7 == 0)
+        .join(F.broadcast(part.select("p_partkey", "p_name")), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_orderkey").cast("long").alias("review_seq"),
+            F.col("l_linenumber").cast("long").alias("chem_seq"),
+            F.col("p_name").alias("chemical_name"),
+            F.element_at(
+                F.array(F.lit("PFAS"), F.lit("NO_PFAS"), F.lit("OTHER")),
+                (F.col("l_linenumber") % 3 + 1).cast("int"),
+            ).alias("tag"),
+            F.element_at(
+                F.array(F.lit("OPENAI"), F.lit("MANUAL"), F.lit("OECD"), F.lit("NONE")),
+                (F.col("l_partkey") % 4 + 1).cast("int"),
+            ).alias("source"),
+        )
+    )
+    return apply_review(nodes, edges, reviews, review_chems).select(
+        "id", "pfas_status", "pfas_information_source"
+    )
+
+
 @query("kg_streaming_synthetic", _synth_triples_sql(60))
 def kg_streaming_synthetic(spark, sf_dir):
     """S2/T5 — Structured-Streaming ingest: the synthetic corpus split into

@@ -22,7 +22,16 @@ from pyspark.sql import functions as F
 
 def resolve_materials(edges: DataFrame, chem_nodes: DataFrame) -> DataFrame:
     """edges(material_id, cluster, weight) x chem_nodes(cluster, status,
-    source) -> (material_id, pfas_status, pfas_information_source).
+    source) -> (material_id, pfas_status, pfas_information_source)."""
+    child = edges.join(
+        chem_nodes.select("cluster", "pfas_status", "pfas_information_source"), "cluster"
+    )
+    return resolve_children(child)
+
+
+def resolve_children(child: DataFrame) -> DataFrame:
+    """child(material_id, pfas_status, pfas_information_source) -> one
+    resolved (material_id, pfas_status, pfas_information_source) per group.
 
     A4's filter ("children whose status equals the RESOLVED status") looks
     like it needs the A3 result first (join-back), but resolved status has
@@ -40,9 +49,6 @@ def resolve_materials(edges: DataFrame, chem_nodes: DataFrame) -> DataFrame:
         F.when(F.col("pfas_information_source") == "VAI", 0)
         .when(F.col("pfas_information_source") == "OECD", 1)
         .when(F.col("pfas_information_source") == "MANUAL", 2)
-    )
-    child = edges.join(
-        chem_nodes.select("cluster", "pfas_status", "pfas_information_source"), "cluster"
     )
     status_rank = F.when(st == "YES", 2).when(st == "PENDING", 1).otherwise(0)
     agg = child.groupBy("material_id").agg(

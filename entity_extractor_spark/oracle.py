@@ -329,3 +329,77 @@ def scan_mentions(docs: list[dict], keywords: list[dict]) -> set[tuple]:
                     if re.search(rf"\b{pat}\b", w.lower()) or k.lower() in w.lower():
                         out.add((doc["doc_id"], s["offset"], k, w, 100.0, kw["mtype"]))
     return out
+
+
+# ---- review replay (save_msds else-branch, :559-607) ------------------------
+
+def replay_reviews(
+    nodes: dict[str, dict],
+    edges: list[tuple[str, str]],
+    reviews: list[dict],
+) -> dict[str, dict]:
+    """Literal sequential replay of the reference review loop, mutating and
+    returning `nodes`.
+
+    nodes: id -> {name, node_type, pfas_status, pfas_information_source}
+    edges: hasChemical (material_id, chem_id) pairs, hierarchy order
+    reviews: [{review_seq, material_id,
+               chemicals: [{chemical_name, tag, source}, ...]}],
+             processed in review_seq order (queue order)
+
+    Per review (artifact_ingestor_service.py:559-607): each hierarchy child
+    merges its first name-matching review chemical through the F12 lattice
+    (an invalid transition DROPS that observation — the batch fold policy;
+    the reference aborts the request, :1244-1249); after EVERY child all
+    materials containing it re-resolve from current children states; the
+    reviewed material is finally overwritten with the resolve over the
+    review's own chemical list (:901-913).
+    """
+    children: dict[str, list[str]] = {}
+    mats_of: dict[str, list[str]] = {}
+    for m, c in edges:
+        children.setdefault(m, []).append(c)
+        mats_of.setdefault(c, []).append(m)
+
+    def _resolve_from_children(mid: str) -> None:
+        st, so = resolve_material(
+            [
+                (nodes[c]["pfas_status"], nodes[c]["pfas_information_source"])
+                for c in children.get(mid, [])
+            ]
+        )
+        nodes[mid]["pfas_status"] = st
+        nodes[mid]["pfas_information_source"] = so
+
+    for r in sorted(reviews, key=lambda r: r["review_seq"]):
+        mid = r["material_id"]
+        if mid not in nodes or nodes[mid]["node_type"] != "MATERIAL":
+            continue  # find_by_id miss => review skipped (:562-566)
+        for c in children.get(mid, []):
+            match = next(
+                (
+                    rc
+                    for rc in r["chemicals"]
+                    if rc["chemical_name"].lower() == nodes[c]["name"].lower()
+                ),
+                None,
+            )
+            if match is not None:
+                try:
+                    st, so = fold_observation(
+                        (nodes[c]["pfas_status"], nodes[c]["pfas_information_source"]),
+                        match["tag"],
+                        match["source"],
+                    )
+                    nodes[c]["pfas_status"] = st
+                    nodes[c]["pfas_information_source"] = so
+                except TransitionError:
+                    pass  # drop the observation, keep the node state
+            for m2 in mats_of.get(c, []):
+                _resolve_from_children(m2)
+        st, so = resolve_material(
+            [(status_from_tag(rc["tag"]), rc["source"]) for rc in r["chemicals"]]
+        )
+        nodes[mid]["pfas_status"] = st
+        nodes[mid]["pfas_information_source"] = so
+    return nodes
