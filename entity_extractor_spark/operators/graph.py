@@ -1,13 +1,18 @@
 """Connected components over an edge DataFrame — the canonicalization
 primitive (stage s5). GraphFrames-style iterative DataFrame joins, no RDDs.
 
-Algorithm: hash-min label propagation. Each vertex starts labeled with its
-own id; each iteration every vertex takes the min label among itself and
-its neighbors; converges in O(graph diameter) rounds. The KG equivalence
-graphs here are bipartite name<->CAS stars (diameter <= ~4 after unions),
-so 2-4 rounds close them; for adversarially deep graphs the alternating
-large-star/small-star algorithm (Kiveris et al., "Connected Components in
-MapReduce and Beyond") drops rounds to O(log d) — plug-compatible here.
+Three physical strategies behind one signature:
+  * driver union-find — exact, one collect, for vocabulary graphs under
+    SMALL_GRAPH_EDGES (the common case: the DISTINCT name<->CAS graph is
+    orders of magnitude smaller than the observation table);
+  * hash-min label propagation — each vertex takes the min label among
+    itself and its neighbors per round; O(graph diameter) rounds. The KG
+    equivalence graphs here are bipartite name<->CAS stars (diameter <= ~4
+    after unions), so 2-4 rounds close them;
+  * alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", 2014) — O(log^2 n) rounds
+    regardless of diameter, for adversarially deep graphs (long chains)
+    where hash-min's O(d) rounds would dominate.
 
 Scale notes (10^12-doc corpus, hub chemicals => skewed degree):
   * the min() aggregations are algebraic => map-side partial aggregation
@@ -20,65 +25,89 @@ Scale notes (10^12-doc corpus, hub chemicals => skewed degree):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 SMALL_GRAPH_EDGES = 2_000_000
 
+# hash-min pays O(diameter) rounds; star pays ~2 jobs per round but closes
+# any graph in O(log) rounds. Auto mode switches to star when hash-min has
+# not converged after this many rounds (deep-chain escape hatch).
+HASHMIN_MAX_ROUNDS_BEFORE_STAR = 8
+
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """edges(src,dst) [undirected] -> (vertex, component) where component is
     the min vertex id (lexicographic) in the vertex's component.
 
-    Adaptive strategy (same spirit as broadcast-vs-shuffle join selection):
-    the DISTINCT edge set is the *entity vocabulary* graph, orders of
-    magnitude smaller than the observation table that produced it. When it
-    fits comfortably on the driver (< SMALL_GRAPH_EDGES), a driver-side
-    union-find computes exact components in one pass and the result is
-    broadcast back — replacing ~2 jobs/iteration with one collect. Larger
-    graphs take the distributed hash-min label-propagation loop below."""
+    algorithm:
+      'auto'    — union-find when the distinct graph fits on the driver;
+                  otherwise hash-min, escalating to large/small-star if
+                  hash-min has not converged after
+                  HASHMIN_MAX_ROUNDS_BEFORE_STAR rounds (deep graph).
+      'hashmin' — force the distributed hash-min loop.
+      'star'    — force the distributed large-star/small-star loop.
+    """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
     und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
 
-    # Materialize the distinct vocabulary graph once (both paths reuse it),
+    # Materialize the distinct vocabulary graph once (all paths reuse it),
     # then size-probe with a limit+count — the probe moves NO rows to the
     # driver, so a graph that overflows the union-find cutoff costs two
     # cheap jobs instead of a multi-hundred-MB discarded collect. Only
     # graphs that pass the probe pay the driver transfer.
     und = und.localCheckpoint(eager=True)
-    if und.limit(SMALL_GRAPH_EDGES + 1).count() <= SMALL_GRAPH_EDGES:
-        probe = und.collect()
-        spark = edges.sparkSession
-        parent: dict[str, str] = {}
+    spark = edges.sparkSession
 
-        def find(x: str) -> str:
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:
-                parent[x], x = root, parent[x]
-            return root
+    if algorithm == "star":
+        return _star_labels(spark, und, max_iter)
+    if algorithm == "hashmin":
+        return _hashmin_labels(und, max_iter, escalate=False)
+    if (
+        und.limit(SMALL_GRAPH_EDGES + 1).count() <= SMALL_GRAPH_EDGES
+    ):
+        return _union_find_labels(spark, und)
+    return _hashmin_labels(und, max_iter, escalate=True)
 
-        vertices: set[str] = set()
-        for row in probe:
-            a, b = row["src"], row["dst"]
-            vertices.add(a)
-            vertices.add(b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # min-root union keeps the "component = min vertex id" contract
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        rows = sorted((v, find(v)) for v in vertices)
-        if not rows:
-            return spark.createDataFrame([], "vertex string, component string")
-        return spark.createDataFrame(rows, "vertex string, component string")
 
+def _union_find_labels(spark: SparkSession, und: DataFrame) -> DataFrame:
+    probe = und.collect()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    vertices: set[str] = set()
+    for row in probe:
+        a, b = row["src"], row["dst"]
+        vertices.add(a)
+        vertices.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-root union keeps the "component = min vertex id" contract
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = sorted((v, find(v)) for v in vertices)
+    if not rows:
+        return spark.createDataFrame([], "vertex string, component string")
+    return spark.createDataFrame(rows, "vertex string, component string")
+
+
+def _hashmin_labels(und: DataFrame, max_iter: int, escalate: bool) -> DataFrame:
     labels = (
         und.select(F.col("src").alias("vertex"))
         .distinct()
@@ -86,7 +115,8 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
+    rounds = max_iter if not escalate else min(max_iter, HASHMIN_MAX_ROUNDS_BEFORE_STAR)
+    for _ in range(rounds):
         # neighbor labels: for edge (u,v) send label(v) to u. The vertex's
         # own old label rides along (old = component on the labels side,
         # null on the msgs side) so convergence is checked with a cheap
@@ -103,5 +133,86 @@ def connected_components(
         changed = new_labels.where(F.col("component") != F.col("old")).limit(1).count()
         labels = new_labels.select("vertex", "component")
         if changed == 0:
-            break
+            return labels
+    if escalate:
+        # Diameter exceeds the round budget (e.g. a long reference-chain
+        # graph): restart with the O(log)-round star algorithm rather than
+        # paying one shuffle round per remaining diameter unit.
+        return _star_labels(und.sparkSession, und, max_iter)
     return labels
+
+
+def _star_labels(spark: SparkSession, und: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al. 2014, §3).
+
+    Invariant: the evolving directed edge set (child -> parent candidate)
+    always connects exactly the original components; at convergence it is a
+    star forest with every non-root pointing at its component min.
+
+      large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u
+      small-star(u): over edges oriented child=max, m = min(N_small(u) ∪ {u});
+                     emit (v, m) for v in N_small(u) ∪ {u}
+
+    Both steps are one groupBy-min + one join — algebraic aggregations, so
+    map-side partial aggregation absorbs hub skew; no driver data path.
+    Convergence is detected by a (count, xxhash64-sum) fingerprint of the
+    edge multiset — two scans' worth of metadata, no subtract join.
+    """
+    vertices = und.select(F.col("src").alias("vertex")).distinct().localCheckpoint(eager=True)
+    # drop self-loops: they carry no connectivity and the star steps would
+    # re-derive them forever
+    edges2 = und.where(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+
+    def fingerprint(df: DataFrame) -> tuple[int, int]:
+        # decimal(38,0) accumulator: 64-bit hash values summed over any
+        # realistic edge count without ANSI long overflow
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    fp = fingerprint(edges2)
+    for _ in range(max_iter):
+        # ---- large-star ----
+        bidir = edges2.union(
+            edges2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = bidir.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        edges2 = (
+            bidir.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star ----
+        oriented = edges2.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).where(F.col("src") != F.col("dst"))
+        mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        joined = oriented.join(mins, "src")
+        edges2 = (
+            joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(joined.select(F.col("src"), F.col("m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_fp = fingerprint(edges2)
+        if new_fp == fp:
+            break
+        fp = new_fp
+
+    # Star forest -> labels; vertices with no surviving edge (singletons /
+    # self-loop-only) label themselves.
+    mapping = edges2.select(F.col("src").alias("vertex"), F.col("dst").alias("component"))
+    return (
+        vertices.join(mapping, "vertex", "left")
+        .select("vertex", F.coalesce("component", "vertex").alias("component"))
+    )

@@ -60,3 +60,61 @@ def test_distributed_path_matches_small_path(spark, monkeypatch):
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert G.connected_components(df).count() == 0
+
+
+@pytest.mark.parametrize("seed,nv,ne", [(11, 40, 60), (12, 150, 120), (13, 25, 160)])
+def test_star_path_matches_bruteforce(spark, seed, nv, ne):
+    edges = _random_edges(seed, nv, ne)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["vertex"]: r["component"]
+        for r in G.connected_components(df, algorithm="star").collect()
+    }
+    assert got == _brute_components(edges)
+
+
+def test_star_deep_chain(spark):
+    # adversarial diameter: a 64-vertex path. hash-min needs ~63 rounds;
+    # large/small-star closes it in O(log n) rounds.
+    edges = [(f"v{i:04d}", f"v{i + 1:04d}") for i in range(63)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["vertex"]: r["component"]
+        for r in G.connected_components(df, algorithm="star", max_iter=12).collect()
+    }
+    assert got == {f"v{i:04d}": "v0000" for i in range(64)}
+
+
+def test_star_self_loops_and_singletons(spark):
+    edges = [("a", "a"), ("b", "c"), ("c", "b"), ("z", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["vertex"]: r["component"]
+        for r in G.connected_components(df, algorithm="star").collect()
+    }
+    assert got == {"a": "a", "b": "b", "c": "b", "z": "z"}
+
+
+def test_auto_escalates_deep_chain_to_star(spark, monkeypatch):
+    # force the distributed path with a deep chain: hash-min's round budget
+    # (HASHMIN_MAX_ROUNDS_BEFORE_STAR) is exceeded and auto mode must hand
+    # off to star and still produce exact components.
+    monkeypatch.setattr(G, "SMALL_GRAPH_EDGES", 0)
+    edges = [(f"v{i:04d}", f"v{i + 1:04d}") for i in range(40)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["vertex"]: r["component"] for r in G.connected_components(df).collect()}
+    assert got == {f"v{i:04d}": "v0000" for i in range(41)}
+
+
+def test_star_matches_hashmin_random(spark):
+    edges = _random_edges(21, 80, 70)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    star = {
+        r["vertex"]: r["component"]
+        for r in G.connected_components(df, algorithm="star").collect()
+    }
+    hashmin = {
+        r["vertex"]: r["component"]
+        for r in G.connected_components(df, algorithm="hashmin").collect()
+    }
+    assert star == hashmin == _brute_components(edges)
