@@ -29,9 +29,10 @@ from ..schemas import DOCUMENTS_SCHEMA, GAZETTEER_SCHEMA
 def read_documents(spark: SparkSession, path: str) -> DataFrame:
     """S1 — the interleaved documents table (input_hint shape). Schema is
     pinned, not inferred: predicate pushdown + column pruning reach the
-    parquet/Iceberg scan (reference analog: folder_reader_service.py:93-160,
-    where 'resume' was a next_page_link; here it is a snapshot/partition
-    predicate)."""
+    parquet/Iceberg scan (reference analog: folder_reader_service.py:93-160).
+    For the paginated-crawl resume itself (T3, next_page_link) see
+    sources/crawl.py: deterministic file-listing cursor with per-page
+    atomic commits."""
     return spark.read.schema(DOCUMENTS_SCHEMA).parquet(path)
 
 

@@ -1,0 +1,102 @@
+"""T3 — paginated folder crawl resume: a killed crawl resumes at the lost
+page; a re-crawl after new files arrive processes only the new files; the
+resumed total equals a fresh full crawl (reference
+folder_reader_service.py:110-162 next_page_link loop)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from entity_extractor_spark.sources.crawl import CrawlState, crawl_folder, list_pages
+
+
+def _write_files(spark, root: str, ids: range) -> None:
+    for i in ids:
+        df = spark.createDataFrame([(f"d{i:03d}", f"text {i}")], "doc_id string, text string")
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, f"f{i:03d}.parquet"))
+
+
+def test_crawl_pages_then_resume_after_crash(spark, tmp_path):
+    root, state_dir, out = str(tmp_path / "in"), str(tmp_path / "state"), tmp_path / "out"
+    _write_files(spark, root, range(9))
+    out.mkdir()
+
+    seen: list[str] = []
+
+    def process(df, page):
+        rows = sorted(r["doc_id"] for r in df.select("doc_id").collect())
+        seen.extend(rows)
+        (out / f"page{page.index:04d}.txt").write_text("\n".join(rows))
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+
+    def crashing(df, page):
+        if calls["n"] == 2:
+            raise Boom()
+        calls["n"] += 1
+        process(df, page)
+
+    # 9 files, page_size 3 => 3 pages; crash before the third commits
+    with pytest.raises(Boom):
+        crawl_folder(spark, root, state_dir, crashing, page_size=3)
+    assert CrawlState(state_dir).files_crawled() == 6
+    assert sorted(seen) == [f"d{i:03d}" for i in range(6)]
+
+    # resume: only the lost page is crawled
+    n = crawl_folder(spark, root, state_dir, process, page_size=3)
+    assert n == 3
+    assert sorted(seen) == [f"d{i:03d}" for i in range(9)]
+    assert CrawlState(state_dir).files_crawled() == 9
+
+    # fully-resumed second run is a no-op
+    assert crawl_folder(spark, root, state_dir, process, page_size=3) == 0
+
+
+def test_incremental_crawl_picks_up_only_new_files(spark, tmp_path):
+    root, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    _write_files(spark, root, range(4))
+    got: list[str] = []
+
+    def process(df, page):
+        got.extend(r["doc_id"] for r in df.select("doc_id").collect())
+
+    assert crawl_folder(spark, root, state_dir, process, page_size=10) == 4
+
+    _write_files(spark, root, range(4, 6))
+    assert crawl_folder(spark, root, state_dir, process, page_size=10) == 2
+    assert sorted(got) == [f"d{i:03d}" for i in range(6)]
+
+
+def test_modified_file_is_recrawled(spark, tmp_path):
+    root, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    _write_files(spark, root, range(2))
+    counts: list[int] = []
+
+    def process(df, page):
+        counts.append(len(page.files))
+
+    crawl_folder(spark, root, state_dir, process, page_size=10)
+    # rewrite f000 with new content -> new (mtime,size) identity -> re-crawled
+    df = spark.createDataFrame([("d000", "changed twice over")], "doc_id string, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "f000.parquet"))
+    n = crawl_folder(spark, root, state_dir, process, page_size=10)
+    assert n >= 1  # at least the rewritten file
+
+
+def test_pagination_is_deterministic(tmp_path):
+    root = str(tmp_path / "in")
+    os.makedirs(root)
+    for i in range(7):
+        with open(os.path.join(root, f"x{i}.parquet"), "w") as f:
+            f.write("stub")
+    state = CrawlState(str(tmp_path / "state"))
+    pages = list(list_pages(root, state, page_size=3))
+    assert [p.index for p in pages] == [0, 1, 2]
+    assert [len(p.files) for p in pages] == [3, 3, 1]
+    flat = [os.path.basename(f) for p in pages for f in p.files]
+    assert flat == sorted(flat)
