@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from .functions.core import b64_id, display_name, norm_name
 from .operators import dedupe as D
+from .operators import graph as G
 from .operators import multimodal as MM
 from .operators import similarity as SIM
 from .operators import text_quality as TQ
@@ -1934,3 +1935,43 @@ def kg_streaming_synthetic(spark, sf_dir):
     q.awaitTermination(300)
     t = consolidated(spark, out_dir)["triples"]
     return t.select("subj", "pred", "obj", "weight_percent")
+
+
+# ------------------------------------------------------------------ graph --
+
+@query(
+    "graph_components_star",
+    """WITH e0 AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM lineitem WHERE l_orderkey % 997 = 1
+),
+edges2 AS (
+  SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+  UNION SELECT a, a FROM e0 UNION SELECT b, b FROM e0
+),
+closure AS (
+  WITH RECURSIVE reach(src, dst) AS (
+    SELECT a, b FROM edges2
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges2 e ON r.dst = e.a
+  )
+  SELECT src AS vertex, min(dst) AS component FROM reach GROUP BY src
+)
+SELECT vertex, component FROM closure""",
+)
+def graph_components_star(spark, sf_dir):
+    """Canonicalization primitive value-checked end-to-end: connected
+    components via the large-star/small-star algorithm (Kiveris et al.
+    2014) over a sparse part<->supplier bipartite graph, against a DuckDB
+    recursive-CTE transitive-closure oracle. algorithm='star' forces the
+    distributed O(log n)-round path (the KG driver queries already gate the
+    union-find and hash-min paths via their own closure oracles).
+    Reference semantics: global-node cluster identity,
+    artifact_ingestor_service.py:1108-1145."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 997 == 1)
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return G.connected_components(edges, algorithm="star")
