@@ -60,3 +60,21 @@ def test_f2_regex_branch_implies_substring_branch(keyword, word):
     substring_hit = keyword.lower() in word.lower()
     if regex_hit:
         assert substring_hit
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=6), min_size=1, max_size=12
+    ),
+    st.text(alphabet="abcdef", min_size=0, max_size=30),
+)
+@settings(max_examples=500)
+def test_aho_corasick_equals_substring_set(keywords, word):
+    """Property: for ANY keyword set (duplicates, prefixes, nested
+    substrings) AC.match(word) == {k : k in word} — the invariant the
+    adaptive mention-scan dispatch relies on for path equivalence
+    (operators/mentions.py AC_KEYWORDS_MIN)."""
+    from entity_extractor_spark.operators.mentions import AhoCorasick
+
+    ac = AhoCorasick(sorted(set(keywords)))
+    assert ac.match(word) == {k for k in set(keywords) if k in word}
