@@ -130,8 +130,13 @@ def commit_stage(
         "wall_sec": round(time.time() - t0, 3),
         "write_sec": round(t_write - t0, 3),
     }
-    for name, col in (counters_cols or {}).items():
-        counters[name] = int(committed.agg(F.sum(col)).collect()[0][0] or 0)
+    if counters_cols:
+        # all requested counters in ONE agg job, not one job per column
+        row = committed.agg(
+            *[F.sum(col).alias(name) for name, col in counters_cols.items()]
+        ).collect()[0]
+        for name in counters_cols:
+            counters[name] = int(row[name] or 0)
     log.mark_done(stage, counters=counters, partitions=parts, schema_json=df.schema.json())
     return committed
 
