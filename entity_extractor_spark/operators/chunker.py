@@ -170,7 +170,7 @@ def semantic_chunk_documents(
         ),
     ).select("doc_id", "grp", "n_sentences", F.posexplode("pieces").alias("sub_idx", "text"))
     w2 = Window.partitionBy("doc_id").orderBy("grp", "sub_idx")
-    return (
+    out = (
         resplit.withColumn("chunk_idx", (F.row_number().over(w2) - 1).cast("int"))
         .select(
             "doc_id",
@@ -180,6 +180,22 @@ def semantic_chunk_documents(
             "n_sentences",
         )
     )
+    # docs with zero non-empty sentences (empty/whitespace text) still come
+    # through as one empty chunk — same doc_id preservation as the fixed
+    # chunker, so switching chunkers never changes the downstream doc set
+    empty_docs = (
+        docs.select(F.col(id_col).cast("string").alias("doc_id"))
+        .distinct()
+        .join(out.select("doc_id").distinct(), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(0).cast("int").alias("chunk_idx"),
+            F.concat_ws(":", "doc_id", F.lit("0")).alias("chunk_id"),
+            F.lit("").alias("text"),
+            F.lit(0).cast("bigint").alias("n_sentences"),
+        )
+    )
+    return out.unionByName(empty_docs)
 
 
 def embed_chunks(chunks: DataFrame, id_col: str = "chunk_id", text_col: str = "text") -> DataFrame:

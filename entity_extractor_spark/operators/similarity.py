@@ -42,7 +42,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # null (not an ANSI DIVIDE_BY_ZERO crash) when either vector has zero
+    # norm — cosine is undefined there; consumers filter zero-norm rows out
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
 
 
 def l2(a: Column, b: Column) -> Column:
@@ -77,7 +80,17 @@ def brute_force_topk(
     survivors with array ops (collect_list -> array_sort -> posexplode),
     so the post-limit plan touches k rows, not the corpus."""
     q = _query_lit(query_vec)
-    score = cosine(F.col(vec_col), q) if metric == "cosine" else -l2(F.col(vec_col), q)
+    if metric == "cosine":
+        # cosine is undefined for zero-norm vectors: a zero query matches
+        # nothing; zero-norm corpus rows (e.g. token-less chunks) are
+        # unrankable and excluded — same semantics as the DuckDB oracle's
+        # HAVING sum(tf*tf) > 0 (rag_chunk_topk).
+        if not any(float(v) != 0.0 for v in query_vec):
+            embeddings = embeddings.where(F.lit(False))
+        embeddings = embeddings.where(norm(F.col(vec_col)) > 0)
+        score = cosine(F.col(vec_col), q)
+    else:
+        score = -l2(F.col(vec_col), q)
     scored = embeddings.select(
         F.col(id_col).alias("vec_id"), F.round(score, 5).alias("score")
     )
@@ -268,6 +281,8 @@ def ivf_topk(
         d = sum(float(x) * float(y) for x, y in zip(a, b))
         na = math.sqrt(sum(float(x) ** 2 for x in a))
         nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        if na == 0.0 or nb == 0.0:
+            return -2.0  # undefined cosine ranks below every real one
         # HALF_UP, not python round()'s half-to-even: the distributed
         # assignment uses F.round (HALF_UP) and the DuckDB oracle ROUND
         # (half away from zero) — all three paths share one mode.

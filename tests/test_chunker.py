@@ -217,3 +217,24 @@ def test_build_chunk_embeddings_writes_ann_compatible_table(spark, tmp_path):
     q = [1.0] + [0.0] * (N_BUCKETS - 1)
     top = brute_force_topk(table, q, id_col="chunk_id", vec_col="embedding", k=3)
     assert top.count() == 3
+
+
+def test_whitespace_doc_survives_semantic_chunker_and_rag_topk(spark):
+    """A whitespace-only document flows through semantic chunk -> embed ->
+    cosine top-k without ANSI DIVIDE_BY_ZERO and without vanishing: it
+    yields one empty chunk (doc set preserved, like the fixed chunker)
+    whose zero-norm embedding is excluded from ranking."""
+    from entity_extractor_spark.operators.chunker import embed_chunks, semantic_chunk_documents
+    from entity_extractor_spark.operators.similarity import brute_force_topk
+
+    docs = spark.createDataFrame(
+        [("d1", "Water is wet. Fire is hot. Ice is cold."), ("d2", "   "), ("d3", "")],
+        "doc_id string, text string",
+    )
+    chunks = semantic_chunk_documents(docs)
+    by_doc = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+    assert by_doc == {"d1", "d2", "d3"}
+    emb = embed_chunks(chunks)
+    top = brute_force_topk(emb, [1.0] * 64, id_col="chunk_id", k=10).collect()
+    assert len(top) >= 1
+    assert all(not r["vec_id"].startswith(("d2", "d3")) for r in top)

@@ -100,3 +100,22 @@ def test_near_dup_banding_recall_and_exact_precision(spark):
     assert len(banded) > len(single)  # extra bands recovered lost pairs
     assert len(banded) >= 0.8 * len(truth)
     df.unpersist()
+
+
+def test_topk_excludes_zero_norm_vectors(spark):
+    """Zero-norm embeddings (e.g. token-less chunks) must be excluded from
+    cosine top-k — not crash with ANSI DIVIDE_BY_ZERO, not rank first."""
+    from entity_extractor_spark.operators.similarity import brute_force_topk
+
+    rows = [("a", [1.0, 0.0]), ("z", [0.0, 0.0]), ("b", [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    got = brute_force_topk(df, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in got] == ["a", "b"]
+    assert got[0]["rank"] == 1
+
+
+def test_topk_zero_query_vector_is_empty(spark):
+    from entity_extractor_spark.operators.similarity import brute_force_topk
+
+    df = spark.createDataFrame([("a", [1.0, 0.0])], "vec_id string, embedding array<float>")
+    assert brute_force_topk(df, [0.0, 0.0], k=3).count() == 0
