@@ -48,9 +48,11 @@ class CrawlState:
 
     def _read(self) -> dict:
         if not os.path.exists(self.path):
-            return {"done": [], "files_crawled": 0}
+            return {"done": [], "files_crawled": 0, "pages_committed": 0}
         with open(self.path) as f:
-            return json.load(f)
+            rec = json.load(f)
+        rec.setdefault("pages_committed", 0)
+        return rec
 
     def done_identities(self) -> set[str]:
         return set(self._read()["done"])
@@ -58,10 +60,17 @@ class CrawlState:
     def files_crawled(self) -> int:
         return int(self._read()["files_crawled"])
 
+    def pages_committed(self) -> int:
+        return int(self._read()["pages_committed"])
+
     def commit_page(self, page: CrawlPage) -> None:
         rec = self._read()
         rec["done"] = sorted(set(rec["done"]) | set(page.identities))
-        rec["files_crawled"] = len(rec["done"])
+        # running count = distinct FILES ever crawled (identity is
+        # relpath|mtime|size, so a modified file re-crawls under a new
+        # identity but is still one file)
+        rec["files_crawled"] = len({i.rsplit("|", 2)[0] for i in rec["done"]})
+        rec["pages_committed"] = max(int(rec["pages_committed"]), page.index + 1)
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(rec, f, indent=1)
@@ -80,6 +89,11 @@ def list_pages(
     after new files appear yields only the new files (incremental); a
     re-crawl after a crash yields the pages the crash lost."""
     done = state.done_identities()
+    # page numbering continues from the pages already committed, so a
+    # resumed (or incremental) crawl never reuses an index — the
+    # "overwrite a page-keyed dir" commit pattern in crawl_folder's
+    # docstring stays safe across restarts
+    base = state.pages_committed()
     pending: list[tuple[str, str]] = []
     for dirpath, _dirs, files in sorted(os.walk(root)):
         for fname in sorted(files):
@@ -93,7 +107,7 @@ def list_pages(
     for i in range(0, len(pending), page_size):
         chunk = pending[i : i + page_size]
         yield CrawlPage(
-            index=i // page_size,
+            index=base + i // page_size,
             files=[p for p, _ in chunk],
             identities=[ident for _, ident in chunk],
         )

@@ -100,3 +100,42 @@ def test_pagination_is_deterministic(tmp_path):
     assert [len(p.files) for p in pages] == [3, 3, 1]
     flat = [os.path.basename(f) for p in pages for f in p.files]
     assert flat == sorted(flat)
+
+
+def test_resume_pages_never_reuse_committed_indices(spark, tmp_path):
+    """Page numbering continues across restarts, so page-keyed output dirs
+    from before the crash are never overwritten by the resumed run."""
+    root, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    _write_files(spark, root, range(9))
+    indices: list[int] = []
+
+    def fail_third(df, page):
+        if len(indices) == 2:
+            raise RuntimeError("boom")
+        indices.append(page.index)
+
+    with pytest.raises(RuntimeError):
+        crawl_folder(spark, root, state_dir, fail_third, page_size=3)
+    assert indices == [0, 1]
+    crawl_folder(spark, root, state_dir, lambda df, p: indices.append(p.index), page_size=3)
+    assert indices == [0, 1, 2]  # resumed page gets a FRESH index
+    # incremental crawl after new files also keeps advancing
+    _write_files(spark, root, range(9, 12))
+    crawl_folder(spark, root, state_dir, lambda df, p: indices.append(p.index), page_size=3)
+    assert indices == [0, 1, 2, 3]
+
+
+def test_files_crawled_counts_files_not_identities(tmp_path):
+    """The running count (reference: folder_upload running count) is
+    distinct FILES: a file modified in place re-crawls under a new
+    (relpath|mtime|size) identity but does not inflate the count."""
+    from entity_extractor_spark.sources.crawl import CrawlPage
+
+    state = CrawlState(str(tmp_path / "state"))
+    state.commit_page(CrawlPage(0, ["/in/a", "/in/b"], ["a|1|10", "b|1|10"]))
+    assert state.files_crawled() == 2
+    # 'a' modified: new identity, same file
+    state.commit_page(CrawlPage(1, ["/in/a"], ["a|2|11"]))
+    assert state.files_crawled() == 2
+    state.commit_page(CrawlPage(2, ["/in/c"], ["c|1|5"]))
+    assert state.files_crawled() == 3
