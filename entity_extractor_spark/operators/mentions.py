@@ -125,12 +125,20 @@ def detect_mentions_ac(documents: DataFrame, keywords: list[dict]) -> DataFrame:
     ).select("doc_id", F.col("span.offset").alias("span_offset"), F.col("span.text").alias("text"))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        # Java \s is ASCII-only ([ \t\n\x0B\f\r]); Python str.split() is
+        # Unicode-aware. Tokenize EXACTLY like the JVM path's
+        # F.split(text, r"\s+") + empty-filter so the adaptive dispatch
+        # never changes output (e.g. U+00A0 stays inside a word on both).
+        java_ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
         ac = AhoCorasick(lowered)
         cols = ("doc_id", "span_offset", "keyword", "word", "confidence", "mtype", "word_idx")
         for pdf in batches:
             rows: list[tuple] = []
             for doc_id, off, text in zip(pdf["doc_id"], pdf["span_offset"], pdf["text"]):
-                for widx, word in enumerate(text.split()):
+                words = (w for w in java_ws.split(text) if w != "")
+                for widx, word in enumerate(words):
                     for low in ac.match(word.lower()):
                         for orig, mtype in by_lower[low]:
                             rows.append((doc_id, off, orig, word, 100.0, mtype, widx))

@@ -259,3 +259,25 @@ def test_resume_with_stale_tmp_dir(spark, tmp_path):
     tables = run_pipeline(spark, docs, out, gazetteer=gazetteer_rows(cfg))
     assert tables["triples"].count() > 0
     assert not os.path.exists(os.path.join(out, "winners._tmp"))
+
+
+def test_mentions_paths_agree_on_unicode_whitespace(spark):
+    """Java \\s is ASCII-only while Python's str.split() is Unicode-aware:
+    a U+00A0 (nbsp) must stay INSIDE a word on both the JVM and the AC
+    path, or crossing AC_KEYWORDS_MIN would silently change mention rows."""
+    from collections import Counter
+
+    from entity_extractor_spark.operators import mentions as M
+
+    # \xa0 (Unicode ws, NOT Java \s) must stay in-word; \x0b (ASCII ws)
+    # must split - on BOTH paths
+    text = "acid\xa0rain and\u2003acid plus plain acid \x0bacid\ttail"
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "text", "text": text, "media_ref": None, "offset": 0}])],
+        "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    gaz = [{"keyword": "acid", "mtype": "CHEMICAL"}]
+    jvm = Counter(tuple(r) for r in M.detect_mentions(docs, gaz).collect())
+    ac = Counter(tuple(r) for r in M.detect_mentions_ac(docs, gaz).collect())
+    assert len(jvm) > 0
+    assert jvm == ac, f"diff: {(jvm - ac) + (ac - jvm)}"
