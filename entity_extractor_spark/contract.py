@@ -1194,10 +1194,11 @@ _CMP_RE = r"^(.*?) CAS ([0-9\-]+|-) ([0-9.]+)% (PFAS|NO_PFAS|PENDING) src=([A-Z]
 
 
 def _synth_dir(n_docs: int, seed: int = 42) -> str:
-    import os
-    import tempfile
+    # single source of truth for the cache formula (version-keyed so
+    # generator edits can never leave the oracle reading a stale corpus)
+    from .corpus import synth_cache_dir
 
-    return os.path.join(tempfile.gettempdir(), f"eex_synth_{seed}_{n_docs}")
+    return synth_cache_dir(n_docs, seed)
 
 
 def ensure_synth_tables() -> None:

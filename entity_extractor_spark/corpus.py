@@ -277,6 +277,41 @@ def generate_documents_df(spark: SparkSession, cfg: CorpusConfig, partitions: in
     return rng_df.mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
 
 
+def _generator_version() -> str:
+    """Short hash of this module's source: any edit to the corpus generator
+    changes the version, auto-invalidating parquet caches keyed on it (a
+    stale cache would make the DuckDB oracle replay a DIFFERENT corpus than
+    the Spark side computes over — a silent false mismatch/match)."""
+    global _GEN_VERSION
+    if _GEN_VERSION is None:
+        import hashlib
+
+        try:
+            import inspect
+            import sys
+
+            src = inspect.getsource(sys.modules[__name__])
+        except Exception:  # zipimport without source access: no caching key
+            src = "unversioned"
+        _GEN_VERSION = hashlib.sha1(src.encode()).hexdigest()[:10]
+    return _GEN_VERSION
+
+
+_GEN_VERSION: str | None = None
+
+
+def synth_cache_dir(n_docs: int, seed: int = 42) -> str:
+    """Canonical cache location for the (seed, n_docs) synthetic corpus —
+    the ONE formula shared by materialize_corpus_parquet and the contract
+    oracle paths (version-keyed, see _generator_version)."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"eex_synth_{seed}_{n_docs}_{_generator_version()}"
+    )
+
+
 def materialize_corpus_parquet(cfg: CorpusConfig, base_dir: str | None = None) -> str:
     """Write the deterministic corpus + gazetteer to parquet WITHOUT Spark
     (pure pyarrow), so the DuckDB correctness oracle can read the identical
@@ -294,9 +329,7 @@ def materialize_corpus_parquet(cfg: CorpusConfig, base_dir: str | None = None) -
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    base = base_dir or os.path.join(
-        tempfile.gettempdir(), f"eex_synth_{cfg.seed}_{cfg.n_docs}"
-    )
+    base = base_dir or synth_cache_dir(cfg.n_docs, cfg.seed)
     docs_p = os.path.join(base, "documents.parquet")
     gaz_p = os.path.join(base, "gazetteer.parquet")
     if os.path.isfile(docs_p) and os.path.isfile(gaz_p):
