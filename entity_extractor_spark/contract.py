@@ -1976,3 +1976,48 @@ def graph_components_star(spark, sf_dir):
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
     return G.connected_components(edges, algorithm="star")
+
+
+# --------------------------------------------------------------- sampling --
+
+_SAMPLE_BUCKET_SQL = (
+    "CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), '|', 's0')), 1, 12)) "
+    "AS BIGINT) % 1000000"
+)
+
+
+@query(
+    "sample_uniform_det",
+    f"""SELECT doc_id, lang, n_chars FROM documents
+       WHERE {_SAMPLE_BUCKET_SQL} < 250000""",
+)
+def sample_uniform_det(spark, sf_dir):
+    """Deterministic hash sampling (operators/sampling.py): keep 25% of
+    documents by md5(doc_id|salt) bucket — identical survivors on any
+    cluster size / partitioning, replayed exactly by the DuckDB oracle."""
+    from .operators import sampling as SAMP
+
+    d = _t(spark, sf_dir, "documents")
+    return SAMP.sample_uniform(d, "doc_id", 0.25).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "sample_stratified_det",
+    f"""SELECT lang, count(*) AS kept FROM documents
+       WHERE {_SAMPLE_BUCKET_SQL} <
+         CASE lang WHEN 'en' THEN 200000 WHEN 'zh' THEN 600000 ELSE 400000 END
+       GROUP BY lang""",
+)
+def sample_stratified_det(spark, sf_dir):
+    """Stratified rebalance: downsample the over-represented language,
+    upweight the rest (per-stratum deterministic thresholds)."""
+    from .operators import sampling as SAMP
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        SAMP.sample_stratified(
+            d, "doc_id", "lang", {"en": 0.2, "zh": 0.6}, default_rate=0.4
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("kept"))
+    )

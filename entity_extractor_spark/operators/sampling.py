@@ -1,0 +1,71 @@
+"""Deterministic corpus sampling — the curation primitive a 100 TB
+training-data pipeline needs between dedup and training.
+
+Why not df.sample()/rand(seed): Spark's rand is seeded PER PARTITION, so
+the kept set changes with partitioning, task retries and cluster size —
+unacceptable for reproducible corpus curation and impossible to oracle.
+Here the keep/drop decision is a pure function of (key, salt): bucket =
+md5(key|salt) mod DENOM (the hashed-TF formula from disambiguate.py, which
+the DuckDB oracle replays verbatim), keep iff bucket < rate*DENOM. Properties:
+
+  * reproducible anywhere: same rows survive on 1 core or 1000 executors,
+    under AQE re-planning and task retries;
+  * consistent across tables: sampling two tables by the same key keeps
+    JOINABLE subsets (both keep exactly the keys whose bucket qualifies) —
+    how you downsample a doc corpus AND its embeddings coherently;
+  * narrow: a codegen'd filter, no shuffle, pushes below wide transforms.
+
+Stratified sampling takes a per-stratum rate map (e.g. language -> rate,
+the Common-Crawl-style rebalance) via a broadcast-joined rate dimension;
+strata absent from the map fall back to a default rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# denominator of the rate grid: rates are resolved to integer bucket
+# thresholds so the cross-engine comparison is exact integer math
+DENOM = 1_000_000
+
+
+def sample_bucket(key: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, DENOM): md5(key|salt) first 12 hex chars
+    mod DENOM — portable integer hashing (DuckDB replays it exactly)."""
+    h = F.md5(F.concat_ws("|", key.cast("string"), F.lit(salt)))
+    return F.pmod(F.conv(F.substring(h, 1, 12), 16, 10).cast("long"), F.lit(DENOM))
+
+
+def sample_uniform(
+    df: DataFrame, key_col: str, rate: float, salt: str = "s0"
+) -> DataFrame:
+    """Keep a deterministic `rate` fraction of rows by key hash. Exactly the
+    rows with bucket < round(rate*DENOM) survive — stable under any
+    partitioning/retry, and consistent for any other table sampled with the
+    same (key values, salt, rate)."""
+    threshold = int(round(rate * DENOM))
+    return df.where(sample_bucket(F.col(key_col), salt) < threshold)
+
+
+def sample_stratified(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its key bucket is
+    under its stratum's threshold (broadcast map lookup, codegen'd filter;
+    no shuffle). The standard corpus-rebalance move — e.g. downsample
+    over-represented languages/domains to target proportions."""
+    default_thr = F.lit(int(round(default_rate * DENOM)))
+    if rates:
+        thresholds = F.create_map(
+            *[x for s, r in sorted(rates.items()) for x in (F.lit(s), F.lit(int(round(r * DENOM))))]
+        )
+        thr = F.coalesce(thresholds[F.col(strata_col)], default_thr)
+    else:  # empty map literal would be VOID-typed; every stratum defaults
+        thr = default_thr
+    return df.where(sample_bucket(F.col(key_col), salt) < thr)

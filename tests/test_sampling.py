@@ -1,0 +1,61 @@
+"""Deterministic sampling: the kept set is a pure function of (key, salt) —
+invariant to partitioning (the property Spark's per-partition-seeded rand
+lacks), and consistent across tables sampled by the same key."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.operators import sampling as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kept_set_invariant_to_partitioning(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r["doc_id"] for r in S.sample_uniform(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in S.sample_uniform(docs.repartition(17), "doc_id", 0.3).select("doc_id").collect()
+    }
+    c = {
+        r["doc_id"]
+        for r in S.sample_uniform(docs.coalesce(1), "doc_id", 0.3).select("doc_id").collect()
+    }
+    assert a == b == c
+    assert 0 < len(a) < docs.count()
+
+
+def test_consistent_sampling_across_tables(spark):
+    """Sampling documents and embeddings by the same key keeps joinable
+    subsets: every kept doc keeps its embedding and vice versa."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    key = emb.columns[0]
+    kd = S.sample_uniform(docs, "doc_id", 0.4)
+    ke = S.sample_uniform(emb.withColumn("doc_id", F.col(key)), "doc_id", 0.4)
+    d_ids = {r["doc_id"] for r in kd.collect()}
+    e_ids = {r["doc_id"] for r in ke.select("doc_id").collect()}
+    shared_universe = {r[key] for r in emb.select(key).collect()} & {
+        r["doc_id"] for r in docs.collect()
+    }
+    assert {i for i in d_ids if i in shared_universe} == {
+        i for i in e_ids if i in shared_universe
+    }
+
+
+def test_rate_monotonic_and_nested(spark):
+    """A higher rate keeps a SUPERSET (thresholds nest) — lets a pipeline
+    carve train/val subsets that stay stable as rates are tuned."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    small = {r["doc_id"] for r in S.sample_uniform(docs, "doc_id", 0.1).select("doc_id").collect()}
+    big = {r["doc_id"] for r in S.sample_uniform(docs, "doc_id", 0.5).select("doc_id").collect()}
+    assert small <= big
+
+
+def test_stratified_default_rate(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    none_kept = S.sample_stratified(docs, "doc_id", "lang", {}, default_rate=0.0)
+    all_kept = S.sample_stratified(docs, "doc_id", "lang", {}, default_rate=1.0)
+    assert none_kept.count() == 0
+    assert all_kept.count() == docs.count()
