@@ -2021,3 +2021,48 @@ def sample_stratified_det(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count("*").alias("kept"))
     )
+
+
+@query(
+    "dedup_lsh_canonical",
+    _MINHASH_SIG_SQL + """,
+       buckets AS (
+         SELECT doc_id, CAST(hash_id // 4 AS INT) AS band,
+                md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_id)) AS bucket
+         FROM sig GROUP BY doc_id, CAST(hash_id // 4 AS INT)
+       ),
+       prs AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id
+       ),
+       e AS (
+         SELECT lpad(CAST(d1 AS VARCHAR), 12, '0') AS a,
+                lpad(CAST(d2 AS VARCHAR), 12, '0') AS b FROM prs
+       ),
+       edges2 AS (
+         SELECT a, b FROM e UNION SELECT b, a FROM e
+         UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+       ),
+       closure AS (
+         WITH RECURSIVE reach(src, dst) AS (
+           SELECT a, b FROM edges2
+           UNION
+           SELECT r.src, e2.b FROM reach r JOIN edges2 e2 ON r.dst = e2.a
+         )
+         SELECT src AS vertex, min(dst) AS component FROM reach GROUP BY src
+       )
+       SELECT d.doc_id,
+              CAST(COALESCE(c.component, lpad(CAST(d.doc_id AS VARCHAR), 12, '0')) AS BIGINT) AS keeper,
+              CAST(COALESCE(c.component, lpad(CAST(d.doc_id AS VARCHAR), 12, '0')) AS BIGINT) <> d.doc_id AS is_dup
+       FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+       LEFT JOIN closure c ON c.vertex = lpad(CAST(d.doc_id AS VARCHAR), 12, '0')""",
+)
+def dedup_lsh_canonical(spark, sf_dir):
+    """End-to-end dedup decision: MinHash -> LSH candidate pairs ->
+    connected components -> canonical keeper per doc (dup chains collapse
+    transitively). The composite a 100 TB dedup pipeline actually ships."""
+    d = _t(spark, sf_dir, "documents").where("doc_id % 10 = 0")
+    sig = D.minhash_signatures(d, "doc_id", "text", num_hashes=16, shingle_n=2)
+    pairs = D.lsh_candidate_pairs(sig, band_size=4)
+    return D.dedup_canonical(pairs, d, "doc_id")

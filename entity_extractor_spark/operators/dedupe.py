@@ -175,3 +175,32 @@ def ngram_jaccard_pairs(
     return pairs.select("doc1", "doc2", jac.alias("jaccard")).where(
         F.col("jaccard") >= threshold
     )
+
+
+def dedup_canonical(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Collapse near-dup PAIRS into canonical clusters: connected components
+    over the pair graph (graph.py adaptive CC — union-find / hash-min /
+    large-small-star by size), keeper = numeric-min doc of each component,
+    singletons keep themselves. Output (doc_id, keeper, is_dup).
+
+    This is the step that turns any pair generator (LSH, SimHash radius,
+    embedding near-dup) into the actual "drop these rows" decision — dup
+    CHAINS (a~b, b~c) collapse to ONE keeper even when a,c were never a
+    candidate pair. Numeric order is preserved under the string CC by
+    fixed-width zero-padding the ids (lex == numeric), so the keeper is the
+    smallest doc id, engine-independently."""
+    from .graph import connected_components
+
+    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    e = pairs.select(pad(F.col("doc1")).alias("src"), pad(F.col("doc2")).alias("dst"))
+    comps = connected_components(e)
+    return (
+        ids.select(F.col(id_col).alias("doc_id"))
+        .withColumn("_k", pad(F.col("doc_id")))
+        .join(comps.withColumnRenamed("vertex", "_k"), "_k", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("_k")).cast("bigint").alias("keeper"),
+        )
+        .withColumn("is_dup", F.col("keeper") != F.col("doc_id"))
+    )

@@ -59,3 +59,14 @@ def test_stratified_default_rate(spark):
     all_kept = S.sample_stratified(docs, "doc_id", "lang", {}, default_rate=1.0)
     assert none_kept.count() == 0
     assert all_kept.count() == docs.count()
+
+
+def test_dedup_canonical_collapses_chains(spark):
+    """a~b and b~c (never a~c) must share ONE keeper; singletons keep
+    themselves."""
+    from entity_extractor_spark.operators.dedupe import dedup_canonical
+
+    pairs = spark.createDataFrame([(1, 2), (2, 30)], "doc1 bigint, doc2 bigint")
+    ids = spark.createDataFrame([(1,), (2,), (30,), (99,)], "doc_id bigint")
+    got = {r["doc_id"]: (r["keeper"], r["is_dup"]) for r in dedup_canonical(pairs, ids).collect()}
+    assert got == {1: (1, False), 2: (1, True), 30: (1, True), 99: (99, False)}
