@@ -2066,3 +2066,50 @@ def dedup_lsh_canonical(spark, sf_dir):
     sig = D.minhash_signatures(d, "doc_id", "text", num_hashes=16, shingle_n=2)
     pairs = D.lsh_candidate_pairs(sig, band_size=4)
     return D.dedup_canonical(pairs, d, "doc_id")
+
+
+@query(
+    "curate_corpus_e2e",
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+       feats AS (
+         SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                ROUND(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks), 6) AS mean_token_len,
+                ROUND(CAST(len(list_filter(toks, x -> list_contains(
+                      ['the','a','of','and','to','in','is','it','for','on'], x))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+         FROM t),
+       q AS (
+         SELECT doc_id,
+                LEAST(CAST(1.0 AS DOUBLE),
+                  CAST(0.4 AS DOUBLE) * LEAST(n_words / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                  + CAST(0.3 AS DOUBLE) * LEAST(mean_token_len / CAST(8.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                  + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stopword_ratio)) AS quality
+         FROM feats),
+       keepers AS (SELECT min(doc_id) AS keeper FROM documents GROUP BY md5(text))
+       SELECT d.doc_id, d.lang, ROUND(q.quality, 6) AS quality
+       FROM documents d
+       JOIN q ON q.doc_id = d.doc_id
+       JOIN keepers k ON k.keeper = d.doc_id
+       WHERE d.lang IN ('en', 'de') AND q.quality >= 0.5
+         AND CAST(concat('0x', substring(md5(concat(CAST(d.doc_id AS VARCHAR), '|', 's0')), 1, 12))
+                  AS BIGINT) % 1000000 < 500000""",
+)
+def curate_corpus_e2e(spark, sf_dir):
+    """The curation stages COMPOSED as one declarative plan — exact-dedup
+    keepers only, quality floor, language allowlist, then a deterministic
+    50% sample — the shape of a real 100 TB pre-training data pipeline
+    (each stage is a narrow filter or an algebraic agg; Catalyst fuses the
+    filters into one pass over the scan)."""
+    from .operators import sampling as SAMP
+
+    d = _t(spark, sf_dir, "documents")
+    q = TQ.quality_score(d, "doc_id", "text").select("doc_id", "quality")
+    keepers = D.exact_duplicates(d, "doc_id", "text").select("keeper")
+    kept = (
+        d.join(q, "doc_id")
+        .join(keepers, d["doc_id"] == keepers["keeper"])
+        .where(F.col("lang").isin("en", "de") & (F.col("quality") >= 0.5))
+    )
+    return SAMP.sample_uniform(kept, "doc_id", 0.5).select(
+        "doc_id", "lang", F.round("quality", 6).alias("quality")
+    )
