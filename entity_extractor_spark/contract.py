@@ -2103,12 +2103,18 @@ def curate_corpus_e2e(spark, sf_dir):
     from .operators import sampling as SAMP
 
     d = _t(spark, sf_dir, "documents")
-    q = TQ.quality_score(d, "doc_id", "text").select("doc_id", "quality")
-    keepers = D.exact_duplicates(d, "doc_id", "text").select("keeper")
+    # ONE scan of documents: quality is an inline narrow expression, the
+    # dedup keeper a window-min over md5(text) — no derive-then-self-join
+    # (the plan is one Exchange on the text hash, then fused filters)
+    w = Window.partitionBy(F.md5("text"))
     kept = (
-        d.join(q, "doc_id")
-        .join(keepers, d["doc_id"] == keepers["keeper"])
-        .where(F.col("lang").isin("en", "de") & (F.col("quality") >= 0.5))
+        d.withColumn("quality", TQ.quality_exprs("text")["quality"])
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .where(
+            (F.col("doc_id") == F.col("keeper"))
+            & F.col("lang").isin("en", "de")
+            & (F.col("quality") >= 0.5)
+        )
     )
     return SAMP.sample_uniform(kept, "doc_id", 0.5).select(
         "doc_id", "lang", F.round("quality", 6).alias("quality")

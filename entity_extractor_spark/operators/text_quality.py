@@ -37,9 +37,14 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """length / mean-token-length / stopword-ratio features + a composite
-    score in [0,1]; rounded so any engine reproduces the exact doubles."""
+def quality_exprs(text_col: str) -> dict:
+    """The quality features + composite score as COLUMN EXPRESSIONS, so
+    consumers (quality_score, the curation composite) can compute them
+    inline in a single pass over the scan instead of a derive-then-join.
+    Components are rounded before entering the score so every engine runs
+    the identical IEEE double ops on identical inputs; no final round (a
+    final round would sit on decimal-half landmines where engines' rounding
+    modes differ)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n_words = F.size(toks).cast("double")
     sw = F.size(
@@ -52,24 +57,28 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         6,
     )
     sw_ratio = F.round(sw / n_words, 6)
-    # quality derives from the already-rounded components so every engine
-    # performs the identical IEEE double ops on identical inputs
-    out = df.select(
-        F.col(id_col).alias("doc_id"),
-        n_words.cast("long").alias("n_words"),
-        mean_len.alias("mean_token_len"),
-        sw_ratio.alias("stopword_ratio"),
-    )
-    # no final ROUND: both engines then run the identical IEEE double ops on
-    # identical (already-rounded) inputs => bitwise-equal results; a final
-    # round would sit on decimal-half landmines where rounding modes differ
     score = F.least(
         F.lit(1.0),
-        0.4 * F.least(F.col("n_words") / 100.0, F.lit(1.0))
-        + 0.3 * F.least(F.col("mean_token_len") / 8.0, F.lit(1.0))
-        + 0.3 * (1.0 - F.col("stopword_ratio")),
+        0.4 * F.least(n_words / 100.0, F.lit(1.0))
+        + 0.3 * F.least(mean_len / 8.0, F.lit(1.0))
+        + 0.3 * (1.0 - sw_ratio),
     )
-    return out.withColumn("quality", score)
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_token_len": mean_len,
+        "stopword_ratio": sw_ratio,
+        "quality": score,
+    }
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """length / mean-token-length / stopword-ratio features + a composite
+    score in [0,1]; rounded so any engine reproduces the exact doubles."""
+    ex = quality_exprs(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[ex[name].alias(name) for name in ("n_words", "mean_token_len", "stopword_ratio", "quality")],
+    )
 
 
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
