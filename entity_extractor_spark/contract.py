@@ -2119,3 +2119,34 @@ def curate_corpus_e2e(spark, sf_dir):
     return SAMP.sample_uniform(kept, "doc_id", 0.5).select(
         "doc_id", "lang", F.round("quality", 6).alias("quality")
     )
+
+
+@query(
+    "w4_tumbling_window_agg",
+    """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+              event_type,
+              count(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       FROM events
+       GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
+)
+def w4_tumbling_window_agg(spark, sf_dir):
+    """Tumbling event-time window aggregation — the BATCH semantics of the
+    streaming windows.doc_arrival_counts operator, value-checked vs DuckDB
+    time_bucket (the streaming watermark/append behavior is gated by
+    tests/test_stream_windows.py; the window arithmetic itself is gated
+    here). Algebraic aggs -> map-side partial aggregation."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _sum2("value", "total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
