@@ -281,3 +281,23 @@ def test_mentions_paths_agree_on_unicode_whitespace(spark):
     ac = Counter(tuple(r) for r in M.detect_mentions_ac(docs, gaz).collect())
     assert len(jvm) > 0
     assert jvm == ac, f"diff: {(jvm - ac) + (ac - jvm)}"
+
+
+def test_single_doc_and_empty_corpus(spark, tmp_path):
+    """Boundary corpora: one document produces a valid mini-graph; an
+    EMPTY corpus runs the whole stage DAG to zero-row tables (no
+    empty-aggregate / empty-join crashes anywhere in the plan)."""
+    cfg = CorpusConfig(n_docs=1)
+    t = run_pipeline(
+        spark, generate_documents_df(spark, cfg), str(tmp_path / "one"),
+        gazetteer=gazetteer_rows(cfg), resume=False,
+    )
+    assert t["triples"].count() > 0
+    assert t["materials"].count() == 1
+
+    empty = generate_documents_df(spark, cfg).where("doc_id = 'nope'")
+    t2 = run_pipeline(
+        spark, empty, str(tmp_path / "zero"), gazetteer=gazetteer_rows(cfg), resume=False
+    )
+    assert t2["triples"].count() == 0
+    assert t2["nodes"].count() == 0
