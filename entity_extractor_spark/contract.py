@@ -2037,8 +2037,8 @@ def sample_stratified_det(spark, sf_dir):
          WHERE a.doc_id < b.doc_id
        ),
        e AS (
-         SELECT lpad(CAST(d1 AS VARCHAR), 12, '0') AS a,
-                lpad(CAST(d2 AS VARCHAR), 12, '0') AS b FROM prs
+         SELECT lpad(CAST(d1 AS VARCHAR), 20, '0') AS a,
+                lpad(CAST(d2 AS VARCHAR), 20, '0') AS b FROM prs
        ),
        edges2 AS (
          SELECT a, b FROM e UNION SELECT b, a FROM e
@@ -2053,10 +2053,10 @@ def sample_stratified_det(spark, sf_dir):
          SELECT src AS vertex, min(dst) AS component FROM reach GROUP BY src
        )
        SELECT d.doc_id,
-              CAST(COALESCE(c.component, lpad(CAST(d.doc_id AS VARCHAR), 12, '0')) AS BIGINT) AS keeper,
-              CAST(COALESCE(c.component, lpad(CAST(d.doc_id AS VARCHAR), 12, '0')) AS BIGINT) <> d.doc_id AS is_dup
+              CAST(COALESCE(c.component, lpad(CAST(d.doc_id AS VARCHAR), 20, '0')) AS BIGINT) AS keeper,
+              CAST(COALESCE(c.component, lpad(CAST(d.doc_id AS VARCHAR), 20, '0')) AS BIGINT) <> d.doc_id AS is_dup
        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
-       LEFT JOIN closure c ON c.vertex = lpad(CAST(d.doc_id AS VARCHAR), 12, '0')""",
+       LEFT JOIN closure c ON c.vertex = lpad(CAST(d.doc_id AS VARCHAR), 20, '0')""",
 )
 def dedup_lsh_canonical(spark, sf_dir):
     """End-to-end dedup decision: MinHash -> LSH candidate pairs ->

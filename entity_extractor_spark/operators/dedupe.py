@@ -191,7 +191,9 @@ def dedup_canonical(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id") ->
     smallest doc id, engine-independently."""
     from .graph import connected_components
 
-    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    # width 20 holds any BIGINT (19 digits): lpad TRUNCATES overlong input,
+    # so a narrower pad would silently corrupt ids on a 10^13+-doc corpus
+    pad = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
     e = pairs.select(pad(F.col("doc1")).alias("src"), pad(F.col("doc2")).alias("dst"))
     comps = connected_components(e)
     return (

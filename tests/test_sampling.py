@@ -70,3 +70,15 @@ def test_dedup_canonical_collapses_chains(spark):
     ids = spark.createDataFrame([(1,), (2,), (30,), (99,)], "doc_id bigint")
     got = {r["doc_id"]: (r["keeper"], r["is_dup"]) for r in dedup_canonical(pairs, ids).collect()}
     assert got == {1: (1, False), 2: (1, True), 30: (1, True), 99: (99, False)}
+
+
+def test_dedup_canonical_wide_ids_no_truncation(spark):
+    """lpad truncates overlong input: ids past 12 digits must still map
+    correctly (width 20 covers any BIGINT)."""
+    from entity_extractor_spark.operators.dedupe import dedup_canonical
+
+    a, b = 10_000_000_000_001, 10_000_000_000_002
+    pairs = spark.createDataFrame([(a, b)], "doc1 bigint, doc2 bigint")
+    ids = spark.createDataFrame([(a,), (b,)], "doc_id bigint")
+    got = {r["doc_id"]: r["keeper"] for r in dedup_canonical(pairs, ids).collect()}
+    assert got == {a: a, b: a}
