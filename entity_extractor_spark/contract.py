@@ -2103,18 +2103,18 @@ def curate_corpus_e2e(spark, sf_dir):
     from .operators import sampling as SAMP
 
     d = _t(spark, sf_dir, "documents")
-    # ONE scan of documents: quality is an inline narrow expression, the
-    # dedup keeper a window-min over md5(text) — no derive-then-self-join
-    # (the plan is one Exchange on the text hash, then fused filters)
-    w = Window.partitionBy(F.md5("text"))
+    # Keeper via groupBy-agg + equi-join, NOT a window-min over md5(text):
+    # duplicate-text groups are the canonical 100 TB hub (one boilerplate
+    # doc repeated 10^9 times). groupBy(min) partial-aggregates each hub
+    # map-side before the shuffle; a partitionBy(md5(text)) window would
+    # funnel the whole group through one task. The keeper branch's second
+    # scan is column-pruned to (doc_id, text); the equi-join key doc_id is
+    # unique on both sides (no join skew, AQE-safe).
+    keepers = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("keeper")).select("keeper")
     kept = (
         d.withColumn("quality", TQ.quality_exprs("text")["quality"])
-        .withColumn("keeper", F.min("doc_id").over(w))
-        .where(
-            (F.col("doc_id") == F.col("keeper"))
-            & F.col("lang").isin("en", "de")
-            & (F.col("quality") >= 0.5)
-        )
+        .join(keepers, d["doc_id"] == keepers["keeper"])
+        .where(F.col("lang").isin("en", "de") & (F.col("quality") >= 0.5))
     )
     return SAMP.sample_uniform(kept, "doc_id", 0.5).select(
         "doc_id", "lang", F.round("quality", 6).alias("quality")
