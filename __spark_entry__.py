@@ -7,10 +7,11 @@
 - queries(): one entry per implemented operator (SURVEY.md §2 + the
   training-data operators), each (spark, sf_dir) -> DataFrame.
 - oracle_sql(): DuckDB-runnable ANSI SQL equivalents (identical column
-  names/types); genuinely non-SQL ops (LSH band hashing, hyperplane
-  probing, the KG pipeline itself) are omitted => rows-only check, with
-  exact-match correctness enforced against the pure-Python reference
-  oracle in tests/ instead.
+  names/types) for EVERY query — including the KG pipeline (recursive-CTE
+  closure replay), LSH band hashing, hyperplane probing, and the
+  synthetic-corpus queries (DuckDB reads a pyarrow-materialized copy of
+  the same deterministic corpus). The pure-Python reference oracle in
+  tests/ additionally enforces exact-match e2e semantics.
 """
 
 from __future__ import annotations
