@@ -199,8 +199,20 @@ def main() -> None:
         "pass": eff >= 0.8,
     }
     print(json.dumps(result))
-    with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:
-        json.dump(result, f, indent=1)
+    # merge-preserve: hand-recorded keys in the existing file (secondary
+    # pairs, repeat-run records) survive a fresh measurement overwrite
+    out_path = os.path.join(REPO, "BENCH_scaling.json")
+    merged = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            merged = {k: v for k, v in prev.items() if k not in result}
+        except (ValueError, OSError):
+            pass
+    merged.update(result)
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1)
 
     if args.update_baseline:
         path = os.path.join(REPO, "BASELINE.md")
