@@ -61,13 +61,19 @@ STAGE_DEPS: dict[str, list[str]] = {
 # Scheduling-only extra edges (no data dependency): a leaf stage that would
 # compete with the gating extract chain yields to it instead. Two jobs that
 # each saturate the cluster finish at t_a+t_b whether run concurrently or
-# back-to-back — but back-to-back, `winners` commits at t_w instead of
-# t_w+t_m, so the whole observations->clustered->...->nodes critical path
-# starts ~t_m earlier and overlaps the mention scan. Pure win on any
-# cluster size; semantic STAGE_DEPS (resume, lineage) are unchanged.
+# back-to-back — but back-to-back, the critical path's stages commit without
+# queuing their tasks behind the unrelated mention scan. `mentions` has no
+# downstream consumer inside the DAG, so it yields until `clustered`
+# commits: the winners->observations->clustered chain (including the
+# connected-components probe jobs inside the `clustered` builder, which are
+# short multi-job sequences especially hurt by FIFO queuing behind a
+# corpus-wide scan) runs uncontended, and the scan then overlaps the small
+# post-cluster tail (edges/chem_nodes/nodes/triples), which leaves most of
+# the cluster idle. Pure win on any cluster size; semantic STAGE_DEPS
+# (resume, lineage) are unchanged.
 SCHED_DEPS: dict[str, list[str]] = {
     **STAGE_DEPS,
-    "mentions": ["winners"],
+    "mentions": ["clustered"],
 }
 
 
