@@ -115,7 +115,11 @@ def assign_clusters(obs: DataFrame, existing_nodes: DataFrame | None = None) -> 
             .drop("cas_cluster", "name_cluster")
         )
 
-    clustered = with_cluster(obs)
+    # the atoms are working columns of the clustering itself; the committed
+    # stage table downstream (fold, edges) only needs `cluster` — dropping
+    # them here keeps two long strings per observation out of the stage
+    # write + the two stage re-reads + the fold shuffle
+    clustered = with_cluster(obs).drop("name_atom", "cas_atom")
     if en is None:
         for c in _INIT_COLS:
             clustered = clustered.withColumn(c, F.lit(None).cast("string"))
