@@ -732,7 +732,7 @@ _LSH_SIG_SQL = """
          FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)
        ),
        bits AS (
-         SELECT vec_id, j, CASE WHEN sum(v * sgn) > 0 THEN '1' ELSE '0' END AS bit
+         SELECT vec_id, j, CASE WHEN ROUND(sum(v * sgn), 5) > 0 THEN '1' ELSE '0' END AS bit
          FROM vecs JOIN planes USING (d) GROUP BY vec_id, j
        ),
        sigs AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket
@@ -1585,7 +1585,7 @@ def dedup_embedding_cosine(spark, sf_dir):
          FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)
        ),
        bits AS (
-         SELECT vec_id, b, j, CASE WHEN sum(v * sgn) > 0 THEN '1' ELSE '0' END AS bit
+         SELECT vec_id, b, j, CASE WHEN ROUND(sum(v * sgn), 5) > 0 THEN '1' ELSE '0' END AS bit
          FROM vecs JOIN planes USING (d) GROUP BY vec_id, b, j
        ),
        sigs AS (SELECT vec_id, b, string_agg(bit, '' ORDER BY j) AS bucket

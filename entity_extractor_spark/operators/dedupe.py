@@ -191,9 +191,16 @@ def dedup_canonical(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id") ->
     smallest doc id, engine-independently."""
     from .graph import connected_components
 
-    # width 20 holds any BIGINT (19 digits): lpad TRUNCATES overlong input,
-    # so a narrower pad would silently corrupt ids on a 10^13+-doc corpus
-    pad = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
+    # Order-preserving fixed-width encoding for the FULL bigint range:
+    # bias by 2^63 into [0, 2^64-1] (always non-negative — a bare '-' would
+    # break lexicographic order), then zero-pad to 20 digits (lpad TRUNCATES
+    # overlong input, so a narrower pad would silently corrupt ids on a
+    # 10^13+-doc corpus).
+    _BIAS = F.lit("9223372036854775808").cast("decimal(20,0)")  # 2^63
+    pad = lambda c: F.lpad(  # noqa: E731
+        (c.cast("decimal(20,0)") + _BIAS).cast("decimal(20,0)").cast("string"), 20, "0"
+    )
+    unpad = lambda c: (c.cast("decimal(21,0)") - _BIAS).cast("bigint")  # noqa: E731
     e = pairs.select(pad(F.col("doc1")).alias("src"), pad(F.col("doc2")).alias("dst"))
     comps = connected_components(e)
     return (
@@ -202,7 +209,7 @@ def dedup_canonical(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id") ->
         .join(comps.withColumnRenamed("vertex", "_k"), "_k", "left")
         .select(
             "doc_id",
-            F.coalesce(F.col("component"), F.col("_k")).cast("bigint").alias("keeper"),
+            unpad(F.coalesce(F.col("component"), F.col("_k"))).alias("keeper"),
         )
         .withColumn("is_dup", F.col("keeper") != F.col("doc_id"))
     )

@@ -139,10 +139,14 @@ def hyperplane_signature(vec_col: Column, dims: int, bits: int = 8, band: int = 
     """Deterministic random-hyperplane LSH signature (bit string).
 
     plane(j, d) = +1 if the first hex digit of md5('j:d') < 8 else -1;
-    bit j = 1 iff sum_d plane(j,d) * v[d] > 0. md5-derived planes replay in
-    any engine (the DuckDB oracle recomputes them). band > 0 derives an
-    independent plane family (key 'b{band}:j:d'); band 0 keeps the
-    original keys so existing signatures/oracles are unchanged."""
+    bit j = 1 iff ROUND(sum_d plane(j,d) * v[d], 5) > 0. md5-derived planes
+    replay in any engine (the DuckDB oracle recomputes them). The projection
+    is ROUNDED before the sign test — same convention as ivf_topk's cell
+    scores — so the float summation ORDER of different engines (Spark folds
+    in d-order, DuckDB group-sums unordered) cannot flip a near-zero bit.
+    band > 0 derives an independent plane family (key 'b{band}:j:d');
+    band 0 keeps the original keys so existing signatures/oracles are
+    unchanged."""
     def bit(j: int) -> Column:
         terms = F.zip_with(
             vec_col,
@@ -150,7 +154,7 @@ def hyperplane_signature(vec_col: Column, dims: int, bits: int = 8, band: int = 
             lambda v, s: v.cast("double") * s,
         )
         s = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
-        return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+        return F.when(F.round(s, 5) > 0, F.lit("1")).otherwise(F.lit("0"))
 
     return F.concat(*[bit(j) for j in range(bits)])
 
@@ -177,7 +181,8 @@ def lsh_bucketed_topk(
     sig = hyperplane_signature(F.col(vec_col), dims, bits)
     bucketed = embeddings.withColumn("bucket", sig)
     qsig = "".join(
-        "1" if _py_plane_dot(query_vec, j) > 0 else "0" for j in range(bits)
+        "1" if _round5_half_up(_py_plane_dot(query_vec, j)) > 0 else "0"
+        for j in range(bits)
     )
     cand = bucketed.where(F.col("bucket") == qsig)
     return brute_force_topk(cand, query_vec, id_col, vec_col, k)
@@ -192,6 +197,15 @@ def _py_plane_dot(vec: list[float], j: int) -> float:
         sign = -1.0 if int(h, 16) < 8 else 1.0
         s += float(v) * sign
     return s
+
+
+def _round5_half_up(x: float) -> float:
+    """round(x, 5) with F.round's HALF_UP mode (python round() is
+    half-to-even) — the query-side signature bit must round exactly like
+    the distributed one."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.00001"), ROUND_HALF_UP))
 
 
 def embedding_near_dup_pairs(

@@ -82,3 +82,27 @@ def test_dedup_canonical_wide_ids_no_truncation(spark):
     ids = spark.createDataFrame([(a,), (b,)], "doc_id bigint")
     got = {r["doc_id"]: r["keeper"] for r in dedup_canonical(pairs, ids).collect()}
     assert got == {a: a, b: a}
+
+
+def test_dedup_canonical_negative_and_extreme_ids(spark):
+    """The bias-encoding must keep keeper = NUMERIC min over the full
+    bigint range: negative ids order below positives (a naive zero-pad
+    would rank '0…0-1' < '0…0-9' lexicographically and pick -1 over -9),
+    and the int64 extremes survive the round-trip."""
+    from entity_extractor_spark.operators.dedupe import dedup_canonical
+
+    lo, hi = -(2**63), 2**63 - 1
+    pairs = spark.createDataFrame(
+        [(-1, -9), (-9, 5), (lo, hi)], "doc1 bigint, doc2 bigint"
+    )
+    ids = spark.createDataFrame(
+        [(-1,), (-9,), (5,), (lo,), (hi,)], "doc_id bigint"
+    )
+    got = {r["doc_id"]: (r["keeper"], r["is_dup"]) for r in dedup_canonical(pairs, ids).collect()}
+    assert got == {
+        -9: (-9, False),
+        -1: (-9, True),
+        5: (-9, True),
+        lo: (lo, False),
+        hi: (lo, True),
+    }

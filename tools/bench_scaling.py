@@ -207,7 +207,8 @@ def main() -> None:
         try:
             with open(out_path) as f:
                 prev = json.load(f)
-            merged = {k: v for k, v in prev.items() if k not in result}
+            if isinstance(prev, dict):
+                merged = {k: v for k, v in prev.items() if k not in result}
         except (ValueError, OSError):
             pass
     merged.update(result)

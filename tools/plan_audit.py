@@ -63,9 +63,19 @@ PANDAS_ALLOWED = {
 
 def _walk(node, visit) -> None:
     """Depth-first over a physical plan, descending into AQE wrappers,
-    query stages, and reused exchanges/subqueries."""
+    query stages, reused exchanges, cached subplans (InMemoryTableScan's
+    cachedPlan — children() is empty there, so a naive walk would report a
+    plan 'clean' while the anti-pattern hides inside the cache build), and
+    scalar/IN-subquery plans (SparkPlan.subqueries)."""
     name = node.getClass().getSimpleName()
     visit(node, name)
+    # every SparkPlan may carry subquery expressions with their own plans
+    try:
+        subs = node.subqueries()
+        for i in range(subs.length()):
+            _walk(subs.apply(i), visit)
+    except Exception:
+        pass
     if name == "AdaptiveSparkPlanExec":
         # after execution this returns the final (re-optimized) plan;
         # before execution it raises — fall back to the initial plan
@@ -80,6 +90,11 @@ def _walk(node, visit) -> None:
     if name == "ReusedExchangeExec":
         _walk(node.child(), visit)
         return
+    if name == "InMemoryTableScanExec":
+        try:
+            _walk(node.relation().cachedPlan(), visit)
+        except Exception:
+            pass
     children = node.children()
     for i in range(children.length()):
         _walk(children.apply(i), visit)
@@ -120,7 +135,16 @@ def audit_query(spark, name: str, fn, sf_dir: str) -> dict:
     for bad in ("BatchEvalPythonExec", "ArrowEvalPythonExec"):
         if c.get(bad):
             res["flags"].append(f"row_python:{bad}")
-    for pand in ("MapInPandasExec", "FlatMapGroupsInPandasExec", "FlatMapGroupsInPandasWithStateExec"):
+    for pand in (
+        "MapInPandasExec",
+        "FlatMapGroupsInPandasExec",
+        "FlatMapGroupsInPandasWithStateExec",
+        "FlatMapCoGroupsInPandasExec",
+        "AggregateInPandasExec",
+        "WindowInPandasExec",
+        "MapInArrowExec",
+        "PythonMapInArrowExec",
+    ):
         if c.get(pand) and name not in PANDAS_ALLOWED:
             res["flags"].append(f"pandas:{pand}")
     return res
