@@ -795,6 +795,76 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _ivf_kmeans_sql(n_iter: int = 2, n_cells: int = 8, dims: int = 64) -> str:
+    """Unrolled Lloyd iterations as one DuckDB CTE chain: assignment =
+    argmax ROUNDED cosine (ties -> lowest cid), update = per-dimension mean
+    ROUNDED to 6 (empty cell keeps its previous centroid) — term-for-term
+    the similarity.py kmeans_centroids dataflow."""
+    parts = [
+        f"WITH c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding::DOUBLE[] AS cv "
+        f"FROM embeddings WHERE vec_id < {n_cells}),",
+        "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),",
+    ]
+    for i in range(1, n_iter + 1):
+        cos = _COS.format(a="e.embedding::DOUBLE[]", b=f"c.cv")
+        parts += [
+            f"""a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN c{i - 1} c) WHERE rn = 1),""",
+            f"""m{i} AS (
+  SELECT a.cid, dd.d, ROUND(avg(CAST(e.embedding[dd.d + 1] AS DOUBLE)), 6) AS m
+  FROM embeddings e JOIN a{i} a USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(0, {dims - 1})) AS d) dd
+  GROUP BY a.cid, dd.d),""",
+            f"""c{i} AS (
+  SELECT c{i - 1}.cid, COALESCE(mm.cv_new, c{i - 1}.cv) AS cv
+  FROM c{i - 1} LEFT JOIN (
+    SELECT cid, list(m ORDER BY d) AS cv_new FROM m{i} GROUP BY cid) mm USING (cid)),""",
+        ]
+    last = f"c{n_iter}"
+    cos_final = _COS.format(a="e.embedding::DOUBLE[]", b="c.cv")
+    parts += [
+        f"""af AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_final} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN {last} c) WHERE rn = 1),""",
+        f"""probe AS (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (ORDER BY {_COS.format(a="(SELECT qv FROM q)", b="c.cv")} DESC, c.cid) AS rn
+    FROM {last} c) WHERE rn <= 2),""",
+        """cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN af USING (vec_id)
+  WHERE af.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0)""",
+        f"""SELECT vec_id, score, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT vec_id, {_COS.format(a="embedding::DOUBLE[]", b="(SELECT qv FROM q)")} AS score,
+         row_number() OVER (ORDER BY {_COS.format(a="embedding::DOUBLE[]", b="(SELECT qv FROM q)")} DESC, vec_id) AS rnk
+  FROM cand)
+WHERE rnk <= 10""",
+    ]
+    return "\n".join(parts)
+
+
+@query("ann_ivf_kmeans", _ivf_kmeans_sql())
+def ann_ivf_kmeans(spark, sf_dir):
+    """IVF over Lloyd-REFINED centroids (kmeans_centroids, 2 deterministic
+    iterations seeded by the first-8 corpus vectors): the 'swap in k-means
+    centroids, dataflow unchanged' path of ivf_topk, value-checked against
+    a DuckDB replay of the identical unrolled iterations (rounded-cosine
+    argmax assignment, 6-decimal-rounded means, empty cells keep their
+    previous centroid). Reference analog: pgvector retrieval,
+    common/repositories/vector_repository.py:56-67."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.where("vec_id = 0").select("embedding").head()[0]]
+    cents = SIM.kmeans_centroids(e, n_cells=8, n_iter=2)
+    return SIM.ivf_topk(
+        e, qv, n_probe=2, k=10, exclude_ids=[0], centroids=cents
+    ).select("vec_id", "score", "rank")
+
+
 @query(
     "ann_lsh_bucketed",
     "WITH " + _LSH_SIG_SQL.strip() + """,

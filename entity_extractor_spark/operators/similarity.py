@@ -250,6 +250,66 @@ def embedding_near_dup_pairs(
     return pairs.distinct() if n_bands > 1 else pairs
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed Lloyd refinement -> (cid, cv array<double>).
+
+    Seeds are the first n_cells corpus vectors by id (same training-free
+    quantizer ivf_topk defaults to); each iteration assigns every vector to
+    its max-ROUNDED-cosine centroid (ties -> lowest cid, the ivf_topk
+    convention) and recomputes centroids as the per-dimension mean of the
+    assigned vectors, ROUNDED to 6 decimals so the float summation order of
+    different engines/partitionings cannot leak into the next iteration's
+    assignments. A cell that loses all members keeps its previous centroid.
+
+    Scale shape: assignment is corpus x broadcast(n_cells) — one narrow
+    pass; the mean is a posexplode to (cid, dim) keyed partial aggregation
+    (map-side combine, n_cells*dims output rows). No driver-side data moves
+    until the (tiny) final centroid table. The DuckDB oracle
+    (contract.py ann_ivf_kmeans) replays the identical unrolled iterations.
+    """
+    cents = F.broadcast(
+        embeddings.where(F.col(id_col) < n_cells).select(
+            F.col(id_col).cast("int").alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    for _ in range(n_iter):
+        w = Window.partitionBy("_vid").orderBy(F.desc("csim"), F.asc("cid"))
+        assign = (
+            vecs.join(cents)
+            .withColumn("csim", F.round(cosine(F.col("_v"), F.col("cv")), 5))
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("_vid", "_v", "cid")
+        )
+        means = (
+            assign.select("cid", F.posexplode("_v").alias("d", "val"))
+            .groupBy("cid", "d")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+                ).alias("cv_new")
+            )
+        )
+        cents = F.broadcast(
+            cents.join(means, "cid", "left").select(
+                "cid", F.coalesce(F.col("cv_new"), F.col("cv")).alias("cv")
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -259,23 +319,29 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 10,
     exclude_ids: list | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize vectors into n_cells inverted lists, probe
     the n_probe lists nearest the query, exact cosine inside.
 
-    The quantizer here is training-free and fully deterministic — the
+    The default quantizer is training-free and fully deterministic — the
     centroids ARE the first n_cells corpus vectors (by id) — so any engine
-    can replay the assignment (the DuckDB oracle does); swap in k-means||
-    centroids for real recall tuning, the dataflow is unchanged. Cell
-    scores are rounded before the argmax so the float summation order of
+    can replay the assignment (the DuckDB oracle does). Pass
+    centroids=kmeans_centroids(...) for Lloyd-refined cells (value-checked
+    by contract:ann_ivf_kmeans) — the dataflow is unchanged. Cell scores
+    are rounded before the argmax so the float summation order of
     different engines cannot flip an assignment; ties break on cell id.
 
     Scale: centroids broadcast (tiny); assignment is one narrow map over
     the corpus; the probe prunes ~(1 - n_probe/n_cells) of candidates.
     """
-    cents = F.broadcast(
-        embeddings.where(F.col(id_col) < n_cells).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    cents = (
+        F.broadcast(centroids.select("cid", "cv"))
+        if centroids is not None
+        else F.broadcast(
+            embeddings.where(F.col(id_col) < n_cells).select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+            )
         )
     )
     sim = F.round(cosine(F.col(vec_col), F.col("cv")), 5)

@@ -119,3 +119,25 @@ def test_topk_zero_query_vector_is_empty(spark):
 
     df = spark.createDataFrame([("a", [1.0, 0.0])], "vec_id string, embedding array<float>")
     assert brute_force_topk(df, [0.0, 0.0], k=3).count() == 0
+
+
+def test_kmeans_centroids_deterministic_and_complete(spark):
+    """Lloyd refinement must be partitioning-invariant (the 6-decimal mean
+    rounding is what pins it) and keep one centroid per cell even when a
+    cell loses all members."""
+    from entity_extractor_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=DIMS)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def centdict(d):
+        return {r["cid"]: tuple(r["cv"]) for r in d.collect()}
+
+    c1 = centdict(kmeans_centroids(df, n_cells=4, n_iter=2))
+    c2 = centdict(kmeans_centroids(df.repartition(7), n_cells=4, n_iter=2))
+    assert c1 == c2
+    assert sorted(c1) == [0, 1, 2, 3]
+    # refinement moved the seeds (means differ from the raw seed vectors)
+    seeds = {r["vec_id"]: tuple(float(x) for x in r["embedding"]) for r in df.where("vec_id < 4").collect()}
+    assert any(c1[c] != seeds[c] for c in c1)

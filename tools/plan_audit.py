@@ -42,8 +42,10 @@ BNLJ_ALLOWED = {
     "kg_mention_scan_driver",
     "kg_mentions_synthetic",
     # centroid assignment: corpus x broadcast(n_cells=8 rows) — the nested
-    # loop side is a CONSTANT-size centroid table (similarity.py ivf_topk)
+    # loop side is a CONSTANT-size centroid table (similarity.py ivf_topk /
+    # kmeans_centroids)
     "ann_ivf_topk",
+    "ann_ivf_kmeans",
     # documented EXACT all-pairs baseline (task spec: "brute-force ... as
     # the baseline"); dedup_embedding_blocked is the banded-LSH scale path
     # and must NOT appear here
