@@ -2245,6 +2245,41 @@ def curate_corpus_e2e(spark, sf_dir):
 
 
 @query(
+    "w5_session_window",
+    """WITH o AS (
+         SELECT user_id, ts, event_id, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ),
+       s AS (
+         SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sess
+         FROM o
+       )
+       SELECT user_id,
+              min(ts) AS session_start,
+              max(ts) + INTERVAL 30 MINUTE AS session_end,
+              count(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM s GROUP BY user_id, sess""",
+)
+def w5_session_window(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) via the built-in
+    F.session_window — identical code path in batch and Structured
+    Streaming. The DuckDB oracle replays Spark's session-window convention
+    with a lag/cumsum chain: a gap >= 30 min starts a new session,
+    session_end = last event + gap. Training-pipeline staple (event-stream
+    curation); reference analog: the per-run arrival accounting,
+    folder_reader_service.py:140-151."""
+    from .streaming.windows import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
+@query(
     "w4_tumbling_window_agg",
     """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
               event_type,

@@ -26,6 +26,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization via the built-in F.session_window: events of
+    one key merge into a session while consecutive gaps stay < `gap`; a gap
+    >= `gap` starts a new session (session_end = last event time + gap,
+    Spark's session-window convention). Works UNCHANGED on a streaming
+    DataFrame (add withWatermark upstream; state per open session only).
+
+    Scale shape: one shuffle on the key, algebraic aggregates (count/sum)
+    with map-side partials inside the session-window merge; no per-row
+    Python, no global window. Value-checked against a DuckDB lag/cumsum
+    replay (contract:w5_session_window)."""
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        events.groupBy(F.col(key_col), sw)
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal-sum: 2-decimal inputs sum EXACTLY, so no engine's or
+            # partitioning's float addition order can leak into the result
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def doc_arrival_counts(
     docs_stream: DataFrame,
     ts_col: str = "event_ts",

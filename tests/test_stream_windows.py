@@ -91,3 +91,69 @@ def test_watermarked_window_counts(spark, tmp_path):
         assert 480 in got and got[480] == (1, 1)
     finally:
         q.stop()
+
+
+EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+
+def _erow(eid: int, sec: int, user: int, value: float):
+    import datetime
+
+    return (eid, datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=sec), user, value)
+
+
+def test_sessionize_streaming_matches_batch(spark, tmp_path):
+    """sessionize runs UNCHANGED on a stream: session-window state merges
+    events across micro-batches, a watermark finalizes closed sessions, and
+    the appended output equals the batch run over the same events."""
+    from entity_extractor_spark.streaming.windows import sessionize
+
+    rows0 = [_erow(0, 0, 1, 1.25), _erow(1, 60, 1, 2.50), _erow(2, 10, 2, 4.00)]
+    rows1 = [_erow(3, 120, 1, 0.25)]          # merges into user 1's open session
+    rows2 = [_erow(4, 7200, 1, 9.75)]         # 2h later: new session + watermark push
+    rows3 = [_erow(5, 20000, 9, 1.00)]        # far future: finalizes everything prior
+    in_dir = str(tmp_path / "ev_in")
+    for i, rows in enumerate([rows0, rows1, rows2, rows3]):
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+        tmp = in_dir + f"_tmp{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(f"{tmp}/part-*.parquet")[0]
+        os.makedirs(in_dir, exist_ok=True)
+        shutil.move(src, os.path.join(in_dir, f"b{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    sess = sessionize(stream.withWatermark("ts", "10 minutes"), gap="30 minutes")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ev_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["sum_value"])
+            for r in spark.sql("select * from sessions").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(rows0 + rows1 + rows2 + rows3, EVENTS_SCHEMA)
+    # the far-future session may not be finalized by the stream's watermark;
+    # compare on the sessions the stream emitted (all CLOSED sessions)
+    want_all = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["sum_value"])
+        for r in sessionize(batch, gap="30 minutes").collect()
+    }
+    assert got, "stream emitted no finalized sessions"
+    for k, v in got.items():
+        assert want_all[k] == v, (k, v, want_all[k])
+    # the three closed sessions (user1 x2 merged-across-batches, user2) emit
+    assert (1, __import__("datetime").datetime(2026, 1, 1)) in got
+    assert got[(1, __import__("datetime").datetime(2026, 1, 1))][1] == 3
