@@ -925,6 +925,23 @@ def text_quality_score(spark, sf_dir):
 
 
 @query(
+    "text_top_terms",
+    """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                  FROM documents)
+       SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+       FROM t WHERE term <> ''
+       GROUP BY term ORDER BY tf DESC, term LIMIT 50""",
+)
+def text_top_terms(spark, sf_dir):
+    """Corpus vocabulary head (top-50 terms by corpus frequency, with doc
+    frequency): curation-pass staple. Distributed top-k —
+    orderBy().limit(k) plans as TakeOrderedAndProject (no global window;
+    swept by tools/plan_audit.py); deterministic (tf DESC, term ASC)
+    tie-break so the result is a well-defined set."""
+    return TQ.top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
     "text_language_id",
     """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
                   FROM documents),

@@ -115,3 +115,30 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.array_join(F.array_sort(F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))), " ")
         ).alias("fp"),
     )
+
+
+def top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 50) -> DataFrame:
+    """Corpus vocabulary head: top-k whitespace terms by total frequency
+    (tf) with document frequency (df) — the first statistic a corpus
+    curation pass computes (stopword discovery, boilerplate detection,
+    tokenizer-vocab sanity).
+
+    Scale shape: explode -> one (term)-keyed aggregation with map-side
+    partials (count + count_distinct via two-level agg), then
+    orderBy().limit(k) which Spark plans as distributed
+    TakeOrderedAndProject — no global window, no single-task sort. The
+    (tf DESC, term ASC) tie-break makes the top-k a deterministic SET, so
+    the DuckDB oracle matches row-for-row."""
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("_d").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(k)
+    )
