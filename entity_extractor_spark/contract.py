@@ -806,7 +806,7 @@ def _ivf_kmeans_sql(n_iter: int = 2, n_cells: int = 8, dims: int = 64) -> str:
         "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),",
     ]
     for i in range(1, n_iter + 1):
-        cos = _COS.format(a="e.embedding::DOUBLE[]", b=f"c.cv")
+        cos = _COS.format(a="e.embedding::DOUBLE[]", b="c.cv")
         parts += [
             f"""a{i} AS (
   SELECT vec_id, cid FROM (

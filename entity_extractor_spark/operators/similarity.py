@@ -250,6 +250,20 @@ def embedding_near_dup_pairs(
     return pairs.distinct() if n_bands > 1 else pairs
 
 
+def _assign_to_cells(df: DataFrame, cents, vec: Column, key: str) -> DataFrame:
+    """Argmax-cosine cell assignment (the IVF/k-means quantization step):
+    score every row against the broadcast centroid table, keep the
+    max-ROUNDED-cosine cell, ties -> lowest cid. Keeps df's columns + cid."""
+    w = Window.partitionBy(key).orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        df.join(cents)
+        .withColumn("csim", F.round(cosine(vec, F.col("cv")), 5))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .drop("csim", "rn", "cv")
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_cells: int = 8,
@@ -283,13 +297,8 @@ def kmeans_centroids(
         F.col(id_col).alias("_vid"), F.col(vec_col).cast("array<double>").alias("_v")
     )
     for _ in range(n_iter):
-        w = Window.partitionBy("_vid").orderBy(F.desc("csim"), F.asc("cid"))
-        assign = (
-            vecs.join(cents)
-            .withColumn("csim", F.round(cosine(F.col("_v"), F.col("cv")), 5))
-            .withColumn("rn", F.row_number().over(w))
-            .where("rn = 1")
-            .select("_vid", "_v", "cid")
+        assign = _assign_to_cells(vecs, cents, F.col("_v"), "_vid").select(
+            "_vid", "_v", "cid"
         )
         means = (
             assign.select("cid", F.posexplode("_v").alias("d", "val"))
@@ -344,18 +353,11 @@ def ivf_topk(
             )
         )
     )
-    sim = F.round(cosine(F.col(vec_col), F.col("cv")), 5)
-    w_assign = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
-    assign = (
-        embeddings.join(cents)
-        .withColumn("csim", sim)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where("rn = 1")
-        .select(id_col, "cid")
+    assign = _assign_to_cells(embeddings, cents, F.col(vec_col), id_col).select(
+        id_col, "cid"
     )
     # driver-side probe-cell selection (centroids are tiny and local)
     import math
-    from decimal import ROUND_HALF_UP, Decimal
 
     def _cos(a: list[float], b: list[float]) -> float:
         d = sum(float(x) * float(y) for x, y in zip(a, b))
@@ -363,10 +365,10 @@ def ivf_topk(
         nb = math.sqrt(sum(float(y) ** 2 for y in b))
         if na == 0.0 or nb == 0.0:
             return -2.0  # undefined cosine ranks below every real one
-        # HALF_UP, not python round()'s half-to-even: the distributed
-        # assignment uses F.round (HALF_UP) and the DuckDB oracle ROUND
-        # (half away from zero) — all three paths share one mode.
-        return float(Decimal(repr(d / (na * nb))).quantize(Decimal("0.00001"), ROUND_HALF_UP))
+        # HALF_UP (via _round5_half_up), not python round()'s half-to-even:
+        # the distributed assignment uses F.round (HALF_UP) and the DuckDB
+        # oracle ROUND (half away from zero) — all three share one mode.
+        return _round5_half_up(d / (na * nb))
 
     crows = cents.collect()
     probe = [

@@ -154,6 +154,7 @@ def test_sessionize_streaming_matches_batch(spark, tmp_path):
     assert got, "stream emitted no finalized sessions"
     for k, v in got.items():
         assert want_all[k] == v, (k, v, want_all[k])
-    # the three closed sessions (user1 x2 merged-across-batches, user2) emit
-    assert (1, __import__("datetime").datetime(2026, 1, 1)) in got
-    assert got[(1, __import__("datetime").datetime(2026, 1, 1))][1] == 3
+    # user 1's first session (merged across micro-batches 0 and 1) emitted
+    sess1_start = _erow(0, 0, 1, 0.0)[1]
+    assert (1, sess1_start) in got
+    assert got[(1, sess1_start)][1] == 3

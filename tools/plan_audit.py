@@ -103,7 +103,7 @@ def _walk(node, visit) -> None:
 
 
 def audit_df(df) -> dict:
-    """Execute `df` (count-only) and inventory its final physical plan."""
+    """Execute `df` and inventory its final (post-AQE) physical plan."""
     t0 = time.time()
     # collect() runs THIS Dataset's own queryExecution, so its
     # AdaptiveSparkPlanExec is finalized for the walk below (df.count()
