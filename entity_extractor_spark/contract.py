@@ -2325,3 +2325,141 @@ def w4_tumbling_window_agg(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# ------------------------------------------------- curation safety (r2c) --
+
+@query(
+    "text_repetition_signals",
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                  FROM documents),
+       base AS (
+         SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                ROUND(CAST(1.0 AS DOUBLE)
+                      - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+                  AS dup_token_frac,
+                toks
+         FROM t),
+       bg AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, len(toks)),
+                                      i -> concat(toks[i], ' ', toks[i + 1]))) AS bigram
+         FROM t WHERE len(toks) >= 2),
+       cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+       top AS (
+         SELECT doc_id, bigram, c,
+                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram ASC) AS rn
+         FROM cnt)
+       SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+              t.bigram AS top_bigram,
+              CAST(t.c AS BIGINT) AS top_bigram_count,
+              ROUND(CAST(t.c AS DOUBLE) / (b.n_tokens - 1), 6) AS top_bigram_frac
+       FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id AND t.rn = 1""",
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (duplicate-token fraction,
+    top-bigram fraction) as zero-shuffle narrow expressions: the top bigram
+    comes from a sorted-array longest-run fold, not an explode+regroup —
+    per-document statistics never pay a shuffle. The DuckDB oracle computes
+    the same statistic the expensive way (unnest + per-doc window) to make
+    the cross-engine check independent of the implementation trick."""
+    return TQ.repetition_signals(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_pii_redact",
+    """WITH aug AS (
+         SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                        ELSE '' END
+                || CASE WHEN doc_id % 5 = 0
+                        THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS text
+         FROM documents)
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text,
+                   '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones,
+              regexp_replace(
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS redacted
+       FROM aug""",
+)
+def text_pii_redact(spark, sf_dir):
+    """PII detect + redact (operators/text_quality.py pii_scan). The driver
+    corpus contains no PII by construction, so the query plants
+    deterministic doc_id-derived emails/phones on a subset of rows (both
+    engines build the identical augmented text from the same parquet),
+    exercising match counting, multi-match replacement, and the zero-match
+    passthrough path. Patterns are the Java-regex/RE2 common subset."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-010-"),
+                    F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TQ.pii_scan(d, "doc_id", "text")
+
+
+_EVAL_BUCKET_SQL = (
+    "CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), '|', 'eval')), 1, 12)) "
+    "AS BIGINT) % 1000000"
+)
+
+
+@query(
+    "contamination_ngram",
+    f"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                         {_EVAL_BUCKET_SQL} AS b
+                  FROM documents),
+       g AS (
+         SELECT doc_id, b,
+                unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS gram
+         FROM t WHERE len(toks) >= 3),
+       ev AS (SELECT DISTINCT gram FROM g WHERE b < 50000),
+       cg AS (SELECT doc_id, gram FROM g WHERE b >= 50000)
+       SELECT cg.doc_id,
+              CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+              ROUND(CAST(sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*), 6) AS contamination
+       FROM cg LEFT JOIN ev ON ev.gram = cg.gram
+       GROUP BY cg.doc_id""",
+)
+def contamination_ngram(spark, sf_dir):
+    """Benchmark decontamination (operators/contamination.py): a
+    deterministic 5% hash-sample of the corpus plays the evaluation set
+    (salt 'eval'; the md5-bucket split is replayed exactly by the oracle),
+    the remaining 95% is scanned for 3-gram overlap against it. Eval gram
+    set is broadcast — the corpus side never shuffles for the membership
+    join."""
+    from .operators import contamination as C
+    from .operators import sampling as SAMP
+
+    d = _t(spark, sf_dir, "documents")
+    thr = int(round(0.05 * SAMP.DENOM))
+    bucket = SAMP.sample_bucket(F.col("doc_id"), "eval")
+    eval_docs = d.where(bucket < thr)
+    corpus = d.where(bucket >= thr)
+    return C.ngram_contamination(corpus, eval_docs, "doc_id", "text", n=3)

@@ -117,6 +117,100 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style per-document repetition signals (Rae et al. 2021 §A1.1):
+    duplicate-token fraction and most-frequent-bigram fraction — the
+    standard boilerplate / degenerate-repetition filters a pre-training
+    curation pass applies before quality scoring.
+
+    Scale shape: per-document metrics must never shuffle, so everything is
+    a narrow column expression over the token array. The top bigram is
+    found by sorting the doc's bigram array and folding a longest-run scan
+    (`aggregate` over a struct accumulator) — NOT by exploding bigrams and
+    re-aggregating per doc, which would shuffle ~n_tokens rows per
+    document on (doc_id, bigram) for a purely doc-local statistic.
+    Tie-break: equal counts keep the lexicographically smallest bigram
+    (strict `>` over the ascending-sorted array keeps the first max run).
+    Docs with fewer than two tokens have no bigram (NULL top_bigram).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    dup_frac = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / n.cast("double"), 6
+    )
+    bigrams = F.array_sort(
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    scan = F.aggregate(
+        bigrams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(None).cast("string").alias("best_bg"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                > acc["best"],
+                x,
+            ).otherwise(acc["best_bg"]).alias("best_bg"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        dup_frac.alias("dup_token_frac"),
+        scan["best_bg"].alias("top_bigram"),
+        F.when(n >= 2, scan["best"]).cast("long").alias("top_bigram_count"),
+        F.when(n >= 2, F.round(scan["best"] / (n - 1).cast("double"), 6)).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+# PII patterns restricted to syntax both Java regex (Spark) and RE2
+# (DuckDB) interpret identically: character classes, bounded repetition,
+# \b word boundaries — no lookaround, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII detection + redaction (emails, NANP-style phone numbers): per-doc
+    match counts and the redacted text with matches replaced by typed
+    placeholders. Pure codegen'd regexp expressions — one narrow pass, no
+    shuffle, no Python; the redact chain applies email first so a phone
+    digit-run inside an already-redacted span cannot double-match."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
 def top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 50) -> DataFrame:
     """Corpus vocabulary head: top-k whitespace terms by total frequency
     (tf) with document frequency (df) — the first statistic a corpus

@@ -1,0 +1,84 @@
+"""Edge cases for the curation-safety operators (repetition signals, PII
+redaction, n-gram decontamination) that the driver corpus can't exercise:
+degenerate docs, tie-breaks, zero-/full-overlap, multi-match redaction.
+The corpus-level value check is the contract (CORRECTNESS) gate."""
+
+from __future__ import annotations
+
+from entity_extractor_spark.operators import contamination as C
+from entity_extractor_spark.operators import text_quality as TQ
+
+
+def _rows(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_repetition_signals_edges(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),          # top bigram: "a b" x2 ("b a" also 2 -> lex-min wins)
+            (2, "x x x x"),            # fully degenerate: dup 0.75, "x x" x3 / 3
+            (3, "one"),                # single token: no bigram
+            (4, "p q r s"),            # all unique: every bigram count 1, lex-min "p q"
+        ],
+        "doc_id int, text string",
+    )
+    out = _rows(TQ.repetition_signals(docs, "doc_id", "text"))
+    assert out[1]["top_bigram"] == "a b" and out[1]["top_bigram_count"] == 2
+    assert out[1]["dup_token_frac"] == 0.6  # 5 tokens, 2 distinct
+    assert out[2]["dup_token_frac"] == 0.75
+    assert out[2]["top_bigram"] == "x x" and out[2]["top_bigram_frac"] == 1.0
+    assert out[3]["n_tokens"] == 1 and out[3]["top_bigram"] is None
+    assert out[3]["top_bigram_count"] is None and out[3]["top_bigram_frac"] is None
+    assert out[3]["dup_token_frac"] == 0.0
+    assert out[4]["top_bigram"] == "p q" and out[4]["top_bigram_count"] == 1
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org, call 555-123-4567 twice 555-123-4567"),
+            (2, "no pii here at all"),
+            (3, "not-a-phone 12-34-56 and not@an@email"),
+        ],
+        "doc_id int, text string",
+    )
+    out = _rows(TQ.pii_scan(docs, "doc_id", "text"))
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 2
+    assert "<EMAIL>" in out[1]["redacted"] and "<PHONE>" in out[1]["redacted"]
+    assert "a@b.com" not in out[1]["redacted"] and "555-123-4567" not in out[1]["redacted"]
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+    assert out[2]["redacted"] == "no pii here at all"
+    # "not@an@email": the greedy local-part eats "not@an" leaving "@email"
+    # with no TLD dot -> no full match; 12-34-56 fails the 3-3-4 shape
+    assert out[3]["n_phones"] == 0
+
+
+def test_ngram_contamination_overlap(spark):
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id int, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),  # 4 grams, 3 hit
+            (2, "totally different words here now"),  # 3 grams, 0 hit
+            (3, "too short"),  # < 3 tokens: absent from report
+        ],
+        "doc_id int, text string",
+    )
+    out = _rows(C.ngram_contamination(corpus, eval_docs, n=3))
+    assert set(out) == {1, 2}
+    assert out[1]["n_grams"] == 4 and out[1]["n_hit"] == 3
+    assert out[1]["contamination"] == 0.75
+    assert out[2]["n_hit"] == 0 and out[2]["contamination"] == 0.0
+
+
+def test_ngram_contamination_distinct_grams_count_once(spark):
+    # a doc repeating one contaminated gram 3 times counts it ONCE
+    eval_docs = spark.createDataFrame([(9, "a b c")], "doc_id int, text string")
+    corpus = spark.createDataFrame(
+        [(1, "a b c a b c a b c")], "doc_id int, text string"
+    )
+    out = _rows(C.ngram_contamination(corpus, eval_docs, n=3))
+    # distinct grams of doc 1: {a b c, b c a, c a b} -> 3 grams, 1 hit
+    assert out[1]["n_grams"] == 3 and out[1]["n_hit"] == 1
