@@ -82,3 +82,96 @@ def test_ngram_contamination_distinct_grams_count_once(spark):
     out = _rows(C.ngram_contamination(corpus, eval_docs, n=3))
     # distinct grams of doc 1: {a b c, b c a, c a b} -> 3 grams, 1 hit
     assert out[1]["n_grams"] == 3 and out[1]["n_hit"] == 1
+
+
+def test_repetition_fold_matches_counter_oracle(spark):
+    """Randomized batch property: the sorted-array longest-run fold must
+    equal a Counter argmax with (count DESC, bigram ASC) tie-break. A
+    5-word vocabulary forces heavy repetition and frequent count ties."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "aa", "bb"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 40))))
+        for i in range(300)
+    ]
+    out = _rows(
+        TQ.repetition_signals(
+            spark.createDataFrame(docs, "doc_id int, text string"), "doc_id", "text"
+        )
+    )
+    for i, text in docs:
+        toks = text.split(" ")
+        cnt = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+        best_bg, best_c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert out[i]["top_bigram"] == best_bg, (i, text)
+        assert out[i]["top_bigram_count"] == best_c, (i, text)
+        assert out[i]["top_bigram_frac"] == round(best_c / (len(toks) - 1), 6)
+        assert out[i]["n_tokens"] == len(toks)
+        assert out[i]["dup_token_frac"] == round(1 - len(set(toks)) / len(toks), 6)
+
+
+def test_pii_scan_matches_python_re_oracle(spark):
+    """Randomized batch property: counts and redaction equal Python `re`
+    applying the same patterns (both engines' dialects contain them)."""
+    import random
+    import re
+
+    rng = random.Random(7)
+    pool = [
+        "plain", "word", "x@y.io", "a.b-c@mail.example.org", "no@tld",
+        "user+tag@host.museum", "555-123-4567", "5551234567", "12-34-5678",
+        "@", "dot.", "a@b.c", "end99-888-7777x",
+    ]
+    docs = [
+        (i, " ".join(rng.choice(pool) for _ in range(rng.randint(1, 15))))
+        for i in range(200)
+    ]
+    out = _rows(
+        TQ.pii_scan(
+            spark.createDataFrame(docs, "doc_id int, text string"), "doc_id", "text"
+        )
+    )
+    for i, text in docs:
+        assert out[i]["n_emails"] == len(re.findall(TQ.PII_EMAIL_RE, text)), text
+        assert out[i]["n_phones"] == len(re.findall(TQ.PII_PHONE_RE, text)), text
+        expected = re.sub(
+            TQ.PII_PHONE_RE, "<PHONE>", re.sub(TQ.PII_EMAIL_RE, "<EMAIL>", text)
+        )
+        assert out[i]["redacted"] == expected, text
+
+
+def test_ngram_contamination_matches_set_oracle(spark):
+    """Randomized batch property: overlap fractions equal pure-Python set
+    arithmetic over distinct 3-grams."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{j}" for j in range(12)]
+    mk = lambda lo, hi: " ".join(rng.choice(vocab) for _ in range(rng.randint(lo, hi)))
+    eval_docs = [(1000 + i, mk(3, 20)) for i in range(10)]
+    corpus = [(i, mk(1, 30)) for i in range(150)]
+
+    def grams(text):
+        t = text.split(" ")
+        return {" ".join(t[j : j + 3]) for j in range(len(t) - 2)}
+
+    eval_set = set().union(*[grams(t) for _, t in eval_docs])
+    out = _rows(
+        C.ngram_contamination(
+            spark.createDataFrame(corpus, "doc_id int, text string"),
+            spark.createDataFrame(eval_docs, "doc_id int, text string"),
+            n=3,
+        )
+    )
+    for i, text in corpus:
+        g = grams(text)
+        if not g:
+            assert i not in out
+            continue
+        hit = len(g & eval_set)
+        assert out[i]["n_grams"] == len(g), text
+        assert out[i]["n_hit"] == hit, text
+        assert out[i]["contamination"] == round(hit / len(g), 6)
