@@ -2463,3 +2463,60 @@ def contamination_ngram(spark, sf_dir):
     eval_docs = d.where(bucket < thr)
     corpus = d.where(bucket >= thr)
     return C.ngram_contamination(corpus, eval_docs, "doc_id", "text", n=3)
+
+
+def _pagerank_sql(iterations: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank as one DuckDB CTE chain —
+    term-for-term the graph.pagerank dataflow: every step is exact BIGINT
+    fixed-point arithmetic (units of 1e-9, damping as the rational 17/20,
+    half-up division a/b as (2a+b)//(2b)), so the replay is bit-identical
+    by construction — no ROUND(double) anywhere to sit on an
+    engine-specific half boundary. Only the final display cast divides by
+    1e9 in doubles (one exact-input IEEE op per row)."""
+    parts = [
+        """WITH raw AS (
+  SELECT concat('p', CAST(l_partkey AS VARCHAR)) AS src,
+         concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
+  FROM lineitem WHERE l_orderkey % 97 = 1),
+e AS (SELECT DISTINCT * FROM (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)),
+v AS (SELECT DISTINCT src AS vertex FROM e),
+nn AS (SELECT COUNT(*) AS n FROM v),
+od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
+r0 AS (SELECT vertex,
+              (2000000000 + (SELECT n FROM nn)) // (2 * (SELECT n FROM nn)) AS r
+       FROM v),"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst AS vertex, (2 * r.r + od.odeg) // (2 * od.odeg) AS share
+  FROM e JOIN r{i - 1} r ON r.vertex = e.src JOIN od ON od.src = e.src),
+r{i} AS (
+  SELECT v.vertex,
+         (2 * (3000000000 + 17 * COALESCE(s.s, 0) * (SELECT n FROM nn))
+          + 20 * (SELECT n FROM nn)) // (2 * 20 * (SELECT n FROM nn)) AS r
+  FROM v LEFT JOIN (SELECT vertex, SUM(share) AS s FROM c{i} GROUP BY vertex) s USING (vertex)),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vertex, CAST(r AS DOUBLE) / 1000000000.0 AS pagerank FROM r{iterations}"
+    )
+    return "\n".join(parts)
+
+
+@query("graph_pagerank", _pagerank_sql())
+def graph_pagerank(spark, sf_dir):
+    """Entity-importance ranking for the KG: deterministic 3-iteration
+    PageRank (graph.pagerank) over the part<->supplier co-occurrence graph,
+    value-checked against a DuckDB replay of the identical unrolled
+    iterations. Decimal-summed rounded contributions make the scores
+    bit-stable under any partitioning — the same technique the kmeans and
+    lattice folds use. KG use: disambiguation priors / triple ranking by
+    node centrality (reference ranks nodes only by raw degree,
+    global_node_repository.py)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 97 == 1)
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return G.pagerank(edges, iterations=3)

@@ -118,3 +118,50 @@ def test_star_matches_hashmin_random(spark):
         for r in G.connected_components(df, algorithm="hashmin").collect()
     }
     assert star == hashmin == _brute_components(edges)
+
+
+def test_pagerank_matches_python_oracle(spark):
+    """graph.pagerank vs a pure-Python replay of the exact fixed-point
+    procedure (integer units of 1e-9, damping 17/20, half-up integer
+    division) on a small hub-and-chain graph plus a seeded random graph."""
+    import random
+    from collections import Counter, defaultdict
+
+    from entity_extractor_spark.operators.graph import pagerank
+
+    def py_pagerank(edge_list, iterations=3, num=17, den=20):
+        units = 1_000_000_000
+        und = set()
+        for s, t in edge_list:
+            und.add((s, t))
+            und.add((t, s))
+        verts = sorted({v for e in und for v in e})
+        n = len(verts)
+        od = Counter(s for s, _ in und)
+        r = {v: (2 * units + n) // (2 * n) for v in verts}
+        for _ in range(iterations):
+            sums = defaultdict(int)
+            for s, t in und:
+                sums[t] += (2 * r[s] + od[s]) // (2 * od[s])
+            r = {
+                v: (2 * ((den - num) * units + num * sums.get(v, 0) * n) + den * n)
+                // (2 * den * n)
+                for v in verts
+            }
+        return {v: r[v] / units for v in verts}
+
+    rng = random.Random(5)
+    cases = [
+        [("a", "b"), ("b", "c"), ("c", "a"), ("hub", "a"), ("hub", "b"),
+         ("hub", "c"), ("hub", "d"), ("d", "e")],
+        [(f"v{rng.randint(0, 30)}", f"v{rng.randint(0, 30)}") for _ in range(80)],
+    ]
+    for edge_list in cases:
+        edge_list = [(s, t) for s, t in edge_list if s != t] or [("x", "y")]
+        got = {
+            r["vertex"]: r["pagerank"]
+            for r in pagerank(
+                spark.createDataFrame(edge_list, "src string, dst string")
+            ).collect()
+        }
+        assert got == py_pagerank(edge_list)

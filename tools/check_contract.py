@@ -69,9 +69,11 @@ def main():
     qs = entry_mod.queries()
     sqls = entry_mod.oracle_sql()
     fails = []
+    ran = 0
     for name, fn in qs.items():
         if names and name not in names:
             continue
+        ran += 1
         try:
             ok, msg = compare(name, fn(spark, sf_dir), sqls.get(name), con)
         except Exception as e:
@@ -79,7 +81,7 @@ def main():
         print(f"{'PASS' if ok else 'FAIL'}  {name}: {msg}")
         if not ok:
             fails.append(name)
-    print(f"\n{len(qs) - len(fails)}/{len(qs)} pass" + (f"; FAILURES: {fails}" if fails else ""))
+    print(f"\n{ran - len(fails)}/{ran} pass" + (f"; FAILURES: {fails}" if fails else ""))
     sys.exit(1 if fails else 0)
 
 
