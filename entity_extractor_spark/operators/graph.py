@@ -274,6 +274,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = vertices.count()
+    if n == 0:  # empty graph: no vertices, no ranks (avoid 1/0 below)
+        return vertices.select(
+            "vertex", F.lit(0.0).alias("pagerank")
+        )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
 
     # r0 = round_half_up(units/N); update numerator/denominator:

@@ -165,3 +165,11 @@ def test_pagerank_matches_python_oracle(spark):
             ).collect()
         }
         assert got == py_pagerank(edge_list)
+
+
+def test_pagerank_empty_graph(spark):
+    from entity_extractor_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(empty)
+    assert out.columns == ["vertex", "pagerank"] and out.count() == 0
