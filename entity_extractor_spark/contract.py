@@ -2379,16 +2379,19 @@ def text_repetition_signals(spark, sf_dir):
                         THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                         ELSE '' END AS text
          FROM documents)
+       , er AS (
+         SELECT doc_id, text,
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS etext
+         FROM aug)
        SELECT doc_id,
               CAST(len(regexp_extract_all(text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-              CAST(len(regexp_extract_all(text,
+              CAST(len(regexp_extract_all(etext,
                    '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones,
-              regexp_replace(
-                regexp_replace(text,
-                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              regexp_replace(etext,
                 '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS redacted
-       FROM aug""",
+       FROM er""",
 )
 def text_pii_redact(spark, sf_dir):
     """PII detect + redact (operators/text_quality.py pii_scan). The driver
@@ -2509,11 +2512,12 @@ def graph_pagerank(spark, sf_dir):
     """Entity-importance ranking for the KG: deterministic 3-iteration
     PageRank (graph.pagerank) over the part<->supplier co-occurrence graph,
     value-checked against a DuckDB replay of the identical unrolled
-    iterations. Decimal-summed rounded contributions make the scores
-    bit-stable under any partitioning — the same technique the kmeans and
-    lattice folds use. KG use: disambiguation priors / triple ranking by
-    node centrality (reference ranks nodes only by raw degree,
-    global_node_repository.py)."""
+    iterations. All iteration arithmetic is exact BIGINT fixed-point
+    (1e-9 units, damping 17/20, half-up integer division) — bit-stable by
+    construction under any partitioning or engine, stronger than the
+    round-double-then-sum-decimal technique the kmeans/lattice folds use.
+    KG use: disambiguation priors / triple ranking by node centrality
+    (reference ranks nodes only by raw degree, global_node_repository.py)."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 97 == 1)
     edges = li.select(
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),

@@ -37,6 +37,21 @@ SMALL_GRAPH_EDGES = 2_000_000
 HASHMIN_MAX_ROUNDS_BEFORE_STAR = 8
 
 
+def _clean_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical (src, dst) projection with nulls dropped — the shared
+    first step of every graph operator here."""
+    return edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+
+
+def _symmetrized(e: DataFrame) -> DataFrame:
+    """Undirected view: both orientations of every edge, deduplicated."""
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -55,10 +70,7 @@ def connected_components(
       'hashmin' — force the distributed hash-min loop.
       'star'    — force the distributed large-star/small-star loop.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
-        F.col("src").isNotNull() & F.col("dst").isNotNull()
-    )
-    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    und = _symmetrized(_clean_edges(edges, src, dst))
 
     # Materialize the distinct vocabulary graph once (all paths reuse it),
     # then size-probe with a limit+count — the probe moves NO rows to the
@@ -260,19 +272,15 @@ def pagerank(
     counter aggs). No driver-side data path, no Python rows.
     """
     units = 1_000_000_000  # 1e-9 fixed-point grid
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
-        F.col("src").isNotNull() & F.col("dst").isNotNull()
-    )
-    if undirected:
-        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.distinct().localCheckpoint(eager=True)
+    e = _clean_edges(edges, src, dst)
+    e = (_symmetrized(e) if undirected else e.distinct()).localCheckpoint(eager=True)
 
-    vertices = (
-        e.select(F.col("src").alias("vertex"))
-        .union(e.select(F.col("dst").alias("vertex")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # After symmetrization every vertex appears on the src side; only the
+    # directed path needs the dst side to pick up sink-only vertices.
+    vertices = e.select(F.col("src").alias("vertex"))
+    if not undirected:
+        vertices = vertices.union(e.select(F.col("dst").alias("vertex")))
+    vertices = vertices.distinct().localCheckpoint(eager=True)
     n = vertices.count()
     if n == 0:  # empty graph: no vertices, no ranks (avoid 1/0 below)
         return vertices.select(

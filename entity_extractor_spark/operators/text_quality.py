@@ -194,20 +194,21 @@ def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """PII detection + redaction (emails, NANP-style phone numbers): per-doc
     match counts and the redacted text with matches replaced by typed
     placeholders. Pure codegen'd regexp expressions — one narrow pass, no
-    shuffle, no Python; the redact chain applies email first so a phone
-    digit-run inside an already-redacted span cannot double-match."""
+    shuffle, no Python. Precedence: email first, and n_phones is counted on
+    the email-REDACTED text, so the counts always equal the placeholders
+    present in `redacted` (a digit-run inside an address, e.g.
+    '555-123-4567@x.com', is one email and zero phones)."""
     t = F.col(text_col)
+    email_redacted = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
         .cast("long")
         .alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0)))
+        F.size(F.regexp_extract_all(email_redacted, F.lit(PII_PHONE_RE), F.lit(0)))
         .cast("long")
         .alias("n_phones"),
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
-        ).alias("redacted"),
+        F.regexp_replace(email_redacted, PII_PHONE_RE, "<PHONE>").alias("redacted"),
     )
 
 

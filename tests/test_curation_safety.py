@@ -54,6 +54,18 @@ def test_pii_scan_counts_and_redaction(spark):
     assert out[3]["n_phones"] == 0
 
 
+def test_pii_scan_email_swallows_phone_digits(spark):
+    # a phone-shaped digit run inside an email local part is ONE email and
+    # ZERO phones: n_phones is counted on the email-redacted text, so the
+    # counts always reconcile with the placeholders in `redacted`
+    docs = spark.createDataFrame(
+        [(1, "reach me at 555-123-4567@example.com")], "doc_id int, text string"
+    )
+    out = _rows(TQ.pii_scan(docs, "doc_id", "text"))
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 0
+    assert out[1]["redacted"] == "reach me at <EMAIL>"
+
+
 def test_ngram_contamination_overlap(spark):
     eval_docs = spark.createDataFrame(
         [(100, "the quick brown fox jumps")], "doc_id int, text string"
@@ -135,12 +147,10 @@ def test_pii_scan_matches_python_re_oracle(spark):
         )
     )
     for i, text in docs:
+        etext = re.sub(TQ.PII_EMAIL_RE, "<EMAIL>", text)
         assert out[i]["n_emails"] == len(re.findall(TQ.PII_EMAIL_RE, text)), text
-        assert out[i]["n_phones"] == len(re.findall(TQ.PII_PHONE_RE, text)), text
-        expected = re.sub(
-            TQ.PII_PHONE_RE, "<PHONE>", re.sub(TQ.PII_EMAIL_RE, "<EMAIL>", text)
-        )
-        assert out[i]["redacted"] == expected, text
+        assert out[i]["n_phones"] == len(re.findall(TQ.PII_PHONE_RE, etext)), text
+        assert out[i]["redacted"] == re.sub(TQ.PII_PHONE_RE, "<PHONE>", etext), text
 
 
 def test_ngram_contamination_matches_set_oracle(spark):

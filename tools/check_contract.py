@@ -81,6 +81,10 @@ def main():
         print(f"{'PASS' if ok else 'FAIL'}  {name}: {msg}")
         if not ok:
             fails.append(name)
+    unknown = sorted(set(names) - set(qs))
+    if unknown:  # a typo'd name must not read as a green check
+        print(f"ERROR: no contract query named {unknown}")
+        sys.exit(2)
     print(f"\n{ran - len(fails)}/{ran} pass" + (f"; FAILURES: {fails}" if fails else ""))
     sys.exit(1 if fails else 0)
 
