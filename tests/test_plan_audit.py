@@ -29,3 +29,24 @@ def test_every_contract_query_plan_is_clean(spark):
     assert c.get("BroadcastHashJoinExec", 0) + c.get("SortMergeJoinExec", 0) + c.get(
         "ShuffledHashJoinExec", 0
     ) >= 1, c
+
+
+def test_curation_safety_plan_shapes(spark):
+    """The round-2c additions keep their intended physical shapes:
+    contamination's membership test is a broadcast hash join (the corpus
+    side must not shuffle for it), and the per-document repetition/PII
+    scans are single-pass — no exchange, no join, whole-stage codegen."""
+    from plan_audit import run_audit
+
+    results = run_audit(
+        spark, SF, names=["contamination_ngram", "text_repetition_signals", "text_pii_redact"]
+    )
+    cont = results["contamination_ngram"]["counts"]
+    assert cont.get("BroadcastHashJoinExec", 0) >= 1, cont
+    assert not cont.get("SortMergeJoinExec") and not cont.get("BroadcastNestedLoopJoinExec"), cont
+    for narrow in ("text_repetition_signals", "text_pii_redact"):
+        c = results[narrow]["counts"]
+        joins = sum(c.get(k, 0) for k in (
+            "BroadcastHashJoinExec", "SortMergeJoinExec",
+            "ShuffledHashJoinExec", "BroadcastNestedLoopJoinExec"))
+        assert joins == 0 and not c.get("ShuffleExchangeExec"), (narrow, c)
