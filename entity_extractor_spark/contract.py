@@ -2524,3 +2524,61 @@ def graph_pagerank(spark, sf_dir):
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
     return G.pagerank(edges, iterations=3)
+
+
+@query(
+    "graph_triangles",
+    """WITH pairs AS (
+         SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         WHERE a.l_partkey < b.l_partkey
+       )
+       SELECT count(*) AS triangles
+       FROM pairs e1
+       JOIN pairs e2 ON e2.s = e1.s AND e2.t > e1.t
+       JOIN pairs e3 ON e3.s = e1.t AND e3.t = e2.t""",
+)
+def graph_triangles(spark, sf_dir):
+    """Entity-graph cohesion diagnostic: global triangle count
+    (graph.triangle_count) over the parts-co-ordered-together graph, using
+    the degree-ordered orientation (each triangle counted once as a wedge
+    a->b->c closed by a->c; hub fan-out capped at O(sqrt(|E|))). The DuckDB
+    oracle counts the same triangles by the direct a<b<c three-way join —
+    different physical strategy, same value, which is exactly the
+    cross-check the orientation trick needs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    return G.triangle_count(edges)
+
+
+_CAP_BUCKET_SQL = _SAMPLE_BUCKET_SQL.replace("'s0'", "'cap0'")
+
+
+@query(
+    "sample_capped_per_group",
+    f"""SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                row_number() OVER (
+                  PARTITION BY lang ORDER BY {_CAP_BUCKET_SQL}, doc_id) AS rn
+         FROM documents) WHERE rn <= 20""",
+)
+def sample_capped_per_group(spark, sf_dir):
+    """Per-group contribution cap (operators/sampling.py): keep a
+    deterministic hash-ordered sample of at most 20 documents per language
+    — the fixed-SIZE curation counterpart of sample_stratified's
+    fixed-RATE rebalance (cap any one domain/language's share of the
+    training mix). row_number<=k rank filters take Spark's WindowGroupLimit
+    rewrite: map-side pre-prune to local top-k per group before the one
+    group-key exchange, so hub groups never ship their full membership."""
+    from .operators import sampling as SAMP
+
+    d = _t(spark, sf_dir, "documents")
+    return SAMP.sample_capped_per_group(d, "doc_id", "lang", 20, salt="cap0").select(
+        "doc_id", "lang"
+    )

@@ -316,3 +316,54 @@ def pagerank(
     return ranks.select(
         "vertex", (F.col("r").cast("double") / F.lit(float(units))).alias("pagerank")
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count over an undirected edge table — the standard
+    cohesion diagnostic for the entity graph (how clique-like are the
+    material/chemical/supplier neighborhoods that canonicalization and
+    propagation will traverse).
+
+    Algorithm (the scale-aware formulation, Suri & Vassilvitskii 2011 /
+    Cohen 2009): totally order vertices by (degree, id) and orient every
+    undirected edge from the smaller to the larger endpoint. The oriented
+    graph is acyclic and each triangle {a ≺ b ≺ c} survives as exactly one
+    wedge a→b→c plus its closing edge a→c, so
+
+        triangles = |(a,b) ⋈ (b,c) ⋈ (a,c)|  over oriented edges.
+
+    Why the orientation matters at 100 TB: wedge fan-out from a vertex is
+    bounded by its ORIENTED out-degree, which the (degree, id) order caps
+    at O(sqrt(|E|)) for any graph — a hub with degree 10^6 contributes
+    almost no wedges because nearly all its edges point INTO it. The naive
+    symmetric self-join would square the hub instead. All three joins are
+    hash-partitioned equi-joins with algebraic count aggregation; no
+    driver-side data path.
+    """
+    und = (
+        _symmetrized(_clean_edges(edges, src, dst))
+        .where(F.col("src") != F.col("dst"))  # self-loops close no triangle
+        .localCheckpoint(eager=True)
+    )
+    # after symmetrization, out-degree on src IS the undirected degree
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    oriented = (
+        und.join(deg.select(F.col("src"), F.col("deg").alias("sdeg")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("ddeg")),
+            "dst",
+        )
+        .where(
+            (F.col("sdeg") < F.col("ddeg"))
+            | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+    )
+    wedges = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b")).join(
+        oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b"
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"],
+    )
+    return closed.agg(F.count(F.lit(1)).alias("triangles"))

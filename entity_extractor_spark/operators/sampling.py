@@ -22,7 +22,7 @@ strata absent from the map fall back to a default rate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # denominator of the rate grid: rates are resolved to integer bucket
@@ -69,3 +69,32 @@ def sample_stratified(
     else:  # empty map literal would be VOID-typed; every stratum defaults
         thr = default_thr
     return df.where(sample_bucket(F.col(key_col), salt) < thr)
+
+
+def sample_capped_per_group(
+    df: DataFrame, key_col: str, group_col: str, k: int, salt: str = "s0"
+) -> DataFrame:
+    """Keep at most `k` rows per group, chosen deterministically by hash
+    order (bucket asc, then key asc as the total-order tiebreak) — the
+    contribution cap a corpus curator applies per domain/language/source so
+    no single hub group dominates the training mix (the fixed-size
+    counterpart of sample_stratified's fixed-RATE rebalance).
+
+    Determinism: the kept set is a pure function of the group's key values
+    and the salt — identical on any partitioning, cluster size or retry,
+    and rows keep/drop consistently if the same cap is applied to a sibling
+    table (same keys, same salt).
+
+    Scale shape: rank-based filters (row_number <= k) trigger Spark's
+    WindowGroupLimit rewrite — each map task pre-prunes to its local top-k
+    per group BEFORE the exchange, so hub groups ship at most
+    k * num_partitions rows instead of their full membership; the one
+    shuffle is on the group key, which the cap makes skew-proof."""
+    w = Window.partitionBy(group_col).orderBy(
+        sample_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

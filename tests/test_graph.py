@@ -173,3 +173,39 @@ def test_pagerank_empty_graph(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     out = pagerank(empty)
     assert out.columns == ["vertex", "pagerank"] and out.count() == 0
+
+
+def _brute_triangles(edges: list[tuple[str, str]]) -> int:
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    count = 0
+    for a in adj:
+        for b in adj[a]:
+            if b > a:
+                count += sum(1 for c in adj[b] if c > b and c in adj[a])
+    return count
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has exactly 4 triangles; a pendant edge, a self-loop and a
+    duplicate edge add none."""
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    edges = k4 + [("d", "e"), ("e", "e"), ("a", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assert G.triangle_count(df).collect()[0]["triangles"] == 4
+
+
+def test_triangle_count_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert G.triangle_count(df).collect()[0]["triangles"] == 0
+
+
+@pytest.mark.parametrize("seed,nv,ne", [(11, 12, 30), (12, 25, 90), (13, 8, 40)])
+def test_triangle_count_matches_bruteforce(spark, seed, nv, ne):
+    edges = _random_edges(seed, nv, ne)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = G.triangle_count(df).collect()[0]["triangles"]
+    assert got == _brute_triangles(edges)

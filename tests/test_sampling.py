@@ -106,3 +106,55 @@ def test_dedup_canonical_negative_and_extreme_ids(spark):
         lo: (lo, False),
         hi: (lo, True),
     }
+
+
+def test_capped_per_group_matches_bruteforce(spark):
+    """sample_capped_per_group keeps exactly the k hash-smallest keys per
+    group (bucket asc, key asc tiebreak) — replayed here in pure Python —
+    and the kept set is partitioning-invariant."""
+    import hashlib
+    from collections import defaultdict
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = {
+        (r["doc_id"], r["lang"])
+        for r in S.sample_capped_per_group(docs, "doc_id", "lang", 5)
+        .select("doc_id", "lang")
+        .collect()
+    }
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"{doc_id}|s0".encode()).hexdigest()
+        return int(h[:12], 16) % S.DENOM
+
+    groups: dict[str, list[int]] = defaultdict(list)
+    for r in docs.select("doc_id", "lang").collect():
+        groups[r["lang"]].append(r["doc_id"])
+    expect = {
+        (did, lang)
+        for lang, ids in groups.items()
+        for did in sorted(ids, key=lambda d: (bucket(d), d))[:5]
+    }
+    assert kept == expect
+
+    kept17 = {
+        (r["doc_id"], r["lang"])
+        for r in S.sample_capped_per_group(docs.repartition(17), "doc_id", "lang", 5)
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert kept17 == kept
+
+
+def test_capped_per_group_cap_respected(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    per_group = (
+        S.sample_capped_per_group(docs, "doc_id", "lang", 3)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    sizes = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert per_group  # non-degenerate input
+    for r in per_group:
+        assert r["count"] == min(3, sizes[r["lang"]])
