@@ -2582,3 +2582,54 @@ def sample_capped_per_group(spark, sf_dir):
     return SAMP.sample_capped_per_group(d, "doc_id", "lang", 20, salt="cap0").select(
         "doc_id", "lang"
     )
+
+
+@query(
+    "w6_asof_join",
+    """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'error'),
+         r AS (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'click'),
+         cand AS (
+           SELECT l.event_id, r.event_id AS r_id, r.value AS r_value,
+                  row_number() OVER (PARTITION BY l.event_id
+                                     ORDER BY r.ts DESC, r.event_id DESC) AS rn
+           FROM l JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts)
+       SELECT l.event_id, l.user_id, strftime(l.ts, '%Y-%m-%d') AS ts_date,
+              CAST(CAST(l.value AS DECIMAL(18,2)) AS DOUBLE) AS err_value,
+              c.r_id AS asof_click_id,
+              CAST(CAST(c.r_value AS DECIMAL(18,2)) AS DOUBLE) AS asof_click_value
+       FROM l LEFT JOIN (SELECT event_id, r_id, r_value FROM cand WHERE rn = 1) c
+       USING (event_id)""",
+)
+def w6_asof_join(spark, sf_dir):
+    """Point-in-time enrichment (operators/temporal.py): each error event
+    picks up the newest click by the same user at or before its timestamp
+    — the reference's "most recent analysis as of this page" lookup shape
+    (artifact_ingestor_service.py), which Spark has no ASOF JOIN for. The
+    implementation is the union+window trick (ONE hash exchange on
+    user_id, per-partition sort, last(payload) IGNORE NULLS carry-forward);
+    the oracle deliberately uses the opposite physical strategy — the
+    quadratic candidate join + argmax — so agreement cross-checks the
+    formulation, not the code."""
+    from .operators import temporal as T
+
+    e = _t(spark, sf_dir, "events")
+    left = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = T.asof_join(
+        left, right, on="user_id", ts="ts", right_values=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("ts_date"),
+        F.col("value").cast(_DEC).cast("double").alias("err_value"),
+        F.col("asof_event_id").alias("asof_click_id"),
+        F.col("asof_value").cast(_DEC).cast("double").alias("asof_click_value"),
+    )

@@ -1,0 +1,112 @@
+"""as-of join: brute-force equivalence, partitioning invariance, strict
+inequality and tolerance semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.operators.temporal import asof_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _mk_events(seed: int, n: int, users: int, dup_ts_every: int = 5):
+    """Random (id, user, ts, val) rows; every dup_ts_every-th row reuses the
+    previous timestamp so tie handling is actually exercised."""
+    rng = random.Random(seed)
+    rows, prev_ts = [], T0
+    for i in range(n):
+        ts = prev_ts if (i % dup_ts_every == 0 and i) else T0 + dt.timedelta(
+            seconds=rng.randrange(0, 100_000)
+        )
+        prev_ts = ts
+        rows.append((i, rng.randrange(users), ts, float(rng.randrange(1000)) / 4))
+    return rows
+
+
+def _brute_asof(left, right, exact=True, tol=None):
+    """argmax over the candidate set — the quadratic reference semantics."""
+    out = {}
+    for lid, lu, lts, _ in left:
+        cands = [
+            (rts, rid, rval)
+            for rid, ru, rts, rval in right
+            if ru == lu
+            and (rts <= lts if exact else rts < lts)
+            and (tol is None or (lts - rts).total_seconds() <= tol)
+        ]
+        out[lid] = max(cands)[1:] if cands else (None, None)
+    return out
+
+
+SCHEMA = "id bigint, user bigint, ts timestamp, val double"
+
+
+@pytest.mark.parametrize("seed,exact", [(1, True), (2, False), (3, True)])
+def test_asof_matches_bruteforce(spark, seed, exact):
+    left = _mk_events(seed, 80, users=7)
+    right = _mk_events(seed + 100, 120, users=7)
+    ldf = spark.createDataFrame(left, SCHEMA)
+    rdf = spark.createDataFrame(right, SCHEMA)
+    got = {
+        r["id"]: (r["asof_id"], r["asof_val"])
+        for r in asof_join(
+            ldf, rdf, on="user", ts="ts", right_values=["id", "val"],
+            tiebreak="id", allow_exact_matches=exact,
+        ).collect()
+    }
+    expect = {
+        lid: (rid, rval)
+        for lid, (rid, rval) in _brute_asof(left, right, exact=exact).items()
+    }
+    assert got == expect
+
+
+def test_asof_partitioning_invariant_and_keeps_left_columns(spark):
+    left = _mk_events(7, 60, users=5)
+    right = _mk_events(77, 90, users=5)
+    ldf = spark.createDataFrame(left, SCHEMA)
+    rdf = spark.createDataFrame(right, SCHEMA)
+    base = asof_join(ldf, rdf, "user", "ts", ["id"], tiebreak="id")
+    assert base.columns == ["id", "user", "ts", "val", "asof_id", "asof_ts"]
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(
+        map(
+            tuple,
+            asof_join(
+                ldf.repartition(13), rdf.repartition(3), "user", "ts", ["id"], tiebreak="id"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 60
+
+
+def test_asof_tolerance(spark):
+    left = _mk_events(9, 50, users=4)
+    right = _mk_events(99, 70, users=4)
+    ldf = spark.createDataFrame(left, SCHEMA)
+    rdf = spark.createDataFrame(right, SCHEMA)
+    got = {
+        r["id"]: (r["asof_id"], r["asof_val"])
+        for r in asof_join(
+            ldf, rdf, "user", "ts", ["id", "val"], tiebreak="id",
+            tolerance_seconds=5_000,
+        ).collect()
+    }
+    expect = {
+        lid: (rid, rval)
+        for lid, (rid, rval) in _brute_asof(left, right, tol=5_000).items()
+    }
+    assert got == expect
+
+
+def test_asof_empty_right(spark):
+    left = _mk_events(4, 10, users=2)
+    ldf = spark.createDataFrame(left, SCHEMA)
+    rdf = spark.createDataFrame([], SCHEMA)
+    rows = asof_join(ldf, rdf, "user", "ts", ["id"], tiebreak="id").collect()
+    assert len(rows) == 10 and all(r["asof_id"] is None for r in rows)
