@@ -2633,3 +2633,45 @@ def w6_asof_join(spark, sf_dir):
         F.col("asof_event_id").alias("asof_click_id"),
         F.col("asof_value").cast(_DEC).cast("double").alias("asof_click_value"),
     )
+
+
+@query(
+    "graph_label_propagation",
+    """WITH pairs AS (
+         SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         WHERE a.l_partkey < b.l_partkey
+       ),
+       und AS (SELECT s, t FROM pairs UNION SELECT t AS s, s AS t FROM pairs),
+       l0 AS (SELECT DISTINCT s AS v, s AS label FROM und),
+       n1 AS (SELECT u.s AS v, l.label, count(*) AS cnt
+              FROM und u JOIN l0 l ON l.v = u.t GROUP BY u.s, l.label),
+       l1 AS (SELECT v, label FROM (
+                SELECT v, label, row_number() OVER (
+                  PARTITION BY v ORDER BY cnt DESC, label ASC) AS rn FROM n1)
+              WHERE rn = 1),
+       n2 AS (SELECT u.s AS v, l.label, count(*) AS cnt
+              FROM und u JOIN l1 l ON l.v = u.t GROUP BY u.s, l.label),
+       l2 AS (SELECT v, label FROM (
+                SELECT v, label, row_number() OVER (
+                  PARTITION BY v ORDER BY cnt DESC, label ASC) AS rn FROM n2)
+              WHERE rn = 1)
+       SELECT v AS vertex, label FROM l2""",
+)
+def graph_label_propagation(spark, sf_dir):
+    """Community detection on the parts-co-ordered-together graph
+    (graph.label_propagation, 2 synchronous rounds): most-frequent
+    neighbor label with smallest-label tie-break — a total order, so the
+    unrolled per-round DuckDB CTEs must agree bit-for-bit. Communities are
+    the dense neighborhoods canonicalization review and per-neighborhood
+    sampling operate on (finer than connected components, which merge
+    through any single bridge)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    return G.label_propagation(edges, iterations=2)

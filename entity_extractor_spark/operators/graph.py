@@ -367,3 +367,61 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         ["a", "c"],
     )
     return closed.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", iterations: int = 3
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community detection)
+    over an undirected edge table — groups the entity graph into densely
+    connected neighborhoods (finer than connected_components, which merges
+    through any single bridge edge; communities are where canonicalization
+    review and per-neighborhood sampling operate).
+
+    Semantics (fixed `iterations` rounds, all vertices update together):
+
+        label_0(v)   = v
+        label_i+1(v) = the most frequent label among v's neighbors,
+                       ties broken by the SMALLEST label
+
+    The (count DESC, label ASC) argmax is a total order, so every round —
+    and therefore the result — is a pure function of the edge set:
+    bit-identical across engines, partitionings, AQE re-plans and retries.
+    (Classic LPA breaks ties randomly; a seeded-random variant would pin
+    results to one engine's RNG, which is exactly what the cross-engine
+    oracle forbids.) Self-loops are ignored; a vertex whose only edges are
+    self-loops keeps its own id.
+
+    Scale shape per round: one equi-join (labels x edges — hub-dst skew is
+    absorbed by AQE skew splitting) and two algebraic aggregations
+    (count per (vertex,label), then an argmax via MIN over a (-count,
+    label) struct — both partial-aggregate map-side, so a hub vertex's
+    million neighbor labels collapse within each map task before the
+    exchange). localCheckpoint per round truncates lineage exactly like
+    pagerank/connected_components. No driver-side data path.
+    """
+    und = _symmetrized(_clean_edges(edges, src, dst)).localCheckpoint(eager=True)
+    vertices = und.select(F.col("src").alias("vertex")).distinct().localCheckpoint(
+        eager=True
+    )
+    nbrs = und.where(F.col("src") != F.col("dst"))
+    labels = vertices.select("vertex", F.col("vertex").alias("label"))
+    for _ in range(iterations):
+        counted = (
+            nbrs.join(labels, nbrs["dst"] == labels["vertex"])
+            .groupBy(nbrs["src"].alias("v"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = counted.groupBy("v").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l")))[
+                "l"
+            ].alias("label")
+        )
+        labels = (
+            vertices.join(best, vertices["vertex"] == best["v"], "left")
+            .select(
+                "vertex", F.coalesce("label", "vertex").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

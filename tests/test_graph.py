@@ -209,3 +209,54 @@ def test_triangle_count_matches_bruteforce(spark, seed, nv, ne):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = G.triangle_count(df).collect()[0]["triangles"]
     assert got == _brute_triangles(edges)
+
+
+def _brute_lpa(edges: list[tuple[str, str]], iterations: int) -> dict[str, str]:
+    from collections import Counter
+
+    adj: dict[str, set[str]] = {}
+    verts: set[str] = set()
+    for a, b in edges:
+        verts.update((a, b))
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in verts}
+    for _ in range(iterations):
+        nxt = {}
+        for v in verts:
+            c = Counter(labels[u] for u in adj.get(v, ()))
+            nxt[v] = min(c, key=lambda l: (-c[l], l)) if c else v
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_bridged_triangles(spark):
+    """Two triangles joined by one bridge edge stay separate communities
+    (connected_components would merge them); a self-loop-only vertex keeps
+    its own id."""
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"), ("s", "s")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["vertex"]: r["label"] for r in G.label_propagation(df, iterations=3).collect()}
+    assert got == _brute_lpa(edges, 3)
+    assert len({got["a"], got["x"], got["s"]}) == 3  # three communities
+
+
+@pytest.mark.parametrize("seed,nv,ne,it", [(21, 14, 30, 2), (22, 30, 70, 3), (23, 9, 50, 4)])
+def test_label_propagation_matches_bruteforce(spark, seed, nv, ne, it):
+    edges = _random_edges(seed, nv, ne)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["vertex"]: r["label"] for r in G.label_propagation(df, iterations=it).collect()}
+    assert got == _brute_lpa(edges, it)
+    got17 = {
+        r["vertex"]: r["label"]
+        for r in G.label_propagation(df.repartition(17), iterations=it).collect()
+    }
+    assert got17 == got
+
+
+def test_label_propagation_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    out = G.label_propagation(df)
+    assert out.columns == ["vertex", "label"] and out.count() == 0
