@@ -2675,3 +2675,41 @@ def graph_label_propagation(spark, sf_dir):
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     )
     return G.label_propagation(edges, iterations=2)
+
+
+@query(
+    "curate_snapshot_diff",
+    """WITH old AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+       new AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN text || ' [rev2]' ELSE text END AS text
+         FROM documents WHERE doc_id % 5 <> 0)
+       SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+              END AS change
+       FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+       WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+          OR o.text IS DISTINCT FROM n.text""",
+)
+def curate_snapshot_diff(spark, sf_dir):
+    """Incremental-curation delta (operators/snapshot.py): diff two corpus
+    snapshots into (doc_id, added|removed|changed) so downstream stages
+    re-run over the delta, not the corpus. Snapshots derived
+    deterministically from `documents` (old drops doc_id%7==0, new drops
+    %5==0 and revises text of %3==0). One key-partitioned full-outer join
+    with pruned payload; the oracle is the direct FULL OUTER JOIN + CASE
+    replay."""
+    from .operators.snapshot import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.where(F.col("doc_id") % 7 != 0)
+    new = d.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" [rev2]"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(old, new, keys="doc_id", compare=["text"])
