@@ -2713,3 +2713,27 @@ def curate_snapshot_diff(spark, sf_dir):
         ),
     )
     return snapshot_diff(old, new, keys="doc_id", compare=["text"])
+
+
+@query(
+    "text_length_percentiles",
+    """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       r AS (SELECT lang, n_chars,
+                    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn
+             FROM documents),
+       p AS (SELECT 50 AS pct UNION ALL SELECT 90 UNION ALL SELECT 99)
+       SELECT r.lang, CAST(p.pct AS BIGINT) AS pct, r.n_chars
+       FROM r JOIN n USING (lang)
+       JOIN p ON r.rn = (p.pct * n.n + 99) // 100""",
+)
+def text_length_percentiles(spark, sf_dir):
+    """Corpus length-distribution report (text_quality.group_percentiles):
+    exact type-1 p50/p90/p99 of document length per language — the
+    truncation/packing-budget numbers. Type-1 (value at rank
+    ceil(p/100*n)) is pure integer arithmetic, so exact cross-engine
+    agreement is possible where interpolating quantiles are not. The Spark
+    side orders only DISTINCT (lang, n_chars) pairs after an algebraic
+    collapse; the oracle is the row-level row_number formulation — a
+    different strategy confirming the same values."""
+    d = _t(spark, sf_dir, "documents")
+    return TQ.group_percentiles(d, "lang", "n_chars", (50, 90, 99))

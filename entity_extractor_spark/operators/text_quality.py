@@ -237,3 +237,50 @@ def top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 50) -> DataFra
         .orderBy(F.desc("tf"), F.asc("term"))
         .limit(k)
     )
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Exact type-1 percentiles of an integer column per group — the
+    corpus length/size distribution report (p50/p90/p99 of document length
+    per language/source) curators read before setting truncation and
+    packing budgets. Type-1 = the value at rank ceil(p/100 * n), a pure
+    integer definition: no interpolation, no floats, so every engine
+    agrees bit-for-bit (percentile_approx and quantile_cont both
+    interpolate in doubles and neither is cross-engine stable).
+
+    Scale shape: the per-group ordering runs over DISTINCT (group, value)
+    pairs, not rows — the row-level mass collapses first through an
+    algebraic count (map-side partial), then one window over the collapsed
+    table computes cumulative counts. A 10^9-row language with 10^4
+    distinct lengths sorts 10^4 rows, where the naive row_number window
+    (the DuckDB oracle's formulation, fine at oracle scale) would ship and
+    sort all 10^9. Returns (group, pct, value) long-format.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("val")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("grp").orderBy("val")
+    cum = counts.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("grp"))
+    )
+    pcts = F.array(*[F.lit(int(p)) for p in percentiles])
+    return (
+        cum.withColumn("pct", F.explode(pcts))
+        # target rank t = ceil(pct*n/100), pure integer arithmetic; the one
+        # (group, value) row whose cumulative range [cum-cnt+1, cum]
+        # covers t holds the percentile value
+        .withColumn("t", F.expr("(pct * n + 99) div 100"))
+        .where((F.col("cum") >= F.col("t")) & (F.col("cum") - F.col("cnt") < F.col("t")))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("pct").cast("bigint").alias("pct"),
+            F.col("val").alias(value_col),
+        )
+    )
