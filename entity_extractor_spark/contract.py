@@ -2737,3 +2737,38 @@ def text_length_percentiles(spark, sf_dir):
     different strategy confirming the same values."""
     d = _t(spark, sf_dir, "documents")
     return TQ.group_percentiles(d, "lang", "n_chars", (50, 90, 99))
+
+
+@query(
+    "text_distinctive_terms",
+    """WITH t AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                  FROM documents),
+       tt AS (SELECT lang, term, count(*) AS tf_g FROM t WHERE term <> ''
+              GROUP BY lang, term),
+       ta AS (SELECT term, CAST(sum(tf_g) AS BIGINT) AS tf_all FROM tt GROUP BY term),
+       gt AS (SELECT lang, CAST(sum(tf_g) AS BIGINT) AS g_tokens FROM tt GROUP BY lang),
+       tot AS (SELECT CAST(sum(tf_g) AS BIGINT) AS total FROM tt),
+       lifted AS (
+         SELECT tt.lang, tt.term, tt.tf_g,
+                CAST((CAST(tt.tf_g AS HUGEINT) * 1000000000 * tot.total)
+                     // (CAST(ta.tf_all AS HUGEINT) * gt.g_tokens) AS BIGINT) AS lift_nano
+         FROM tt JOIN ta USING (term) JOIN gt USING (lang) CROSS JOIN tot
+         WHERE tt.tf_g >= 5)
+       SELECT lang, term, tf_g, lift_nano FROM (
+         SELECT lang, term, tf_g, lift_nano,
+                row_number() OVER (PARTITION BY lang
+                                   ORDER BY lift_nano DESC, term) AS rn
+         FROM lifted)
+       WHERE rn <= 10""",
+)
+def text_distinctive_terms(spark, sf_dir):
+    """Per-language over-represented terms (text_quality.distinctive_terms):
+    top-10 by lift = P(term|lang)/P(term) in 1e-9 fixed-point integer
+    units (DECIMAL(38,0) arithmetic Spark-side, HUGEINT in DuckDB — same
+    floor quotient on all-positive operands), min_tf=5 suppressing the
+    typo tail. Tokenizer-vocab allocation / domain-mix diagnostic. The
+    term-keyed exchange is the only big shuffle; group and grand totals
+    re-join as broadcasts; the final per-group top-k takes the
+    WindowGroupLimit pre-prune."""
+    d = _t(spark, sf_dir, "documents")
+    return TQ.distinctive_terms(d, "doc_id", "text", "lang", k=10, min_tf=5)

@@ -284,3 +284,59 @@ def group_percentiles(
             F.col("val").alias(value_col),
         )
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 10,
+    min_tf: int = 5,
+) -> DataFrame:
+    """Terms over-represented in each group vs the whole corpus — the
+    "what is this language/source/domain full of" diagnostic behind
+    tokenizer-vocab allocation and contamination triage. Score is lift
+    = P(term | group) / P(term), computed in 1e-9 FIXED-POINT INTEGER
+    units ((tf_g * 10^9 * total) div (tf_all * group_tokens), DECIMAL(38,0)
+    intermediates — widest product ~1e37 fits): no float division, so the
+    ranking is bit-identical on every engine and partitioning (same
+    discipline as graph.pagerank). min_tf suppresses the one-off-typo tail
+    whose lift is spuriously maximal.
+
+    Scale shape: explode -> (group, term) algebraic count; tf_all and
+    group totals REUSE that collapsed table (no second pass over rows);
+    group totals and the grand total join back as broadcasts (one row per
+    group / one row); the only big exchange is term-keyed. The final
+    row_number()<=k per group takes the WindowGroupLimit map-side
+    pre-prune."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf_g = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf_g"))
+    tf_all = tf_g.groupBy("term").agg(F.sum("tf_g").alias("tf_all"))
+    g_tokens = tf_g.groupBy("grp").agg(F.sum("tf_g").alias("g_tokens"))
+    total = g_tokens.agg(F.sum("g_tokens").alias("total"))
+
+    from pyspark.sql import Window
+
+    lifted = (
+        tf_g.where(F.col("tf_g") >= min_tf)
+        .join(tf_all, "term")
+        .join(F.broadcast(g_tokens), "grp")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lift_nano",
+            F.expr(
+                "CAST((CAST(tf_g AS DECIMAL(38,0)) * 1000000000 * total)"
+                " div (CAST(tf_all AS DECIMAL(38,0)) * g_tokens) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("lift_nano"), F.asc("term"))
+    return (
+        lifted.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(F.col("grp").alias(group_col), "term", "tf_g", "lift_nano")
+    )

@@ -24,3 +24,46 @@ def test_group_percentiles_bruteforce(spark):
         for p in (1, 50, 90, 99, 100)
     }
     assert got == expect
+
+
+def test_distinctive_terms_bruteforce(spark):
+    """Exact-integer lift replayed in Python fractions; top-k set and
+    ordering-free equality per group."""
+    from fractions import Fraction
+    from collections import Counter, defaultdict
+
+    rows = [
+        (1, "aa bb aa cc", "g1"), (2, "aa aa bb", "g1"), (3, "cc dd", "g1"),
+        (4, "dd dd ee dd", "g2"), (5, "ee ff dd dd", "g2"), (6, "aa dd", "g2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    from entity_extractor_spark.operators.text_quality import distinctive_terms
+
+    got = {
+        (r["lang"], r["term"]): (r["tf_g"], r["lift_nano"])
+        for r in distinctive_terms(df, "doc_id", "text", "lang", k=2, min_tf=2).collect()
+    }
+
+    tf_g: Counter = Counter()
+    for _, text, g in rows:
+        for t in text.split():
+            tf_g[(g, t)] += 1
+    tf_all: Counter = Counter()
+    g_tok: Counter = Counter()
+    for (g, t), c in tf_g.items():
+        tf_all[t] += c
+        g_tok[g] += c
+    total = sum(tf_g.values())
+    lifts = {
+        (g, t): (c, int(Fraction(c * 10**9 * total, tf_all[t] * g_tok[g])))
+        for (g, t), c in tf_g.items()
+        if c >= 2
+    }
+    expect = {}
+    by_g: dict[str, list] = defaultdict(list)
+    for (g, t), (c, l) in lifts.items():
+        by_g[g].append((t, c, l))
+    for g, items in by_g.items():
+        for t, c, l in sorted(items, key=lambda x: (-x[2], x[0]))[:2]:
+            expect[(g, t)] = (c, l)
+    assert got == expect
