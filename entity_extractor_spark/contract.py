@@ -2772,3 +2772,37 @@ def text_distinctive_terms(spark, sf_dir):
     WindowGroupLimit pre-prune."""
     d = _t(spark, sf_dir, "documents")
     return TQ.distinctive_terms(d, "doc_id", "text", "lang", k=10, min_tf=5)
+
+
+_PACK_BUCKET_SQL = _SAMPLE_BUCKET_SQL.replace("'s0'", "'pack0'")
+
+
+@query(
+    "curate_pack_sequences",
+    f"""WITH s AS (
+         SELECT doc_id, n_chars, {_PACK_BUCKET_SQL} AS b,
+                CAST({_PACK_BUCKET_SQL} % 8 AS INTEGER) AS shard
+         FROM documents),
+       c AS (
+         SELECT doc_id, shard, n_chars,
+                CAST(sum(n_chars) OVER (PARTITION BY shard ORDER BY b, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         FROM s)
+       SELECT doc_id, shard,
+              CAST((cum - n_chars) // 2048 AS BIGINT) AS start_bin,
+              CAST(CASE WHEN n_chars > 0 THEN (cum - 1) // 2048
+                        ELSE (cum - n_chars) // 2048 END AS BIGINT) AS end_bin,
+              CAST((cum - n_chars) % 2048 AS BIGINT) AS bin_offset
+       FROM c""",
+)
+def curate_pack_sequences(spark, sf_dir):
+    """Concat-and-cut sequence packing (chunker.pack_sequences): documents
+    laid end-to-end in md5-bucket order within 8 equal-probability shards,
+    cut every 2048 tokens (n_chars as the token proxy) — the pretraining
+    batch-assembly layout. One skew-proof shard exchange + per-shard
+    running sum; the layout is a pure function of (ids, token counts,
+    salt), which the DuckDB cumsum replay checks bit-for-bit."""
+    from .operators.chunker import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "n_chars", budget=2048, shards=8, salt="pack0")

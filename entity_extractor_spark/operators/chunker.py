@@ -250,3 +250,69 @@ def build_chunk_embeddings(
         "overwrite"
     ).parquet(path)
     return spark.read.parquet(path)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    shards: int = 64,
+    salt: str = "pack0",
+) -> DataFrame:
+    """Concat-and-cut sequence packing: lay documents end-to-end in a
+    deterministic order and cut every `budget` tokens — the standard
+    pretraining batch-assembly step (each training sequence is a window of
+    the concatenated token stream; a document may straddle a cut). Returns
+    per document:
+
+        (id, shard, start_bin, end_bin, bin_offset)
+
+    where start_bin/end_bin are the first/last training sequences the doc
+    lands in within its shard and bin_offset is its token position inside
+    start_bin. Dataloaders map (shard, bin) -> one training sequence.
+
+    Determinism: docs are sharded by md5 bucket and ordered inside each
+    shard by (bucket, id) — the same total order sampling uses — so the
+    layout is a pure function of (ids, token counts, salt): identical on
+    any partitioning, cluster size or retry, and stable under corpus
+    append ONLY within untouched shards (packing is inherently
+    order-sensitive; shard-local layout bounds the blast radius of a
+    corpus delta to the shards whose membership changed — pairs with
+    snapshot_diff for incremental repacking).
+
+    Scale shape: ONE exchange on the shard key, then a per-shard running
+    sum (window cumsum over rows already sorted by the exchange's sort
+    key). `shards` bounds per-window data at corpus_tokens/shards — size
+    it so a shard's rows fit one task (at 100 TB: tens of thousands of
+    shards), and because every shard is equal-probability md5 mass, the
+    exchange is skew-proof by construction. No driver-side data path.
+    """
+    from ..operators.sampling import sample_bucket
+
+    b = sample_bucket(F.col(id_col), salt)
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy("_bucket", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(tokens_col).alias("_tok"),
+            b.alias("_bucket"),
+            (b % F.lit(int(shards))).cast("int").alias("_shard"),
+        )
+        .withColumn("_cum", F.sum("_tok").over(w))
+        .select(
+            F.col(id_col),
+            F.col("_shard").alias("shard"),
+            F.expr(f"(_cum - _tok) div {int(budget)}").alias("start_bin"),
+            # a zero-token doc occupies no span; pin it to its start bin
+            F.expr(
+                f"CASE WHEN _tok > 0 THEN (_cum - 1) div {int(budget)} "
+                f"ELSE (_cum - _tok) div {int(budget)} END"
+            ).alias("end_bin"),
+            F.expr(f"(_cum - _tok) % {int(budget)}").alias("bin_offset"),
+        )
+    )

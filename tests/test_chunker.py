@@ -238,3 +238,48 @@ def test_whitespace_doc_survives_semantic_chunker_and_rag_topk(spark):
     top = brute_force_topk(emb, [1.0] * 64, id_col="chunk_id", k=10).collect()
     assert len(top) >= 1
     assert all(not r["vec_id"].startswith(("d2", "d3")) for r in top)
+
+
+def test_pack_sequences_python_replay_and_invariance(spark):
+    """pack_sequences == the pure-Python concat-and-cut replay (md5-bucket
+    order within shards), and the layout survives repartitioning."""
+    from entity_extractor_spark.operators.chunker import pack_sequences
+    from entity_extractor_spark.operators.sampling import DENOM
+
+    import random
+
+    rng = random.Random(31)
+    rows = [(i, rng.randrange(0, 900)) for i in range(300)] + [(999, 0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, tok bigint")
+    got = {
+        r["doc_id"]: (r["shard"], r["start_bin"], r["end_bin"], r["bin_offset"])
+        for r in pack_sequences(df, "doc_id", "tok", budget=500, shards=4).collect()
+    }
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"{doc_id}|pack0".encode()).hexdigest()
+        return int(h[:12], 16) % DENOM
+
+    shards: dict[int, list[tuple[int, int, int]]] = {}
+    for did, tok in rows:
+        b = bucket(did)
+        shards.setdefault(b % 4, []).append((b, did, tok))
+    expect = {}
+    for sh, members in shards.items():
+        cum = 0
+        for b, did, tok in sorted(members):
+            start = cum // 500
+            end = (cum + tok - 1) // 500 if tok > 0 else start
+            expect[did] = (sh, start, end, cum % 500)
+            cum += tok
+    assert got == expect
+
+    got17 = {
+        r["doc_id"]: (r["shard"], r["start_bin"], r["end_bin"], r["bin_offset"])
+        for r in pack_sequences(
+            df.repartition(17), "doc_id", "tok", budget=500, shards=4
+        ).collect()
+    }
+    assert got17 == got
+    # every doc with tokens spans a contiguous, budget-consistent range
+    assert all(s <= e for _, (sh, s, e, off) in got.items())
