@@ -2806,3 +2806,23 @@ def curate_pack_sequences(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return pack_sequences(d, "doc_id", "n_chars", budget=2048, shards=8, salt="pack0")
+
+
+@query(
+    "text_pair_counts",
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                  FROM documents),
+       p AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(toks)),
+                           i -> concat(toks[i], ' ', toks[i + 1]))) AS pair
+             FROM t WHERE len(toks) >= 2)
+       SELECT pair, count(*) AS tf, count(DISTINCT doc_id) AS df
+       FROM p GROUP BY pair ORDER BY tf DESC, pair LIMIT 50""",
+)
+def text_pair_counts(spark, sf_dir):
+    """Tokenizer-training pair statistics (text_quality.pair_counts):
+    top-50 adjacent token pairs by corpus frequency with doc frequency —
+    the BPE merge-candidate list / collocation head. One pair-keyed
+    algebraic aggregation + distributed TakeOrderedAndProject top-k; the
+    oracle rebuilds pairs positionally in DuckDB list algebra."""
+    return TQ.pair_counts(_t(spark, sf_dir, "documents"), "doc_id", "text", k=50)

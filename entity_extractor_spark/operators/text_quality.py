@@ -340,3 +340,33 @@ def distinctive_terms(
         .where(F.col("_rn") <= k)
         .select(F.col("grp").alias(group_col), "term", "tf_g", "lift_nano")
     )
+
+
+def pair_counts(df: DataFrame, id_col: str, text_col: str, k: int = 50) -> DataFrame:
+    """Corpus-global adjacent-token-pair statistics — the inner loop of
+    BPE/WordPiece tokenizer training (the merge candidate list is exactly
+    "most frequent adjacent pair") and the collocation head for boilerplate
+    mining. Returns the top-k (pair, tf, df) by total frequency with
+    (tf DESC, pair ASC) tie-break — a deterministic set.
+
+    Scale shape: pair construction zips two shifted slices of the token
+    array (one interpreted-lambda evaluation per pair — the cheap HOF
+    form, see contamination._doc_ngrams); then ONE pair-keyed algebraic
+    aggregation (map-side partials collapse the head pairs before the
+    exchange) and a distributed orderBy().limit(k) =
+    TakeOrderedAndProject. No global window, no driver data path.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    width = F.size(toks) - 1
+    zipped = F.arrays_zip(F.slice(toks, 1, width), F.slice(toks, 2, width))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"])),
+    )
+    return (
+        df.select(F.col(id_col).alias("_d"), F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("_d").alias("df"))
+        .orderBy(F.desc("tf"), F.asc("pair"))
+        .limit(k)
+    )

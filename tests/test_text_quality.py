@@ -67,3 +67,25 @@ def test_distinctive_terms_bruteforce(spark):
         for t, c, l in sorted(items, key=lambda x: (-x[2], x[0]))[:2]:
             expect[(g, t)] = (c, l)
     assert got == expect
+
+
+def test_pair_counts_bruteforce(spark):
+    from collections import Counter
+
+    rows = [(1, "a b a b c"), (2, "a b"), (3, "x"), (4, ""), (5, "b c b c b c")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from entity_extractor_spark.operators.text_quality import pair_counts
+
+    got = [(r["pair"], r["tf"], r["df"]) for r in pair_counts(df, "doc_id", "text", k=3).collect()]
+    tf: Counter = Counter()
+    docs: dict[str, set] = {}
+    for did, text in rows:
+        ts = text.split()
+        for a, b in zip(ts, ts[1:]):
+            tf[f"{a} {b}"] += 1
+            docs.setdefault(f"{a} {b}", set()).add(did)
+    expect = [
+        (p, c, len(docs[p]))
+        for p, c in sorted(tf.items(), key=lambda x: (-x[1], x[0]))[:3]
+    ]
+    assert got == expect
