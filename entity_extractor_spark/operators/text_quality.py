@@ -304,20 +304,25 @@ def distinctive_terms(
     discipline as graph.pagerank). min_tf suppresses the one-off-typo tail
     whose lift is spuriously maximal.
 
-    Scale shape: explode -> (group, term) algebraic count; tf_all and
-    group totals REUSE that collapsed table (no second pass over rows);
-    group totals and the grand total join back as broadcasts (one row per
-    group / one row); the only big exchange is term-keyed. The final
-    row_number()<=k per group takes the WindowGroupLimit map-side
-    pre-prune."""
+    Scale shape: explode -> (group, term) algebraic count, materialized
+    ONCE (localCheckpoint) and reused by all three consumers (tf_all,
+    group totals, the lift join) instead of re-exploding the corpus per
+    branch; group totals join back as a broadcast; the grand total is a
+    single scalar agg over the collapsed table (pagerank's vertex-count
+    pattern — a crossJoin scalar attach would plan as a
+    BroadcastNestedLoopJoin, which the plan audit forbids). The only big
+    exchange is term-keyed. The final row_number()<=k per group takes the
+    WindowGroupLimit map-side pre-prune."""
     toks = df.select(
         F.col(group_col).alias("grp"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
     ).where(F.col("term") != "")
-    tf_g = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf_g"))
+    tf_g = toks.groupBy("grp", "term").agg(
+        F.count(F.lit(1)).alias("tf_g")
+    ).localCheckpoint(eager=True)
     tf_all = tf_g.groupBy("term").agg(F.sum("tf_g").alias("tf_all"))
     g_tokens = tf_g.groupBy("grp").agg(F.sum("tf_g").alias("g_tokens"))
-    total = g_tokens.agg(F.sum("g_tokens").alias("total"))
+    total = int(tf_g.agg(F.sum("tf_g")).collect()[0][0] or 0)
 
     from pyspark.sql import Window
 
@@ -325,11 +330,10 @@ def distinctive_terms(
         tf_g.where(F.col("tf_g") >= min_tf)
         .join(tf_all, "term")
         .join(F.broadcast(g_tokens), "grp")
-        .crossJoin(F.broadcast(total))
         .withColumn(
             "lift_nano",
             F.expr(
-                "CAST((CAST(tf_g AS DECIMAL(38,0)) * 1000000000 * total)"
+                f"CAST((CAST(tf_g AS DECIMAL(38,0)) * 1000000000 * {total}L)"
                 " div (CAST(tf_all AS DECIMAL(38,0)) * g_tokens) AS BIGINT)"
             ),
         )
