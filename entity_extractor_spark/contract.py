@@ -2826,3 +2826,45 @@ def text_pair_counts(spark, sf_dir):
     algebraic aggregation + distributed TakeOrderedAndProject top-k; the
     oracle rebuilds pairs positionally in DuckDB list algebra."""
     return TQ.pair_counts(_t(spark, sf_dir, "documents"), "doc_id", "text", k=50)
+
+
+_SPLIT_BUCKET_SQL = _SAMPLE_BUCKET_SQL.replace("'s0'", "'split0'")
+
+
+@query(
+    "sample_assign_splits",
+    f"""SELECT doc_id,
+              CASE WHEN {_SPLIT_BUCKET_SQL} < 50000 THEN 'test'
+                   WHEN {_SPLIT_BUCKET_SQL} < 950000 THEN 'train'
+                   ELSE 'valid' END AS split
+       FROM documents""",
+)
+def sample_assign_splits(spark, sf_dir):
+    """Deterministic train/valid/test assignment
+    (sampling.assign_splits): contiguous md5-bucket ranges in sorted-name
+    order (test 5% / train 90% / valid 5%) — a pure function of
+    (doc_id, salt), so sibling tables split by the same key never leak
+    across splits, and the oracle replays the CASE over the same bucket
+    formula. Codegen'd narrow expression, no shuffle."""
+    from .operators import sampling as SAMP
+
+    d = _t(spark, sf_dir, "documents")
+    return SAMP.assign_splits(
+        d, "doc_id", {"train": 0.9, "valid": 0.05, "test": 0.05}, salt="split0"
+    ).select("doc_id", "split")
+
+
+@query(
+    "sample_fixed_k",
+    f"""SELECT doc_id, lang FROM documents
+       ORDER BY {_SAMPLE_BUCKET_SQL}, doc_id LIMIT 200""",
+)
+def sample_fixed_k(spark, sf_dir):
+    """Fixed-size global pilot sample (sampling.sample_fixed_k): exactly
+    200 hash-smallest documents — deterministic row budget for pilot/eval
+    subsets. Plans as distributed TakeOrderedAndProject (plan-audited: no
+    global window, no single-task sort)."""
+    from .operators import sampling as SAMP
+
+    d = _t(spark, sf_dir, "documents")
+    return SAMP.sample_fixed_k(d, "doc_id", 200, salt="s0").select("doc_id", "lang")

@@ -98,3 +98,60 @@ def sample_capped_per_group(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "split0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment: append `split_col`
+    labelling each row by carving [0, DENOM) into contiguous bucket ranges
+    — one range per split name in SORTED-NAME order, widths proportional
+    to the requested fractions (resolved to the integer grid; any rounding
+    remainder goes to the LAST sorted split so the ranges exactly tile the
+    space and every row gets a label).
+
+    The label is a pure function of (key, salt): stable under any
+    partitioning/retry, and consistent across tables — a document and its
+    embeddings land in the same split, and eval rows can never leak into
+    train when both tables are split by the same key+salt. Growing one
+    split's fraction later only MOVES the boundary: rows keep their label
+    unless the boundary crosses them (minimal churn on re-splits).
+
+    Scale shape: a codegen'd CASE over the md5 bucket — narrow, no
+    shuffle, pushes below wide transforms like every sampler here.
+    """
+    if not splits or any(f < 0 for f in splits.values()):
+        raise ValueError("splits must be a non-empty {name: fraction>=0} map")
+    total = sum(splits.values())
+    names = sorted(splits)
+    # integer boundaries on the bucket grid, exactly tiling [0, DENOM)
+    edges, acc = [], 0.0
+    for name in names:
+        acc += splits[name]
+        edges.append(int(round(acc / total * DENOM)))
+    edges[-1] = DENOM
+
+    b = sample_bucket(F.col(key_col), salt)
+    expr = None
+    for name, hi in zip(names, edges):
+        expr = F.when(b < hi, F.lit(name)) if expr is None else expr.when(b < hi, F.lit(name))
+    return df.withColumn(split_col, expr)
+
+
+def sample_fixed_k(df: DataFrame, key_col: str, k: int, salt: str = "s0") -> DataFrame:
+    """Exactly min(k, n) rows: the k hash-smallest keys (bucket asc, key
+    asc total order) — the fixed-SIZE global counterpart of
+    sample_uniform's fixed-rate filter, for pilot/eval subsets that must
+    have an exact row budget regardless of corpus size. Same determinism
+    contract as every sampler here: a pure function of (keys, salt).
+
+    Scale shape: orderBy().limit(k) plans as a distributed
+    TakeOrderedAndProject — each task keeps its local k, the driver merges
+    k-sized heaps; no global sort, no single-partition window."""
+    return df.orderBy(
+        sample_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    ).limit(k)

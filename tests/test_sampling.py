@@ -158,3 +158,73 @@ def test_capped_per_group_cap_respected(spark):
     assert per_group  # non-degenerate input
     for r in per_group:
         assert r["count"] == min(3, sizes[r["lang"]])
+
+
+def test_assign_splits_python_replay_and_consistency(spark):
+    """Split labels == the pure-Python boundary replay; identical labels
+    under repartitioning; unnormalized weights (8/1/1) behave like
+    fractions; remainder tiling means every row is labelled."""
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in S.assign_splits(
+            docs, "doc_id", {"train": 8, "valid": 1, "test": 1}, salt="sp1"
+        ).select("doc_id", "split").collect()
+    }
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"{doc_id}|sp1".encode()).hexdigest()
+        return int(h[:12], 16) % S.DENOM
+
+    # sorted names: test, train, valid; widths 10%, 80%, 10%
+    def label(b: int) -> str:
+        if b < round(0.1 * S.DENOM):
+            return "test"
+        if b < round(0.9 * S.DENOM):
+            return "train"
+        return "valid"
+
+    expect = {r["doc_id"]: label(bucket(r["doc_id"])) for r in docs.select("doc_id").collect()}
+    assert got == expect and set(got.values()) == {"train", "valid", "test"}
+
+    got17 = {
+        r["doc_id"]: r["split"]
+        for r in S.assign_splits(
+            docs.repartition(17), "doc_id", {"train": 8, "valid": 1, "test": 1}, salt="sp1"
+        ).select("doc_id", "split").collect()
+    }
+    assert got17 == got
+
+
+def test_assign_splits_rejects_bad_maps(spark):
+    import pytest as _pytest
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with _pytest.raises(ValueError):
+        S.assign_splits(docs, "doc_id", {})
+    with _pytest.raises(ValueError):
+        S.assign_splits(docs, "doc_id", {"train": -1.0, "valid": 2.0})
+
+
+def test_sample_fixed_k_exact_and_invariant(spark):
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = [r["doc_id"] for r in S.sample_fixed_k(docs, "doc_id", 7).select("doc_id").collect()]
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"{doc_id}|s0".encode()).hexdigest()
+        return int(h[:12], 16) % S.DENOM
+
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    expect = sorted(ids, key=lambda d: (bucket(d), d))[:7]
+    assert got == expect
+    got17 = [
+        r["doc_id"]
+        for r in S.sample_fixed_k(docs.repartition(17), "doc_id", 7).select("doc_id").collect()
+    ]
+    assert got17 == expect
+    # k beyond corpus size returns everything
+    assert S.sample_fixed_k(docs, "doc_id", 10**9).count() == docs.count()
