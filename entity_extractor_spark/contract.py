@@ -2526,13 +2526,29 @@ def graph_pagerank(spark, sf_dir):
     return G.pagerank(edges, iterations=3)
 
 
-@query(
-    "graph_triangles",
-    """WITH pairs AS (
+# The parts-co-ordered-together graph (s < t canonical orientation),
+# shared by the graph contract queries — one definition on each engine.
+_PAIRS_CTE = """pairs AS (
          SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
          WHERE a.l_partkey < b.l_partkey
-       )
+       )"""
+
+
+def _co_order_edges(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+
+
+@query(
+    "graph_triangles",
+    f"""WITH {_PAIRS_CTE}
        SELECT count(*) AS triangles
        FROM pairs e1
        JOIN pairs e2 ON e2.s = e1.s AND e2.t > e1.t
@@ -2546,15 +2562,7 @@ def graph_triangles(spark, sf_dir):
     oracle counts the same triangles by the direct a<b<c three-way join —
     different physical strategy, same value, which is exactly the
     cross-check the orientation trick needs."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    )
-    return G.triangle_count(edges)
+    return G.triangle_count(_co_order_edges(spark, sf_dir))
 
 
 _CAP_BUCKET_SQL = _SAMPLE_BUCKET_SQL.replace("'s0'", "'cap0'")
@@ -2637,11 +2645,7 @@ def w6_asof_join(spark, sf_dir):
 
 @query(
     "graph_label_propagation",
-    """WITH pairs AS (
-         SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
-         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-         WHERE a.l_partkey < b.l_partkey
-       ),
+    f"""WITH {_PAIRS_CTE},
        und AS (SELECT s, t FROM pairs UNION SELECT t AS s, s AS t FROM pairs),
        l0 AS (SELECT DISTINCT s AS v, s AS label FROM und),
        n1 AS (SELECT u.s AS v, l.label, count(*) AS cnt
@@ -2666,15 +2670,7 @@ def graph_label_propagation(spark, sf_dir):
     the dense neighborhoods canonicalization review and per-neighborhood
     sampling operate on (finer than connected components, which merge
     through any single bridge)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    )
-    return G.label_propagation(edges, iterations=2)
+    return G.label_propagation(_co_order_edges(spark, sf_dir), iterations=2)
 
 
 @query(

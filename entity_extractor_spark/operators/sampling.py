@@ -93,10 +93,11 @@ def sample_capped_per_group(
     w = Window.partitionBy(group_col).orderBy(
         sample_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
     )
+    rn = "__cap_rn"  # collision-resistant: never clobbers a caller column
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .where(F.col(rn) <= k)
+        .drop(rn)
     )
 
 
@@ -127,6 +128,8 @@ def assign_splits(
     if not splits or any(f < 0 for f in splits.values()):
         raise ValueError("splits must be a non-empty {name: fraction>=0} map")
     total = sum(splits.values())
+    if total == 0:
+        raise ValueError("splits fractions must not all be zero")
     names = sorted(splits)
     # integer boundaries on the bucket grid, exactly tiling [0, DENOM)
     edges, acc = [], 0.0
@@ -151,7 +154,10 @@ def sample_fixed_k(df: DataFrame, key_col: str, k: int, salt: str = "s0") -> Dat
 
     Scale shape: orderBy().limit(k) plans as a distributed
     TakeOrderedAndProject — each task keeps its local k, the driver merges
-    k-sized heaps; no global sort, no single-partition window."""
+    k-sized heaps; no global sort, no single-partition window. Size k for
+    a pilot/eval subset (each task allocates a k-sized heap): thousands to
+    low millions. For budgets beyond task memory use sample_uniform with
+    rate = k/n instead."""
     return df.orderBy(
         sample_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
     ).limit(k)

@@ -43,8 +43,8 @@ def snapshot_diff(
             c for c in old.columns if c in set(new.columns) and c not in key_list
         ]
 
-    o = old.select(*key_list, *compare, F.lit(1).alias("_in_old"))
-    n = new.select(*key_list, *compare, F.lit(1).alias("_in_new"))
+    o = old.select(*key_list, *compare, F.lit(1).alias("__snap_in_old"))
+    n = new.select(*key_list, *compare, F.lit(1).alias("__snap_in_new"))
     j = o.alias("o").join(n.alias("n"), on=key_list, how="full_outer")
 
     same_payload = F.lit(True)
@@ -52,8 +52,8 @@ def snapshot_diff(
         same_payload = same_payload & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
 
     change = (
-        F.when(F.col("o._in_old").isNull(), F.lit("added"))
-        .when(F.col("n._in_new").isNull(), F.lit("removed"))
+        F.when(F.col("o.__snap_in_old").isNull(), F.lit("added"))
+        .when(F.col("n.__snap_in_new").isNull(), F.lit("removed"))
         .when(~same_payload, F.lit("changed"))
     )
     return (

@@ -65,17 +65,27 @@ def asof_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     carry = list(dict.fromkeys([*right_values, ts]))
+    # keys and ts already travel as top-level union columns; the _ROW
+    # struct carries only the REST of the left row, so the big exchange
+    # never ships a left key/ts twice
+    rest = [c for c in left.columns if c not in {*keys, ts}]
 
-    # schema-only probes (no jobs): the exact struct types each side must
-    # null-pad so unionByName lines up
+    # schema-only probes (no jobs): the exact types each side must
+    # null-pad so unionByName lines up. The tiebreak keeps its NATIVE type
+    # — casting it to string would resolve ts-ties lexicographically
+    # ('9' > '10'), not by value.
+    # zero-field structs are invalid: pad with a constant when the left
+    # row is nothing but keys + ts
+    row_fields = [F.col(c) for c in rest] or [F.lit(0).alias("__none")]
     payload_t = right.select(F.struct(*[F.col(c) for c in carry]).alias(_ASOF)).schema[0].dataType
-    row_t = left.select(F.struct(*[F.col(c) for c in left.columns]).alias(_ROW)).schema[0].dataType
+    row_t = left.select(F.struct(*row_fields).alias(_ROW)).schema[0].dataType
+    tb_t = right.schema[tiebreak].dataType
 
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(ts).alias(ts),
         F.lit(0).alias(_TAG),
-        F.col(tiebreak).cast("string").alias(_TB),
+        F.col(tiebreak).alias(_TB),
         F.struct(*[F.col(c) for c in carry]).alias(_ASOF),
         F.lit(None).cast(row_t).alias(_ROW),
     )
@@ -83,9 +93,9 @@ def asof_join(
         *[F.col(k) for k in keys],
         F.col(ts).alias(ts),
         F.lit(1).alias(_TAG),
-        F.lit(None).cast("string").alias(_TB),
+        F.lit(None).cast(tb_t).alias(_TB),
         F.lit(None).cast(payload_t).alias(_ASOF),
-        F.struct(*[F.col(c) for c in left.columns]).alias(_ROW),
+        F.struct(*row_fields).alias(_ROW),
     )
 
     # At equal ts a right row sorts BEFORE the left row iff exact matches
@@ -113,6 +123,9 @@ def asof_join(
                 F.col(_ASOF),
             ),
         )
-    out_cols = [F.col(f"{_ROW}.{c}").alias(c) for c in left.columns]
+    out_cols = [
+        (F.col(c) if c in {*keys, ts} else F.col(f"{_ROW}.{c}")).alias(c)
+        for c in left.columns
+    ]
     out_cols += [F.col(f"{_ASOF}.{c}").alias(f"{prefix}{c}") for c in carry]
     return matched.select(*out_cols)

@@ -110,3 +110,23 @@ def test_asof_empty_right(spark):
     rdf = spark.createDataFrame([], SCHEMA)
     rows = asof_join(ldf, rdf, "user", "ts", ["id"], tiebreak="id").collect()
     assert len(rows) == 10 and all(r["asof_id"] is None for r in rows)
+
+
+def test_asof_tiebreak_is_numeric_not_lexicographic(spark):
+    """Two right rows at the SAME timestamp with ids 9 and 10: the winner
+    must be 10 (largest value), not 9 (lexicographically largest string) —
+    regression for the string-cast tiebreak bug."""
+    t = T0
+    ldf = spark.createDataFrame([(100, 1, t, 0.0)], SCHEMA)
+    rdf = spark.createDataFrame([(9, 1, t, 9.0), (10, 1, t, 10.0)], SCHEMA)
+    row = asof_join(ldf, rdf, "user", "ts", ["id", "val"], tiebreak="id").collect()[0]
+    assert (row["asof_id"], row["asof_val"]) == (10, 10.0)
+
+
+def test_asof_left_of_only_keys_and_ts(spark):
+    """A left table with no payload beyond (key, ts) still works (the
+    internal row struct must not be empty)."""
+    ldf = spark.createDataFrame([(1, T0)], "user bigint, ts timestamp")
+    rdf = spark.createDataFrame([(7, 1, T0, 1.5)], SCHEMA)
+    row = asof_join(ldf, rdf, "user", "ts", ["id"], tiebreak="id").collect()[0]
+    assert row["user"] == 1 and row["asof_id"] == 7
