@@ -607,13 +607,17 @@ def dedup_minhash(spark, sf_dir):
     return D.minhash_signatures(d, "doc_id", "text", num_hashes=16, shingle_n=2)
 
 
-_MINHASH_SIG_SQL = """
+def _minhash_sig_sql(where: str) -> str:
+    """The minhash-signature CTE block over `documents WHERE {where}` —
+    shared by the batch LSH pair oracle and the incremental new-vs-index
+    oracle (one definition of the hashing scheme on the DuckDB side)."""
+    return f"""
     WITH sh AS (
          SELECT doc_id, unnest(list_distinct(
                   list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
                                  i -> toks[i] || ' ' || toks[i + 1]))) AS shingle
          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-               FROM documents WHERE doc_id % 10 = 0)
+               FROM documents WHERE {where})
        ), hx AS (
          SELECT doc_id, shingle,
                 CAST(('0x' || substr(md5(shingle), 1, 12)) AS BIGINT) AS x
@@ -625,6 +629,9 @@ _MINHASH_SIG_SQL = """
          GROUP BY doc_id, hash_id
        )
 """
+
+
+_MINHASH_SIG_SQL = _minhash_sig_sql("doc_id % 10 = 0")
 
 @query(
     "dedup_minhash_lsh_pairs",
@@ -2864,3 +2871,29 @@ def sample_fixed_k(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return SAMP.sample_fixed_k(d, "doc_id", 200, salt="s0").select("doc_id", "lang")
+
+
+@query(
+    "dedup_incremental_lsh",
+    _minhash_sig_sql("doc_id % 10 = 0") + """,
+       buckets AS (
+         SELECT doc_id, CAST(hash_id // 4 AS INT) AS band,
+                md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_id)) AS bucket
+         FROM sig GROUP BY doc_id, CAST(hash_id // 4 AS INT)
+       )
+       SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS index_id
+       FROM buckets n JOIN buckets o ON n.band = o.band AND n.bucket = o.bucket
+       WHERE n.doc_id % 20 = 10 AND o.doc_id % 20 = 0""",
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    """Incremental near-dedup (dedupe.incremental_lsh_matches): the NEW
+    ingest batch (doc_id%20==10) dedups against the PERSISTED LSH index of
+    the existing corpus (doc_id%20==0, built by dedupe.lsh_bucket_table)
+    — only the new batch is shingled/hashed; the old corpus contributes
+    its (band, bucket) index rows to one equi-join. The oracle computes
+    both sides' buckets from scratch and joins across the same split —
+    identical pairs, opposite amount of recomputation."""
+    d = _t(spark, sf_dir, "documents").where("doc_id % 10 = 0")
+    index = D.lsh_bucket_table(d.where("doc_id % 20 = 0"), "doc_id", "text")
+    new = d.where("doc_id % 20 = 10")
+    return D.incremental_lsh_matches(new, index, "doc_id", "text")

@@ -74,13 +74,12 @@ def minhash_signatures(
     return hashed.groupBy("doc_id", "hash_id").agg(F.min("hv").alias("minhash"))
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, band_size: int = 4
-) -> DataFrame:
-    """Band the signature (rows of (doc_id, hash_id, minhash)), bucket-join:
-    docs sharing any band bucket become candidate pairs (doc1 < doc2)."""
+def _band_buckets(signatures: DataFrame, band_size: int) -> DataFrame:
+    """(doc_id, band, bucket): md5 of each band's ordered minhash run —
+    the unit of LSH blocking, shared by the self-join (lsh_candidate_pairs)
+    and the incremental new-vs-index join (incremental_lsh_matches)."""
     banded = signatures.withColumn("band", (F.col("hash_id") / band_size).cast("int"))
-    buckets = banded.groupBy("doc_id", "band").agg(
+    return banded.groupBy("doc_id", "band").agg(
         F.md5(
             F.array_join(
                 F.transform(
@@ -91,12 +90,67 @@ def lsh_candidate_pairs(
             )
         ).alias("bucket")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, band_size: int = 4
+) -> DataFrame:
+    """Band the signature (rows of (doc_id, hash_id, minhash)), bucket-join:
+    docs sharing any band bucket become candidate pairs (doc1 < doc2)."""
+    buckets = _band_buckets(signatures, band_size)
     a = buckets.select("band", "bucket", F.col("doc_id").alias("doc1"))
     b = buckets.select("band", "bucket", F.col("doc_id").alias("doc2"))
     return (
         a.join(b, ["band", "bucket"])
         .where(F.col("doc1") < F.col("doc2"))
         .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def lsh_bucket_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """The PERSISTENT LSH index of a corpus: (doc_id, band, bucket). Write
+    this once per snapshot (partitioned/bucketed by (band, bucket)); daily
+    ingests then dedup against it via incremental_lsh_matches without ever
+    re-shingling the old corpus."""
+    return _band_buckets(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n), band_size
+    )
+
+
+def incremental_lsh_matches(
+    new_df: DataFrame,
+    index_buckets: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(new_id, index_id) near-dup candidates of a NEW batch against an
+    EXISTING corpus index — the incremental form of near-dedup that makes
+    daily ingest tractable at 100 TB: the old corpus is never re-shingled,
+    re-hashed or re-paired; cost is O(|new batch|) hashing plus one
+    equi-join on (band, bucket) whose right side prunes to the buckets the
+    new batch actually touches (a bucketed/partitioned index table makes
+    that join shuffle-free on the index side). Same (num_hashes, band_size,
+    shingle_n) MUST be used as when the index was built — same guarantee
+    surface as the batch self-join path (lsh_candidate_pairs)."""
+    nb = lsh_bucket_table(new_df, id_col, text_col, num_hashes, band_size, shingle_n)
+    return (
+        nb.select("band", "bucket", F.col("doc_id").alias("new_id"))
+        .join(
+            index_buckets.select("band", "bucket", F.col("doc_id").alias("index_id")),
+            ["band", "bucket"],
+        )
+        .select("new_id", "index_id")
         .distinct()
     )
 
