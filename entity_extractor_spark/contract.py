@@ -2897,3 +2897,45 @@ def dedup_incremental_lsh(spark, sf_dir):
     index = D.lsh_bucket_table(d.where("doc_id % 20 = 0"), "doc_id", "text")
     new = d.where("doc_id % 20 = 10")
     return D.incremental_lsh_matches(new, index, "doc_id", "text")
+
+
+@query(
+    "curate_split_leakage",
+    _minhash_sig_sql("doc_id % 10 = 0") + f""",
+       buckets AS (
+         SELECT doc_id, CAST(hash_id // 4 AS INT) AS band,
+                md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_id)) AS bucket
+         FROM sig GROUP BY doc_id, CAST(hash_id // 4 AS INT)
+       ),
+       p AS (
+         SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id
+       ),
+       lab AS (
+         SELECT doc1, doc2,
+                CASE WHEN {_SPLIT_BUCKET_SQL.replace("doc_id", "doc1")} < 50000 THEN 'test'
+                     WHEN {_SPLIT_BUCKET_SQL.replace("doc_id", "doc1")} < 950000 THEN 'train'
+                     ELSE 'valid' END AS split1,
+                CASE WHEN {_SPLIT_BUCKET_SQL.replace("doc_id", "doc2")} < 50000 THEN 'test'
+                     WHEN {_SPLIT_BUCKET_SQL.replace("doc_id", "doc2")} < 950000 THEN 'train'
+                     ELSE 'valid' END AS split2
+         FROM p)
+       SELECT doc1, doc2, split1, split2 FROM lab WHERE split1 <> split2""",
+)
+def curate_split_leakage(spark, sf_dir):
+    """Train/eval leakage audit (contamination.cross_split_leakage): LSH
+    near-dup pairs whose endpoints landed in DIFFERENT splits of
+    assign_splits' 90/5/5 assignment — the internal-corpus counterpart of
+    benchmark decontamination. Composes three value-checked operators
+    (minhash LSH pairing, split assignment, the leakage join); the oracle
+    replays the full composition."""
+    from .operators import sampling as SAMP
+    from .operators.contamination import cross_split_leakage
+
+    d = _t(spark, sf_dir, "documents").where("doc_id % 10 = 0")
+    pairs = D.lsh_candidate_pairs(D.minhash_signatures(d, "doc_id", "text"))
+    labels = SAMP.assign_splits(
+        d, "doc_id", {"train": 0.9, "valid": 0.05, "test": 0.05}, salt="split0"
+    ).select("doc_id", "split")
+    return cross_split_leakage(pairs, labels)

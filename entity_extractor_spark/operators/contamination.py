@@ -79,3 +79,30 @@ def ngram_contamination(
             F.round(F.col("n_hit") / F.col("n_grams").cast("double"), 6),
         )
     )
+
+
+def cross_split_leakage(
+    pairs: DataFrame, labels: DataFrame, id_col: str = "doc_id", split_col: str = "split"
+) -> DataFrame:
+    """Near-duplicate pairs that STRADDLE split boundaries — the
+    train/eval leakage audit run after assign_splits + LSH pairing: a
+    test document with a near-duplicate in train silently inflates eval
+    scores, which is the same failure class as benchmark contamination
+    (ngram_contamination) but internal to the corpus. Input `pairs`
+    (doc1, doc2) from any pair generator (dedupe.lsh_candidate_pairs,
+    simhash radius, embedding near-dup); `labels` (id, split) from
+    sampling.assign_splits. Output: the offending pairs with both labels.
+
+    Scale shape: two hash equi-joins of the (small) pair table against the
+    label table and a codegen'd filter — no new shuffle structure beyond
+    what the pair generator already paid. Fix-up action downstream:
+    quarantine the eval side or re-assign the pair to one split.
+    """
+    l1 = labels.select(F.col(id_col).alias("doc1"), F.col(split_col).alias("split1"))
+    l2 = labels.select(F.col(id_col).alias("doc2"), F.col(split_col).alias("split2"))
+    return (
+        pairs.join(l1, "doc1")
+        .join(l2, "doc2")
+        .where(F.col("split1") != F.col("split2"))
+        .select("doc1", "doc2", "split1", "split2")
+    )

@@ -185,3 +185,27 @@ def test_ngram_contamination_matches_set_oracle(spark):
         assert out[i]["n_grams"] == len(g), text
         assert out[i]["n_hit"] == hit, text
         assert out[i]["contamination"] == round(hit / len(g), 6)
+
+
+def test_cross_split_leakage_bruteforce(spark):
+    """Leakage join replayed in Python over synthetic pairs+labels; same-
+    split pairs never leak, unlabeled endpoints drop out (inner join)."""
+    from entity_extractor_spark.operators.contamination import cross_split_leakage
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (7, 99)], "doc1 bigint, doc2 bigint"
+    )
+    labels = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train"),
+         (5, "valid"), (6, "train"), (7, "train")],
+        "doc_id bigint, split string",
+    )
+    got = {
+        (r["doc1"], r["doc2"], r["split1"], r["split2"])
+        for r in cross_split_leakage(pairs, labels).collect()
+    }
+    assert got == {
+        (1, 2, "train", "test"),
+        (2, 3, "test", "train"),
+        (5, 6, "valid", "train"),
+    }
