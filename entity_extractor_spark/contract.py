@@ -2939,3 +2939,87 @@ def curate_split_leakage(spark, sf_dir):
         d, "doc_id", {"train": 0.9, "valid": 0.05, "test": 0.05}, salt="split0"
     ).select("doc_id", "split")
     return cross_split_leakage(pairs, labels)
+
+
+@query(
+    "stream_dedup_replay",
+    _minhash_sig_sql("doc_id % 10 = 0") + """,
+       buckets AS (
+         SELECT doc_id, CAST(hash_id // 4 AS INT) AS band,
+                md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_id)) AS bucket
+         FROM sig GROUP BY doc_id, CAST(hash_id // 4 AS INT)
+       ),
+       p0 AS (
+         SELECT DISTINCT lpad(CAST(a.doc_id AS VARCHAR), 20, '0') AS a,
+                         lpad(CAST(b.doc_id AS VARCHAR), 20, '0') AS b
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id AND a.doc_id % 20 = 0 AND b.doc_id % 20 = 0
+       ),
+       e0 AS (SELECT a, b FROM p0 UNION SELECT b, a FROM p0
+              UNION SELECT a, a FROM p0 UNION SELECT b, b FROM p0),
+       p1 AS (
+         SELECT DISTINCT lpad(CAST(a.doc_id AS VARCHAR), 20, '0') AS a,
+                         lpad(CAST(b.doc_id AS VARCHAR), 20, '0') AS b
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id AND a.doc_id % 20 = 10 AND b.doc_id % 20 = 10
+       ),
+       e1 AS (SELECT a, b FROM p1 UNION SELECT b, a FROM p1
+              UNION SELECT a, a FROM p1 UNION SELECT b, b FROM p1),
+       closure0 AS (
+         WITH RECURSIVE reach(src, dst) AS (
+           SELECT a, b FROM e0
+           UNION SELECT r.src, e.b FROM reach r JOIN e0 e ON r.dst = e.a)
+         SELECT src AS vertex, min(dst) AS component FROM reach GROUP BY src
+       ),
+       closure1 AS (
+         WITH RECURSIVE reach(src, dst) AS (
+           SELECT a, b FROM e1
+           UNION SELECT r.src, e.b FROM reach r JOIN e1 e ON r.dst = e.a)
+         SELECT src AS vertex, min(dst) AS component FROM reach GROUP BY src
+       ),
+       dec0 AS (
+         SELECT d.doc_id,
+                CAST(COALESCE(c.component, lpad(CAST(d.doc_id AS VARCHAR), 20, '0')) AS BIGINT) AS keeper
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
+         LEFT JOIN closure0 c ON c.vertex = lpad(CAST(d.doc_id AS VARCHAR), 20, '0')
+       ),
+       dec1w AS (
+         SELECT d.doc_id,
+                CAST(COALESCE(c.component, lpad(CAST(d.doc_id AS VARCHAR), 20, '0')) AS BIGINT) AS keeper
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 10) d
+         LEFT JOIN closure1 c ON c.vertex = lpad(CAST(d.doc_id AS VARCHAR), 20, '0')
+       ),
+       prior AS (
+         SELECT k1.doc_id AS keeper, min(b0.doc_id) AS prior_keeper
+         FROM (SELECT doc_id FROM dec1w WHERE keeper = doc_id) k1
+         JOIN buckets b1 ON b1.doc_id = k1.doc_id
+         JOIN buckets b0 ON b0.band = b1.band AND b0.bucket = b1.bucket
+         JOIN (SELECT doc_id FROM dec0 WHERE keeper = doc_id) k0 ON k0.doc_id = b0.doc_id
+         GROUP BY k1.doc_id
+       ),
+       dec1 AS (
+         SELECT d.doc_id, COALESCE(p.prior_keeper, d.keeper) AS keeper
+         FROM dec1w d LEFT JOIN prior p ON p.keeper = d.keeper
+       )
+       SELECT doc_id, keeper, keeper <> doc_id AS is_dup FROM dec0
+       UNION ALL
+       SELECT doc_id, keeper, keeper <> doc_id AS is_dup FROM dec1""",
+)
+def stream_dedup_replay(spark, sf_dir):
+    """Streaming dedup gate replayed deterministically (streaming/dedup.py
+    dedup_batch): the corpus slice arrives as two micro-batches
+    (doc_id%20==0 then %20==10); each batch canonicalizes within itself
+    (LSH pairs -> CC -> min-id keeper) and its surviving keepers re-point
+    to the smallest colliding doc in the accumulated kept-docs index. The
+    oracle unrolls both batches — per-batch recursive transitive closures
+    plus the cross-batch keeper join — so the sequential stateful
+    semantics are value-checked, not just rows-counted."""
+    import tempfile
+
+    from .streaming.dedup import dedup_batch, read_decisions
+
+    out = tempfile.mkdtemp(prefix="stream_dedup_")
+    d = _t(spark, sf_dir, "documents").where("doc_id % 10 = 0").select("doc_id", "text")
+    dedup_batch(spark, d.where("doc_id % 20 = 0"), 0, out)
+    dedup_batch(spark, d.where("doc_id % 20 = 10"), 1, out)
+    return read_decisions(spark, out)
