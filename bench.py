@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_brute_topk",
     "text_quality_score",
+    # round-2 additions: degree-ordered triangle join, as-of union+window,
+    # incremental new-vs-index LSH dedup, fixed-point lift term stats
+    "graph_triangles",
+    "w6_asof_join",
+    "dedup_incremental_lsh",
+    "text_distinctive_terms",
 ]
 
 

@@ -358,6 +358,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
         )
         .select("src", "dst")
+        # oriented feeds THREE join inputs below; materialize once instead
+        # of recomputing the degree joins per consumer
+        .localCheckpoint(eager=True)
     )
     wedges = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b")).join(
         oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b"
