@@ -633,14 +633,19 @@ def _minhash_sig_sql(where: str) -> str:
 
 _MINHASH_SIG_SQL = _minhash_sig_sql("doc_id % 10 = 0")
 
-@query(
-    "dedup_minhash_lsh_pairs",
-    _MINHASH_SIG_SQL + """,
-       buckets AS (
+# the LSH banding CTE over `sig` — ONE oracle-side definition of the
+# banding scheme (band = hash_id // 4, bucket = md5 of the ordered
+# '|'-joined minhash run), mirroring dedupe._band_buckets
+_LSH_BUCKETS_SQL = """buckets AS (
          SELECT doc_id, CAST(hash_id // 4 AS INT) AS band,
                 md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_id)) AS bucket
          FROM sig GROUP BY doc_id, CAST(hash_id // 4 AS INT)
-       )
+       )"""
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    _MINHASH_SIG_SQL + """,
+       """ + _LSH_BUCKETS_SQL + """
        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
        FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
        WHERE a.doc_id < b.doc_id""",
@@ -2173,11 +2178,7 @@ def sample_stratified_det(spark, sf_dir):
 @query(
     "dedup_lsh_canonical",
     _MINHASH_SIG_SQL + """,
-       buckets AS (
-         SELECT doc_id, CAST(hash_id // 4 AS INT) AS band,
-                md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_id)) AS bucket
-         FROM sig GROUP BY doc_id, CAST(hash_id // 4 AS INT)
-       ),
+       """ + _LSH_BUCKETS_SQL + """,
        prs AS (
          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
@@ -2876,11 +2877,7 @@ def sample_fixed_k(spark, sf_dir):
 @query(
     "dedup_incremental_lsh",
     _minhash_sig_sql("doc_id % 10 = 0") + """,
-       buckets AS (
-         SELECT doc_id, CAST(hash_id // 4 AS INT) AS band,
-                md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_id)) AS bucket
-         FROM sig GROUP BY doc_id, CAST(hash_id // 4 AS INT)
-       )
+       """ + _LSH_BUCKETS_SQL + """
        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS index_id
        FROM buckets n JOIN buckets o ON n.band = o.band AND n.bucket = o.bucket
        WHERE n.doc_id % 20 = 10 AND o.doc_id % 20 = 0""",
@@ -2902,11 +2899,7 @@ def dedup_incremental_lsh(spark, sf_dir):
 @query(
     "curate_split_leakage",
     _minhash_sig_sql("doc_id % 10 = 0") + f""",
-       buckets AS (
-         SELECT doc_id, CAST(hash_id // 4 AS INT) AS band,
-                md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_id)) AS bucket
-         FROM sig GROUP BY doc_id, CAST(hash_id // 4 AS INT)
-       ),
+       """ + _LSH_BUCKETS_SQL + f""",
        p AS (
          SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
          FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
@@ -2944,11 +2937,7 @@ def curate_split_leakage(spark, sf_dir):
 @query(
     "stream_dedup_replay",
     _minhash_sig_sql("doc_id % 10 = 0") + """,
-       buckets AS (
-         SELECT doc_id, CAST(hash_id // 4 AS INT) AS band,
-                md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_id)) AS bucket
-         FROM sig GROUP BY doc_id, CAST(hash_id // 4 AS INT)
-       ),
+       """ + _LSH_BUCKETS_SQL + """,
        p0 AS (
          SELECT DISTINCT lpad(CAST(a.doc_id AS VARCHAR), 20, '0') AS a,
                          lpad(CAST(b.doc_id AS VARCHAR), 20, '0') AS b

@@ -92,12 +92,10 @@ def _band_buckets(signatures: DataFrame, band_size: int) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, band_size: int = 4
-) -> DataFrame:
-    """Band the signature (rows of (doc_id, hash_id, minhash)), bucket-join:
-    docs sharing any band bucket become candidate pairs (doc1 < doc2)."""
-    buckets = _band_buckets(signatures, band_size)
+def pairs_from_buckets(buckets: DataFrame) -> DataFrame:
+    """(doc1 < doc2) candidate pairs from a (doc_id, band, bucket) table —
+    the one definition of the bucket self-join, shared by the batch path
+    (lsh_candidate_pairs) and the streaming gate (streaming/dedup.py)."""
     a = buckets.select("band", "bucket", F.col("doc_id").alias("doc1"))
     b = buckets.select("band", "bucket", F.col("doc_id").alias("doc2"))
     return (
@@ -106,6 +104,14 @@ def lsh_candidate_pairs(
         .select("doc1", "doc2")
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, band_size: int = 4
+) -> DataFrame:
+    """Band the signature (rows of (doc_id, hash_id, minhash)), bucket-join:
+    docs sharing any band bucket become candidate pairs (doc1 < doc2)."""
+    return pairs_from_buckets(_band_buckets(signatures, band_size))
 
 
 def lsh_bucket_table(

@@ -48,19 +48,29 @@ def _dec_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "decisions")
 
 
+def _read_glob(spark: SparkSession, schema: str, pattern: str) -> DataFrame | None:
+    """Glob read that returns None when no batch dir exists yet. Probing
+    through the Spark reader (not driver-local os.path) keeps the state
+    dirs portable to any Hadoop URI (hdfs://, s3a://) — the deployment the
+    module docstring pitches."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.schema(schema).parquet(pattern)
+        df.schema  # force path resolution
+        return df
+    except AnalysisException:
+        return None
+
+
 def read_index(
     spark: SparkSession, out_dir: str, before_batch: int | None = None
 ) -> DataFrame | None:
     """The accumulated (doc_id, band, bucket) index of kept documents;
     restricted to batches < before_batch so a redelivered batch never sees
     contributions from its own future."""
-    idx = _idx_dir(out_dir)
-    if not os.path.isdir(idx) or not any(
-        f.startswith("batch_") for f in os.listdir(idx)
-    ):
-        return None
-    df = spark.read.schema(IDX_SCHEMA).parquet(os.path.join(idx, "batch_*"))
-    if before_batch is not None:
+    df = _read_glob(spark, IDX_SCHEMA, os.path.join(_idx_dir(out_dir), "batch_*"))
+    if df is not None and before_batch is not None:
         b = F.regexp_extract(F.input_file_name(), r"/batch_(\d+)/", 1).cast("int")
         df = df.where(b < F.lit(int(before_batch)))
     return df
@@ -85,14 +95,7 @@ def dedup_batch(
         batch_df, id_col, text_col, num_hashes, band_size, shingle_n
     ).localCheckpoint(eager=True)  # reused by pairs, prior match, and the index write
 
-    a = buckets.select("band", "bucket", F.col("doc_id").alias("doc1"))
-    b = buckets.select("band", "bucket", F.col("doc_id").alias("doc2"))
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2")
-        .distinct()
-    )
+    pairs = D.pairs_from_buckets(buckets)
     decisions = D.dedup_canonical(pairs, batch_df.select(F.col(id_col).alias("doc_id")))
 
     index = read_index(spark, out_dir, before_batch=batch_id)
@@ -107,6 +110,11 @@ def dedup_batch(
                 ),
                 ["band", "bucket"],
             )
+            # a doc_id legitimately re-ingested after being kept collides
+            # with its OWN index rows; excluding the self-match preserves
+            # the is_dup == (keeper != doc_id) invariant (the re-ingest
+            # stays kept-as-itself instead of becoming its own dup)
+            .where(F.col("index_id") != F.col("doc_id"))
             .groupBy(F.col("doc_id").alias("keeper"))
             .agg(F.min("index_id").alias("prior_keeper"))
         )
@@ -130,12 +138,7 @@ def dedup_batch(
 
 
 def read_decisions(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    dec = _dec_dir(out_dir)
-    if not os.path.isdir(dec) or not any(
-        f.startswith("batch_") for f in os.listdir(dec)
-    ):
-        return None
-    return spark.read.schema(DEC_SCHEMA).parquet(os.path.join(dec, "batch_*"))
+    return _read_glob(spark, DEC_SCHEMA, os.path.join(_dec_dir(out_dir), "batch_*"))
 
 
 def dedup_stream(

@@ -124,3 +124,18 @@ def test_dedup_stream_foreachbatch(spark, tmp_path):
     dec = {r["doc_id"]: (r["keeper"], r["is_dup"]) for r in read_decisions(spark, out).collect()}
     assert len(dec) == 61
     assert dec[5011] == (11, True)
+
+
+def test_streaming_dedup_reingest_of_kept_doc_stays_kept(spark, tmp_path):
+    """A doc_id legitimately re-ingested in a LATER batch after being kept
+    collides with its own index rows; the self-match is excluded so it
+    stays kept-as-itself and the is_dup == (keeper != doc_id) invariant
+    holds for every decision row."""
+    out = str(tmp_path / "dd")
+    dedup_batch(spark, _base_docs(spark, 0, 20), 0, out)
+    # batch 1 re-emits doc 4 verbatim plus fresh docs
+    b1 = _base_docs(spark, 20, 30).unionByName(_base_docs(spark, 4, 5))
+    dec1 = {r["doc_id"]: (r["keeper"], r["is_dup"]) for r in dedup_batch(spark, b1, 1, out).collect()}
+    assert dec1[4] == (4, False)
+    for d, (k, dup) in dec1.items():
+        assert dup == (k != d)
