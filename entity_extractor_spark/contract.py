@@ -3012,3 +3012,31 @@ def stream_dedup_replay(spark, sf_dir):
     dedup_batch(spark, d.where("doc_id % 20 = 0"), 0, out)
     dedup_batch(spark, d.where("doc_id % 20 = 10"), 1, out)
     return read_decisions(spark, out)
+
+
+@query(
+    "graph_k_core",
+    f"""WITH {_PAIRS_CTE},
+       und AS (SELECT s, t FROM pairs UNION SELECT t AS s, s AS t FROM pairs),
+       d0 AS (SELECT s, count(*) AS d FROM und GROUP BY s),
+       v1 AS (SELECT s FROM d0 WHERE d >= 120),
+       e1 AS (SELECT u.s, u.t FROM und u JOIN v1 a ON a.s = u.s
+              JOIN v1 b ON b.s = u.t),
+       d1 AS (SELECT s, count(*) AS d FROM e1 GROUP BY s),
+       v2 AS (SELECT s FROM d1 WHERE d >= 120),
+       e2 AS (SELECT u.s, u.t FROM e1 u JOIN v2 a ON a.s = u.s
+              JOIN v2 b ON b.s = u.t),
+       d2 AS (SELECT s, count(*) AS d FROM e2 GROUP BY s),
+       v3 AS (SELECT s FROM d2 WHERE d >= 120),
+       e3 AS (SELECT u.s, u.t FROM e2 u JOIN v3 a ON a.s = u.s
+              JOIN v3 b ON b.s = u.t)
+       SELECT s AS vertex, count(*) AS degree FROM e3 GROUP BY s""",
+)
+def graph_k_core(spark, sf_dir):
+    """Density nucleus of the parts-co-ordered-together graph
+    (graph.k_core, k=120 >= the median degree so the peel actually
+    cascades, 3 synchronous rounds): iteratively drop vertices of degree
+    < k — the low-support noise pruning run before canonicalization.
+    Pure integer arithmetic per round; the DuckDB oracle unrolls the same
+    three peels."""
+    return G.k_core(_co_order_edges(spark, sf_dir), k=120, rounds=3)

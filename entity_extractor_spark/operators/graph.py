@@ -428,3 +428,45 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def k_core(
+    edges: DataFrame, k: int, src: str = "src", dst: str = "dst", rounds: int = 8
+) -> DataFrame:
+    """k-core peeling over an undirected edge table: iteratively drop
+    vertices of degree < k for `rounds` rounds, return the surviving
+    (vertex, degree) pairs — the density pruning that strips low-support
+    noise (one-off co-mentions, crawler junk) from the entity graph
+    before expensive canonicalization, and the standard "nucleus" report
+    for KG quality dashboards.
+
+    Fixed-round formulation for the same reason as label_propagation /
+    pagerank: a data-dependent fixpoint loop cannot be value-checked by an
+    unrolled cross-engine oracle, but R synchronous rounds can, and once
+    the peeling has converged (R >= peel depth — O(log n) rounds in
+    practice because cascades shrink geometrically) the result IS the true
+    k-core. Every round is pure integer arithmetic — bit-exact anywhere.
+
+    Scale shape per round: one algebraic degree count (map-side partials)
+    and two semi-join prunes of the edge table against the surviving
+    vertex set (AQE broadcasts it as peeling shrinks it); localCheckpoint
+    truncates lineage per round. The edge table only ever SHRINKS — no
+    round can exceed the first round's cost. No driver-side data path.
+    """
+    cur = (
+        _symmetrized(_clean_edges(edges, src, dst))
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("src")
+        cur = (
+            cur.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return cur.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

@@ -260,3 +260,44 @@ def test_label_propagation_empty(spark):
     df = spark.createDataFrame([], "src string, dst string")
     out = G.label_propagation(df)
     assert out.columns == ["vertex", "label"] and out.count() == 0
+
+
+def _brute_kcore(edges: list[tuple[str, str]], k: int, rounds: int):
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    verts = set(adj)
+    for _ in range(rounds):
+        keep = {v for v in verts if sum(1 for u in adj[v] if u in verts) >= k}
+        verts = keep
+    return {
+        v: sum(1 for u in adj[v] if u in verts)
+        for v in verts
+        if sum(1 for u in adj[v] if u in verts) > 0
+    }
+
+
+def test_k_core_known_graph(spark):
+    """K5 plus a pendant path: the 3-core is exactly the K5 (degree 4
+    each); the path peels away over two cascading rounds."""
+    k5 = [(a, b) for a in "abcde" for b in "abcde" if a < b]
+    edges = k5 + [("e", "x"), ("x", "y"), ("y", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["vertex"]: r["degree"] for r in G.k_core(df, 3).collect()}
+    assert got == {v: 4 for v in "abcde"}
+
+
+@pytest.mark.parametrize("seed,nv,ne,k,rounds", [(31, 15, 60, 4, 3), (32, 25, 80, 3, 2), (33, 10, 45, 5, 8)])
+def test_k_core_matches_bruteforce(spark, seed, nv, ne, k, rounds):
+    edges = _random_edges(seed, nv, ne)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["vertex"]: r["degree"] for r in G.k_core(df, k, rounds=rounds).collect()}
+    assert got == _brute_kcore(edges, k, rounds)
+
+
+def test_k_core_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    out = G.k_core(df, 2)
+    assert out.columns == ["vertex", "degree"] and out.count() == 0
