@@ -3040,3 +3040,31 @@ def graph_k_core(spark, sf_dir):
     Pure integer arithmetic per round; the DuckDB oracle unrolls the same
     three peels."""
     return G.k_core(_co_order_edges(spark, sf_dir), k=120, rounds=3)
+
+
+@query(
+    "curate_mixture_plan",
+    """WITH avail AS (
+         SELECT lang, CAST(sum(n_chars) AS BIGINT) AS available
+         FROM documents GROUP BY lang),
+       w AS (SELECT 'en' AS lang, 5 AS w UNION ALL SELECT 'de', 2
+             UNION ALL SELECT 'es', 2 UNION ALL SELECT 'fr', 1)
+       SELECT a.lang, a.available,
+              CAST(1000000 AS BIGINT) * w.w // 10 AS target_tokens,
+              CAST(LEAST(1000000, (CAST(1000000 AS BIGINT) * w.w // 10)
+                                  * 1000000 // a.available) AS BIGINT) AS rate_ppm
+       FROM avail a JOIN w ON w.lang = a.lang""",
+)
+def curate_mixture_plan(spark, sf_dir):
+    """Training-mixture planner (sampling.mixture_plan): weights
+    en:de:es:fr = 5:2:2:1 over a 1M-token budget (zh deliberately
+    excluded) -> per-language target tokens and the exact ppm sampling
+    rate to feed sample_stratified; rate_ppm == 10^6 flags groups too
+    small for their target share. Pure integer arithmetic; one algebraic
+    aggregation."""
+    from .operators import sampling as SAMP
+
+    d = _t(spark, sf_dir, "documents")
+    return SAMP.mixture_plan(
+        d, "lang", "n_chars", {"en": 5, "de": 2, "es": 2, "fr": 1}, 1_000_000
+    )

@@ -161,3 +161,59 @@ def sample_fixed_k(df: DataFrame, key_col: str, k: int, salt: str = "s0") -> Dat
     return df.orderBy(
         sample_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
     ).limit(k)
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    weights: dict[str, int],
+    budget_tokens: int,
+) -> DataFrame:
+    """Turn a target training mixture (integer weights per group) and a
+    total token budget into per-group sampling rates — the planning step
+    between corpus stats and sample_stratified: target share of the budget
+    per group, capped by what the group actually has.
+
+    Output (group, available, target_tokens, rate_ppm):
+      available     = sum of tokens in the group;
+      target_tokens = budget * w_g div sum(w)  (exact integer split);
+      rate_ppm      = min(10^6, target_tokens * 10^6 div available) —
+                      parts-per-million on sample_stratified's own DENOM
+                      grid, so rate_ppm/1e6 feeds it without rounding
+                      drift. rate_ppm == 10^6 flags an under-resourced
+                      group (take everything and the mix still falls
+                      short — the signal to re-weight or go collect data).
+
+    Groups absent from `weights` are excluded from the plan (weight 0).
+    Pure integer arithmetic throughout — bit-exact on any engine. Scale
+    shape: ONE algebraic aggregation over the stats table + a broadcast
+    literal map; no joins, no windows.
+    """
+    if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) == 0:
+        raise ValueError("weights must be a non-empty {group: int>=0} map with a positive sum")
+    wsum = sum(weights.values())
+    wmap = F.create_map(
+        *[x for g, w in sorted(weights.items()) for x in (F.lit(g), F.lit(int(w)))]
+    )
+    avail = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(tokens_col).alias("available")
+    )
+    return (
+        avail.withColumn("_w", wmap[F.col("grp")])
+        .where(F.col("_w").isNotNull())
+        .select(
+            F.col("grp").alias(group_col),
+            "available",
+            F.expr(f"CAST({int(budget_tokens)} AS BIGINT) * _w div {wsum}").alias(
+                "target_tokens"
+            ),
+            F.least(
+                F.lit(int(DENOM)).cast("bigint"),
+                F.expr(
+                    f"(CAST({int(budget_tokens)} AS BIGINT) * _w div {wsum})"
+                    f" * {DENOM} div available"
+                ),
+            ).alias("rate_ppm"),
+        )
+    )

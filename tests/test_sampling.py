@@ -229,3 +229,24 @@ def test_sample_fixed_k_exact_and_invariant(spark):
     # k beyond corpus size returns everything (k still heap-sized:
     # TakeOrderedAndProject allocates a k-sized heap per task)
     assert S.sample_fixed_k(docs, "doc_id", 50_000).count() == docs.count()
+
+
+def test_mixture_plan_bruteforce(spark):
+    """Exact-integer plan replay, including the capped under-resourced
+    group and exclusion of unweighted groups."""
+    rows = [(1, "big", 500), (2, "big", 500), (3, "tiny", 10),
+            (4, "skip", 999), (5, "tiny", 5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, tok bigint")
+    got = {
+        r["lang"]: (r["available"], r["target_tokens"], r["rate_ppm"])
+        for r in S.mixture_plan(df, "lang", "tok", {"big": 1, "tiny": 1}, 600).collect()
+    }
+    # big: target 300 of 1000 -> 300000 ppm; tiny: target 300 of 15 -> capped
+    assert got == {"big": (1000, 300, 300000), "tiny": (15, 300, 1000000)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        S.mixture_plan(df, "lang", "tok", {}, 100)
+    with _pytest.raises(ValueError):
+        S.mixture_plan(df, "lang", "tok", {"big": 0}, 100)
