@@ -185,35 +185,49 @@ def mixture_plan(
                       group (take everything and the mix still falls
                       short — the signal to re-weight or go collect data).
 
-    Groups absent from `weights` are excluded from the plan (weight 0).
-    Pure integer arithmetic throughout — bit-exact on any engine. Scale
-    shape: ONE algebraic aggregation over the stats table + a broadcast
-    literal map; no joins, no windows.
+    Every WEIGHTED group gets a plan row even with zero corpus presence
+    (available=0, rate_ppm=10^6 — the most under-resourced case must not
+    vanish from the report); groups absent from `weights` are excluded
+    (weight 0). Pure integer arithmetic throughout — bit-exact on any
+    engine; the rate quotient runs in DECIMAL(38,0) so a 10^13+-token
+    target (100 TB-scale budgets) cannot overflow the BIGINT product.
+    Scale shape: ONE algebraic aggregation over the stats table +
+    a broadcast join against the tiny literal weights table; no windows.
     """
-    if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) == 0:
-        raise ValueError("weights must be a non-empty {group: int>=0} map with a positive sum")
+    if (
+        not weights
+        or any(not isinstance(w, int) or w < 0 for w in weights.values())
+        or sum(weights.values()) == 0
+    ):
+        raise ValueError(
+            "weights must be a non-empty {group: int>=0} map with a positive sum"
+        )
     wsum = sum(weights.values())
-    wmap = F.create_map(
-        *[x for g, w in sorted(weights.items()) for x in (F.lit(g), F.lit(int(w)))]
+    wdf = df.sparkSession.createDataFrame(
+        sorted(weights.items()), "grp string, _w long"
     )
     avail = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.sum(tokens_col).alias("available")
     )
     return (
-        avail.withColumn("_w", wmap[F.col("grp")])
-        .where(F.col("_w").isNotNull())
+        wdf.join(avail, "grp", "left")
+        .withColumn("available", F.coalesce("available", F.lit(0).cast("bigint")))
+        .withColumn(
+            "target_tokens",
+            F.expr(f"CAST({int(budget_tokens)} AS BIGINT) * _w div {wsum}"),
+        )
         .select(
             F.col("grp").alias(group_col),
             "available",
-            F.expr(f"CAST({int(budget_tokens)} AS BIGINT) * _w div {wsum}").alias(
-                "target_tokens"
-            ),
-            F.least(
-                F.lit(int(DENOM)).cast("bigint"),
+            "target_tokens",
+            F.when(F.col("available") == 0, F.lit(int(DENOM)).cast("bigint"))
+            .otherwise(
                 F.expr(
-                    f"(CAST({int(budget_tokens)} AS BIGINT) * _w div {wsum})"
-                    f" * {DENOM} div available"
-                ),
-            ).alias("rate_ppm"),
+                    f"CAST(LEAST(CAST({DENOM} AS DECIMAL(38,0)),"
+                    f" CAST(target_tokens AS DECIMAL(38,0)) * {DENOM} div available)"
+                    " AS BIGINT)"
+                )
+            )
+            .alias("rate_ppm"),
         )
     )

@@ -250,3 +250,35 @@ def test_mixture_plan_bruteforce(spark):
         S.mixture_plan(df, "lang", "tok", {}, 100)
     with _pytest.raises(ValueError):
         S.mixture_plan(df, "lang", "tok", {"big": 0}, 100)
+
+
+def test_mixture_plan_edge_cases(spark):
+    """Zero-available weighted groups appear flagged instead of crashing
+    ANSI division; 100TB-scale budgets don't overflow the rate product;
+    float weights are rejected."""
+    rows = [(1, "big", 500), (2, "big", 500), (3, "empty", 0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, tok bigint")
+    got = {
+        r["lang"]: (r["available"], r["target_tokens"], r["rate_ppm"])
+        for r in S.mixture_plan(
+            df, "lang", "tok", {"big": 1, "empty": 1, "absent": 2}, 400
+        ).collect()
+    }
+    assert got == {
+        "big": (1000, 100, 100000),
+        "empty": (0, 100, 1000000),   # zero tokens: flagged, no div-by-zero
+        "absent": (0, 200, 1000000),  # weighted but no rows: still reported
+    }
+
+    huge = {
+        r["lang"]: r["rate_ppm"]
+        for r in S.mixture_plan(
+            df, "lang", "tok", {"big": 1}, 20_000_000_000_000
+        ).collect()
+    }
+    assert huge == {"big": 1000000}  # 2e13-token target: capped, no overflow
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        S.mixture_plan(df, "lang", "tok", {"big": 2.5}, 100)
