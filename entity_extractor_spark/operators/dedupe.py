@@ -207,10 +207,17 @@ def ngram_jaccard_pairs(
     group_col: str,
     shingle_n: int = 2,
     threshold: float = 0.2,
+    max_group_size: int | None = 10_000,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard within groups (blocking column keeps the
     self-join from going quadratic over the whole corpus; at scale the
-    blocking key is an LSH bucket from lsh_candidate_pairs)."""
+    blocking key is an LSH bucket from lsh_candidate_pairs).
+
+    Guard: the self-join is quadratic WITHIN each group, so a coarse
+    blocking key (e.g. `language` on a 100 TB corpus) would silently go
+    n². Any group larger than max_group_size fails the job loudly (lazy,
+    executor-side assert — no extra driver action); pass None only when
+    the blocking key is already a bounded bucket."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     if shingle_n == 1:
         sh = F.array_distinct(toks)
@@ -224,6 +231,24 @@ def ngram_jaccard_pairs(
     s = df.select(
         F.col(id_col).alias("doc_id"), F.col(group_col).alias("grp"), sh.alias("sh")
     )
+    if max_group_size is not None:
+        sizes = s.groupBy("grp").agg(F.count(F.lit(1)).alias("_gsz"))
+        guard = F.assert_true(
+            F.col("_gsz") <= F.lit(max_group_size),
+            F.concat(
+                F.lit("ngram_jaccard_pairs: blocking group "),
+                F.col("grp").cast("string"),
+                F.lit(
+                    f" exceeds max_group_size={max_group_size}; the within-"
+                    "group self-join would go quadratic — block on LSH "
+                    "buckets (lsh_candidate_pairs) or raise the limit "
+                    "explicitly"
+                ),
+            ),
+        )
+        # assert_true is NULL on pass, raises on fail; the grp-keyed count
+        # join reuses the same shuffle key the pair join needs anyway.
+        s = s.join(sizes, "grp").where(guard.isNull()).drop("_gsz")
     a = s.select(F.col("doc_id").alias("doc1"), "grp", F.col("sh").alias("sh1"))
     b = s.select(F.col("doc_id").alias("doc2"), "grp", F.col("sh").alias("sh2"))
     pairs = a.join(b, "grp").where(F.col("doc1") < F.col("doc2"))

@@ -48,19 +48,7 @@ def _dec_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "decisions")
 
 
-def _read_glob(spark: SparkSession, schema: str, pattern: str) -> DataFrame | None:
-    """Glob read that returns None when no batch dir exists yet. Probing
-    through the Spark reader (not driver-local os.path) keeps the state
-    dirs portable to any Hadoop URI (hdfs://, s3a://) — the deployment the
-    module docstring pitches."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.schema(schema).parquet(pattern)
-        df.schema  # force path resolution
-        return df
-    except AnalysisException:
-        return None
+from .stateio import read_glob as _read_glob
 
 
 def read_index(

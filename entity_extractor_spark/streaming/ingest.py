@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..plans.pipeline import run_pipeline
 from ..schemas import DOCUMENTS_SCHEMA
+from .stateio import read_glob
 
 ACC_SCHEMA = (
     "id string, name string, node_type string, cas_number string, "
@@ -54,12 +55,9 @@ def _acc_dir(out_dir: str) -> str:
 
 
 def read_accumulated_nodes(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    acc = _acc_dir(out_dir)
-    if not os.path.isdir(acc) or not any(
-        f.startswith("batch_") for f in os.listdir(acc)
-    ):
-        return None
-    return spark.read.schema(ACC_SCHEMA).parquet(os.path.join(acc, "batch_*"))
+    # Probe through the Spark reader (not driver-local os.path) so the
+    # accumulator works on any Hadoop URI — same pattern as streaming/dedup.
+    return read_glob(spark, ACC_SCHEMA, os.path.join(_acc_dir(out_dir), "batch_*"))
 
 
 def process_batch(
@@ -133,8 +131,10 @@ def consolidated(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     triples: union of per-batch triples; hasChemical edges deduped to the
     latest batch's weight (J8 upsert), evidencedBy/manufacturedBy are
     append-only and unique."""
-    acc = os.path.join(_acc_dir(out_dir), "batch_*")
-    nodes = spark.read.schema(ACC_SCHEMA).parquet(acc).withColumn(
+    nodes = read_accumulated_nodes(spark, out_dir)
+    if nodes is None:
+        raise FileNotFoundError(f"no committed batches under {out_dir}")
+    nodes = nodes.withColumn(
         "_b", F.element_at(F.split(F.input_file_name(), "/batch_"), -1)
     )
     from pyspark.sql import Window
@@ -148,17 +148,13 @@ def consolidated(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     # loop grows the plan linearly with batch count — at thousands of
     # micro-batches that is a driver/lineage bottleneck); the batch id is
     # derived from the file path, exactly as the nodes read above.
-    has_triples = any(
-        d.startswith("batch_") and os.path.isdir(os.path.join(out_dir, d, "triples"))
-        for d in os.listdir(out_dir)
-    )
-    triples = None
-    if has_triples:
-        from ..schemas import TRIPLES_SCHEMA
+    from ..schemas import TRIPLES_SCHEMA
 
-        triples = spark.read.schema(TRIPLES_SCHEMA).parquet(
-            os.path.join(out_dir, "batch_*", "triples")
-        ).withColumn(
+    triples = read_glob(
+        spark, TRIPLES_SCHEMA, os.path.join(out_dir, "batch_*", "triples")
+    )
+    if triples is not None:
+        triples = triples.withColumn(
             "_b", F.regexp_extract(F.input_file_name(), r"/(batch_\d+)/triples/", 1)
         )
     if triples is not None:
