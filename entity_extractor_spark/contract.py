@@ -2785,7 +2785,8 @@ _PACK_BUCKET_SQL = _SAMPLE_BUCKET_SQL.replace("'s0'", "'pack0'")
     "curate_pack_sequences",
     f"""WITH s AS (
          SELECT doc_id, n_chars, {_PACK_BUCKET_SQL} AS b,
-                CAST({_PACK_BUCKET_SQL} % 8 AS INTEGER) AS shard
+                CAST(CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
+                     '|', 'pack0')), 13, 12)) AS BIGINT) % 8 AS INTEGER) AS shard
          FROM documents),
        c AS (
          SELECT doc_id, shard, n_chars,
@@ -3050,26 +3051,189 @@ def graph_k_core(spark, sf_dir):
          SELECT lang, CAST(sum(n_chars) AS BIGINT) AS available
          FROM documents GROUP BY lang),
        w AS (SELECT 'en' AS lang, 5 AS w UNION ALL SELECT 'de', 2
-             UNION ALL SELECT 'es', 2 UNION ALL SELECT 'fr', 1)
-       SELECT a.lang, a.available,
-              CAST(1000000 AS BIGINT) * w.w // 10 AS target_tokens,
-              CAST(LEAST(1000000, (CAST(1000000 AS BIGINT) * w.w // 10)
-                                  * 1000000 // a.available) AS BIGINT) AS rate_ppm
-       FROM avail a JOIN w ON w.lang = a.lang""",
+             UNION ALL SELECT 'es', 2 UNION ALL SELECT 'fr', 1
+             UNION ALL SELECT 'nl', 1)
+       SELECT w.lang, COALESCE(a.available, 0) AS available,
+              CAST(1000000 AS BIGINT) * w.w // 11 AS target_tokens,
+              CASE WHEN COALESCE(a.available, 0) = 0
+                   THEN CAST(1000000 AS BIGINT)
+                   ELSE CAST(LEAST(1000000, (CAST(1000000 AS BIGINT) * w.w // 11)
+                                  * 1000000 // a.available) AS BIGINT)
+              END AS rate_ppm
+       FROM w LEFT JOIN avail a ON w.lang = a.lang""",
 )
 def curate_mixture_plan(spark, sf_dir):
     """Training-mixture planner (sampling.mixture_plan): weights
-    en:de:es:fr = 5:2:2:1 over a 1M-token budget (zh deliberately
-    excluded) -> per-language target tokens and the exact ppm sampling
-    rate to feed sample_stratified; rate_ppm == 10^6 flags groups too
-    small for their target share. Pure integer arithmetic; one algebraic
-    aggregation."""
+    en:de:es:fr:nl = 5:2:2:1:1 over a 1M-token budget (zh deliberately
+    excluded; nl deliberately ABSENT from the corpus, so the
+    zero-available flag path — available=0, rate_ppm=10^6 — is
+    value-checked cross-engine, not just unit-tested) -> per-language
+    target tokens and the exact ppm sampling rate to feed
+    sample_stratified; rate_ppm == 10^6 flags groups too small for their
+    target share. Pure integer arithmetic; one algebraic aggregation."""
     from .operators import sampling as SAMP
 
     d = _t(spark, sf_dir, "documents")
     return SAMP.mixture_plan(
-        d, "lang", "n_chars", {"en": 5, "de": 2, "es": 2, "fr": 1}, 1_000_000
+        d, "lang", "n_chars",
+        {"en": 5, "de": 2, "es": 2, "fr": 1, "nl": 1}, 1_000_000,
     )
+
+
+_MIX_BUCKET_SQL = _SAMPLE_BUCKET_SQL.replace("'s0'", "'mix0'")
+
+@query(
+    "curate_mixture_e2e",
+    f"""WITH avail AS (
+         SELECT lang, CAST(sum(n_chars) AS BIGINT) AS available
+         FROM documents GROUP BY lang),
+       w AS (SELECT 'en' AS lang, 5 AS w UNION ALL SELECT 'de', 2
+             UNION ALL SELECT 'es', 2 UNION ALL SELECT 'fr', 1
+             UNION ALL SELECT 'nl', 1),
+       plan AS (
+         SELECT w.lang, COALESCE(a.available, 0) AS available,
+                CAST(1000000 AS BIGINT) * w.w // 11 AS target_tokens,
+                CASE WHEN COALESCE(a.available, 0) = 0
+                     THEN CAST(1000000 AS BIGINT)
+                     ELSE CAST(LEAST(1000000, (CAST(1000000 AS BIGINT) * w.w // 11)
+                                    * 1000000 // a.available) AS BIGINT)
+                END AS rate_ppm
+         FROM w LEFT JOIN avail a ON w.lang = a.lang),
+       kept AS (
+         SELECT d.lang, d.n_chars
+         FROM documents d JOIN plan p ON p.lang = d.lang
+         WHERE {_MIX_BUCKET_SQL} < p.rate_ppm),
+       realized AS (
+         SELECT lang, CAST(sum(n_chars) AS BIGINT) AS realized_tokens
+         FROM kept GROUP BY lang)
+       SELECT p.lang, p.available, p.target_tokens, p.rate_ppm,
+              COALESCE(r.realized_tokens, 0) AS realized_tokens
+       FROM plan p LEFT JOIN realized r ON r.lang = p.lang""",
+)
+def curate_mixture_e2e(spark, sf_dir):
+    """The curation loop closed end-to-end: mixture_plan's ppm rates feed
+    sample_by_plan (the data-derived-rates sample_stratified) and the
+    realized per-language token mass is reported next to the plan's
+    target — plan and execution live on the same [0, 10^6) integer bucket
+    grid, so realized tracks target to per-bucket granularity and the
+    whole planner->sampler->rollup chain value-checks cross-engine. The
+    zero-available group (nl) flows through: rate capped at 10^6,
+    realized 0."""
+    from .operators import sampling as SAMP
+
+    d = _t(spark, sf_dir, "documents")
+    plan = SAMP.mixture_plan(
+        d, "lang", "n_chars", {"en": 5, "de": 2, "es": 2, "fr": 1, "nl": 1}, 1_000_000
+    )
+    kept = SAMP.sample_by_plan(d, "doc_id", "lang", plan, salt="mix0")
+    realized = kept.groupBy("lang").agg(
+        F.sum("n_chars").cast("bigint").alias("realized_tokens")
+    )
+    return plan.join(realized, "lang", "left").withColumn(
+        "realized_tokens", F.coalesce("realized_tokens", F.lit(0).cast("bigint"))
+    )
+
+
+@query(
+    "x4_chunk_semantic",
+    f"""WITH d AS (
+         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                replace(text, ' the ', '. ') AS mod
+         FROM documents),
+       lists AS (
+         SELECT doc_id,
+                list_filter(string_split(replace(mod, '. ', '.' || chr(30)), chr(30)),
+                            s -> trim(s) != '') AS ss
+         FROM d),
+       sents AS (
+         SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx, ss[i] AS sentence
+         FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM lists)),
+       toks AS (
+         SELECT doc_id, sent_idx, tok FROM (
+           SELECT doc_id, sent_idx,
+                  unnest(string_split_regex(lower(sentence), '\\s+')) AS tok
+           FROM sents) WHERE tok != ''),
+       v AS (SELECT doc_id, sent_idx, {_TFIDF_BUCKET_SQL} AS bucket,
+                    CAST(count(*) AS DOUBLE) AS tf
+             FROM toks GROUP BY 1, 2, 3),
+       dots AS (SELECT a.doc_id, a.sent_idx AS i, sum(a.tf * b.tf) AS dot
+                FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.bucket = b.bucket
+                                 AND b.sent_idx = a.sent_idx + 1
+                GROUP BY 1, 2),
+       norms AS (SELECT doc_id, sent_idx, sqrt(sum(tf * tf)) AS nrm
+                 FROM v GROUP BY 1, 2),
+       gaps AS (
+         SELECT na.doc_id, na.sent_idx AS i,
+                1.0 - COALESCE(dt.dot / (na.nrm * nb.nrm), 0.0) AS dist
+         FROM norms na
+         JOIN norms nb ON na.doc_id = nb.doc_id AND nb.sent_idx = na.sent_idx + 1
+         LEFT JOIN dots dt ON dt.doc_id = na.doc_id AND dt.i = na.sent_idx),
+       qs AS (SELECT doc_id, list_sort(list(dist)) AS ds,
+                     count(*) AS n_gaps
+              FROM gaps GROUP BY 1),
+       pos AS (SELECT doc_id, ds, n_gaps,
+                      0.75 * (n_gaps - 1) AS p3, 0.25 * (n_gaps - 1) AS p1
+               FROM qs),
+       thr AS (
+         SELECT doc_id, n_gaps, q3 + 1.5 * (q3 - q1) AS threshold FROM (
+           SELECT doc_id, n_gaps,
+                  CASE WHEN floor(p3) = ceil(p3)
+                       THEN ds[CAST(p3 AS BIGINT) + 1]
+                       ELSE (ceil(p3) - p3) * ds[CAST(floor(p3) AS BIGINT) + 1]
+                          + (p3 - floor(p3)) * ds[CAST(ceil(p3) AS BIGINT) + 1]
+                  END AS q3,
+                  CASE WHEN floor(p1) = ceil(p1)
+                       THEN ds[CAST(p1 AS BIGINT) + 1]
+                       ELSE (ceil(p1) - p1) * ds[CAST(floor(p1) AS BIGINT) + 1]
+                          + (p1 - floor(p1)) * ds[CAST(ceil(p1) AS BIGINT) + 1]
+                  END AS q1
+           FROM pos)),
+       breaks AS (
+         SELECT g.doc_id, g.i + 1 AS sent_idx,
+                CASE WHEN g.dist > t.threshold AND t.n_gaps >= 2
+                     THEN 1 ELSE 0 END AS brk
+         FROM gaps g JOIN thr t ON g.doc_id = t.doc_id),
+       marked AS (
+         SELECT s.doc_id, s.sent_idx, s.sentence, COALESCE(b.brk, 0) AS brk
+         FROM sents s LEFT JOIN breaks b
+           ON s.doc_id = b.doc_id AND s.sent_idx = b.sent_idx),
+       grouped AS (
+         SELECT doc_id, sent_idx, sentence,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY sent_idx
+                               ROWS UNBOUNDED PRECEDING) AS grp
+         FROM marked),
+       chunks AS (
+         SELECT doc_id, grp, string_agg(sentence, ' ' ORDER BY sent_idx) AS text,
+                count(*) AS n_sentences
+         FROM grouped GROUP BY 1, 2)
+       SELECT doc_id,
+              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY grp) - 1
+                   AS INT) AS chunk_idx,
+              concat(doc_id, ':',
+                     CAST(row_number() OVER (PARTITION BY doc_id ORDER BY grp) - 1
+                          AS VARCHAR)) AS chunk_id,
+              text, n_sentences
+       FROM chunks""",
+)
+def x4_chunk_semantic(spark, sf_dir):
+    """X4 proper — the SEMANTIC chunker's IQR-breakpoint semantics
+    (embedding_service.py:36-68), cross-engine value-checked: corpus text
+    sentence-ified by a literal ' the ' -> '. ' replace (the raw corpus
+    has no punctuation, which would make this gate vacuous), split on the
+    sentence regex, consecutive-sentence hashed-TF cosine distances,
+    per-doc breakpoint threshold Q3 + 1.5*IQR with Spark's EXACT
+    percentile interpolation ((hi-pos)*lower + (pos-lo)*upper — replayed
+    verbatim in the oracle; distances are integer-dot/rounded-norm doubles
+    so both engines compute identical bits), break-flag cumsum chunk
+    assignment. The oversized-chunk re-split path never triggers at these
+    doc lengths (max 553 chars < 4000) — the fixed splitter is separately
+    value-checked by x4_chunk_fixed."""
+    from .operators.chunker import semantic_chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit(". ")).alias("text")
+    )
+    return semantic_chunk_documents(d)
 
 
 # --------------------------------------------------------- driver ordering --

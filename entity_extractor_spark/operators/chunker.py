@@ -285,12 +285,17 @@ def pack_sequences(
     sum (window cumsum over rows already sorted by the exchange's sort
     key). `shards` bounds per-window data at corpus_tokens/shards — size
     it so a shard's rows fit one task (at 100 TB: tens of thousands of
-    shards), and because every shard is equal-probability md5 mass, the
-    exchange is skew-proof by construction. No driver-side data path.
+    shards). The shard comes from its own md5 slice (hex chars 13-24),
+    independent of the ordering bucket (chars 1-12), so shard mass is
+    uniform to ~shards/16^12 for ANY shard count — a bucket%shards
+    derivation would hand some shards a whole extra residue class of the
+    [0, 1e6) bucket grid whenever shards doesn't divide 10^6.
     """
-    from ..operators.sampling import sample_bucket
-
-    b = sample_bucket(F.col(id_col), salt)
+    h = F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)))
+    b = F.pmod(F.conv(F.substring(h, 1, 12), 16, 10).cast("long"), F.lit(1_000_000))
+    shard = F.pmod(
+        F.conv(F.substring(h, 13, 12), 16, 10).cast("long"), F.lit(int(shards))
+    )
     w = (
         Window.partitionBy("_shard")
         .orderBy("_bucket", id_col)
@@ -301,7 +306,7 @@ def pack_sequences(
             F.col(id_col),
             F.col(tokens_col).alias("_tok"),
             b.alias("_bucket"),
-            (b % F.lit(int(shards))).cast("int").alias("_shard"),
+            shard.cast("int").alias("_shard"),
         )
         .withColumn("_cum", F.sum("_tok").over(w))
         .select(

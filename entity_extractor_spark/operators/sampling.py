@@ -145,6 +145,33 @@ def assign_splits(
     return df.withColumn(split_col, expr)
 
 
+def sample_by_plan(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    plan: DataFrame,
+    rate_col: str = "rate_ppm",
+    salt: str = "s0",
+) -> DataFrame:
+    """sample_stratified with a DATA-DERIVED rates table instead of a
+    literal dict — the execution half of mixture_plan: feed the planner's
+    (group, rate_ppm) rows straight back in and keep a row iff its key
+    bucket is under its group's ppm threshold (both live on the same
+    [0, DENOM) integer grid, so the realized token mass hits the plan's
+    target exactly up to per-bucket granularity — no float rounding
+    drift). Groups absent from the plan are dropped (weight 0).
+
+    Scale shape: the plan is one row per group — broadcast join, then the
+    same codegen'd bucket filter as every sampler here; no shuffle of the
+    corpus side."""
+    rates = plan.select(strata_col, rate_col)
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(sample_bucket(F.col(key_col), salt) < F.col(rate_col))
+        .drop(rate_col)
+    )
+
+
 def sample_fixed_k(df: DataFrame, key_col: str, k: int, salt: str = "s0") -> DataFrame:
     """Exactly min(k, n) rows: the k hash-smallest keys (bucket asc, key
     asc total order) — the fixed-SIZE global counterpart of
@@ -196,7 +223,9 @@ def mixture_plan(
     """
     if (
         not weights
-        or any(not isinstance(w, int) or w < 0 for w in weights.values())
+        # bool is an int subclass: {'en': True} must be rejected, not
+        # silently planned as weight 1
+        or any(type(w) is not int or w < 0 for w in weights.values())
         or sum(weights.values()) == 0
     ):
         raise ValueError(
@@ -213,8 +242,15 @@ def mixture_plan(
         wdf.join(avail, "grp", "left")
         .withColumn("available", F.coalesce("available", F.lit(0).cast("bigint")))
         .withColumn(
+            # the product runs in DECIMAL(38,0) like the rate quotient: a
+            # 10^13-token budget times a ~10^6 weight overflows BIGINT, but
+            # the QUOTIENT is always <= budget (w <= wsum), so the final
+            # BIGINT cast is safe by construction
             "target_tokens",
-            F.expr(f"CAST({int(budget_tokens)} AS BIGINT) * _w div {wsum}"),
+            F.expr(
+                f"CAST(CAST({int(budget_tokens)} AS DECIMAL(38,0)) * _w"
+                f" div {wsum} AS BIGINT)"
+            ),
         )
         .select(
             F.col("grp").alias(group_col),

@@ -282,3 +282,51 @@ def test_mixture_plan_edge_cases(spark):
 
     with _pytest.raises(ValueError):
         S.mixture_plan(df, "lang", "tok", {"big": 2.5}, 100)
+
+
+def test_mixture_plan_rejects_bool_weights(spark):
+    rows = [(1, "en", 100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, tok bigint")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        S.mixture_plan(df, "lang", "tok", {"en": True}, 100)
+
+
+def test_mixture_plan_extreme_budget_times_weight(spark):
+    """budget * weight beyond BIGINT: the target product must run in
+    DECIMAL(38,0) like the rate quotient (quotient <= budget, so the
+    final cast is safe)."""
+    rows = [(i, "en", 10) for i in range(5)] + [(99, "tiny", 10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, tok bigint")
+    got = {
+        r["lang"]: r["target_tokens"]
+        for r in S.mixture_plan(
+            df, "lang", "tok", {"en": 900_000, "tiny": 100_000}, 10_000_000_000_000
+        ).collect()
+    }
+    # 1e13 * 9e5 = 9e18 > 2^63-1 as a product; quotient is fine
+    assert got == {"en": 9_000_000_000_000, "tiny": 1_000_000_000_000}
+
+
+def test_sample_by_plan_realizes_target(spark):
+    """The planner->sampler loop: realized token mass per group tracks the
+    plan's target within per-bucket granularity; zero-available groups
+    realize 0; unweighted groups are dropped."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, "en" if i % 3 else "de", rng.randint(50, 150)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, tok bigint")
+    plan = S.mixture_plan(df, "lang", "tok", {"en": 3, "de": 1, "nl": 1}, 50_000)
+    kept = S.sample_by_plan(df, "doc_id", "lang", plan, salt="mix0")
+    realized = {
+        r["lang"]: r["s"]
+        for r in kept.groupBy("lang").agg(F.sum("tok").alias("s")).collect()
+    }
+    targets = {r["lang"]: r["target_tokens"] for r in plan.collect()}
+    assert set(realized) <= {"en", "de"}  # nl: nothing to keep; others dropped
+    for lang in ("en", "de"):
+        # md5-hash sampling is binomial around the exact rate; 25% slack is
+        # far beyond 3 sigma at these sizes while still catching a wrong rate
+        assert abs(realized[lang] - targets[lang]) / targets[lang] < 0.25
