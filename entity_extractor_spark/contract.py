@@ -905,6 +905,41 @@ def ann_lsh_bucketed(spark, sf_dir):
 
 
 @query(
+    "ann_lsh_multiprobe",
+    "WITH " + _LSH_SIG_SQL.strip() + """,
+       qs AS (SELECT bucket AS qb FROM sigs WHERE vec_id = 0),
+       cand AS (
+         SELECT e.vec_id, e.embedding FROM embeddings e
+         JOIN sigs s ON e.vec_id = s.vec_id CROSS JOIN qs
+         WHERE e.vec_id <> 0
+           AND len(list_filter(range(1, 7), i -> s.bucket[i] <> qs.qb[i])) <= 1
+       ),
+       q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       SELECT vec_id, score, CAST(rnk AS BIGINT) AS rank FROM (
+         SELECT vec_id,
+                ROUND(list_dot_product(embedding::DOUBLE[], (SELECT qv::DOUBLE[] FROM q))
+                      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                         * sqrt(list_dot_product((SELECT qv::DOUBLE[] FROM q), (SELECT qv::DOUBLE[] FROM q)))), 5) AS score,
+                row_number() OVER (ORDER BY ROUND(list_dot_product(embedding::DOUBLE[], (SELECT qv::DOUBLE[] FROM q))
+                      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                         * sqrt(list_dot_product((SELECT qv::DOUBLE[] FROM q), (SELECT qv::DOUBLE[] FROM q)))), 5) DESC, vec_id) AS rnk
+         FROM cand)
+       WHERE rnk <= 10""",
+)
+def ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN (similarity.lsh_multiprobe_topk): the query's
+    6-bit hyperplane bucket plus all 6 Hamming-1 neighbors, exact cosine
+    re-rank inside — the recall-recovery variant of ann_lsh_bucketed. The
+    oracle selects candidates by Hamming distance <= 1 between bit-string
+    signatures (equivalent to the probe IN-list by definition)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.where("vec_id = 0").select("embedding").head()[0]]
+    return SIM.lsh_multiprobe_topk(
+        e.where("vec_id <> 0"), qv, dims=len(qv), k=10, bits=6, radius=1
+    )
+
+
+@query(
     "text_token_counts",
     """SELECT doc_id,
               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,

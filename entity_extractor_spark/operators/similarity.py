@@ -180,11 +180,61 @@ def lsh_bucketed_topk(
     Recall < 1 by construction; the candidate pruning is the point."""
     sig = hyperplane_signature(F.col(vec_col), dims, bits)
     bucketed = embeddings.withColumn("bucket", sig)
-    qsig = "".join(
+    cand = bucketed.where(F.col("bucket") == query_signature(query_vec, bits))
+    return brute_force_topk(cand, query_vec, id_col, vec_col, k)
+
+
+def query_signature(query_vec: list[float], bits: int) -> str:
+    """Driver-side signature of a query vector under the same md5-derived
+    hyperplanes (and the same HALF_UP rounding) as the distributed
+    hyperplane_signature — the probe key for bucket lookups."""
+    return "".join(
         "1" if _round5_half_up(_py_plane_dot(query_vec, j)) > 0 else "0"
         for j in range(bits)
     )
-    cand = bucketed.where(F.col("bucket") == qsig)
+
+
+def hamming_ball(sig: str, radius: int) -> list[str]:
+    """All bit strings within Hamming distance `radius` of `sig` (the
+    multi-probe set), sorted for deterministic plans."""
+    from itertools import combinations
+
+    probes = {sig}
+    for r in range(1, radius + 1):
+        for idxs in combinations(range(len(sig)), r):
+            s = list(sig)
+            for i in idxs:
+                s[i] = "0" if s[i] == "1" else "1"
+            probes.add("".join(s))
+    return sorted(probes)
+
+
+def lsh_multiprobe_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bits: int = 8,
+    radius: int = 1,
+) -> DataFrame:
+    """Multi-probe ANN: probe the query's hyperplane bucket AND every
+    bucket within Hamming distance `radius` of it — the standard recall
+    recovery for single-table LSH (a near neighbor that lands one
+    flipped-bit away is reachable without a second hash table or a wider
+    candidate join). radius=1 probes bits+1 buckets; radius=0 degenerates
+    to lsh_bucketed_topk.
+
+    Scale shape: the probe set is a tiny driver-side literal IN list —
+    the scan stays an equi-filter (partition/bucket-prunable when the
+    index table is laid out by signature), candidates grow ~(bits+1)x the
+    single-bucket occupancy, and the exact-cosine re-rank inside is the
+    same distributed TakeOrderedAndProject as brute_force_topk."""
+    sig = hyperplane_signature(F.col(vec_col), dims, bits)
+    bucketed = embeddings.withColumn("bucket", sig)
+    probes = hamming_ball(query_signature(query_vec, bits), radius)
+    cand = bucketed.where(F.col("bucket").isin(probes))
     return brute_force_topk(cand, query_vec, id_col, vec_col, k)
 
 

@@ -141,3 +141,35 @@ def test_kmeans_centroids_deterministic_and_complete(spark):
     # refinement moved the seeds (means differ from the raw seed vectors)
     seeds = {r["vec_id"]: tuple(float(x) for x in r["embedding"]) for r in df.where("vec_id < 4").collect()}
     assert any(c1[c] != seeds[c] for c in c1)
+
+
+def test_multiprobe_supersets_single_bucket(spark):
+    """Multi-probe candidates contain the exact-bucket candidates, so
+    recall@k can only go up; radius=0 degenerates to lsh_bucketed_topk."""
+    from entity_extractor_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    df = _vec_df(spark, rng.normal(size=(400, DIMS)))
+    qv = [float(x) for x in df.where("vec_id = '000000'").head()["embedding"]]
+    rest = df.where("vec_id <> '000000'")
+    single = S.lsh_bucketed_topk(rest, qv, dims=DIMS, k=10, bits=5)
+    multi = S.lsh_multiprobe_topk(rest, qv, dims=DIMS, k=10, bits=5, radius=1)
+    zero = S.lsh_multiprobe_topk(rest, qv, dims=DIMS, k=10, bits=5, radius=0)
+    exact = S.brute_force_topk(rest, qv, "vec_id", "embedding", 10)
+
+    ids = lambda d: {r["vec_id"] for r in d.select("vec_id").collect()}  # noqa: E731
+    assert ids(zero) == ids(single)
+    ex = ids(exact)
+    assert len(ids(multi) & ex) >= len(ids(single) & ex)
+    # the probe ball at radius 1 genuinely widens the candidate set
+    assert multi.count() >= single.count()
+
+
+def test_hamming_ball():
+    from entity_extractor_spark.operators.similarity import hamming_ball
+
+    assert hamming_ball("00", 0) == ["00"]
+    assert hamming_ball("00", 1) == ["00", "01", "10"]
+    ball = hamming_ball("101", 2)
+    assert "101" in ball and len(ball) == 1 + 3 + 3
+    assert ball == sorted(set(ball))
