@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedupe as D
 from ..schemas import DOCUMENTS_SCHEMA
+from .stateio import compact_batches, read_state
 
 IDX_SCHEMA = "doc_id bigint, band int, bucket string"
 DEC_SCHEMA = "doc_id bigint, keeper bigint, is_dup boolean"
@@ -48,8 +49,6 @@ def _dec_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "decisions")
 
 
-from .stateio import read_glob as _read_glob
-
 
 def read_index(
     spark: SparkSession, out_dir: str, before_batch: int | None = None
@@ -57,11 +56,12 @@ def read_index(
     """The accumulated (doc_id, band, bucket) index of kept documents;
     restricted to batches < before_batch so a redelivered batch never sees
     contributions from its own future."""
-    df = _read_glob(spark, IDX_SCHEMA, os.path.join(_idx_dir(out_dir), "batch_*"))
-    if df is not None and before_batch is not None:
-        b = F.regexp_extract(F.input_file_name(), r"/batch_(\d+)/", 1).cast("int")
-        df = df.where(b < F.lit(int(before_batch)))
-    return df
+    df = read_state(spark, IDX_SCHEMA, _idx_dir(out_dir))
+    if df is None:
+        return None
+    if before_batch is not None:
+        df = df.where(F.col("_batch") < F.lit(int(before_batch)))
+    return df.drop("_batch")
 
 
 def dedup_batch(
@@ -126,7 +126,17 @@ def dedup_batch(
 
 
 def read_decisions(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    return _read_glob(spark, DEC_SCHEMA, os.path.join(_dec_dir(out_dir), "batch_*"))
+    df = read_state(spark, DEC_SCHEMA, _dec_dir(out_dir))
+    return None if df is None else df.drop("_batch")
+
+
+def compact_state(spark: SparkSession, out_dir: str) -> None:
+    """Compact both accumulators (index + decisions) into one dir each —
+    run between batches so the per-batch glob read stays O(1) in stream
+    lifetime instead of O(#batches). Readers are correct at any crash
+    point (stateio.compact_batches commit protocol)."""
+    compact_batches(spark, IDX_SCHEMA, _idx_dir(out_dir))
+    compact_batches(spark, DEC_SCHEMA, _dec_dir(out_dir))
 
 
 def dedup_stream(

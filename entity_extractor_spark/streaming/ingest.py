@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..plans.pipeline import run_pipeline
 from ..schemas import DOCUMENTS_SCHEMA
-from .stateio import read_glob
+from .stateio import compact_batches, read_glob, read_state
 
 ACC_SCHEMA = (
     "id string, name string, node_type string, cas_number string, "
@@ -55,9 +55,18 @@ def _acc_dir(out_dir: str) -> str:
 
 
 def read_accumulated_nodes(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    # Probe through the Spark reader (not driver-local os.path) so the
-    # accumulator works on any Hadoop URI — same pattern as streaming/dedup.
-    return read_glob(spark, ACC_SCHEMA, os.path.join(_acc_dir(out_dir), "batch_*"))
+    # Probes go through the Spark reader (not driver-local os.path) so the
+    # accumulator works on any Hadoop URI; reads see the newest compaction
+    # plus the live batch tail (stateio.read_state).
+    df = read_state(spark, ACC_SCHEMA, _acc_dir(out_dir))
+    return None if df is None else df.drop("_batch")
+
+
+def compact_nodes(spark: SparkSession, out_dir: str) -> None:
+    """Compact the node accumulator's batch subdirs into one dir so the
+    per-batch glob read stays O(1) in stream lifetime (the last-wins batch
+    order survives as the materialized _batch column)."""
+    compact_batches(spark, ACC_SCHEMA, _acc_dir(out_dir))
 
 
 def process_batch(
@@ -131,12 +140,10 @@ def consolidated(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     triples: union of per-batch triples; hasChemical edges deduped to the
     latest batch's weight (J8 upsert), evidencedBy/manufacturedBy are
     append-only and unique."""
-    nodes = read_accumulated_nodes(spark, out_dir)
+    nodes = read_state(spark, ACC_SCHEMA, _acc_dir(out_dir))
     if nodes is None:
         raise FileNotFoundError(f"no committed batches under {out_dir}")
-    nodes = nodes.withColumn(
-        "_b", F.element_at(F.split(F.input_file_name(), "/batch_"), -1)
-    )
+    nodes = nodes.withColumnRenamed("_batch", "_b")
     from pyspark.sql import Window
 
     w = Window.partitionBy("id").orderBy(F.desc("_b"))
