@@ -160,7 +160,9 @@ def main() -> None:
         }
         rec_single += len(exact & single) / len(exact)
         rec_multi += len(exact & multi) / len(exact)
-    queries["ann_recall_report"] = round(time.time() - t0, 3)
+    # reported as its own context key, NOT in queries{}: the queries map and
+    # summed "value" stay like-for-like comparable with earlier rounds
+    ann_recall_sec = round(time.time() - t0, 3)
     bucketed.unpersist()
     ann_lsh_recall = round(rec_single / len(qids), 3)
     ann_multiprobe_recall = round(rec_multi / len(qids), 3)
@@ -180,6 +182,7 @@ def main() -> None:
                 "warmup_sec": warmup_sec,
                 "ann_lsh_recall_at_10": ann_lsh_recall,
                 "ann_multiprobe_recall_at_10": ann_multiprobe_recall,
+                "ann_recall_report_sec": ann_recall_sec,
                 "cpus": CPUS,
             }
         )

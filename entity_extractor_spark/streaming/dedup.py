@@ -145,6 +145,7 @@ def dedup_stream(
     out_dir: str,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Structured-Streaming wiring: every arriving documents parquet file
     flows through dedup_batch via foreachBatch (checkpointed batch ids, so
@@ -172,6 +173,10 @@ def dedup_stream(
             ).alias("text"),
         )
         dedup_batch(spark, docs, int(batch_id), out_dir)
+        # periodic maintenance on the stream's own cadence: accumulator
+        # reads stay O(1) in stream lifetime instead of O(#batches)
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
+            compact_state(spark, out_dir)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", os.path.join(out_dir, "_checkpoint")

@@ -112,15 +112,20 @@ def streaming_ingest(
     gazetteer: list[dict] | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Start the ingest stream; with available_now=True processes the
-    backlog then stops (the batch-test trigger). Returns the StreamingQuery."""
+    backlog then stops (the batch-test trigger). Returns the StreamingQuery.
+    compact_every=K folds the node accumulator's batch subdirs into one
+    compact dir every K batches (stateio commit protocol — crash-safe)."""
     stream = queue_stream(spark, input_dir, max_files_per_trigger)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         process_batch(spark, batch_df, int(batch_id), out_dir, gazetteer)
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
+            compact_nodes(spark, out_dir)
 
     writer = (
         stream.writeStream.foreachBatch(handle)

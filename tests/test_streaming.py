@@ -138,6 +138,8 @@ def test_consolidated_single_scan_50_batches(spark, tmp_path):
         "manufacturer_id string, manufacturer_name string, "
         "pfas_status string, pfas_information_source string"
     )
+    from entity_extractor_spark.streaming.ingest import compact_nodes
+
     for b in range(50):
         # chemical state upgrades to YES in the final batch: last write wins
         rows = [
@@ -155,7 +157,12 @@ def test_consolidated_single_scan_50_batches(spark, tmp_path):
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_{b:06d}", "triples")
         )
+        if b == 29:
+            # mid-stream compaction: last-wins must keep preferring the LIVE
+            # tail (batches 30-49) over the compacted head's rows
+            compact_nodes(spark, out_dir)
 
+    assert os.path.isdir(os.path.join(acc, "compact_000029"))
     tables = consolidated(spark, out_dir)
     plan = tables["triples"]._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan

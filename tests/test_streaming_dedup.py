@@ -119,11 +119,16 @@ def test_dedup_stream_foreachbatch(spark, tmp_path):
         shutil.rmtree(tmp)
         os.utime(f"{src}/f{i}.parquet", (1_700_000_000 + i * 60,) * 2)
 
-    q = dedup_stream(spark, src, out, max_files_per_trigger=1)
+    # compact_every=2: the accumulators fold into one compact dir after the
+    # second batch; every assertion below reads through the compacted state
+    q = dedup_stream(spark, src, out, max_files_per_trigger=1, compact_every=2)
     q.awaitTermination(120)
     dec = {r["doc_id"]: (r["keeper"], r["is_dup"]) for r in read_decisions(spark, out).collect()}
     assert len(dec) == 61
     assert dec[5011] == (11, True)
+    assert os.path.isdir(f"{out}/decisions/compact_000001")
+    assert not glob.glob(f"{out}/decisions/batch_*")
+    assert os.path.isdir(f"{out}/lsh_index/compact_000001")
 
 
 def test_streaming_dedup_reingest_of_kept_doc_stays_kept(spark, tmp_path):
