@@ -256,14 +256,16 @@ def test_pack_sequences_python_replay_and_invariance(spark):
         for r in pack_sequences(df, "doc_id", "tok", budget=500, shards=4).collect()
     }
 
-    def bucket(doc_id: int) -> int:
+    def bucket_and_shard(doc_id: int) -> tuple[int, int]:
+        # ordering bucket = hex chars 0-12; shard = the INDEPENDENT slice
+        # (chars 12-24), mirroring pack_sequences' substring(h,13,12)
         h = hashlib.md5(f"{doc_id}|pack0".encode()).hexdigest()
-        return int(h[:12], 16) % DENOM
+        return int(h[:12], 16) % DENOM, int(h[12:24], 16) % 4
 
     shards: dict[int, list[tuple[int, int, int]]] = {}
     for did, tok in rows:
-        b = bucket(did)
-        shards.setdefault(b % 4, []).append((b, did, tok))
+        b, sh = bucket_and_shard(did)
+        shards.setdefault(sh, []).append((b, did, tok))
     expect = {}
     for sh, members in shards.items():
         cum = 0
