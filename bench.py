@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "w6_asof_join",
     "dedup_incremental_lsh",
     "text_distinctive_terms",
+    # round-3 additions: int8-quantized integer-dot ANN (the 4x-bandwidth
+    # compression path), per-doc OOV rate vs a frequency-rank vocab
+    "ann_quantized_topk",
+    "text_oov_rate",
 ]
 
 

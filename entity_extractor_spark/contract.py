@@ -3271,6 +3271,65 @@ def x4_chunk_semantic(spark, sf_dir):
     return semantic_chunk_documents(d)
 
 
+@query(
+    "ann_quantized_topk",
+    """WITH vecs AS (
+         SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS v
+         FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)
+       ),
+       m AS (SELECT max(abs(v)) AS ma FROM vecs),
+       q AS (SELECT d, CAST(FLOOR(v * 127.0 / (SELECT ma FROM m) + 0.5) AS BIGINT) AS qq
+             FROM vecs WHERE vec_id = 0),
+       c AS (SELECT vec_id, d, CAST(FLOOR(v * 127.0 / (SELECT ma FROM m) + 0.5) AS BIGINT) AS qc
+             FROM vecs WHERE vec_id <> 0),
+       s AS (SELECT c.vec_id, CAST(sum(qc * qq) AS BIGINT) AS qscore
+             FROM c JOIN q USING (d) GROUP BY c.vec_id)
+       SELECT vec_id, qscore, CAST(rnk AS BIGINT) AS rank FROM (
+         SELECT vec_id, qscore,
+                row_number() OVER (ORDER BY qscore DESC, vec_id) AS rnk FROM s)
+       WHERE rnk <= 10""",
+)
+def ann_quantized_topk(spark, sf_dir):
+    """Int8 scalar quantization (FAISS-SQ8 shape) + integer-dot top-10
+    against vec_id=0: the 4x-bandwidth compression step of a production
+    vector store. The scale is ONE corpus MAX agg; codes are
+    floor(v*127/ma + 0.5) in pure IEEE double ops (never ROUND(double,n));
+    the ranking key is a BIGINT int8-dot — exact integer arithmetic, so
+    the DuckDB replay is bit-exact by construction. Top-k is
+    TakeOrderedAndProject (no global Window)."""
+    e = _t(spark, sf_dir, "embeddings")
+    ma = SIM.corpus_max_abs(e)
+    qv = [float(x) for x in e.where("vec_id = 0").select("embedding").head()[0]]
+    return SIM.quantized_topk(e.where("vec_id <> 0"), qv, k=10, max_abs=ma)
+
+
+@query(
+    "text_oov_rate",
+    """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                  FROM documents),
+       tk AS (SELECT doc_id, term FROM t WHERE term <> ''),
+       vocab AS (SELECT term FROM (
+         SELECT term, count(*) AS tf FROM tk GROUP BY term
+         ORDER BY tf DESC, term LIMIT 20)),
+       marked AS (SELECT tk.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+                  FROM tk LEFT JOIN vocab v ON tk.term = v.term)
+       SELECT doc_id, count(*) AS total_tokens,
+              CAST(sum(oov) AS BIGINT) AS oov_tokens,
+              CAST(sum(oov) AS BIGINT) * 1000000 // count(*) AS oov_ppm
+       FROM marked GROUP BY doc_id""",
+)
+def text_oov_rate(spark, sf_dir):
+    """Per-doc out-of-vocabulary rate vs a frequency-rank vocab built from
+    the same corpus — the tokenizer-coverage signal a curation pass uses
+    to reject docs that would fragment into unknowns. vocab_size=20 of the
+    corpus's 31 distinct terms so the gate is non-vacuous at both scale
+    factors (k-core lesson: two engines agreeing on a trivial set prove
+    nothing). oov_ppm is exact integer DIV — no float division anywhere.
+    Vocab broadcast-joins the exploded tokens; rollup is one doc-keyed agg
+    with map-side partials."""
+    return TQ.oov_stats(_t(spark, sf_dir, "documents"), "doc_id", "text", vocab_size=20)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

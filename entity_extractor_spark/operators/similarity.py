@@ -19,6 +19,8 @@ prunes ~(1 - 1/2^bits) of the corpus per probe.
 
 from __future__ import annotations
 
+from math import floor as math_floor
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -431,3 +433,119 @@ def ivf_topk(
         # data) but is excluded from the result list
         cand = cand.where(~F.col(id_col).isin(exclude_ids))
     return brute_force_topk(cand, query_vec, id_col, vec_col, k)
+
+
+# ------------------------------------------------------- int8 quantization --
+QUANT_LEVELS = 127  # symmetric int8 grid: q in [-127, 127]
+
+
+def corpus_max_abs(embeddings: DataFrame, vec_col: str = "embedding") -> float:
+    """Largest |component| across the corpus — the symmetric-quantization
+    scale denominator. One algebraic MAX aggregation (order-invariant and
+    therefore bit-exact on any engine/partitioning, unlike a float SUM);
+    collected as a driver scalar the same way pagerank collects its vertex
+    count (scalar agg -> literal; never crossJoin(broadcast(1 row)) which
+    plans as BNLJ)."""
+    row = embeddings.agg(
+        F.max(
+            F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+        ).alias("ma")
+    ).head()
+    ma = row["ma"] if row else None
+    if ma is None or ma <= 0.0:
+        raise ValueError("corpus has no non-zero embedding component to scale by")
+    return float(ma)
+
+
+def _quantize_expr(vec: Column, max_abs: float, levels: int = QUANT_LEVELS) -> Column:
+    # q = floor(v * L / ma + 0.5): round-half-up in pure IEEE double ops.
+    # Both engines evaluate ((v * L) / ma) + 0.5 in the same order on the
+    # same doubles, and floor is exact — so the int8 code is bit-identical
+    # cross-engine by construction (never ROUND(double, n): Spark's
+    # BigDecimal-string path and DuckDB's binary scaling disagree on
+    # 1-ulp-from-half values; see the pagerank fixed-point lesson).
+    # |v| <= ma guarantees the result lands in [-L, L]: floor(L + 0.5) = L.
+    return F.transform(
+        vec,
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(levels)) / F.lit(float(max_abs)) + F.lit(0.5)
+        ).cast("int"),
+    )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_abs: float | None = None,
+    levels: int = QUANT_LEVELS,
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: (id, qvec).
+
+    The scale-out rationale is bandwidth, not math: a 100 TB float32
+    embedding store shrinks 4x as int8, and the integer dot product below
+    ranks candidates without ever touching the float column — this is the
+    standard first compression step of a production vector pipeline
+    (scalar quantization; same shape as FAISS SQ8). The codes are a pure
+    map over the corpus (no shuffle); the scale is one MAX agg."""
+    ma = corpus_max_abs(embeddings, vec_col) if max_abs is None else float(max_abs)
+    return embeddings.select(
+        F.col(id_col).alias(id_col),
+        _quantize_expr(F.col(vec_col), ma, levels).alias("qvec"),
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    max_abs: float | None = None,
+    levels: int = QUANT_LEVELS,
+) -> DataFrame:
+    """Top-k by int8-quantized dot product: (vec_id, qscore, rank).
+
+    The ranking key is a BIGINT sum of int8*int8 products — exact integer
+    arithmetic, so the ordering (and the DuckDB oracle replay) is bit-exact
+    by construction, with none of the float-rounding ceremony the cosine
+    paths need. Ties break on vec_id. Pass max_abs when the query comes
+    from the same table the corpus was filtered out of, so both sides use
+    one scale.
+
+    Scale shape: quantization is a narrow map; the scoring is a 64-wide
+    integer fold per row (whole-stage friendly, 4x less memory traffic
+    than the float column); top-k is orderBy().limit(k) =
+    TakeOrderedAndProject — per-partition heaps, k rows to the driver,
+    no global Window (same gate as brute_force_topk)."""
+    ma = corpus_max_abs(embeddings, vec_col) if max_abs is None else float(max_abs)
+    q8 = [
+        int(math_floor(float(v) * float(levels) / ma + 0.5)) for v in query_vec
+    ]
+    qlit = F.array(*[F.lit(v) for v in q8])
+    coded = quantize_embeddings(embeddings, id_col, vec_col, max_abs=ma, levels=levels)
+    scored = coded.select(
+        F.col(id_col).alias("vec_id"),
+        F.aggregate(
+            F.zip_with(F.col("qvec"), qlit, lambda a, b: (a * b).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qscore"),
+    )
+    top = scored.orderBy(F.desc("qscore"), F.asc("vec_id")).limit(k)
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("qscore")).alias("_neg"),
+                    F.col("vec_id").alias("vec_id"),
+                    F.col("qscore").alias("qscore"),
+                )
+            )
+        ).alias("arr")
+    )
+    return packed.select(F.posexplode("arr").alias("_pos", "_r")).select(
+        F.col("_r.vec_id").alias("vec_id"),
+        F.col("_r.qscore").alias("qscore"),
+        (F.col("_pos") + 1).cast("long").alias("rank"),
+    )

@@ -374,3 +374,68 @@ def pair_counts(df: DataFrame, id_col: str, text_col: str, k: int = 50) -> DataF
         .orderBy(F.desc("tf"), F.asc("pair"))
         .limit(k)
     )
+
+
+def build_vocab(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 1000
+) -> DataFrame:
+    """Frequency-rank tokenizer vocabulary: the vocab_size most frequent
+    whitespace tokens, (term, tf). The (tf DESC, term ASC) tie-break makes
+    the vocabulary a deterministic SET — the property a tokenizer build
+    actually needs (same corpus => same vocab on any engine/partitioning).
+
+    Scale shape: explode -> one term-keyed count with map-side partials,
+    then orderBy().limit(V) = distributed TakeOrderedAndProject (V is
+    tokenizer-sized, 10^4..10^5: far under the heap-per-task limit that
+    makes giant limits dangerous)."""
+    toks = df.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(vocab_size)
+    )
+
+
+def oov_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame | None = None,
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a frequency-rank vocab:
+    (id, total_tokens, oov_tokens, oov_ppm). The curation signal that
+    decides whether a tokenizer's vocab covers a candidate corpus (high
+    OOV => the doc fragments into bytes/unknowns and wastes sequence
+    length).
+
+    oov_ppm is exact integer arithmetic (oov * 10^6 DIV total) — bit-exact
+    cross-engine, no float division. Docs whose text has no tokens have no
+    row (0/0 is undefined), mirroring the oracle's join semantics.
+
+    Scale shape: the vocab is tokenizer-sized so it broadcast-joins
+    (explicit F.broadcast — never a shuffle on the heavy exploded side);
+    the per-doc rollup is ONE doc-keyed aggregation with map-side partial
+    counts. Nothing driver-side, no windows."""
+    if vocab is None:
+        vocab = build_vocab(df, id_col, text_col, vocab_size)
+    toks = df.select(
+        F.col(id_col).alias(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    marked = toks.join(
+        F.broadcast(vocab.select("term", F.lit(1).alias("_in_v"))), "term", "left"
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").alias("total_tokens"),
+        F.sum(F.when(F.col("_in_v").isNull(), 1).otherwise(0)).alias("oov_tokens"),
+    )
+    return per_doc.select(
+        id_col,
+        "total_tokens",
+        "oov_tokens",
+        F.expr("oov_tokens * 1000000 DIV total_tokens").alias("oov_ppm"),
+    )

@@ -1,0 +1,111 @@
+"""Int8 scalar quantization (similarity.quantized_topk) and tokenizer
+vocabulary / OOV-rate (text_quality.build_vocab/oov_stats) unit gates.
+
+Quantization gate: codes are floor(v*L/ma + 0.5) in pure IEEE double ops —
+hand-computable, bounded in [-L, L] by construction, and the integer-dot
+ranking key is exact BIGINT arithmetic (the cross-engine property the
+ann_quantized_topk contract row relies on)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.operators.similarity import (
+    QUANT_LEVELS,
+    corpus_max_abs,
+    quantize_embeddings,
+    quantized_topk,
+)
+from entity_extractor_spark.operators.text_quality import build_vocab, oov_stats
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_quantize_known_codes(spark):
+    # ma = 2.0; scale = 127/2 = 63.5
+    df = _emb(spark, [(1, [2.0, -2.0, 1.0, 0.0]), (2, [0.5, -0.5, 0.25, 2.0])])
+    assert corpus_max_abs(df) == 2.0
+    got = {r["vec_id"]: r["qvec"] for r in quantize_embeddings(df).collect()}
+    # floor(v*63.5 + 0.5): 2.0->127, -2.0->floor(-126.5)=-127, 1.0->64 (63.5+0.5),
+    # 0.0->0, 0.5->floor(32.25)=32, -0.5->floor(-31.25)=-32, 0.25->floor(16.375)=16
+    assert got[1] == [127, -127, 64, 0]
+    assert got[2] == [32, -32, 16, 127]
+    # bounded by construction
+    for codes in got.values():
+        assert all(-QUANT_LEVELS <= c <= QUANT_LEVELS for c in codes)
+
+
+def test_quantized_topk_exact_integer_ranking(spark):
+    corpus = _emb(
+        spark,
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [1.0, 1.0, 0.0, 0.0]),
+            (12, [-1.0, 0.0, 0.0, 0.0]),
+            (13, [0.0, 0.0, 1.0, 0.0]),
+        ],
+    )
+    out = quantized_topk(corpus, [1.0, 1.0, 0.0, 0.0], k=3, max_abs=1.0).collect()
+    # query codes = [127,127,0,0]; qscores: 11 -> 127*127*2=32258,
+    # 10 -> 16129, 13 -> 0, 12 -> -16129 (cut by k=3)
+    assert [(r["vec_id"], r["qscore"], r["rank"]) for r in out] == [
+        (11, 32258, 1),
+        (10, 16129, 2),
+        (13, 0, 3),
+    ]
+
+
+def test_quantized_query_matches_corpus_codes(spark):
+    # the driver-side query quantization must be bit-identical to the
+    # distributed corpus quantization for the same vector
+    vec = [0.37, -1.93, 0.005, 1.2]
+    df = _emb(spark, [(0, vec)])
+    ma = 1.93
+    spark_codes = quantize_embeddings(df, max_abs=ma).head()["qvec"]
+    # replicate quantized_topk's driver-side path; float32 storage means the
+    # corpus side quantizes the float32-rounded value — do the same here
+    import struct
+
+    f32 = [struct.unpack("f", struct.pack("f", v))[0] for v in vec]
+    py_codes = [int(math.floor(v * float(QUANT_LEVELS) / ma + 0.5)) for v in f32]
+    assert list(spark_codes) == py_codes
+
+
+def test_corpus_max_abs_rejects_zero(spark):
+    df = _emb(spark, [(1, [0.0, 0.0])])
+    with pytest.raises(ValueError):
+        corpus_max_abs(df)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_build_vocab_deterministic_tiebreak(spark):
+    d = _docs(spark, [(1, "a a b c"), (2, "a d")])
+    v = build_vocab(d, "doc_id", "text", vocab_size=2).collect()
+    # tf: a=3, b=c=d=1 -> tie broken by term asc -> b
+    assert [(r["term"], r["tf"]) for r in v] == [("a", 3), ("b", 1)]
+
+
+def test_oov_stats_known_answer(spark):
+    d = _docs(spark, [(1, "a a b c"), (2, "a d"), (3, "   ")])
+    out = {
+        r["doc_id"]: (r["total_tokens"], r["oov_tokens"], r["oov_ppm"])
+        for r in oov_stats(d, "doc_id", "text", vocab_size=2).collect()
+    }
+    # vocab = {a, b}; doc1: 4 tokens, oov c -> 1 -> 250000 ppm
+    # doc2: 2 tokens, oov d -> 1 -> 500000 ppm; doc3: no tokens -> no row
+    assert out == {1: (4, 1, 250000), 2: (2, 1, 500000)}
+
+
+def test_oov_stats_explicit_vocab(spark):
+    d = _docs(spark, [(1, "x y z z")])
+    v = spark.createDataFrame([("z",)], "term string")
+    row = oov_stats(d, "doc_id", "text", vocab=v).head()
+    assert (row["total_tokens"], row["oov_tokens"], row["oov_ppm"]) == (4, 2, 500000)
