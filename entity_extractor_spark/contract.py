@@ -3330,6 +3330,74 @@ def text_oov_rate(spark, sf_dir):
     return TQ.oov_stats(_t(spark, sf_dir, "documents"), "doc_id", "text", vocab_size=20)
 
 
+@query(
+    "j10_salted_skew_join",
+    """WITH dim AS (SELECT l_returnflag, count(*) AS rf_total
+                    FROM lineitem GROUP BY l_returnflag)
+       SELECT l.l_returnflag, d.rf_total, count(*) AS n,
+              CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+       FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
+       GROUP BY l.l_returnflag, d.rf_total""",
+)
+def j10_salted_skew_join(spark, sf_dir):
+    """Skew-salted equi-join on a 3-value hot key (l_returnflag carries
+    ~33% of the fact table each — the 'Water' hub shape from SURVEY §4):
+    big side salted 8 ways by payload xxhash64, small side replicated per
+    salt, join key becomes (key, salt) so no task owns a hot key's full
+    mass. The oracle is the PLAIN join — value-proof that salting is pure
+    plan shaping. qty_sum over BIGINT-cast integral quantities (doubles
+    holding exact integers; never a float SUM cross-engine)."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_quantity"
+    )
+    dim = li.groupBy("l_returnflag").agg(F.count("*").alias("rf_total"))
+    return (
+        salted_join(li, dim, "l_returnflag", salts=8)
+        .groupBy("l_returnflag", "rf_total")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+        )
+    )
+
+
+@query(
+    "j11_bucketed_colocated_join",
+    """SELECT c.c_mktsegment, count(*) AS n_orders,
+              CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum,
+              count(DISTINCT o.o_custkey) AS n_custs
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_mktsegment""",
+)
+def j11_bucketed_colocated_join(spark, sf_dir):
+    """Co-located join through bucketed storage: both sides written
+    bucketed by the join key (sources/bucketed.py — the parquet-native
+    analog of Iceberg's bucket(doc_id) transform SURVEY §2.1/S6 names),
+    then equi-joined with ZERO Exchange on either side (plan-gated by
+    tests/test_bucketed.py; this row value-checks the storage round-trip
+    against the plain DuckDB join). At 100 TB this converts the
+    every-ingest shuffle of the stable side into a one-time write cost."""
+    import tempfile
+    import os as _os
+
+    from .sources.bucketed import bucketed_join, write_bucketed
+
+    base = tempfile.mkdtemp(prefix="bucketed_q_")
+    tag = _os.path.basename(base)[len("bucketed_q_"):]
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    write_bucketed(o, f"orders_b_{tag}", "custkey", 8, path=f"{base}/orders")
+    write_bucketed(c, f"customer_b_{tag}", "custkey", 8, path=f"{base}/customer")
+    j = bucketed_join(spark, f"orders_b_{tag}", f"customer_b_{tag}", "custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.countDistinct("custkey").alias("n_custs"),
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).
