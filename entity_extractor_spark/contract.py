@@ -3398,6 +3398,91 @@ def j11_bucketed_colocated_join(spark, sf_dir):
     )
 
 
+@query(
+    "ann_pq_adc_topk",
+    """WITH vecs AS (
+         SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS v
+         FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)
+       ),
+       mm AS (SELECT max(abs(v)) AS ma FROM vecs),
+       q8 AS (SELECT vec_id, d, CAST(FLOOR(v * 127.0 / (SELECT ma FROM mm) + 0.5) AS BIGINT) AS qc
+              FROM vecs),
+       cents AS (SELECT vec_id AS cid, d, qc FROM q8 WHERE vec_id < 16),
+       subdist AS (
+         SELECT v.vec_id, v.d // 8 AS j, c.cid,
+                CAST(sum((v.qc - c.qc) * (v.qc - c.qc)) AS BIGINT) AS dist
+         FROM q8 v JOIN cents c ON v.d = c.d
+         GROUP BY v.vec_id, v.d // 8, c.cid
+       ),
+       assign AS (
+         SELECT vec_id, j, cid FROM (
+           SELECT vec_id, j, cid,
+                  row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+           FROM subdist) WHERE rn = 1
+       ),
+       qd AS (SELECT j, cid, dist FROM subdist WHERE vec_id = 0),
+       score AS (
+         SELECT a.vec_id, CAST(sum(qd.dist) AS BIGINT) AS pq_dist
+         FROM assign a JOIN qd ON a.j = qd.j AND a.cid = qd.cid
+         WHERE a.vec_id <> 0
+         GROUP BY a.vec_id
+       )
+       SELECT vec_id, pq_dist, CAST(rnk AS BIGINT) AS rank FROM (
+         SELECT vec_id, pq_dist,
+                row_number() OVER (ORDER BY pq_dist ASC, vec_id) AS rnk
+         FROM score) WHERE rnk <= 10""",
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN with asymmetric-distance scoring: 64 dims
+    -> 8 subspaces, each assigned to the nearest of 16 training-free
+    centroids (the first-16 corpus subvectors, ivf_topk's quantizer
+    convention); candidates rank by the sum of driver-precomputed
+    query-to-centroid distances (the ADC table-lookup shape — 8 int codes
+    replace 64 floats, 32x less scan traffic). PQ runs over the int8
+    quantized codes, which makes assignment argmin, ADC table, and
+    ranking ALL exact BIGINT arithmetic — bit-identical cross-engine with
+    zero float-rounding ceremony. Encoding is a zero-shuffle codegen map;
+    top-k is TakeOrderedAndProject."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.where("vec_id = 0").select("embedding").head()[0]]
+    return SIM.pq_topk(e, qv, m=8, k_c=16, k=10, exclude_ids=[0])
+
+
+@query(
+    "dedup_paragraphs_c4",
+    """WITH t AS (
+         SELECT doc_id,
+                string_split_regex(replace(text, ' the ', '. '), '\\. ') AS parts
+         FROM documents),
+       ix AS (SELECT doc_id, parts,
+                     unnest(generate_series(1, len(parts))) AS i FROM t),
+       p AS (SELECT doc_id, i - 1 AS idx, parts[i] AS para
+             FROM ix WHERE trim(parts[i]) <> ''),
+       k AS (SELECT doc_id, idx, para FROM (
+               SELECT doc_id, idx, para,
+                      row_number() OVER (PARTITION BY para
+                                         ORDER BY doc_id, idx) AS rn
+               FROM p) WHERE rn = 1)
+       SELECT doc_id, string_agg(para, '. ' ORDER BY idx) AS text,
+              count(*) AS n_kept
+       FROM k GROUP BY doc_id""",
+)
+def dedup_paragraphs_c4(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup, first-occurrence-wins — the
+    C4/RefinedWeb boilerplate-removal step (corpus sentence-ified by the
+    x4 ' the ' -> '. ' convention so the splitter has real boundaries;
+    ~5% of paragraphs are corpus-duplicates at both SFs, so drops and
+    reassembly are both exercised). Keeper = min(struct(doc, idx)): an
+    algebraic agg with map-side combine — a 10^8-times-duplicated
+    boilerplate paragraph collapses per map task instead of shipping to
+    one window task; NO join, two exchanges total. The oracle replays the
+    keeper rule as a row_number over (para ORDER BY doc, idx)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit(". ")).alias("text")
+    )
+    return D.dedup_paragraphs(d, "doc_id", "text", sep_regex=r"\. ", join_sep=". ")
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

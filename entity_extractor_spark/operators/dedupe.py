@@ -298,3 +298,56 @@ def dedup_canonical(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id") ->
         )
         .withColumn("is_dup", F.col("keeper") != F.col("doc_id"))
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep_regex: str = r"\n",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup, first-occurrence-wins (the C4 /
+    RefinedWeb boilerplate-removal step: a paragraph that appears anywhere
+    earlier in the corpus is dropped from every later document):
+    (id, text, n_kept) with `text` reassembled from the kept paragraphs in
+    original order. Docs whose every paragraph was dropped (or that had no
+    non-blank paragraphs) have no output row — same semantics as the
+    oracle's join.
+
+    "First" is the total order (doc id, paragraph index), so the result is
+    a pure function of the corpus — partition/retry-invariant.
+
+    Scale shape: NO join and NO window over the paragraph key. The keeper
+    of each distinct paragraph is min(struct(id, idx)) — an algebraic agg
+    with map-side partial combine, so a boilerplate paragraph duplicated
+    10^8 times collapses to one row per map task before the shuffle (a
+    window PARTITION BY para would ship the hot paragraph's whole mass to
+    one task). The kept rows ARE the agg output (one per distinct
+    paragraph), so reassembly is just one more doc-keyed agg: two
+    exchanges total for corpus-wide dedup."""
+    paras = df.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(F.split(F.col(text_col), sep_regex)).alias("_idx", "_para"),
+    ).where(F.trim(F.col("_para")) != "")
+    keepers = paras.groupBy("_para").agg(
+        F.min(F.struct(F.col("_d").alias("d"), F.col("_idx").alias("idx"))).alias("kp")
+    )
+    kept = keepers.select(
+        F.col("kp.d").alias("_d"), F.col("kp.idx").alias("_idx"), "_para"
+    )
+    return (
+        kept.groupBy("_d")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_idx").alias("idx"), F.col("_para").alias("p")))
+            ).alias("arr")
+        )
+        .select(
+            F.col("_d").alias(id_col),
+            F.array_join(F.transform(F.col("arr"), lambda s: s["p"]), join_sep).alias(
+                "text"
+            ),
+            F.size("arr").cast("long").alias("n_kept"),
+        )
+    )

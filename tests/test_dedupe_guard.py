@@ -41,3 +41,35 @@ def test_guarded_path_matches_unguarded(spark):
     u = sorted(unguarded.collect(), key=key)
     assert g == u
     assert len(g) > 0
+
+
+# ------------------------------------------------- paragraph dedup (C4-style)
+from entity_extractor_spark.operators.dedupe import dedup_paragraphs
+
+
+def test_dedup_paragraphs_first_wins_and_reassembles(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared one\nbeta"),
+            (2, "shared one\ngamma\nshared two"),
+            (3, "shared two\nshared one"),
+            (4, "shared one"),          # loses everything -> no output row
+            (5, "  \n\n"),              # blank-only -> no output row
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_kept"])
+        for r in dedup_paragraphs(docs, "doc_id", "text").collect()
+    }
+    # doc 1 owns every first occurrence it contains; docs 3/4 are all-dupes
+    assert out == {
+        1: ("alpha\nshared one\nbeta", 3),
+        2: ("gamma\nshared two", 2),
+    }
+
+
+def test_dedup_paragraphs_intra_doc_dupe_kept_once(spark):
+    docs = spark.createDataFrame([(7, "x\nx\ny")], "doc_id bigint, text string")
+    row = dedup_paragraphs(docs, "doc_id", "text").head()
+    assert (row["text"], row["n_kept"]) == ("x\ny", 2)

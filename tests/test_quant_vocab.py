@@ -109,3 +109,59 @@ def test_oov_stats_explicit_vocab(spark):
     v = spark.createDataFrame([("z",)], "term string")
     row = oov_stats(d, "doc_id", "text", vocab=v).head()
     assert (row["total_tokens"], row["oov_tokens"], row["oov_ppm"]) == (4, 2, 500000)
+
+
+# ------------------------------------------------------ product quantization
+from entity_extractor_spark.operators.similarity import (  # noqa: E402
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
+    quantize_embeddings as _qe,
+)
+
+
+def test_pq_known_answer(spark):
+    # 4 dims, m=2 subspaces of 2; centroids = rows 0,1; ma = 1.0
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),   # centroid 0: subs [127,0] / [0,127]
+        (1, [0.0, 1.0, 1.0, 0.0]),   # centroid 1: subs [0,127] / [127,0]
+        (2, [1.0, 0.0, 1.0, 0.0]),   # codes -> [0, 1]
+        (3, [0.0, 1.0, 0.0, 1.0]),   # codes -> [1, 0]
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    coded = _qe(df, max_abs=1.0)
+    books = pq_codebooks(coded, m=2, k_c=2)
+    assert books[0] == [[127, 0], [0, 127]] and books[1] == [[0, 127], [127, 0]]
+    enc = {r["vec_id"]: list(r["codes"]) for r in pq_encode(coded, books).collect()}
+    assert enc == {0: [0, 0], 1: [1, 1], 2: [0, 1], 3: [1, 0]}
+    # query = row 2's vector: ADC dist to row 2 itself is 0; row 3 is the
+    # opposite assignment -> dist = 2 subspace distances of 127^2*2 each
+    out = pq_topk(df, [1.0, 0.0, 1.0, 0.0], m=2, k_c=2, k=4, max_abs=1.0,
+                  exclude_ids=[0, 1]).collect()
+    assert [(r["vec_id"], r["pq_dist"], r["rank"]) for r in out] == [
+        (2, 0, 1),
+        (3, 4 * 127 * 127, 2),
+    ]
+
+
+def test_pq_assignment_tie_breaks_low_cid(spark):
+    # two identical centroids: assignment must pick cid 0
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    coded = _qe(df, max_abs=1.0)
+    books = pq_codebooks(coded, m=1, k_c=2)
+    enc = {r["vec_id"]: list(r["codes"]) for r in pq_encode(coded, books).collect()}
+    assert enc[2] == [0]
+
+
+def test_pq_rejects_bad_shapes(spark):
+    df = _emb(spark, [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])])
+    coded = _qe(df, max_abs=1.0)
+    with pytest.raises(ValueError):
+        pq_codebooks(coded, m=2, k_c=2)  # 3 dims not divisible by 2
+    with pytest.raises(ValueError):
+        pq_codebooks(coded, m=1, k_c=5)  # only 2 seed rows
