@@ -135,7 +135,9 @@ def main() -> None:
     bucketed.count()
     qids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(8).collect()]
     t0 = time.time()
-    rec_single = rec_multi = 0.0
+    rec_single = rec_multi = rec_quant = rec_pq = 0.0
+    # one corpus scale for the two lossy integer rankers (r3 additions)
+    corpus_ma = SIM.corpus_max_abs(emb)
     for qid in qids:
         qv = [
             float(x)
@@ -164,12 +166,47 @@ def main() -> None:
         }
         rec_single += len(exact & single) / len(exact)
         rec_multi += len(exact & multi) / len(exact)
+        # the two lossy integer rankers, each vs ITS exact-metric counterpart
+        # (int8 dot vs float dot, PQ-ADC L2 vs float L2) so the number is the
+        # COMPRESSION loss, not the dot-vs-cosine metric difference
+        qlit = F.array(*[F.lit(v) for v in qv])
+        exact_dot = {
+            r[0]
+            for r in rest.select(
+                "vec_id", SIM.dot(F.col("embedding"), qlit).alias("s")
+            )
+            .orderBy(F.desc("s"), F.asc("vec_id"))
+            .limit(10)
+            .collect()
+        }
+        exact_l2 = {
+            r[0]
+            for r in SIM.brute_force_topk(
+                rest, qv, "vec_id", "embedding", 10, metric="l2"
+            ).select("vec_id").collect()
+        }
+        quant = {
+            r[0]
+            for r in SIM.quantized_topk(rest, qv, k=10, max_abs=corpus_ma)
+            .select("vec_id")
+            .collect()
+        }
+        pq = {
+            r[0]
+            for r in SIM.pq_topk(
+                emb, qv, k=10, max_abs=corpus_ma, exclude_ids=[qid]
+            ).select("vec_id").collect()
+        }
+        rec_quant += len(exact_dot & quant) / len(exact_dot)
+        rec_pq += len(exact_l2 & pq) / len(exact_l2)
     # reported as its own context key, NOT in queries{}: the queries map and
     # summed "value" stay like-for-like comparable with earlier rounds
     ann_recall_sec = round(time.time() - t0, 3)
     bucketed.unpersist()
     ann_lsh_recall = round(rec_single / len(qids), 3)
     ann_multiprobe_recall = round(rec_multi / len(qids), 3)
+    ann_quantized_recall = round(rec_quant / len(qids), 3)
+    ann_pq_recall = round(rec_pq / len(qids), 3)
 
     total = round(sum(queries.values()), 3)
     print(
@@ -186,6 +223,8 @@ def main() -> None:
                 "warmup_sec": warmup_sec,
                 "ann_lsh_recall_at_10": ann_lsh_recall,
                 "ann_multiprobe_recall_at_10": ann_multiprobe_recall,
+                "ann_quantized_recall_at_10_vs_exact_dot": ann_quantized_recall,
+                "ann_pq_recall_at_10_vs_exact_l2": ann_pq_recall,
                 "ann_recall_report_sec": ann_recall_sec,
                 "cpus": CPUS,
             }
