@@ -3483,6 +3483,62 @@ def dedup_paragraphs_c4(spark, sf_dir):
     return D.dedup_paragraphs(d, "doc_id", "text", sep_regex=r"\. ", join_sep=". ")
 
 
+@query(
+    "sample_weighted_det",
+    f"""SELECT doc_id, lang, n_chars FROM documents
+       WHERE {_SAMPLE_BUCKET_SQL} < least(CAST(n_chars AS BIGINT) * 2000, 1000000)""",
+)
+def sample_weighted_det(spark, sf_dir):
+    """Quality-proportional deterministic sampling (the CCNet/Gopher
+    keep-probability-rises-with-quality shape): each doc's keep threshold
+    is its OWN weight on the ppm grid (here n_chars * 2000, spanning
+    ~10%-keep short docs through always-keep long ones, so both the
+    proportional and the capped path are exercised), while the coin stays
+    the (doc_id, salt) md5 bucket — partition/retry-invariant, zero
+    shuffle, exact integer compare on both engines."""
+    from .operators import sampling as SAMP
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "w_ppm", (F.col("n_chars") * 2000).cast("long")
+    )
+    return SAMP.sample_weighted(d, "doc_id", "w_ppm").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "w7_interval_join",
+    """SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+              c.event_id AS click_id, c.ts AS click_ts
+       FROM events v JOIN events c
+         ON v.user_id = c.user_id
+        AND v.event_type = 'view' AND c.event_type = 'click'
+        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 3600 SECONDS""",
+)
+def w7_interval_join(spark, sf_dir):
+    """Event-correlation interval join (view -> click attribution within
+    one hour, per user): the batch face of streaming/join.interval_join —
+    the same function runs watermarked on unbounded streams with bounded
+    state (stream==batch equivalence gated by tests/test_stream_join.py);
+    this row value-checks the join predicate against a DuckDB range-join
+    replay. One hash exchange per side on the key; the time-range
+    predicate evaluates inside the keyed join, never a cartesian."""
+    from .streaming.join import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    v = e.where("event_type = 'view'").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = e.where("event_type = 'click'").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return interval_join(v, c, "user_id", "view_ts", "click_ts", 3600)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -267,3 +267,24 @@ def mixture_plan(
             .alias("rate_ppm"),
         )
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    key_col: str,
+    weight_ppm_col: str,
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-row weighted deterministic sampling: keep a row iff its key
+    bucket < its OWN weight (an integer ppm column in [0, DENOM]) — the
+    quality-proportional subsampling step (CCNet/Gopher shape: keep
+    probability rises with the doc's quality score) with the module's
+    determinism guarantees intact, because the threshold comes from the
+    data while the coin stays the (key, salt) hash. weight <= 0 drops the
+    row, weight >= DENOM always keeps it. A codegen'd filter — no shuffle,
+    no rand(), pushes below wide transforms; bit-exact on any engine
+    (integer compare of two integers)."""
+    return df.where(
+        sample_bucket(F.col(key_col), salt)
+        < F.least(F.col(weight_ppm_col).cast("long"), F.lit(DENOM))
+    )

@@ -330,3 +330,35 @@ def test_sample_by_plan_realizes_target(spark):
         # md5-hash sampling is binomial around the exact rate; 25% slack is
         # far beyond 3 sigma at these sizes while still catching a wrong rate
         assert abs(realized[lang] - targets[lang]) / targets[lang] < 0.25
+
+
+def test_sample_weighted_thresholds(spark):
+    from entity_extractor_spark.operators.sampling import (
+        DENOM,
+        sample_bucket,
+        sample_weighted,
+    )
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        # weights: 0 (never), DENOM (always), DENOM//2 (half by bucket)
+        F.when(F.col("id") < 100, 0)
+        .when(F.col("id") < 200, DENOM)
+        .otherwise(DENOM // 2)
+        .cast("long")
+        .alias("w"),
+    )
+    kept = sample_weighted(df, "k", "w").collect()
+    ks = {r["k"] for r in kept}
+    assert not any(k < 100 for k in ks)            # weight 0 -> dropped
+    assert all(k in ks for k in range(100, 200))   # weight DENOM -> kept
+    # half-weight rows survive iff their bucket qualifies — exact replay
+    # with the same key expression sample_weighted hashes (the raw column)
+    half = df.where("k >= 200").select(
+        "k", sample_bucket(F.col("k"), "s0").alias("b")
+    )
+    expect = {r["k"] for r in half.collect() if r["b"] < DENOM // 2}
+    assert {k for k in ks if k >= 200} == expect
+    # over-cap weights behave as DENOM
+    over = df.where("k < 100").withColumn("w", F.lit(2 * DENOM).cast("long"))
+    assert sample_weighted(over, "k", "w").count() == 100
