@@ -281,10 +281,14 @@ def sample_weighted(
     probability rises with the doc's quality score) with the module's
     determinism guarantees intact, because the threshold comes from the
     data while the coin stays the (key, salt) hash. weight <= 0 drops the
-    row, weight >= DENOM always keeps it. A codegen'd filter — no shuffle,
-    no rand(), pushes below wide transforms; bit-exact on any engine
-    (integer compare of two integers)."""
+    row, weight >= DENOM always keeps it, and a NULL weight DROPS (a doc
+    with no quality score must not default to always-keep — bare F.least
+    would skip the null and compare against DENOM alone). A codegen'd
+    filter — no shuffle, no rand(), pushes below wide transforms;
+    bit-exact on any engine (integer compare of two integers)."""
     return df.where(
         sample_bucket(F.col(key_col), salt)
-        < F.least(F.col(weight_ppm_col).cast("long"), F.lit(DENOM))
+        < F.least(
+            F.coalesce(F.col(weight_ppm_col).cast("long"), F.lit(0)), F.lit(DENOM)
+        )
     )

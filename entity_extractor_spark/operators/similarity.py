@@ -559,12 +559,14 @@ def pq_codebooks(
     k_c: int = 16,
 ) -> list[list[list[int]]]:
     """Training-free PQ codebooks over int8-quantized vectors: subspace j's
-    centroids are the j-th subvectors of the first k_c corpus rows (by id)
-    — the same deterministic any-engine-can-replay quantizer ivf_topk
-    uses for its coarse cells. Returns [m][k_c][dims/m] ints (driver-side:
-    k_c rows, tiny)."""
+    centroids are the j-th subvectors of the first k_c corpus rows (by id
+    ORDER, not id value — ids need not start at 0 or be numeric; the
+    selection is a distributed TakeOrderedAndProject) — the same
+    deterministic any-engine-can-replay quantizer ivf_topk uses for its
+    coarse cells. Returns [m][k_c][dims/m] ints (driver-side: k_c rows,
+    tiny)."""
     rows = sorted(
-        coded.where(F.col(id_col) < k_c).select(id_col, "qvec").collect(),
+        coded.orderBy(id_col).limit(k_c).select(id_col, "qvec").collect(),
         key=lambda r: r[id_col],
     )
     if len(rows) < k_c:

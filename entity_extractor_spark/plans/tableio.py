@@ -27,12 +27,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession, catalog: str = "local") -> bool:
-    """True iff the Iceberg runtime jar is on the JVM classpath AND the
-    given Spark catalog is configured with Iceberg's SparkCatalog."""
+    """True iff the Iceberg runtime is loadable on the JVM AND the given
+    Spark catalog is configured with Iceberg's SparkCatalog. The class
+    probe goes through Spark's Utils.classForName — which consults the
+    session's mutable URL classloader — so jars added at runtime via
+    --packages / spark.jars.packages are seen; a bare
+    java.lang.Class.forName would resolve against py4j's system loader and
+    false-negative exactly those deployments."""
     try:
-        spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.iceberg.catalog.Catalog", False, False
+        )
     except Exception:
-        return False
+        try:
+            spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
+        except Exception:
+            return False
     impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
     return impl is not None and "iceberg" in impl.lower()
 
@@ -80,8 +90,13 @@ def merge_upsert(
     commit). The source registers as a temp view; Iceberg turns the MERGE
     into a copy-on-write/merge-on-read snapshot — the scale path for
     continuously-upserted edge tables (no read-modify-write of the whole
-    table like the parquet fallback's unionByName+window dedupe)."""
-    view = "_merge_src"
+    table like the parquet fallback's unionByName+window dedupe). The
+    source view name is unique per call so two concurrent upserts in one
+    SparkSession (two streams' foreachBatch) cannot clobber each other's
+    source between registration and MERGE execution."""
+    import uuid
+
+    view = f"_merge_src_{uuid.uuid4().hex}"
     source.createOrReplaceTempView(view)
     try:
         spark.sql(merge_upsert_sql(target, view, keys, payload_cols))

@@ -167,7 +167,14 @@ def consolidated(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     )
     if triples is not None:
         triples = triples.withColumn(
-            "_b", F.regexp_extract(F.input_file_name(), r"/(batch_\d+)/triples/", 1)
+            # INT batch id (a string compare mis-orders once ids reach 7
+            # digits: 'batch_1000000' < 'batch_999999' lexicographically),
+            # anchored to the parquet file's own parent chain so an out_dir
+            # containing /batch_NNN/ can't hijack the id
+            "_b",
+            F.regexp_extract(
+                F.input_file_name(), r"/batch_(\d+)/triples/[^/]*$", 1
+            ).cast("int"),
         )
     if triples is not None:
         wt = Window.partitionBy("subj_id", "pred", "obj_id").orderBy(F.desc("_b"))

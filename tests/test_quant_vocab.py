@@ -165,3 +165,12 @@ def test_pq_rejects_bad_shapes(spark):
         pq_codebooks(coded, m=2, k_c=2)  # 3 dims not divisible by 2
     with pytest.raises(ValueError):
         pq_codebooks(coded, m=1, k_c=5)  # only 2 seed rows
+
+
+def test_pq_codebooks_ids_need_not_start_at_zero(spark):
+    # seeds are the first k_c rows by id ORDER, not id VALUE
+    rows = [(1000 + i, [float(i % 3), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    coded = _qe(df, max_abs=2.0)
+    books = pq_codebooks(coded, m=1, k_c=4)
+    assert len(books[0]) == 4  # rows 1000..1003, by order

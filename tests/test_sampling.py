@@ -362,3 +362,15 @@ def test_sample_weighted_thresholds(spark):
     # over-cap weights behave as DENOM
     over = df.where("k < 100").withColumn("w", F.lit(2 * DENOM).cast("long"))
     assert sample_weighted(over, "k", "w").count() == 100
+
+
+def test_sample_weighted_null_weight_drops(spark):
+    from entity_extractor_spark.operators.sampling import DENOM, sample_weighted
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 25, F.lit(DENOM)).cast("long").alias("w"),  # else NULL
+    )
+    kept = {r["k"] for r in sample_weighted(df, "k", "w").collect()}
+    # a missing quality score must DROP, never default to always-keep
+    assert kept == set(range(25))

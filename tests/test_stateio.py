@@ -39,7 +39,7 @@ def test_compaction_preserves_state_over_100_batches(spark, tmp_path):
     assert len(before) == 300 and before[0][2] == 0 and before[-1][2] == 99
 
     assert compact_batches(spark, SCHEMA, acc) == 99
-    assert compacted_upto(acc) == 99
+    assert compacted_upto(spark, acc) == 99
     # every covered batch dir is gone; ONE compact dir holds the state
     dirs = sorted(d for d in os.listdir(acc) if not d.startswith("_"))
     assert dirs == ["compact_000099"]
@@ -99,3 +99,52 @@ def test_dedup_gate_equivalent_under_midstream_compaction(spark, tmp_path):
     assert (3, 1, True) in plain and (5, 1, True) in plain
 
     shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_seven_digit_batch_ids_order_and_compact(spark, tmp_path):
+    """Batch ids >= 10^6 render as 7-digit names; the compactor must still
+    recognize them and the materialized _batch id must order NUMERICALLY
+    (a string compare would put 1000000 before 999999)."""
+    acc = str(tmp_path / "acc")
+    for b in (999_999, 1_000_000):
+        spark.createDataFrame([(1, f"from_{b}")], SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(acc, f"batch_{b:06d}"))
+    st = read_state(spark, SCHEMA, acc)
+    newest = (
+        st.orderBy(F.desc("_batch")).limit(1).collect()[0]
+    )
+    assert (newest["v"], newest["_batch"]) == ("from_1000000", 1_000_000)
+    assert compact_batches(spark, SCHEMA, acc) == 1_000_000
+    assert compacted_upto(spark, acc) == 1_000_000
+    assert _rows(read_state(spark, SCHEMA, acc)) == [
+        (1, "from_1000000", 1_000_000),
+        (1, "from_999999", 999_999),
+    ]
+
+
+def test_batch_segment_in_parent_path_does_not_hijack_id(spark, tmp_path):
+    """An accumulator rooted under a dir that itself matches /batch_NNN/
+    must not corrupt the path-derived batch ids."""
+    acc = str(tmp_path / "batch_777777" / "acc")
+    _write_batches(spark, acc, 2)
+    got = {r["_batch"] for r in read_state(spark, SCHEMA, acc).collect()}
+    assert got == {0, 1}
+
+
+def test_redelivered_covered_batch_dir_removed_by_next_compaction(spark, tmp_path):
+    """Crash-redelivery can recreate a batch dir the previous compaction
+    already covered; it must stay invisible to readers AND be deleted by
+    the next compaction (not relisted forever)."""
+    acc = str(tmp_path / "acc")
+    _write_batches(spark, acc, 3)
+    assert compact_batches(spark, SCHEMA, acc) == 2
+    # redelivered boundary batch rewrites its (covered) dir
+    _write_batches(spark, acc, 1, start=2)
+    before = _rows(read_state(spark, SCHEMA, acc))
+    _write_batches(spark, acc, 1, start=3)  # stream moves on
+    assert compact_batches(spark, SCHEMA, acc) == 3
+    dirs = sorted(d for d in os.listdir(acc) if d.startswith("batch_"))
+    assert dirs == []  # the recreated batch_000002 is gone too
+    after = [(k, v, b) for (k, v, b) in _rows(read_state(spark, SCHEMA, acc)) if b <= 2]
+    assert after == before
