@@ -3544,6 +3544,38 @@ def w7_interval_join(spark, sf_dir):
     return interval_join(v, c, "user_id", "view_ts", "click_ts", 3600)
 
 
+@query(
+    "text_kmv_distinct",
+    """WITH h AS (
+         SELECT DISTINCT lang,
+                CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), '|', 'kmv')), 1, 12)) AS BIGINT) AS hh
+         FROM documents),
+       r AS (SELECT lang, hh,
+                    row_number() OVER (PARTITION BY lang ORDER BY hh) AS rn
+             FROM h),
+       t AS (SELECT lang, count(*) AS n_kept, max(hh) AS kth
+             FROM r WHERE rn <= 32 GROUP BY lang)
+       SELECT lang, n_kept,
+              CASE WHEN n_kept < 32 THEN n_kept
+                   ELSE CAST(8725724278030336 AS BIGINT) // kth
+              END AS est_distinct
+       FROM t""",
+)
+def text_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k distinct-count sketch per language (k=32 over the
+    48-bit md5 grid): the cross-engine-EXACT alternative to HLL (Spark's
+    HLL++ and DuckDB's HLL can never hash-match; KMV's k smallest hashes
+    and BIGINT floor-quotient estimate replay bit-for-bit on any engine).
+    Every sf group holds >= 64 distinct docs so the ESTIMATION path (not
+    the exact-fallback) is what both engines value-check; mergeability
+    and the <k exact path are unit-gated (tests/test_sketch.py). One
+    map-side-deduped DISTINCT, a WindowGroupLimit-pre-pruned per-group
+    top-k, one algebraic agg. 8725724278030336 = (k-1) * 2^48."""
+    from .operators.sketch import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf_dir, "documents"), "lang", "doc_id", k=32)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).
