@@ -78,3 +78,91 @@ def kmv_distinct(
         )
         .alias("est_distinct"),
     )
+
+
+def kmv_slice_jaccard(
+    df: DataFrame,
+    slice_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise set overlap between corpus slices WITHOUT comparing the
+    sets: per-slice KMV sketches plus sketch ALGEBRA. For each slice pair
+    (a < b):
+
+        est_union        = estimate of the MERGED sketch (union the two
+                           hash sets, re-take the k smallest — exactly the
+                           mergeability the unit tests prove)
+        est_intersection = max(0, est_a + est_b - est_union)   (incl-excl)
+        jaccard_ppm      = est_intersection * 10^6 DIV est_union
+
+    Output: (slice_a, slice_b, est_a, est_b, est_union, est_intersection,
+    jaccard_ppm). Each estimate degrades to the EXACT distinct count when
+    its sketch holds fewer than k hashes. Intersection error compounds to
+    ~2-3x a single sketch's 1/sqrt(k), the documented KMV trade — size k
+    accordingly.
+
+    This answers curation's overlap questions ("how much of slice A's
+    vocabulary / user base / shingle set is already in B?") at sketch cost:
+    the full data is touched ONCE to build per-slice sketches (same shape
+    as kmv_distinct); the pairwise stage then runs on #slices rows of
+    k-hash arrays — for the tens-to-thousands of slices a real mixture
+    has, driver-trivial, while the naive list_intersect over raw key sets
+    would shuffle the whole corpus per pair. The slice-pair theta-join
+    (slice_a < slice_b over a #slices-row table) is a deliberate,
+    allowlisted broadcast-nested-loop over sketch rows, never over data.
+
+    Intersection arithmetic runs in DECIMAL(38,0): est values reach
+    (k-1)*2^48 when a kth hash is pathologically small, and * 10^6 must
+    not overflow BIGINT (jaccard_ppm itself is <= 10^6 and casts back)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    hashes = (
+        df.select(F.col(slice_col).alias("_s"), kmv_hash(F.col(key_col)).alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy("_s").orderBy("_h")
+    sketches = (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy("_s")
+        .agg(F.sort_array(F.collect_list("_h")).alias("_hs"))
+        .localCheckpoint(eager=True)
+    )
+
+    def est_expr(hs_sql: str) -> Column:
+        return F.expr(
+            f"CASE WHEN size({hs_sql}) < {k} THEN CAST(size({hs_sql}) AS BIGINT) "
+            f"ELSE CAST({(k - 1) * HASH_SPACE} AS BIGINT) DIV element_at({hs_sql}, {k}) END"
+        )
+
+    a = sketches.select(F.col("_s").alias("slice_a"), F.col("_hs").alias("_ha"))
+    b = sketches.select(F.col("_s").alias("slice_b"), F.col("_hs").alias("_hb"))
+    pairs = a.join(b, F.col("slice_a") < F.col("slice_b"))
+    merged = F.slice(F.array_sort(F.array_union(F.col("_ha"), F.col("_hb"))), 1, k)
+    out = (
+        pairs.withColumn("_hm", merged)
+        .withColumn("est_a", est_expr("_ha"))
+        .withColumn("est_b", est_expr("_hb"))
+        .withColumn("est_union", est_expr("_hm"))
+        .withColumn(
+            "est_intersection",
+            F.greatest(
+                F.lit(0).cast("long"),
+                (F.col("est_a") + F.col("est_b") - F.col("est_union")).cast("long"),
+            ),
+        )
+    )
+    return out.select(
+        "slice_a",
+        "slice_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_intersection",
+        F.expr(
+            "CASE WHEN est_union > 0 THEN CAST("
+            "CAST(est_intersection AS DECIMAL(38,0)) * 1000000"
+            " DIV CAST(est_union AS DECIMAL(38,0)) AS BIGINT) END"
+        ).alias("jaccard_ppm"),
+    )

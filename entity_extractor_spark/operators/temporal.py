@@ -129,3 +129,58 @@ def asof_join(
     ]
     out_cols += [F.col(f"{_ASOF}.{c}").alias(f"{prefix}{c}") for c in carry]
     return matched.select(*out_cols)
+
+
+def scd2_collapse(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: collapse an observation stream
+    into attribute validity intervals — (key, attr, effective_from,
+    effective_to, version), one row per maximal run of consecutive equal
+    attribute values per key.
+
+    effective_from is the run's first observation, effective_to the next
+    run's first observation (half-open [from, to)), NULL for the current
+    version; version numbers runs 1..n in time order. Observations are
+    totally ordered by (ts, tiebreak) so same-timestamp rows collapse
+    deterministically; equality is null-safe (NULL attr is a value, and a
+    NULL->x transition opens a new version).
+
+    This is how a KG keeps entity attributes AS OF a date: materialize the
+    versions once, then asof_join facts against effective_from — the
+    reference instead overwrites node properties in place and loses
+    history (global_node_repository.py upsert).
+
+    Scale shape: the classic gaps-and-islands build — ONE hash exchange on
+    the key feeds three same-window passes (lag, running sum, lead) that
+    Spark executes in a single per-partition sort, then one groupBy on
+    (key, run) that arrives pre-partitioned. No joins, no Python; per-key
+    cost is the sort, so skew degrades gracefully."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    # first row per key always opens run 1, even when its attr is NULL
+    # (lag-eqNullSafe alone would call NULL->NULL "unchanged" there)
+    changed = F.lag(F.lit(1)).over(w).isNull() | ~F.col(attr_col).eqNullSafe(
+        F.lag(attr_col).over(w)
+    )
+    runs = df.select(key_col, ts_col, tiebreak_col, attr_col).withColumn(
+        "_run",
+        F.sum(F.when(changed, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ver = runs.groupBy(key_col, "_run").agg(
+        F.first(attr_col).alias("attr"),  # constant within the run
+        F.min(F.struct(ts_col, tiebreak_col))[ts_col].alias("effective_from"),
+    )
+    wv = Window.partitionBy(key_col).orderBy("_run")
+    return ver.select(
+        F.col(key_col).alias("key"),
+        "attr",
+        "effective_from",
+        F.lead("effective_from").over(wv).alias("effective_to"),
+        F.col("_run").cast("long").alias("version"),
+    )

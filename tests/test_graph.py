@@ -301,3 +301,61 @@ def test_k_core_empty(spark):
     df = spark.createDataFrame([], "src string, dst string")
     out = G.k_core(df, 2)
     assert out.columns == ["vertex", "degree"] and out.count() == 0
+
+
+def test_common_neighbors_topk_known_answer(spark):
+    """Path + hub graph with hand-countable wedges: 1-2-3-4-5 plus hub h
+    adjacent to 1,2,3. Non-adjacent pairs by common neighbors:
+    (1,3):{2,h} = 2, (2,h? adjacent) ... verified by brute force below."""
+    from itertools import combinations
+
+    from entity_extractor_spark.operators.graph import common_neighbors_topk
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (9, 1), (9, 2), (9, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [
+        (r["u"], r["v"], r["common_neighbors"])
+        for r in common_neighbors_topk(df, k=100, max_middle_degree=10).collect()
+    ]
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    exp = []
+    for u, v in combinations(sorted(adj), 2):
+        if v in adj[u]:
+            continue
+        cn = len(adj[u] & adj[v])
+        if cn:
+            exp.append((u, v, cn))
+    exp.sort(key=lambda r: (-r[2], r[0], r[1]))
+    got.sort(key=lambda r: (-r[2], r[0], r[1]))
+    assert got == exp
+    assert got[0][2] == 2  # best pair shares two neighbors
+
+
+def test_common_neighbors_hub_middle_excluded(spark):
+    """A star center above the degree cap generates no wedges: its leaf
+    pairs must NOT appear; wedges through low-degree middles survive."""
+    from entity_extractor_spark.operators.graph import common_neighbors_topk
+
+    star = [(100, i) for i in range(1, 8)]  # center degree 7
+    extra = [(1, 50), (2, 50)]  # middle 50 has degree 2
+    df = spark.createDataFrame(star + extra, "src long, dst long")
+    rows = common_neighbors_topk(df, k=100, max_middle_degree=3).collect()
+    got = {(r["u"], r["v"]): r["common_neighbors"] for r in rows}
+    # (1,2) via middle 50; (50,100) via middles 1 AND 2; leaf pairs (3,4)
+    # etc. connect only through the capped hub and must vanish
+    assert got == {(1, 2): 1, (50, 100): 2}
+
+
+def test_common_neighbors_validates_args(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.graph import common_neighbors_topk
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        common_neighbors_topk(df, k=0, max_middle_degree=5)
+    with pytest.raises(ValueError):
+        common_neighbors_topk(df, k=5, max_middle_degree=1)

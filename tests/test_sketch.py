@@ -66,3 +66,47 @@ def test_kmv_rejects_tiny_k(spark):
     df = spark.createDataFrame([("g", "x")], "grp string, key string")
     with pytest.raises(ValueError):
         kmv_distinct(df, "grp", "key", k=1)
+
+
+def test_kmv_slice_jaccard_exact_below_k(spark):
+    """Below k every estimate is the exact distinct count, so jaccard is
+    the exact inclusion-exclusion value."""
+    from entity_extractor_spark.operators.sketch import kmv_slice_jaccard
+
+    rows = [("A", f"k{i}") for i in range(10)] + [("B", f"k{i}") for i in range(5, 20)]
+    df = spark.createDataFrame(rows, "s string, k string")
+    r = kmv_slice_jaccard(df, "s", "k", k=64).head()
+    assert (r["slice_a"], r["slice_b"]) == ("A", "B")
+    assert (r["est_a"], r["est_b"], r["est_union"]) == (10, 15, 20)
+    assert r["est_intersection"] == 5
+    assert r["jaccard_ppm"] == 5 * 1_000_000 // 20
+
+
+def test_kmv_slice_jaccard_matches_python_sketch_algebra(spark):
+    """Above k the pairwise row must equal the pure-Python replay of the
+    same sketch algebra (merge = union hashes, re-take k smallest)."""
+    from entity_extractor_spark.operators.sketch import kmv_slice_jaccard
+
+    k = 32
+    a_keys = [f"x-{i}" for i in range(300)]
+    b_keys = [f"x-{i}" for i in range(150, 500)]
+    df = spark.createDataFrame(
+        [("A", x) for x in a_keys] + [("B", x) for x in b_keys], "s string, k string"
+    )
+
+    def sk(keys):
+        return sorted({_py_hash(x) for x in keys})[:k]
+
+    def est(hs):
+        return len(hs) if len(hs) < k else (k - 1) * HASH_SPACE // hs[k - 1]
+
+    ea, eb = est(sk(a_keys)), est(sk(b_keys))
+    eu = est(sorted(set(sk(a_keys)) | set(sk(b_keys)))[:k])
+    ei = max(0, ea + eb - eu)
+    r = kmv_slice_jaccard(df, "s", "k", k=k).head()
+    assert (r["est_a"], r["est_b"], r["est_union"], r["est_intersection"]) == (
+        ea, eb, eu, ei,
+    )
+    assert r["jaccard_ppm"] == ei * 1_000_000 // eu
+    # ground truth jaccard = 150/500 = 0.30; sketch at k=32 is rough but sane
+    assert 0.05 < r["jaccard_ppm"] / 1e6 < 0.65

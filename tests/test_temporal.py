@@ -130,3 +130,60 @@ def test_asof_left_of_only_keys_and_ts(spark):
     rdf = spark.createDataFrame([(7, 1, T0, 1.5)], SCHEMA)
     row = asof_join(ldf, rdf, "user", "ts", ["id"], tiebreak="id").collect()[0]
     assert row["user"] == 1 and row["asof_id"] == 7
+
+
+def test_scd2_collapse_runs_and_intervals(spark):
+    """Hand-built observation stream: runs collapse, half-open intervals
+    chain (to == next from), last version open-ended, versions 1..n."""
+    from entity_extractor_spark.operators.temporal import scd2_collapse
+
+    rows = [
+        ("u1", 1, 1, "a"),
+        ("u1", 2, 2, "a"),
+        ("u1", 3, 3, "b"),
+        ("u1", 4, 4, "b"),
+        ("u1", 5, 5, "a"),
+        ("u2", 1, 6, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, eid long, attr string")
+    out = sorted(
+        scd2_collapse(df, "k", "ts", "attr", "eid").collect(),
+        key=lambda r: (r["key"], r["version"]),
+    )
+    u1 = [(r["attr"], r["effective_from"], r["effective_to"], r["version"])
+          for r in out if r["key"] == "u1"]
+    assert u1 == [("a", 1, 3, 1), ("b", 3, 5, 2), ("a", 5, None, 3)]
+    u2 = [(r["attr"], r["effective_from"], r["effective_to"], r["version"])
+          for r in out if r["key"] == "u2"]
+    assert u2 == [("x", 1, None, 1)]
+
+
+def test_scd2_null_attr_is_a_version(spark):
+    """NULL attribute opens/closes versions like any value; a leading NULL
+    run is still version 1."""
+    from entity_extractor_spark.operators.temporal import scd2_collapse
+
+    rows = [("u", 1, 1, None), ("u", 2, 2, None), ("u", 3, 3, "a"), ("u", 4, 4, None)]
+    df = spark.createDataFrame(rows, "k string, ts long, eid long, attr string")
+    out = sorted(
+        scd2_collapse(df, "k", "ts", "attr", "eid").collect(),
+        key=lambda r: r["version"],
+    )
+    assert [(r["attr"], r["version"]) for r in out] == [
+        (None, 1), ("a", 2), (None, 3)
+    ]
+    assert [r["effective_to"] for r in out] == [3, 4, None]
+
+
+def test_scd2_same_ts_tiebreak_deterministic(spark):
+    """Two observations at one timestamp order by the tiebreak column, so
+    the collapsed history is partition-invariant."""
+    from entity_extractor_spark.operators.temporal import scd2_collapse
+
+    rows = [("u", 1, 2, "late"), ("u", 1, 1, "early"), ("u", 2, 3, "late")]
+    df = spark.createDataFrame(rows, "k string, ts long, eid long, attr string")
+    out = sorted(
+        scd2_collapse(df, "k", "ts", "attr", "eid").collect(),
+        key=lambda r: r["version"],
+    )
+    assert [(r["attr"], r["version"]) for r in out] == [("early", 1), ("late", 2)]
