@@ -3576,6 +3576,235 @@ def text_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_t(spark, sf_dir, "documents"), "lang", "doc_id", k=32)
 
 
+@query(
+    "text_kmv_slice_jaccard",
+    """WITH t AS (SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                  FROM documents),
+       sh AS (SELECT DISTINCT lang,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 1)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS shingle
+              FROM t),
+       h AS (SELECT DISTINCT lang,
+                    CAST(concat('0x', substring(md5(concat(shingle, '|', 'kmv')), 1, 12)) AS BIGINT) AS hh
+             FROM sh),
+       r AS (SELECT lang, hh, row_number() OVER (PARTITION BY lang ORDER BY hh) AS rn
+             FROM h),
+       sk AS (SELECT lang, list_sort(list(hh)) AS hs FROM r WHERE rn <= 64 GROUP BY lang),
+       pr AS (SELECT a.lang AS slice_a, b.lang AS slice_b, a.hs AS ha, b.hs AS hb,
+                     list_sort(list_distinct(list_concat(a.hs, b.hs)))[1:64] AS hm
+              FROM sk a JOIN sk b ON a.lang < b.lang),
+       e AS (SELECT slice_a, slice_b,
+               CASE WHEN len(ha) < 64 THEN CAST(len(ha) AS BIGINT)
+                    ELSE 17732923532771328 // ha[64] END AS est_a,
+               CASE WHEN len(hb) < 64 THEN CAST(len(hb) AS BIGINT)
+                    ELSE 17732923532771328 // hb[64] END AS est_b,
+               CASE WHEN len(hm) < 64 THEN CAST(len(hm) AS BIGINT)
+                    ELSE 17732923532771328 // hm[64] END AS est_union
+             FROM pr),
+       f AS (SELECT slice_a, slice_b, est_a, est_b, est_union,
+                    greatest(CAST(0 AS BIGINT),
+                             est_a + est_b - est_union) AS est_intersection
+             FROM e)
+       SELECT slice_a, slice_b, est_a, est_b, est_union, est_intersection,
+              CASE WHEN est_union > 0 THEN CAST(
+                CAST(est_intersection AS HUGEINT) * 1000000
+                // CAST(est_union AS HUGEINT) AS BIGINT) END AS jaccard_ppm
+       FROM f""",
+)
+def text_kmv_slice_jaccard(spark, sf_dir):
+    """Pairwise corpus-slice overlap from per-slice KMV sketches
+    (sketch.kmv_slice_jaccard): jaccard of the per-language word-BIGRAM
+    vocabularies via sketch algebra (merge = union hashes, re-take the 64
+    smallest; intersection by inclusion-exclusion) — the curation question
+    "how much of slice A is already in B" WITHOUT a corpus-shuffling pair
+    join. Every lang holds ~900 distinct bigrams >> k=64 so both engines
+    value-check the ESTIMATOR path, not the exact fallback; the pairwise
+    stage runs over 5 sketch rows. 17732923532771328 = (k-1) * 2^48; the
+    ppm quotient needs HUGEINT/DECIMAL(38,0) (est * 10^6 can pass BIGINT).
+    Reference analog: the per-folder corpus-stats overlap the ingest
+    dashboard cannot answer without full scans (processors/queue.py)."""
+    from .operators.dedupe import _shingles
+    from .operators.sketch import kmv_slice_jaccard
+
+    d = _shingles(_t(spark, sf_dir, "documents"), "text", 2)
+    return kmv_slice_jaccard(d.select("lang", "shingle"), "lang", "shingle", k=64)
+
+
+@query(
+    "graph_common_neighbors",
+    """WITH p AS (
+         SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey
+          AND a.l_quantity >= 25 AND b.l_quantity >= 25
+         WHERE a.l_partkey < b.l_partkey),
+       und AS (SELECT s AS src, t AS dst FROM p
+               UNION ALL SELECT t, s FROM p),
+       midok AS (SELECT src AS m FROM und GROUP BY src HAVING count(*) <= 40),
+       nb AS (SELECT und.src AS m, und.dst AS u
+              FROM und JOIN midok ON und.src = midok.m),
+       wed AS (SELECT n1.u AS u, n2.u AS v FROM nb n1
+               JOIN nb n2 ON n1.m = n2.m AND n1.u < n2.u),
+       sc AS (SELECT u, v, count(*) AS common_neighbors FROM wed GROUP BY u, v)
+       SELECT sc.u, sc.v, sc.common_neighbors
+       FROM sc LEFT JOIN p ON p.s = sc.u AND p.t = sc.v
+       WHERE p.s IS NULL
+       ORDER BY sc.common_neighbors DESC, sc.u, sc.v
+       LIMIT 100""",
+)
+def graph_common_neighbors(spark, sf_dir):
+    """Link prediction (graph.common_neighbors_topk): the 100 strongest
+    NON-adjacent part pairs by shared co-order neighbors over the
+    high-quantity co-order graph — the missing-KG-edge candidate generator
+    the reference cannot express (it only proposes edges where a
+    same-document mention pair exists, artifact_ingestor_service.py).
+    Middles above degree 40 are EXCLUDED (not sampled) so the capped-wedge
+    count is deterministic and both engines agree exactly; at sf0.01 the
+    cap binds on ~18% of vertices and ~700k wedges survive, so the
+    exclusion path is value-checked, not vacuous. Ties at the k boundary
+    break by (count desc, u, v) — a total order, so LIMIT is stable.
+    Spark plans the top-k as TakeOrderedAndProject, never a global sort."""
+    li = _t(spark, sf_dir, "lineitem").where("l_quantity >= 25").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    return G.common_neighbors_topk(edges, k=100, max_middle_degree=40).select(
+        F.col("u"), F.col("v"), "common_neighbors"
+    )
+
+
+@query(
+    "w7_scd2_collapse",
+    """WITH o AS (SELECT o_custkey AS k, o_orderdate AS ts,
+                         o_orderkey AS tb, o_orderstatus AS attr
+                  FROM orders),
+       m AS (SELECT k, ts, tb, attr,
+                    CASE WHEN row_number() OVER w = 1
+                           OR attr IS DISTINCT FROM lag(attr) OVER w
+                         THEN 1 ELSE 0 END AS chg
+             FROM o WINDOW w AS (PARTITION BY k ORDER BY ts, tb)),
+       runs AS (SELECT k, ts, attr,
+                       sum(chg) OVER (PARTITION BY k ORDER BY ts, tb
+                                      ROWS UNBOUNDED PRECEDING) AS run
+                FROM m),
+       ver AS (SELECT k, run, min(attr) AS attr, min(ts) AS ef
+               FROM runs GROUP BY k, run)
+       SELECT k AS key, attr,
+              strftime(ef, '%Y-%m-%d') AS from_date,
+              strftime(lead(ef) OVER (PARTITION BY k ORDER BY run),
+                       '%Y-%m-%d') AS to_date,
+              CAST(run AS BIGINT) AS version
+       FROM ver""",
+)
+def w7_scd2_collapse(spark, sf_dir):
+    """SCD type-2 history (temporal.scd2_collapse): each customer's order
+    STATUS observation stream collapses into half-open validity intervals
+    (from, to) with version numbers — the attribute-as-of-date table the
+    reference loses by upserting node properties in place
+    (global_node_repository.py). Gaps-and-islands: ONE hash exchange on
+    the key feeds lag + running-sum + lead in a single per-partition sort,
+    then a pre-partitioned groupBy — no joins. Same-date observations
+    order by o_orderkey so the collapse is partition-invariant; dates
+    render as strings so both engines hash identical values."""
+    from .operators.temporal import scd2_collapse
+
+    out = scd2_collapse(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey", "o_orderdate", "o_orderstatus", "o_orderkey",
+    )
+    return out.select(
+        "key",
+        "attr",
+        F.date_format("effective_from", "yyyy-MM-dd").alias("from_date"),
+        F.date_format("effective_to", "yyyy-MM-dd").alias("to_date"),
+        "version",
+    )
+
+
+@query(
+    "audit_constraints",
+    """WITH t AS (SELECT
+         CAST(count(*) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN l_quantity <= 25 THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+         CAST(sum(CASE WHEN l_discount <= 0.06 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+         CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) AS BIGINT) AS v3
+       FROM lineitem)
+       SELECT rule, total AS total_rows, violations,
+              CASE WHEN total > 0 THEN violations * 1000000 // total END AS violation_ppm
+       FROM (SELECT 'qty_at_most_25' AS rule, total, v0 AS violations FROM t
+             UNION ALL SELECT 'discount_at_most_6pct', total, v1 FROM t
+             UNION ALL SELECT 'price_positive', total, v2 FROM t
+             UNION ALL SELECT 'returnflag_known', total, v3 FROM t)""",
+)
+def audit_constraints(spark, sf_dir):
+    """Single-pass data-quality audit (audit.constraint_audit): four
+    Deequ-style rules over lineitem fold into ONE algebraic aggregation
+    (map-side partials, whole-stage codegen) instead of one scan per rule;
+    NULL rule results count as violations. Mixes heavy-violation rules
+    (~50% and ~36%) with zero-violation invariants so both the counting
+    and the clean path value-check. Rates are BIGINT ppm floor divisions.
+    Reference analog: the ad-hoc per-row try/except validation in the
+    ingest loop (artifact_ingestor_service.py) made a value-checkable
+    table instead of log lines."""
+    from .operators.audit import constraint_audit
+
+    return constraint_audit(
+        _t(spark, sf_dir, "lineitem"),
+        {
+            "qty_at_most_25": F.col("l_quantity") <= 25,
+            "discount_at_most_6pct": F.col("l_discount") <= 0.06,
+            "price_positive": F.col("l_extendedprice") > 0,
+            "returnflag_known": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+
+
+@query(
+    "er_blocking_prf",
+    """WITH items AS (SELECT substring(md5(text), 1, 2) AS p,
+                             md5(regexp_replace(text, '[0-9]+', '', 'g')) AS g
+                      FROM documents),
+       cells AS (SELECT p, g, count(*) AS c FROM items GROUP BY p, g),
+       tp AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS v FROM cells),
+       pp AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS v
+              FROM (SELECT sum(c) AS n FROM cells GROUP BY p)),
+       gp AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS v
+              FROM (SELECT sum(c) AS n FROM cells GROUP BY g))
+       SELECT tp.v AS tp_pairs, pp.v AS pred_pairs, gp.v AS gold_pairs,
+              CASE WHEN pp.v > 0 THEN tp.v * 1000000 // pp.v END AS precision_ppm,
+              CASE WHEN gp.v > 0 THEN tp.v * 1000000 // gp.v END AS recall_ppm,
+              CASE WHEN pp.v + gp.v > 0
+                   THEN 2 * tp.v * 1000000 // (pp.v + gp.v) END AS f1_ppm
+       FROM tp, pp, gp""",
+)
+def er_blocking_prf(spark, sf_dir):
+    """Entity-resolution evaluation (er_metrics.pair_metrics): pairwise
+    precision/recall/F1 of exact-hash blocking (pred = md5(text) 8-bit
+    prefix, 256 buckets) against a digit-insensitive duplicate definition
+    (gold = md5 of text with digit runs stripped) — does cheap exact
+    blocking recover fuzzy-dup classes, and how much bucket-collision
+    noise does it admit? Counted via the contingency-table identity
+    (sum of C(n,2) over group sizes): one groupBy(pred, gold) pass plus
+    two tiny re-aggs — never the O(n^2) pair join. All BIGINT; undefined
+    rates are NULL. The reference has no dedup-quality measurement at all
+    (normalized_name equality is trusted blindly,
+    global_node_repository.py)."""
+    from .operators.er_metrics import pair_metrics
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.substring(F.md5("text"), 1, 2).alias("pred"),
+        F.md5(F.regexp_replace(F.col("text"), "[0-9]+", "")).alias("gold"),
+    )
+    return pair_metrics(d, "pred", "gold")
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -50,6 +50,10 @@ BNLJ_ALLOWED = {
     # the baseline"); dedup_embedding_blocked is the banded-LSH scale path
     # and must NOT appear here
     "dedup_embedding_cosine",
+    # slice-pair theta-join (slice_a < slice_b) over PER-SLICE KMV SKETCH
+    # rows — #slices rows of k-hash arrays, never the corpus itself
+    # (sketch.kmv_slice_jaccard; the corpus is touched once upstream)
+    "text_kmv_slice_jaccard",
 }
 
 # Queries whose plan legitimately contains Arrow-batched Pandas nodes
