@@ -3805,6 +3805,43 @@ def er_blocking_prf(spark, sf_dir):
     return pair_metrics(d, "pred", "gold")
 
 
+@query(
+    "w8_range_join",
+    """SELECT w.event_id AS win_id, w.user_id AS win_user, w.ts AS win_start,
+              c.event_id AS click_id, c.user_id AS click_user, c.ts AS click_ts
+       FROM events w JOIN events c
+         ON w.event_type = 'purchase' AND c.event_type = 'click'
+        AND c.ts >= w.ts AND c.ts < w.ts + INTERVAL 1800 SECONDS""",
+)
+def w8_range_join(spark, sf_dir):
+    """KEYLESS range join (temporal.range_join): every click inside any
+    purchase's 30-minute attribution window, across all users — the shape
+    Spark plans as a BroadcastNestedLoopJoin when written naively (no
+    equi-key at all). The operator quantizes time into 600 s buckets,
+    explodes each window over the <=4 buckets it overlaps, equi-joins on
+    the bucket, and re-filters exactly — so the oracle is the PLAIN
+    inequality join (bucketing is physical, not semantic) and any
+    lost/duplicated pair hash-mismatches. Shuffle is by time bucket:
+    time-local, even under uniform load, no key skew possible."""
+    from .operators.temporal import range_join
+
+    e = _t(spark, sf_dir, "events")
+    wins = e.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("win_id"),
+        F.col("user_id").alias("win_user"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1800 SECONDS")).alias("win_end"),
+    )
+    clicks = e.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return range_join(
+        clicks, wins, "click_ts", "win_start", "win_end", bucket_width=600.0
+    ).select("win_id", "win_user", "win_start", "click_id", "click_user", "click_ts")
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -184,3 +184,92 @@ def scd2_collapse(
         F.lead("effective_from").over(wv).alias("effective_to"),
         F.col("_run").cast("long").alias("version"),
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    keys: list[str] | None = None,
+    max_span_buckets: int = 4096,
+) -> DataFrame:
+    """Bucketed range join: each point row pairs with every interval row
+    (matching `keys`, when given) whose half-open [start, end) contains
+    the point — the "which windows cover this event" join that Spark
+    plans as a BroadcastNestedLoopJoin (keyless) or an in-join range
+    filter (keyed) when written naively, both of which die at scale.
+
+    Physical strategy: quantize the axis into buckets of `bucket_width`.
+    A point lives in exactly ONE bucket; an interval is exploded to the
+    buckets it overlaps; the join becomes a plain EQUI-join on
+    (keys..., bucket) followed by the exact range filter. Each
+    (point, interval) pair can meet in at most one bucket (the point's),
+    so no dedup pass is needed. Shuffle is by bucket — time-local, so a
+    uniform event stream spreads evenly; pick bucket_width near the
+    typical interval length (one row per interval per bucket is the
+    explosion cost, enforced below).
+
+    Guard: an interval spanning >= max_span_buckets buckets fails the job
+    LOUDLY (lazy executor-side assert, same pattern as
+    ngram_jaccard_pairs' group-size guard) instead of silently exploding
+    the build side — widen bucket_width rather than raising the cap.
+
+    Column names of the two inputs must be disjoint apart from `keys`
+    (rename upstream, as with interval_join). Numeric and timestamp axes
+    both work; bucketing casts to double (exact for |values| < 2^53 —
+    microsecond epochs included), and only MONOTONICITY of the bucket fn
+    matters for correctness since the exact predicate re-filters.
+
+    Reference analog: the reference scans all "analysis windows" per
+    document in Python (file_analysis_service.py loops windows per page);
+    this is the one-equi-join form of that lookup.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be > 0")
+    keys = list(keys or [])
+    dup = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if dup:
+        raise ValueError(f"overlapping non-key columns: {sorted(dup)}")
+
+    def _bucket(df: DataFrame, c: str) -> F.Column:
+        # TIMESTAMP_NTZ / DATE have no direct double cast; route through
+        # TIMESTAMP (session-tz interpretation — a constant shift, so the
+        # bucket fn stays monotone and both sides shift identically)
+        col = F.col(c)
+        if dict(df.dtypes)[c] in ("timestamp_ntz", "date"):
+            col = col.cast("timestamp")
+        return F.floor(col.cast("double") / F.lit(float(bucket_width))).cast("long")
+
+    p = points.withColumn("_pb", _bucket(points, point_col))
+    iv = (
+        intervals.where(F.col(end_col) > F.col(start_col))
+        .withColumn("_b0", _bucket(intervals, start_col))
+        .withColumn("_b1", _bucket(intervals, end_col))
+    )
+    guard = F.assert_true(
+        F.col("_b1") - F.col("_b0") < F.lit(max_span_buckets),
+        F.concat(
+            F.lit("range_join: an interval spans "),
+            (F.col("_b1") - F.col("_b0") + 1).cast("string"),
+            F.lit(
+                f" buckets (cap {max_span_buckets}); widen bucket_width "
+                "instead of exploding the build side"
+            ),
+        ),
+    )
+    iv = (
+        iv.where(guard.isNull())
+        .withColumn("_pb", F.explode(F.sequence(F.col("_b0"), F.col("_b1"))))
+        .drop("_b0", "_b1")
+    )
+    return (
+        p.join(iv, keys + ["_pb"])
+        .where(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("_pb")
+    )

@@ -187,3 +187,101 @@ def test_scd2_same_ts_tiebreak_deterministic(spark):
         key=lambda r: r["version"],
     )
     assert [(r["attr"], r["version"]) for r in out] == [("early", 1), ("late", 2)]
+
+
+def _naive_range_join(pts, ivs):
+    return sorted(
+        (p[0], i[0])
+        for p in pts
+        for i in ivs
+        if i[1] <= p[1] < i[2]
+    )
+
+
+def test_range_join_keyless_matches_naive(spark):
+    """Random-ish integer axis: bucketed equi-join result == brute-force
+    double loop, including points on bucket boundaries."""
+    from entity_extractor_spark.operators.temporal import range_join
+
+    pts = [(f"p{i}", (i * 37) % 100) for i in range(60)]
+    ivs = [(f"w{j}", j * 7, j * 7 + 11) for j in range(15)]
+    p = spark.createDataFrame(pts, "pid string, x long")
+    iv = spark.createDataFrame(ivs, "wid string, s long, e long")
+    out = range_join(p, iv, "x", "s", "e", bucket_width=8)
+    got = sorted((r["pid"], r["wid"]) for r in out.collect())
+    assert got == _naive_range_join(pts, ivs)
+    assert len(got) > 0
+
+
+def test_range_join_half_open_boundaries(spark):
+    """point == start joins; point == end does not."""
+    from entity_extractor_spark.operators.temporal import range_join
+
+    p = spark.createDataFrame([("a", 10), ("b", 20)], "pid string, x long")
+    iv = spark.createDataFrame([("w", 10, 20)], "wid string, s long, e long")
+    got = [r["pid"] for r in range_join(p, iv, "x", "s", "e", 5).collect()]
+    assert got == ["a"]
+
+
+def test_range_join_keyed(spark):
+    """With keys, only same-key (point, interval) pairs join."""
+    from entity_extractor_spark.operators.temporal import range_join
+
+    p = spark.createDataFrame(
+        [("u1", "a", 5), ("u2", "b", 5)], "user string, pid string, x long"
+    )
+    iv = spark.createDataFrame(
+        [("u1", "w1", 0, 10), ("u2", "w2", 0, 10)],
+        "user string, wid string, s long, e long",
+    )
+    got = sorted(
+        (r["pid"], r["wid"])
+        for r in range_join(p, iv, "x", "s", "e", 4, keys=["user"]).collect()
+    )
+    assert got == [("a", "w1"), ("b", "w2")]
+
+
+def test_range_join_span_guard_raises(spark):
+    """An interval spanning >= max_span_buckets buckets fails loudly."""
+    import pytest
+
+    from entity_extractor_spark.operators.temporal import range_join
+
+    p = spark.createDataFrame([("a", 1)], "pid string, x long")
+    iv = spark.createDataFrame([("w", 0, 1000)], "wid string, s long, e long")
+    bad = range_join(p, iv, "x", "s", "e", bucket_width=1, max_span_buckets=100)
+    with pytest.raises(Exception, match="range_join"):
+        bad.collect()
+
+
+def test_range_join_rejects_bad_args(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.temporal import range_join
+
+    p = spark.createDataFrame([("a", 1)], "pid string, x long")
+    iv = spark.createDataFrame([("a", 0, 2)], "pid string, s long, e long")
+    with pytest.raises(ValueError):
+        range_join(p, iv, "x", "s", "e", bucket_width=0)
+    with pytest.raises(ValueError, match="overlapping"):
+        range_join(p, iv, "x", "s", "e", bucket_width=1)
+
+
+def test_range_join_timestamps(spark):
+    """Timestamp axis: microsecond-precision containment survives the
+    double-cast bucketing (only monotonicity matters; the exact predicate
+    re-filters)."""
+    from datetime import datetime, timedelta
+
+    from entity_extractor_spark.operators.temporal import range_join
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0, 500000)
+    p = spark.createDataFrame(
+        [("in", t0 + timedelta(seconds=10)), ("out", t0 + timedelta(seconds=90))],
+        "pid string, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [("w", t0, t0 + timedelta(seconds=60))], "wid string, s timestamp, e timestamp"
+    )
+    got = [r["pid"] for r in range_join(p, iv, "ts", "s", "e", 30.0).collect()]
+    assert got == ["in"]
