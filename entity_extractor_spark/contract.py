@@ -3631,16 +3631,34 @@ def text_kmv_slice_jaccard(spark, sf_dir):
     return kmv_slice_jaccard(d.select("lang", "shingle"), "lang", "shingle", k=64)
 
 
-@query(
-    "graph_common_neighbors",
-    """WITH p AS (
+# High-quantity co-order graph (l_quantity >= 25 trims the full co-order
+# graph's ~90-degree hubs to ~15 so capped/unrolled graph oracles stay
+# replayable) — shared by the common-neighbors / k-hop / random-walk rows.
+_Q25_PAIRS_CTE = """p AS (
          SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
          FROM lineitem a JOIN lineitem b
            ON a.l_orderkey = b.l_orderkey
           AND a.l_quantity >= 25 AND b.l_quantity >= 25
          WHERE a.l_partkey < b.l_partkey),
        und AS (SELECT s AS src, t AS dst FROM p
-               UNION ALL SELECT t, s FROM p),
+               UNION ALL SELECT t, s FROM p)"""
+
+
+def _q25_edges(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where("l_quantity >= 25").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+
+
+@query(
+    "graph_common_neighbors",
+    f"""WITH {_Q25_PAIRS_CTE},
        midok AS (SELECT src AS m FROM und GROUP BY src HAVING count(*) <= 40),
        nb AS (SELECT und.src AS m, und.dst AS u
               FROM und JOIN midok ON und.src = midok.m),
@@ -3665,18 +3683,9 @@ def graph_common_neighbors(spark, sf_dir):
     exclusion path is value-checked, not vacuous. Ties at the k boundary
     break by (count desc, u, v) — a total order, so LIMIT is stable.
     Spark plans the top-k as TakeOrderedAndProject, never a global sort."""
-    li = _t(spark, sf_dir, "lineitem").where("l_quantity >= 25").select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    )
-    return G.common_neighbors_topk(edges, k=100, max_middle_degree=40).select(
-        F.col("u"), F.col("v"), "common_neighbors"
-    )
+    return G.common_neighbors_topk(
+        _q25_edges(spark, sf_dir), k=100, max_middle_degree=40
+    ).select(F.col("u"), F.col("v"), "common_neighbors")
 
 
 @query(
@@ -3840,6 +3849,137 @@ def w8_range_join(spark, sf_dir):
     return range_join(
         clicks, wins, "click_ts", "win_start", "win_end", bucket_width=600.0
     ).select("win_id", "win_user", "win_start", "click_id", "click_user", "click_ts")
+
+
+@query(
+    "graph_k_hop",
+    f"""WITH {_Q25_PAIRS_CTE},
+       d0 AS (SELECT p_partkey AS vertex, CAST(0 AS BIGINT) AS dist
+              FROM part WHERE p_partkey % 100 = 0),
+       f1 AS (SELECT DISTINCT und.dst AS vertex
+              FROM und JOIN d0 ON und.src = d0.vertex),
+       d1 AS (SELECT vertex, CAST(1 AS BIGINT) AS dist FROM f1
+              WHERE vertex NOT IN (SELECT vertex FROM d0)),
+       f2 AS (SELECT DISTINCT und.dst AS vertex
+              FROM und JOIN d1 ON und.src = d1.vertex),
+       d2 AS (SELECT vertex, CAST(2 AS BIGINT) AS dist FROM f2
+              WHERE vertex NOT IN (SELECT vertex FROM d0
+                                   UNION ALL SELECT vertex FROM d1))
+       SELECT vertex, dist FROM d0
+       UNION ALL SELECT vertex, dist FROM d1
+       UNION ALL SELECT vertex, dist FROM d2""",
+)
+def graph_k_hop(spark, sf_dir):
+    """Seed expansion (graph.k_hop_neighborhood): every part within 2
+    undirected hops of the round-number seed parts over the high-quantity
+    co-order graph, with MINIMUM hop distance — the KG subsetting query
+    ("the neighborhood of these entities") the reference answers one node
+    at a time (global_edge_repository.py get_edges_for_node loops).
+    Frontier BFS: per round one frontier-sized equi-join + one anti-join
+    against visited, never a |V|-scan; deterministic because min-dist has
+    no tie to break. The oracle unrolls the two rounds as CTE levels."""
+    edges = _q25_edges(spark, sf_dir)
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 100 == 0)
+        .select(F.col("p_partkey").alias("vertex"))
+    )
+    return G.k_hop_neighborhood(edges, seeds, 2)
+
+
+@query(
+    "kg_negative_sample",
+    """WITH pos AS (SELECT DISTINCT l_partkey AS src, 'supplied_by' AS rel,
+                           l_suppkey AS dst
+                    FROM lineitem WHERE l_quantity >= 40),
+       ents AS (SELECT DISTINCT s_suppkey AS ent FROM supplier),
+       idx AS (SELECT ent, row_number() OVER (ORDER BY
+                 CAST(concat('0x', substring(md5(concat(CAST(ent AS VARCHAR), '|', 'neg0')), 1, 12)) AS BIGINT),
+                 ent) - 1 AS i
+               FROM ents),
+       drawn AS (SELECT src, rel, dst, j AS trial,
+                 CAST(concat('0x', substring(md5(concat(
+                   CAST(src AS VARCHAR), '|', rel, '|', CAST(dst AS VARCHAR),
+                   '|', CAST(j AS VARCHAR), '|', 'neg0')), 1, 12)) AS BIGINT)
+                 % (SELECT count(*) FROM ents) AS i
+                 FROM pos CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS j)),
+       neg AS (SELECT d.src, d.rel, x.ent AS dst, CAST(d.trial AS BIGINT) AS trial
+               FROM drawn d JOIN idx x USING (i))
+       SELECT neg.src, neg.rel, neg.dst, neg.trial
+       FROM neg LEFT JOIN pos p
+         ON p.src = neg.src AND p.rel = neg.rel AND p.dst = neg.dst
+       WHERE p.src IS NULL""",
+)
+def kg_negative_sample(spark, sf_dir):
+    """Filtered tail-corruption negatives (kg_training.negative_sample):
+    2 corrupted tails per (part)-[supplied_by]->(supplier) positive, drawn
+    by pure content hash over a deterministic entity permutation, with
+    draws that hit TRUE triples dropped — the standard filtered setting of
+    KG-embedding training (TransE). The graph is built and stored by the
+    reference (global_edge_repository.py) but never exported as model
+    food; this is that export at equi-join cost: map-side explode, one
+    index join, one anti-join. Both engines replay the permutation and
+    the draws bit-for-bit on the md5 grid."""
+    from .operators.kg_training import negative_sample
+
+    li = _t(spark, sf_dir, "lineitem").where("l_quantity >= 40")
+    triples = li.select(
+        F.col("l_partkey").alias("src"),
+        F.lit("supplied_by").alias("rel"),
+        F.col("l_suppkey").alias("dst"),
+    )
+    ents = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("entity"))
+    return negative_sample(triples, ents, 2, salt="neg0")
+
+
+_WALK_STEP_HASH = (
+    "CAST(concat('0x', substring(md5(concat(CAST(und.src AS VARCHAR), '|', "
+    "'{step}', '|', CAST(und.dst AS VARCHAR), '|', 'w0')), 1, 12)) AS BIGINT)"
+)
+
+
+@query(
+    "kg_random_walks",
+    f"""WITH {_Q25_PAIRS_CTE},
+       c0 AS (SELECT p_partkey AS start, p_partkey AS cur FROM part
+              WHERE p_partkey % 10 = 0),
+       n1 AS (SELECT start, dst AS cur FROM (
+                SELECT c0.start, und.dst,
+                       row_number() OVER (PARTITION BY c0.start ORDER BY
+                         {_WALK_STEP_HASH.format(step=1)}, und.dst) AS rn
+                FROM c0 JOIN und ON und.src = c0.cur) WHERE rn = 1),
+       n2 AS (SELECT start, dst AS cur FROM (
+                SELECT n1.start, und.dst,
+                       row_number() OVER (PARTITION BY n1.start ORDER BY
+                         {_WALK_STEP_HASH.format(step=2)}, und.dst) AS rn
+                FROM n1 JOIN und ON und.src = n1.cur) WHERE rn = 1),
+       n3 AS (SELECT start, dst AS cur FROM (
+                SELECT n2.start, und.dst,
+                       row_number() OVER (PARTITION BY n2.start ORDER BY
+                         {_WALK_STEP_HASH.format(step=3)}, und.dst) AS rn
+                FROM n2 JOIN und ON und.src = n2.cur) WHERE rn = 1)
+       SELECT start, CAST(0 AS BIGINT) AS step, cur AS vertex FROM c0
+       UNION ALL SELECT start, CAST(1 AS BIGINT), cur FROM n1
+       UNION ALL SELECT start, CAST(2 AS BIGINT), cur FROM n2
+       UNION ALL SELECT start, CAST(3 AS BIGINT), cur FROM n3""",
+)
+def kg_random_walks(spark, sf_dir):
+    """DeepWalk-style corpus export (kg_training.random_walks): one
+    deterministic 3-hop walk from every tenth part over the high-quantity
+    co-order graph; the next hop from v at step t is the neighbor
+    minimizing (hash48(v|t|neighbor|salt), neighbor), so the walk corpus
+    is partition/retry-invariant and the oracle unrolls the three steps
+    with row_number() = 1 per start. Per round: one frontier equi-join +
+    one algebraic min(struct) — never per-walk Python. Multiple walks per
+    vertex = multiple salts (like epochs)."""
+    from .operators.kg_training import random_walks
+
+    starts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 10 == 0)
+        .select(F.col("p_partkey").alias("vertex"))
+    )
+    return random_walks(_q25_edges(spark, sf_dir), starts, 3, salt="w0")
 
 
 # --------------------------------------------------------- driver ordering --

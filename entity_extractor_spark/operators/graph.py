@@ -531,3 +531,54 @@ def common_neighbors_topk(
         .orderBy(F.col("common_neighbors").desc(), F.col("u"), F.col("v"))
         .limit(k)
     )
+
+
+def k_hop_neighborhood(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "vertex",
+) -> DataFrame:
+    """Breadth-first seed expansion: (vertex, dist) for every vertex
+    reachable within k undirected hops of any seed, dist = MINIMUM hop
+    count (0 for the seeds themselves). The KG subsetting primitive —
+    "everything within 2 hops of these entities" — which the reference
+    can only do one node at a time through its per-entity edge lookups
+    (global_edge_repository.py get_edges_for_node loops).
+
+    Scale shape: classic frontier BFS — k synchronous rounds, each ONE
+    equi-join of the current frontier against the edge table (shuffle on
+    the join key) plus a left-anti join against the visited set, both
+    frontier-sized, never |V|-sized. The visited set is localCheckpoint'd
+    per round so lineage stays O(1) instead of O(k) replans. Rounds stop
+    early when a frontier empties (the isEmpty probe is one cheap job per
+    round). Deterministic by construction — no tie-breaks exist: a vertex
+    joins `visited` in the first round that reaches it, and min-dist is
+    enforced by the anti-join, so any engine agrees exactly."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    und = _symmetrized(_clean_edges(edges, src, dst)).localCheckpoint(eager=True)
+    visited = (
+        seeds.select(F.col(seed_col).alias("vertex"))
+        .where(F.col("vertex").isNotNull())
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for step in range(1, k + 1):
+        nxt = (
+            und.join(frontier.select(F.col("vertex").alias("src")), "src")
+            .select(F.col("dst").alias("vertex"))
+            .distinct()
+            .join(visited.select("vertex"), "vertex", "left_anti")
+            .withColumn("dist", F.lit(step).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

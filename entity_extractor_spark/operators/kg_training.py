@@ -1,0 +1,169 @@
+"""Training-data exporters FROM the knowledge graph: negative sampling
+for link-prediction / KG-embedding training, and deterministic random
+walks for graph-to-sequence (node2vec/DeepWalk-style) corpora.
+
+The reference builds the graph and stops (global_node_repository.py /
+global_edge_repository.py store and serve); a 100 TB training pipeline
+additionally has to EXPORT the graph as model food — (positive, negative)
+triple pairs and walk sequences — at the same scale as the graph itself.
+
+Determinism doctrine (same as sampling.py): every "random" choice is a
+pure function of (row content, salt) on the 48-bit md5 grid, so results
+are partition-, retry-, and engine-invariant, and a DuckDB oracle can
+replay them bit-for-bit. Never rand(seed) — it is per-partition seeded
+and reshuffles under repartitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .graph import _clean_edges, _symmetrized
+
+
+def _hash48(*cols: Column | str) -> Column:
+    """48-bit md5 grid hash of the '|'-joined stringified columns — the
+    repo-wide portable-hash recipe (md5 hex chars 1-12)."""
+    parts = [F.col(c).cast("string") if isinstance(c, str) else c for c in cols]
+    return F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 12), 16, 10).cast(
+        "long"
+    )
+
+
+def negative_sample(
+    triples: DataFrame,
+    entities: DataFrame,
+    n_per_positive: int,
+    salt: str = "neg",
+    src: str = "src",
+    rel: str = "rel",
+    dst: str = "dst",
+    entity_col: str = "entity",
+) -> DataFrame:
+    """Filtered tail-corruption negative sampling: for each positive
+    triple (src, rel, dst) and trial j in [0, n_per_positive), replace
+    dst with a hash-chosen entity; drop any corruption that collides with
+    a TRUE triple (the standard "filtered" setting of the KG-embedding
+    literature — Bordes et al., TransE, NeurIPS 2013). Output
+    (src, rel, dst, trial) where dst is the corrupted tail; per positive,
+    up to n_per_positive rows survive (fewer when a draw hits a true
+    triple — deterministic, disclosed, and rare when the entity set is
+    large).
+
+    The draw: entities get a deterministic permutation index (row_number
+    over (md5(entity|salt), entity)); trial j of a triple picks index
+    hash48(src|rel|dst|j|salt) % N. Pure content arithmetic — no rand(),
+    no driver loops.
+
+    Scale shape: positives explode map-side by n_per_positive (no
+    shuffle), ONE equi-join on the sampled index against the indexed
+    entity table, ONE left-anti join against the positives on the full
+    triple key. The entity count N is the only driver-side scalar (a
+    single count job). Skew-free: sampled indices are uniform by
+    construction."""
+    if n_per_positive <= 0:
+        raise ValueError("n_per_positive must be > 0")
+    pos = triples.select(
+        F.col(src).alias("src"), F.col(rel).alias("rel"), F.col(dst).alias("dst")
+    ).distinct()
+    ents = (
+        entities.select(F.col(entity_col).alias("_ent"))
+        .where(F.col("_ent").isNotNull())
+        .distinct()
+    )
+    idx_w = Window.orderBy(_hash48(F.col("_ent"), F.lit(salt)), F.col("_ent"))
+    indexed = ents.withColumn("_idx", F.row_number().over(idx_w) - 1).localCheckpoint(
+        eager=True
+    )
+    n = indexed.count()
+    if n == 0:
+        raise ValueError("entities is empty")
+    drawn = (
+        pos.withColumn(
+            "trial", F.explode(F.sequence(F.lit(0), F.lit(n_per_positive - 1)))
+        )
+        .withColumn(
+            "_idx",
+            _hash48(
+                F.col("src"), F.col("rel"), F.col("dst"), F.col("trial"), F.lit(salt)
+            )
+            % F.lit(n),
+        )
+        .join(indexed, "_idx")
+        .select(
+            "src",
+            "rel",
+            F.col("_ent").alias("dst_neg"),
+            F.col("trial").cast("long").alias("trial"),
+        )
+    )
+    return drawn.join(
+        pos.select("src", "rel", F.col("dst").alias("dst_neg")),
+        ["src", "rel", "dst_neg"],
+        "left_anti",
+    ).select("src", "rel", F.col("dst_neg").alias("dst"), "trial")
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    length: int,
+    salt: str = "walk",
+    src: str = "src",
+    dst: str = "dst",
+    start_col: str = "vertex",
+) -> DataFrame:
+    """One deterministic walk of up to `length` hops from every start
+    vertex over the undirected graph: output (start, step, vertex) with
+    step 0 = the start itself. The next hop from v at step t is the
+    neighbor minimizing (hash48(v|t|neighbor|salt), neighbor) — a pure
+    content draw, so the walk corpus is partition/retry-invariant and
+    engine-replayable (the contract oracle unrolls the steps with
+    row_number() = 1). A start with no neighbors contributes only its
+    step-0 row.
+
+    This is the DeepWalk/node2vec corpus generator (Perozzi et al., KDD
+    2014) in its deterministic form: one walk per start per salt — run R
+    salts for R walks per vertex, exactly like epochs.
+
+    Scale shape: `length` rounds, each ONE frontier-sized equi-join on
+    the current vertex plus ONE algebraic min(struct) per start (map-side
+    partials) — never per-walk Python, never a |V| scan. The symmetrized
+    edge table is localCheckpoint'd once and reused by every round."""
+    if length < 0:
+        raise ValueError("length must be >= 0")
+    und = _symmetrized(_clean_edges(edges, src, dst)).localCheckpoint(eager=True)
+    cur = (
+        starts.select(F.col(start_col).alias("start"))
+        .where(F.col("start").isNotNull())
+        .distinct()
+        .withColumn("_cur", F.col("start"))
+    )
+    out = cur.select("start", F.lit(0).cast("long").alias("step"),
+                     F.col("_cur").alias("vertex"))
+    for step in range(1, length + 1):
+        nxt = (
+            und.join(cur.select("start", F.col("_cur").alias("src")), "src")
+            .select(
+                "start",
+                F.col("dst").alias("_cand"),
+                _hash48(F.col("src"), F.lit(step), F.col("dst"), F.lit(salt)).alias(
+                    "_h"
+                ),
+            )
+            .groupBy("start")
+            .agg(F.min(F.struct("_h", "_cand")).alias("_m"))
+            .select("start", F.col("_m._cand").alias("_cur"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(
+            nxt.select(
+                "start", F.lit(step).cast("long").alias("step"),
+                F.col("_cur").alias("vertex"),
+            )
+        )
+        cur = nxt
+    return out

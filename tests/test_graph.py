@@ -359,3 +359,39 @@ def test_common_neighbors_validates_args(spark):
         common_neighbors_topk(df, k=0, max_middle_degree=5)
     with pytest.raises(ValueError):
         common_neighbors_topk(df, k=5, max_middle_degree=1)
+
+
+def test_k_hop_known_answer(spark):
+    """Path 1-2-3-4-5 plus branch 3-6; seeds {1}: dist = hop index, 5 and
+    6 beyond k=2 excluded; min-dist wins when two paths reach a vertex."""
+    from entity_extractor_spark.operators.graph import k_hop_neighborhood
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (3, 6), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    got = {
+        (r["vertex"], r["dist"])
+        for r in k_hop_neighborhood(df, seeds, 2).collect()
+    }
+    # 3 is reachable in 1 hop via the 1-3 edge (not 2 via 1-2-3)
+    assert got == {(1, 0), (2, 1), (3, 1), (4, 2), (6, 2)}
+
+
+def test_k_hop_zero_returns_seeds(spark):
+    from entity_extractor_spark.operators.graph import k_hop_neighborhood
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (7,)], "vertex long")
+    got = {(r["vertex"], r["dist"]) for r in k_hop_neighborhood(df, seeds, 0).collect()}
+    assert got == {(1, 0), (7, 0)}
+
+
+def test_k_hop_early_exit_on_exhausted_component(spark):
+    """k larger than the component diameter: BFS stops when the frontier
+    empties and never revisits."""
+    from entity_extractor_spark.operators.graph import k_hop_neighborhood
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (8, 9)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    got = {(r["vertex"], r["dist"]) for r in k_hop_neighborhood(df, seeds, 10).collect()}
+    assert got == {(1, 0), (2, 1), (3, 2)}

@@ -1,0 +1,99 @@
+"""negative_sample / random_walks gates: determinism, filtered-positive
+semantics, python replay of the hash draws, dead-end and argument edges."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.operators.kg_training import negative_sample, random_walks
+
+
+def _h48(*parts) -> int:
+    s = "|".join(str(p) for p in parts)
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def test_negative_sample_matches_python_replay(spark):
+    triples = [(1, "r", 10), (2, "r", 20), (1, "s", 30)]
+    ents = [(e,) for e in (10, 20, 30, 40, 50)]
+    tdf = spark.createDataFrame(triples, "src long, rel string, dst long")
+    edf = spark.createDataFrame(ents, "entity long")
+    got = sorted(
+        (r["src"], r["rel"], r["dst"], r["trial"])
+        for r in negative_sample(tdf, edf, 3, salt="t").collect()
+    )
+    # python replay: permutation index by (md5(e|t), e), draw, filter
+    order = sorted((e,) for (e,) in ents)
+    perm = sorted((_h48(e, "t"), e) for (e,) in ents)
+    idx2ent = {i: e for i, (_, e) in enumerate(perm)}
+    positives = set(triples)
+    exp = []
+    for s, r, d in triples:
+        for j in range(3):
+            cand = idx2ent[_h48(s, r, d, j, "t") % len(ents)]
+            if (s, r, cand) not in positives:
+                exp.append((s, r, cand, j))
+    assert got == sorted(exp)
+    assert len(got) > 0
+
+
+def test_negative_sample_never_emits_positives(spark):
+    """With only 2 entities both of which are true tails for src 1/rel r,
+    every draw collides and the output is empty for that (src, rel)."""
+    tdf = spark.createDataFrame(
+        [(1, "r", 10), (1, "r", 20)], "src long, rel string, dst long"
+    )
+    edf = spark.createDataFrame([(10,), (20,)], "entity long")
+    out = negative_sample(tdf, edf, 4)
+    assert out.count() == 0
+
+
+def test_negative_sample_validates_args(spark):
+    tdf = spark.createDataFrame([(1, "r", 10)], "src long, rel string, dst long")
+    edf = spark.createDataFrame([(10,)], "entity long")
+    with pytest.raises(ValueError):
+        negative_sample(tdf, edf, 0)
+    empty = spark.createDataFrame([], "entity long")
+    with pytest.raises(ValueError):
+        negative_sample(tdf, empty, 1)
+
+
+def test_random_walks_matches_python_replay(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (1, 3), (2, 4)]
+    starts = [(1,), (4,)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame(starts, "vertex long")
+    got = sorted(
+        (r["start"], r["step"], r["vertex"])
+        for r in random_walks(edf, sdf, 3, salt="w").collect()
+    )
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp = []
+    for (s,) in starts:
+        cur = s
+        exp.append((s, 0, s))
+        for t in range(1, 4):
+            cur = min(adj[cur], key=lambda c: (_h48(cur, t, c, "w"), c))
+            exp.append((s, t, cur))
+    assert got == sorted(exp)
+
+
+def test_random_walks_dead_end_stops(spark):
+    """An isolated start vertex yields only its step-0 row."""
+    edf = spark.createDataFrame([(1, 2)], "src long, dst long")
+    sdf = spark.createDataFrame([(9,)], "vertex long")
+    got = [(r["start"], r["step"], r["vertex"]) for r in random_walks(edf, sdf, 5).collect()]
+    assert got == [(9, 0, 9)]
+
+
+def test_random_walks_zero_length(spark):
+    edf = spark.createDataFrame([(1, 2)], "src long, dst long")
+    sdf = spark.createDataFrame([(1,)], "vertex long")
+    got = [(r["start"], r["step"], r["vertex"]) for r in random_walks(edf, sdf, 0).collect()]
+    assert got == [(1, 0, 1)]
