@@ -3982,6 +3982,69 @@ def kg_random_walks(spark, sf_dir):
     return random_walks(_q25_edges(spark, sf_dir), starts, 3, salt="w0")
 
 
+def _ppr_sql(iterations: int = 2) -> str:
+    """Unrolled personalized-PageRank replay — term-for-term the
+    graph.personalized_pagerank dataflow in exact BIGINT fixed-point
+    (1e-9 units, damping 17/20, half-up division), teleport mass confined
+    to the seed set; only the final display cast touches doubles."""
+    parts = [
+        f"""WITH {_Q25_PAIRS_CTE},
+v0 AS (SELECT DISTINCT src AS vertex FROM und),
+sd AS (SELECT DISTINCT p_partkey AS vertex FROM part WHERE p_partkey % 100 = 0),
+v AS (SELECT vertex, max(i) AS i FROM
+        (SELECT vertex, 0 AS i FROM v0 UNION ALL SELECT vertex, 1 FROM sd)
+      GROUP BY vertex),
+ss AS (SELECT COUNT(*) AS s FROM sd),
+od AS (SELECT src, COUNT(*) AS odeg FROM und GROUP BY src),
+r0 AS (SELECT vertex, i,
+              CAST(i AS BIGINT) * ((2000000000 + (SELECT s FROM ss))
+                                   // (2 * (SELECT s FROM ss))) AS r
+       FROM v),"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT und.dst AS vertex, (2 * r.r + od.odeg) // (2 * od.odeg) AS share
+  FROM und JOIN r{i - 1} r ON r.vertex = und.src JOIN od ON od.src = und.src
+  WHERE r.r != 0),
+r{i} AS (
+  SELECT v.vertex, v.i,
+         CASE WHEN v.i = 1 THEN
+           (2 * (3000000000 + 17 * COALESCE(s.s, 0) * (SELECT s FROM ss))
+            + 20 * (SELECT s FROM ss)) // (2 * 20 * (SELECT s FROM ss))
+         ELSE (2 * 17 * COALESCE(s.s, 0) + 20) // (2 * 20) END AS r
+  FROM v LEFT JOIN (SELECT vertex, SUM(share) AS s FROM c{i} GROUP BY vertex) s
+  USING (vertex)),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vertex, CAST(r AS DOUBLE) / 1000000000.0 AS ppr FROM r{iterations}"
+    )
+    return "\n".join(parts)
+
+
+@query("graph_personalized_pagerank", _ppr_sql())
+def graph_personalized_pagerank(spark, sf_dir):
+    """Seed-relevance ranking (graph.personalized_pagerank): 2-iteration
+    teleport-to-seeds PageRank of every part relative to the round-number
+    seed parts over the high-quantity co-order graph — graded relevance
+    where graph_k_hop gives only a cut, the disambiguation context prior
+    the reference lacks (it ranks by raw degree only,
+    global_node_repository.py). Same exact BIGINT fixed-point doctrine as
+    graph_pagerank (1e-9 units, rational damping, half-up division): the
+    DuckDB oracle replays the unrolled iterations bit-for-bit. One
+    equi-join + one algebraic groupBy per iteration; isolated seeds keep
+    their teleport mass."""
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 100 == 0)
+        .select(F.col("p_partkey").alias("vertex"))
+    )
+    return G.personalized_pagerank(
+        _q25_edges(spark, sf_dir), seeds, iterations=2
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -395,3 +395,65 @@ def test_k_hop_early_exit_on_exhausted_component(spark):
     seeds = spark.createDataFrame([(1,)], "vertex long")
     got = {(r["vertex"], r["dist"]) for r in k_hop_neighborhood(df, seeds, 10).collect()}
     assert got == {(1, 0), (2, 1), (3, 2)}
+
+
+def _ppr_python(edges, seeds, iterations, units=10**9, num=17, den=20):
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = set(adj) | set(seeds)
+    s = len(seeds)
+    r = {v: ((2 * units + s) // (2 * s) if v in seeds else 0) for v in verts}
+    for _ in range(iterations):
+        sums = {v: 0 for v in verts}
+        for u in verts:
+            if r[u] and u in adj:
+                share = (2 * r[u] + len(adj[u])) // (2 * len(adj[u]))
+                for v in adj[u]:
+                    sums[v] += share
+        nr = {}
+        for v in verts:
+            if v in seeds:
+                nr[v] = (2 * ((den - num) * units + num * sums[v] * s) + den * s) // (
+                    2 * den * s
+                )
+            else:
+                nr[v] = (2 * num * sums[v] + den) // (2 * den)
+        r = nr
+    return {v: x / units for v, x in r.items()}
+
+
+def test_personalized_pagerank_matches_python(spark):
+    from entity_extractor_spark.operators.graph import personalized_pagerank
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 3), (4, 5)]
+    seeds = {1}
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "vertex long")
+    got = {r["vertex"]: r["ppr"] for r in personalized_pagerank(edf, sdf, iterations=3).collect()}
+    exp = _ppr_python(edges, seeds, 3)
+    assert got == exp
+    # seed outranks the far end; everything reachable has positive mass
+    assert got[1] > got[5] > 0
+
+
+def test_personalized_pagerank_isolated_seed_keeps_teleport(spark):
+    from entity_extractor_spark.operators.graph import personalized_pagerank
+
+    edf = spark.createDataFrame([(1, 2)], "src long, dst long")
+    sdf = spark.createDataFrame([(9,)], "vertex long")
+    got = {r["vertex"]: r["ppr"] for r in personalized_pagerank(edf, sdf, iterations=2).collect()}
+    # isolated seed: rank = (1-d)/1 = 0.15 exactly; graph vertices get 0
+    assert got[9] == 0.15 and got[1] == 0.0 and got[2] == 0.0
+
+
+def test_personalized_pagerank_empty_seeds_raises(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.graph import personalized_pagerank
+
+    edf = spark.createDataFrame([(1, 2)], "src long, dst long")
+    sdf = spark.createDataFrame([], "vertex long")
+    with pytest.raises(ValueError):
+        personalized_pagerank(edf, sdf)
