@@ -4045,6 +4045,110 @@ def graph_personalized_pagerank(spark, sf_dir):
     )
 
 
+@query(
+    "skew_profile_suppkey",
+    """WITH c AS (SELECT l_suppkey AS key, count(*) AS n_rows
+                  FROM lineitem GROUP BY l_suppkey),
+       t AS (SELECT sum(n_rows) AS total FROM c)
+       SELECT key, n_rows,
+              n_rows * 1000000 // (SELECT total FROM t) AS share_ppm,
+              (n_rows + 999) // 1000 AS salt_factor
+       FROM c ORDER BY n_rows DESC, key LIMIT 20""",
+)
+def skew_profile_suppkey(spark, sf_dir):
+    """Shuffle-health measurement (skew.skew_profile): the 20 heaviest
+    supplier keys of the lineitem fact with exact row share (ppm) and the
+    salt factor salted_join would need to cap any task at ~1000 rows of
+    that key — the MEASUREMENT behind the north rule's explicit
+    repartition/salting levers, run before keying a 100 TB shuffle. ONE
+    groupBy pass (map-side combine) feeds both the scalar total (pagerank
+    agg-collect pattern, never a 1-row crossJoin) and the
+    TakeOrderedAndProject top-k."""
+    from .operators.skew import skew_profile
+
+    return skew_profile(
+        _t(spark, sf_dir, "lineitem"), "l_suppkey",
+        top_k=20, target_rows_per_task=1000,
+    )
+
+
+@query(
+    "sketch_cms_frequency",
+    """WITH rows AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+       grid AS (SELECT unnest(generate_series(0, 3)) AS r),
+       cells AS (SELECT r,
+                        CAST(concat('0x', substring(md5(concat(k, '|',
+                          CAST(r AS VARCHAR), '|', 'cms')), 1, 12)) AS BIGINT)
+                        % 256 AS bucket,
+                        count(*) AS cnt
+                 FROM rows CROSS JOIN grid GROUP BY 1, 2),
+       q AS (SELECT CAST(p_partkey AS VARCHAR) AS key FROM part
+             WHERE p_partkey % 100 = 0),
+       qr AS (SELECT key, r,
+                     CAST(concat('0x', substring(md5(concat(key, '|',
+                       CAST(r AS VARCHAR), '|', 'cms')), 1, 12)) AS BIGINT)
+                     % 256 AS bucket
+              FROM q CROSS JOIN grid)
+       SELECT key, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+       FROM qr LEFT JOIN cells USING (r, bucket) GROUP BY key""",
+)
+def sketch_cms_frequency(spark, sf_dir):
+    """Count-Min frequency sketch (sketch.cms_table + cms_estimate): point
+    frequency estimates for the round-number parts from a 4x256-cell
+    sketch of the lineitem part column — the MERGEABLE frequency
+    companion of text_kmv_distinct (KMV: "how many distinct"; CMS: "how
+    often is THIS key"), deterministic on the md5 grid so both engines
+    replay every cell and every min exactly. Build: map-side explode to
+    depth rows + ONE agg to <= depth*width cells; estimate: map-side
+    explode of the query keys + a broadcast join against the tiny sketch.
+    Never-underestimates and mergeability are unit-gated
+    (tests/test_skew_sketch_funnel.py)."""
+    from .operators.sketch import cms_estimate, cms_table
+
+    cms = cms_table(_t(spark, sf_dir, "lineitem"), "l_partkey", depth=4, width=256)
+    keys = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 100 == 0)
+        .select(F.col("p_partkey").cast("string").alias("key"))
+    )
+    return cms_estimate(cms, keys, depth=4, width=256)
+
+
+@query(
+    "funnel_events",
+    """WITH t1 AS (SELECT user_id AS key, min(ts) AS ts_1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+       t2 AS (SELECT e.user_id AS key, min(e.ts) AS ts_2 FROM events e
+              JOIN t1 ON t1.key = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > t1.ts_1
+              GROUP BY e.user_id),
+       t3 AS (SELECT e.user_id AS key, min(e.ts) AS ts_3 FROM events e
+              JOIN t2 ON t2.key = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > t2.ts_2
+              GROUP BY e.user_id)
+       SELECT t1.key, ts_1, ts_2, ts_3,
+              CAST(CASE WHEN ts_3 IS NOT NULL THEN 3
+                        WHEN ts_2 IS NOT NULL THEN 2
+                        ELSE 1 END AS BIGINT) AS stages_completed
+       FROM t1 LEFT JOIN t2 USING (key) LEFT JOIN t3 USING (key)""",
+)
+def funnel_events(spark, sf_dir):
+    """Ordered-funnel analysis (operators/funnel.py): per user, the
+    earliest view -> first later click -> first later purchase, with
+    NULLs where the funnel stalls — greedy earliest matching, strict
+    time order (simultaneous events are not progress; unit-gated). k-1
+    keyed 1:1 joins over pre-aggregated one-row-per-key frames sharing
+    one hash partitioning — never a window or array walk over the raw
+    event stream (the reference walks per-document events in Python,
+    processors/queue.py)."""
+    from .operators.funnel import funnel
+
+    return funnel(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -166,3 +166,99 @@ def kmv_slice_jaccard(
             " DIV CAST(est_union AS DECIMAL(38,0)) AS BIGINT) END"
         ).alias("jaccard_ppm"),
     )
+
+
+def cms_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch of a key column's frequency distribution:
+    (row_id, bucket, cnt) — depth independent hash rows, each key counted
+    into bucket hash48(key|row_id|salt) % width per row. The MERGEABLE
+    frequency sketch (sum two tables cell-wise == sketch of the union,
+    unit-proved) — the companion of kmv_distinct: KMV answers "how many
+    distinct", CMS answers "how often is THIS key" over streams/shards
+    without holding the key space. Deterministic and cross-engine exact:
+    counts are plain integer sums on the md5 grid (Cormode & Muthukrishnan
+    2005 — never the random-seeded hashing of library sketches, which no
+    second engine can replay).
+
+    Scale shape: one map-side explode to depth rows per input row, then
+    ONE groupBy over at most depth*width cells — partial aggregation
+    collapses each task's contribution to <= depth*width rows before the
+    (tiny) shuffle. The sketch is ~depth*width BIGINTs regardless of input
+    size."""
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+    rows = df.select(F.col(key_col).cast("string").alias("_k")).withColumn(
+        "row_id", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("_k"), F.col("row_id"), F.lit(salt))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        rows.select(F.col("row_id").cast("long").alias("row_id"), bucket.alias("bucket"))
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates from a cms_table sketch: (key, est) with
+    est = min over the depth rows of the key's cell — an OVERESTIMATE,
+    never an under (est >= true count, error <= total/width per row
+    w.h.p.; unit-gated). Keys whose cell is empty estimate 0. depth/width/
+    salt must match the cms_table build.
+
+    Scale shape: the query keys explode to depth rows MAP-SIDE (a literal
+    sequence — never a 1-row crossJoin, which plans as a nested loop),
+    LEFT-join the depth*width-cell sketch on (row_id, bucket) —
+    broadcast-sized by construction — then one min per key."""
+    q = (
+        keys.select(F.col(key_col).alias("key"))
+        .distinct()
+        .withColumn("_rid", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))))
+        .withColumn("row_id", F.col("_rid").cast("long"))
+        .drop("_rid")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("key").cast("string"), F.col("row_id"), F.lit(salt)
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        q.withColumn("bucket", bucket)
+        .join(F.broadcast(cms), ["row_id", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )

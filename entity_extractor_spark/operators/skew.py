@@ -53,3 +53,53 @@ def salted_join(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(salts)]))
     )
     return b.join(s, keys + [_SALT], how).drop(_SALT)
+
+
+def skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Shuffle-health diagnostic: the top_k heaviest join/groupBy keys with
+    (key, n_rows, share_ppm, salt_factor) — salt_factor = ceil(n_rows /
+    target_rows_per_task) is the replication count salted_join would need
+    so no task owns more than ~target rows of that key. Run this BEFORE
+    keying a 100 TB shuffle: it is the measurement behind the
+    explicit-repartition / salting levers, not a guess.
+
+    Scale shape: ONE groupBy(key).count() (map-side combine) is the only
+    pass over the data; the count table is localCheckpoint'd so the total
+    (one scalar agg-collect, the pagerank pattern — never a 1-row
+    crossJoin, which plans as BNLJ) and the top-k
+    (orderBy().limit == distributed TakeOrderedAndProject) reuse it
+    without rescanning. Ties at the k boundary break by key ascending.
+    NULL keys count as a key (they hash to one shuffle partition too —
+    the classic hidden hot key)."""
+    if top_k <= 0 or target_rows_per_task <= 0:
+        raise ValueError("top_k and target_rows_per_task must be > 0")
+    counts = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("n_rows")).collect()[0][0] or 0
+    if total == 0:
+        return counts.select(
+            "key",
+            "n_rows",
+            F.lit(None).cast("long").alias("share_ppm"),
+            F.lit(None).cast("long").alias("salt_factor"),
+        )
+    return (
+        counts.select(
+            "key",
+            "n_rows",
+            F.expr(f"n_rows * 1000000 DIV {total}L").alias("share_ppm"),
+            F.expr(
+                f"(n_rows + {target_rows_per_task}L - 1L) DIV {target_rows_per_task}L"
+            ).alias("salt_factor"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(top_k)
+    )

@@ -1,0 +1,125 @@
+"""Gates for skew_profile, CMS frequency sketch, and funnel analysis."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import pytest
+
+from entity_extractor_spark.operators.funnel import funnel
+from entity_extractor_spark.operators.skew import skew_profile
+from entity_extractor_spark.operators.sketch import cms_estimate, cms_table
+
+
+def _h48(*parts) -> int:
+    return int(hashlib.md5("|".join(str(p) for p in parts).encode()).hexdigest()[:12], 16)
+
+
+# ------------------------------------------------------------ skew_profile --
+
+def test_skew_profile_counts_and_salt(spark):
+    rows = [("hot",)] * 70 + [("warm",)] * 25 + [("cold",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_profile(df, "k", top_k=2, target_rows_per_task=30).collect()
+    assert [(r["key"], r["n_rows"]) for r in out] == [("hot", 70), ("warm", 25)]
+    assert out[0]["share_ppm"] == 700_000
+    assert out[0]["salt_factor"] == 3  # ceil(70/30)
+    assert out[1]["salt_factor"] == 1
+
+
+def test_skew_profile_null_key_is_a_key(spark):
+    df = spark.createDataFrame([(None,), (None,), ("a",)], "k string")
+    out = skew_profile(df, "k", top_k=1).collect()
+    assert out[0]["key"] is None and out[0]["n_rows"] == 2
+
+
+def test_skew_profile_validates(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        skew_profile(df, "k", top_k=0)
+
+
+# --------------------------------------------------------------------- cms --
+
+def test_cms_estimate_never_underestimates_and_is_exact_replay(spark):
+    keys = [f"k{i % 17}" for i in range(400)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    cms = cms_table(df, "k", depth=4, width=64, salt="c0")
+    qdf = spark.createDataFrame([(f"k{i}",) for i in range(20)], "key string")
+    got = {
+        r["key"]: r["est"]
+        for r in cms_estimate(cms, qdf, depth=4, width=64, salt="c0").collect()
+    }
+    true = Counter(keys)
+    # python replay of the same sketch
+    cells: Counter = Counter()
+    for k in keys:
+        for r in range(4):
+            cells[(r, _h48(k, r, "c0") % 64)] += 1
+    for q in (f"k{i}" for i in range(20)):
+        exp = min(cells.get((r, _h48(q, r, "c0") % 64), 0) for r in range(4))
+        assert got[q] == exp
+        assert got[q] >= true.get(q, 0)  # CMS never underestimates
+
+
+def test_cms_is_mergeable(spark):
+    """Cell-wise sum of two shard sketches == sketch of the union."""
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(f"x{i % 5}",) for i in range(50)], "k string")
+    b = spark.createDataFrame([(f"x{i % 7}",) for i in range(70)], "k string")
+    merged = (
+        cms_table(a, "k", depth=3, width=32)
+        .unionByName(cms_table(b, "k", depth=3, width=32))
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_table(a.unionByName(b), "k", depth=3, width=32)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_cms_validates(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        cms_table(df, "k", depth=0)
+
+
+# ------------------------------------------------------------------ funnel --
+
+def test_funnel_known_answer(spark):
+    rows = [
+        # u1 completes all three in order
+        ("u1", 1, "view"), ("u1", 3, "click"), ("u1", 5, "buy"),
+        # u2 clicks BEFORE viewing: click at 1 can't count, later click does
+        ("u2", 1, "click"), ("u2", 2, "view"), ("u2", 4, "click"),
+        # u3 views only
+        ("u3", 9, "view"),
+        # u4 never views: not in output
+        ("u4", 1, "click"), ("u4", 2, "buy"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts long, st string")
+    got = {
+        r["key"]: (r["ts_1"], r["ts_2"], r["ts_3"], r["stages_completed"])
+        for r in funnel(df, "u", "ts", "st", ["view", "click", "buy"]).collect()
+    }
+    assert got == {
+        "u1": (1, 3, 5, 3),
+        "u2": (2, 4, None, 2),
+        "u3": (9, None, None, 1),
+    }
+
+
+def test_funnel_simultaneous_is_not_progress(spark):
+    rows = [("u", 5, "view"), ("u", 5, "click")]
+    df = spark.createDataFrame(rows, "u string, ts long, st string")
+    r = funnel(df, "u", "ts", "st", ["view", "click"]).head()
+    assert (r["ts_1"], r["ts_2"], r["stages_completed"]) == (5, None, 1)
+
+
+def test_funnel_validates(spark):
+    df = spark.createDataFrame([("u", 1, "a")], "u string, ts long, st string")
+    with pytest.raises(ValueError):
+        funnel(df, "u", "ts", "st", ["a"])
+    with pytest.raises(ValueError):
+        funnel(df, "u", "ts", "st", ["a", "a"])
