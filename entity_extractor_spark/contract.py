@@ -4149,6 +4149,91 @@ def funnel_events(spark, sf_dir):
     )
 
 
+@query(
+    "text_tfidf_top_terms",
+    """WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+              FROM documents),
+       tok2 AS (SELECT doc_id, term FROM toks WHERE term != ''),
+       dt AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+       nd AS (SELECT count(DISTINCT doc_id) AS n FROM dt),
+       dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+       sc AS (SELECT dt.doc_id, dt.term, dt.tf, dfq.df,
+                     dt.tf * (((SELECT n FROM nd) * 1000000) // dfq.df) AS score
+              FROM dt JOIN dfq USING (term)),
+       r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term) AS rn
+             FROM sc)
+       SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3""",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document keyword extraction (text_quality.tfidf_top_terms):
+    the 3 highest-TF-IDF terms per doc with integer fixed-point IDF
+    (tf * ((N*10^6) DIV df) — the lift form, never ln(), whose float
+    rounding no two engines replay identically). The per-DOC counterpart
+    of text_distinctive_terms' per-group lift; reference analog is the
+    per-document term weighting keyword_search_service.py builds in
+    Python. The per-doc rank<=k window takes Spark's WindowGroupLimit
+    map-side pre-prune; (score DESC, term ASC) is a total order, so the
+    top-k is a deterministic set."""
+    from .operators.text_quality import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@query(
+    "audit_merge_conflicts",
+    """SELECT n_chars // 100 AS cluster,
+              CAST(count(*) AS BIGINT) AS n_members,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_values,
+              count(DISTINCT lang) > 1 AS has_conflict,
+              min(lang) AS val_min, max(lang) AS val_max
+       FROM documents GROUP BY 1""",
+)
+def audit_merge_conflicts(spark, sf_dir):
+    """Blocking-purity / merge-conflict QA (audit.merge_conflicts): per
+    candidate block (here the 100-char length band a cheap blocker might
+    use), does the block mix CONTRADICTORY attribute values (language)?
+    n_values counts distinct non-NULL values, val_min/val_max bound the
+    disagreement so a reviewer sees what conflicts without a second
+    query. The reference upserts node properties last-writer-wins and
+    never notices a clobber (global_node_repository.py); this makes every
+    clobber countable before it ships. ONE algebraic groupBy — no joins,
+    hub clusters collapse map-side."""
+    from .operators.audit import merge_conflicts
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.expr("n_chars DIV 100").cast("long").alias("band"), "lang"
+    )
+    return merge_conflicts(d, "band", "lang")
+
+
+@query(
+    "kg_neighborhood_features",
+    f"""WITH {_Q25_PAIRS_CTE}
+       SELECT und.src AS vertex, CAST(count(*) AS BIGINT) AS degree,
+              CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS f_sum,
+              min(p.p_retailprice) AS f_min, max(p.p_retailprice) AS f_max
+       FROM und JOIN part p ON p.p_partkey = und.dst
+       GROUP BY und.src""",
+)
+def kg_neighborhood_features(spark, sf_dir):
+    """GNN feature export (kg_training.neighborhood_features): per part,
+    the degree and sum/min/max of neighbor retail prices over the
+    high-quantity co-order graph — the 1-hop message-passing aggregation
+    (GraphSAGE-style) materialized for EVERY node in one join + one
+    algebraic agg, where the reference serves neighborhoods one node at a
+    time (global_edge_repository.py). Float sums run in DECIMAL(18,2)
+    per repo doctrine (raw double sums are addition-order-dependent and
+    can never hash-match cross-engine)."""
+    from .operators.kg_training import neighborhood_features
+
+    attrs = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    return neighborhood_features(
+        _q25_edges(spark, sf_dir), attrs, "p_partkey", "p_retailprice"
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -61,3 +61,31 @@ def constraint_audit(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         .otherwise(F.lit(None).cast("long"))
         .alias("violation_ppm"),
     )
+
+
+def merge_conflicts(
+    df: DataFrame, cluster_col: str, attr_col: str
+) -> DataFrame:
+    """Post-merge QA for entity resolution: per canonical cluster, does
+    the merged entity carry CONTRADICTORY values of an attribute?
+    Output (cluster, n_members, n_values, has_conflict, val_min, val_max)
+    — n_values counts distinct non-NULL attribute values, has_conflict =
+    n_values > 1, and val_min/val_max bound the disagreement so a reviewer
+    sees WHAT conflicts without a second query.
+
+    The reference upserts node properties last-writer-wins and never
+    notices the clobber (global_node_repository.py update path); this
+    makes every clobber countable BEFORE it ships, the merge-quality
+    sibling of er_metrics.pair_metrics (which grades the clustering
+    itself).
+
+    Scale shape: ONE groupBy(cluster) with algebraic aggs (count +
+    count_distinct via partial aggregation, min/max) — no joins, no
+    windows; hub clusters collapse map-side."""
+    return df.groupBy(F.col(cluster_col).alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct(attr_col).cast("long").alias("n_values"),
+        (F.countDistinct(attr_col) > 1).alias("has_conflict"),
+        F.min(attr_col).alias("val_min"),
+        F.max(attr_col).alias("val_max"),
+    )

@@ -167,3 +167,41 @@ def random_walks(
         )
         cur = nxt
     return out
+
+
+def neighborhood_features(
+    edges: DataFrame,
+    attrs: DataFrame,
+    id_col: str,
+    feature_col: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """GNN-style feature export: per vertex, aggregate the numeric
+    attribute over its 1-hop undirected neighborhood — (vertex, degree,
+    f_sum, f_min, f_max) — the message-passing layer a graph model trains
+    on, materialized relationally (GraphSAGE's mean/pool aggregators,
+    Hamilton et al. 2017; iterate the operator for deeper receptive
+    fields). The reference serves neighborhoods one node at a time
+    (global_edge_repository.py get_edges_for_node); training needs them
+    for EVERY node in one pass.
+
+    Float sums follow the repo doctrine for cross-engine exactness: cast
+    to DECIMAL(18,2), sum exactly, display as double — never a raw double
+    sum, whose addition order no two engines share.
+
+    Scale shape: ONE equi-join (edge table x attribute table on the
+    neighbor id) + ONE vertex-keyed algebraic agg with map-side partials;
+    hub vertices are absorbed by the combiner, never by a single task's
+    memory."""
+    und = _symmetrized(_clean_edges(edges, src, dst))
+    nb = und.join(
+        attrs.select(F.col(id_col).alias("dst"), F.col(feature_col).alias("_f")),
+        "dst",
+    )
+    return nb.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.sum(F.col("_f").cast("decimal(18,2)")).cast("double").alias("f_sum"),
+        F.min("_f").alias("f_min"),
+        F.max("_f").alias("f_max"),
+    )

@@ -7,7 +7,7 @@ marker profiles are a tiny broadcast literal.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
@@ -438,4 +438,49 @@ def oov_stats(
         "total_tokens",
         "oov_tokens",
         F.expr("oov_tokens * 1000000 DIV total_tokens").alias("oov_ppm"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document distinctive keywords: the k terms with the highest
+    integer TF-IDF score, score = tf * ((N * 10^6) DIV df) — term
+    frequency in THIS doc times a fixed-point inverse document frequency
+    (the pure-integer lift; no ln(), whose float rounding no two engines
+    replay identically). Output (doc_id, term, tf, df, score) — the
+    per-DOC counterpart of distinctive_terms' per-GROUP lift, and the
+    keyword-extraction step of the reference's search indexing
+    (keyword_search_service.py builds exactly a per-document term
+    weighting in Python).
+
+    Scale shape: one explode -> (doc, term) counts with map-side combine;
+    document frequencies by a second agg over the (doc, term) pairs (input
+    already deduplicated per doc, so df is a cheap count); N is one scalar
+    agg-collect; the per-doc top-k is a rank<=k window on the doc key,
+    which Spark's WindowGroupLimit pre-prunes map-side — a 10^9-term doc
+    ships k rows per task, never its whole vocabulary. Ties break by
+    (score DESC, term ASC): a total order, so the result is a
+    deterministic SET."""
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    dt = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = dt.select("doc_id").distinct().count()
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = dt.join(dfreq, "term").withColumn(
+        "score", F.expr(f"tf * (({n_docs}L * 1000000L) DIV df)")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("doc_id", "term", "tf", "df", "score")
     )

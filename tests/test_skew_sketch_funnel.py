@@ -123,3 +123,70 @@ def test_funnel_validates(spark):
         funnel(df, "u", "ts", "st", ["a"])
     with pytest.raises(ValueError):
         funnel(df, "u", "ts", "st", ["a", "a"])
+
+
+# ---------------------------------------------------------- tfidf / merge --
+
+def test_tfidf_top_terms_known_answer(spark):
+    from entity_extractor_spark.operators.text_quality import tfidf_top_terms
+
+    docs = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "banana banana banana"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["score"])
+        for r in tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    }
+    # N=3; idf_lift: apple 3e6//1, banana 3e6//3=1e6, cherry 3e6//1
+    # doc1: apple 2*3e6=6e6 beats banana 1e6 -> apple
+    # doc2: cherry 3e6 beats banana -> cherry
+    # doc3: banana 3*1e6
+    assert got == {
+        (1, "apple"): (2, 1, 6_000_000),
+        (2, "cherry"): (1, 1, 3_000_000),
+        (3, "banana"): (3, 3, 3_000_000),
+    }
+
+
+def test_tfidf_tiebreak_is_term_asc(spark):
+    from entity_extractor_spark.operators.text_quality import tfidf_top_terms
+
+    df = spark.createDataFrame([(1, "zz aa")], "doc_id long, text string")
+    rows = tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    assert [r["term"] for r in rows] == ["aa"]
+
+
+def test_merge_conflicts_flags_only_real_conflicts(spark):
+    from entity_extractor_spark.operators.audit import merge_conflicts
+
+    rows = [
+        ("c1", "x"), ("c1", "x"),          # consistent
+        ("c2", "x"), ("c2", "y"),          # conflict
+        ("c3", None), ("c3", "z"),          # NULL is absence, not conflict
+        ("c4", None),                       # no values at all
+    ]
+    df = spark.createDataFrame(rows, "cluster string, attr string")
+    got = {r["cluster"]: r for r in merge_conflicts(df, "cluster", "attr").collect()}
+    assert not got["c1"]["has_conflict"] and got["c1"]["n_values"] == 1
+    assert got["c2"]["has_conflict"] and (got["c2"]["val_min"], got["c2"]["val_max"]) == ("x", "y")
+    assert not got["c3"]["has_conflict"] and got["c3"]["n_values"] == 1
+    assert got["c4"]["n_values"] == 0 and not got["c4"]["has_conflict"]
+
+
+def test_neighborhood_features_known_answer(spark):
+    from entity_extractor_spark.operators.kg_training import neighborhood_features
+
+    edges = [(1, 2), (1, 3), (2, 3)]
+    attrs = [(1, 10.0), (2, 20.0), (3, 35.5)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    adf = spark.createDataFrame(attrs, "id long, price double")
+    got = {
+        r["vertex"]: (r["degree"], r["f_sum"], r["f_min"], r["f_max"])
+        for r in neighborhood_features(edf, adf, "id", "price").collect()
+    }
+    assert got[1] == (2, 55.5, 20.0, 35.5)
+    assert got[2] == (2, 45.5, 10.0, 35.5)
+    assert got[3] == (2, 30.0, 10.0, 20.0)
