@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     # compression path), per-doc OOV rate vs a frequency-rank vocab
     "ann_quantized_topk",
     "text_oov_rate",
+    # round-3 additions (second wave): keyless bucketed range join (the
+    # BNLJ-shape killer) and capped-middle common-neighbor link prediction
+    # (the deliberate heavy wedge-join workload)
+    "w8_range_join",
+    "graph_common_neighbors",
 ]
 
 
