@@ -141,13 +141,25 @@ def main() -> None:
     qids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(8).collect()]
     t0 = time.time()
     rec_single = rec_multi = rec_quant = rec_pq = 0.0
-    # one corpus scale for the two lossy integer rankers (r3 additions)
+    # all 8 query vectors in ONE job (not one scan per query)
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id").isin(qids))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    # one corpus scale for the two lossy integer rankers (r3 additions);
+    # quantize + PQ-encode the corpus ONCE and cache — the k_c*m-centroid
+    # assignment is the expensive plan to build/run, and it is
+    # query-independent. Per query only the tiny ADC LUT changes.
     corpus_ma = SIM.corpus_max_abs(emb)
+    coded = SIM.quantize_embeddings(emb, max_abs=corpus_ma).cache()
+    coded.count()
+    books = SIM.pq_codebooks(coded)
+    enc = SIM.pq_encode(coded, books).cache()
+    enc.count()
     for qid in qids:
-        qv = [
-            float(x)
-            for x in emb.where(F.col("vec_id") == qid).select("embedding").head()[0]
-        ]
+        qv = qvecs[qid]
         rest = bucketed.where(F.col("vec_id") != qid)
         exact = {
             r[0]
@@ -190,16 +202,17 @@ def main() -> None:
                 rest, qv, "vec_id", "embedding", 10, metric="l2"
             ).select("vec_id").collect()
         }
+        q8 = SIM.quantize_query(qv, corpus_ma)
         quant = {
             r[0]
-            for r in SIM.quantized_topk(rest, qv, k=10, max_abs=corpus_ma)
-            .select("vec_id")
-            .collect()
+            for r in SIM.quantized_topk_coded(
+                coded.where(F.col("vec_id") != qid), q8, k=10
+            ).select("vec_id").collect()
         }
         pq = {
             r[0]
-            for r in SIM.pq_topk(
-                emb, qv, k=10, max_abs=corpus_ma, exclude_ids=[qid]
+            for r in SIM.pq_topk_encoded(
+                enc, books, q8, k=10, exclude_ids=[qid]
             ).select("vec_id").collect()
         }
         rec_quant += len(exact_dot & quant) / len(exact_dot)
@@ -208,6 +221,8 @@ def main() -> None:
     # summed "value" stay like-for-like comparable with earlier rounds
     ann_recall_sec = round(time.time() - t0, 3)
     bucketed.unpersist()
+    coded.unpersist()
+    enc.unpersist()
     ann_lsh_recall = round(rec_single / len(qids), 3)
     ann_multiprobe_recall = round(rec_multi / len(qids), 3)
     ann_quantized_recall = round(rec_quant / len(qids), 3)

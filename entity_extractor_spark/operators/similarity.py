@@ -495,35 +495,30 @@ def quantize_embeddings(
     )
 
 
-def quantized_topk(
-    embeddings: DataFrame,
-    query_vec: list[float],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 10,
-    max_abs: float | None = None,
-    levels: int = QUANT_LEVELS,
-) -> DataFrame:
-    """Top-k by int8-quantized dot product: (vec_id, qscore, rank).
-
-    The ranking key is a BIGINT sum of int8*int8 products — exact integer
-    arithmetic, so the ordering (and the DuckDB oracle replay) is bit-exact
-    by construction, with none of the float-rounding ceremony the cosine
-    paths need. Ties break on vec_id. Pass max_abs when the query comes
-    from the same table the corpus was filtered out of, so both sides use
-    one scale.
-
-    Scale shape: quantization is a narrow map; the scoring is a 64-wide
-    integer fold per row (whole-stage friendly, 4x less memory traffic
-    than the float column); top-k is orderBy().limit(k) =
-    TakeOrderedAndProject — per-partition heaps, k rows to the driver,
-    no global Window (same gate as brute_force_topk)."""
-    ma = corpus_max_abs(embeddings, vec_col) if max_abs is None else float(max_abs)
-    q8 = [
+def quantize_query(
+    query_vec: list[float], max_abs: float, levels: int = QUANT_LEVELS
+) -> list[int]:
+    """The driver-side twin of _quantize_expr: same floor(v*L/ma + 0.5)
+    round-half-up in IEEE doubles, so query and corpus codes live on one
+    integer grid."""
+    ma = float(max_abs)
+    return [
         int(math_floor(float(v) * float(levels) / ma + 0.5)) for v in query_vec
     ]
-    qlit = F.array(*[F.lit(v) for v in q8])
-    coded = quantize_embeddings(embeddings, id_col, vec_col, max_abs=ma, levels=levels)
+
+
+def quantized_topk_coded(
+    coded: DataFrame,
+    q8: list[int],
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """quantized_topk over an already-quantized (id, qvec) frame — the
+    batched-scoring entry point: quantize the corpus ONCE (and cache it),
+    then score any number of queries against it without re-planning the
+    quantization map per query. Output is identical to quantized_topk by
+    construction (same scoring/ranking code path)."""
+    qlit = F.array(*[F.lit(int(v)) for v in q8])
     scored = coded.select(
         F.col(id_col).alias("vec_id"),
         F.aggregate(
@@ -549,6 +544,35 @@ def quantized_topk(
         F.col("_r.qscore").alias("qscore"),
         (F.col("_pos") + 1).cast("long").alias("rank"),
     )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    max_abs: float | None = None,
+    levels: int = QUANT_LEVELS,
+) -> DataFrame:
+    """Top-k by int8-quantized dot product: (vec_id, qscore, rank).
+
+    The ranking key is a BIGINT sum of int8*int8 products — exact integer
+    arithmetic, so the ordering (and the DuckDB oracle replay) is bit-exact
+    by construction, with none of the float-rounding ceremony the cosine
+    paths need. Ties break on vec_id. Pass max_abs when the query comes
+    from the same table the corpus was filtered out of, so both sides use
+    one scale.
+
+    Scale shape: quantization is a narrow map; the scoring is a 64-wide
+    integer fold per row (whole-stage friendly, 4x less memory traffic
+    than the float column); top-k is orderBy().limit(k) =
+    TakeOrderedAndProject — per-partition heaps, k rows to the driver,
+    no global Window (same gate as brute_force_topk)."""
+    ma = corpus_max_abs(embeddings, vec_col) if max_abs is None else float(max_abs)
+    q8 = quantize_query(query_vec, ma, levels)
+    coded = quantize_embeddings(embeddings, id_col, vec_col, max_abs=ma, levels=levels)
+    return quantized_topk_coded(coded, q8, id_col, k)
 
 
 # ---------------------------------------------------- product quantization --
@@ -623,6 +647,51 @@ def pq_encode(
     )
 
 
+def pq_topk_encoded(
+    enc: DataFrame,
+    books: list[list[list[int]]],
+    q8: list[int],
+    id_col: str = "vec_id",
+    k: int = 10,
+    exclude_ids: list | None = None,
+) -> DataFrame:
+    """pq_topk over an already-encoded (id, codes) frame — the batched
+    entry point: encode the corpus ONCE (the k_c*m-centroid assignment
+    expression is the expensive plan to build and run), cache it, then
+    each query costs only its m*k_c-literal ADC lookup table. Output is
+    identical to pq_topk by construction (same LUT/scoring/ranking code)."""
+    m = len(books)
+    d_sub = len(books[0][0])
+    qdist = [
+        [sum((q8[j * d_sub + i] - c[i]) ** 2 for i in range(d_sub)) for c in cents]
+        for j, cents in enumerate(books)
+    ]
+    if exclude_ids:
+        enc = enc.where(~F.col(id_col).isin(exclude_ids))
+    score = None
+    for j in range(m):
+        lut = F.array(*[F.lit(int(d)).cast("long") for d in qdist[j]])
+        term = F.element_at(lut, F.element_at(F.col("codes"), j + 1) + 1)
+        score = term if score is None else score + term
+    scored = enc.select(F.col(id_col).alias("vec_id"), score.alias("pq_dist"))
+    top = scored.orderBy(F.asc("pq_dist"), F.asc("vec_id")).limit(k)
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("pq_dist").alias("pq_dist"),
+                    F.col("vec_id").alias("vec_id"),
+                )
+            )
+        ).alias("arr")
+    )
+    return packed.select(F.posexplode("arr").alias("_pos", "_r")).select(
+        F.col("_r.vec_id").alias("vec_id"),
+        F.col("_r.pq_dist").alias("pq_dist"),
+        (F.col("_pos") + 1).cast("long").alias("rank"),
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -649,35 +718,6 @@ def pq_topk(
     ma = corpus_max_abs(embeddings, vec_col) if max_abs is None else float(max_abs)
     coded = quantize_embeddings(embeddings, id_col, vec_col, max_abs=ma)
     books = pq_codebooks(coded, id_col, m=m, k_c=k_c)
-    d_sub = len(books[0][0])
-    q8 = [int(math_floor(float(v) * float(QUANT_LEVELS) / ma + 0.5)) for v in query_vec]
-    # driver-side ADC table: qdist[j][c] = integer L2^2(query sub j, centroid c)
-    qdist = [
-        [sum((q8[j * d_sub + i] - c[i]) ** 2 for i in range(d_sub)) for c in cents]
-        for j, cents in enumerate(books)
-    ]
+    q8 = quantize_query(query_vec, ma)
     enc = pq_encode(coded, books, id_col)
-    if exclude_ids:
-        enc = enc.where(~F.col(id_col).isin(exclude_ids))
-    score = None
-    for j in range(m):
-        lut = F.array(*[F.lit(int(d)).cast("long") for d in qdist[j]])
-        term = F.element_at(lut, F.element_at(F.col("codes"), j + 1) + 1)
-        score = term if score is None else score + term
-    scored = enc.select(F.col(id_col).alias("vec_id"), score.alias("pq_dist"))
-    top = scored.orderBy(F.asc("pq_dist"), F.asc("vec_id")).limit(k)
-    packed = top.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("pq_dist").alias("pq_dist"),
-                    F.col("vec_id").alias("vec_id"),
-                )
-            )
-        ).alias("arr")
-    )
-    return packed.select(F.posexplode("arr").alias("_pos", "_r")).select(
-        F.col("_r.vec_id").alias("vec_id"),
-        F.col("_r.pq_dist").alias("pq_dist"),
-        (F.col("_pos") + 1).cast("long").alias("rank"),
-    )
+    return pq_topk_encoded(enc, books, q8, id_col, k, exclude_ids)
