@@ -3689,6 +3689,47 @@ def graph_common_neighbors(spark, sf_dir):
 
 
 @query(
+    "graph_link_prediction_ra",
+    f"""WITH {_Q25_PAIRS_CTE},
+       deg AS (SELECT src AS z, count(*) AS deg FROM und GROUP BY src),
+       midok AS (SELECT z AS m, CAST(1000000000 // deg AS BIGINT) AS ra
+                 FROM deg WHERE deg <= 40),
+       nb AS (SELECT und.src AS m, und.dst AS u, midok.ra
+              FROM und JOIN midok ON und.src = midok.m),
+       wed AS (SELECT n1.u AS u, n2.u AS v, n1.ra FROM nb n1
+               JOIN nb n2 ON n1.m = n2.m AND n1.u < n2.u),
+       sc AS (SELECT u, v, count(*) AS cn, CAST(sum(ra) AS BIGINT) AS ra
+              FROM wed GROUP BY u, v),
+       top AS (SELECT sc.u, sc.v, sc.cn, sc.ra
+               FROM sc LEFT JOIN p ON p.s = sc.u AND p.t = sc.v
+               WHERE p.s IS NULL
+               ORDER BY sc.ra DESC, sc.cn DESC, sc.u, sc.v
+               LIMIT 100)
+       SELECT t.u, t.v, t.cn AS common_neighbors,
+              CAST(t.cn * 1000000 // (du.deg + dv.deg - t.cn) AS BIGINT)
+                AS jaccard_ppm,
+              t.ra AS ra_1e9
+       FROM top t JOIN deg du ON du.z = t.u JOIN deg dv ON dv.z = t.v""",
+)
+def graph_link_prediction_ra(spark, sf_dir):
+    """Weighted link prediction (graph.link_prediction_topk): the 100
+    strongest non-adjacent part pairs by RESOURCE-ALLOCATION index
+    (sum of 1/deg(z) over shared co-order neighbors, 1e-9 units) with the
+    neighborhood-Jaccard in ppm alongside — RA down-weights promiscuous
+    middles where raw common-neighbor count cannot distinguish "shares 5
+    rare parts" from "shares 5 parts everyone orders". Pure BIGINT
+    arithmetic end-to-end (integer div per middle, integer sum, integer
+    ppm quotient) so both engines agree bit-exactly; middles above degree
+    40 are excluded exactly as in graph_common_neighbors, while the
+    Jaccard denominator uses TRUE degrees. Reference analog: none — it
+    only proposes edges backed by a same-document mention pair
+    (artifact_ingestor_service.py)."""
+    return G.link_prediction_topk(
+        _q25_edges(spark, sf_dir), k=100, max_middle_degree=40
+    )
+
+
+@query(
     "w7_scd2_collapse",
     """WITH o AS (SELECT o_custkey AS k, o_orderdate AS ts,
                          o_orderkey AS tb, o_orderstatus AS attr

@@ -533,6 +533,89 @@ def common_neighbors_topk(
     )
 
 
+def link_prediction_topk(
+    edges: DataFrame,
+    k: int,
+    max_middle_degree: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Weighted link prediction: the top-k non-adjacent pairs
+    (u, v, common_neighbors, jaccard_ppm, ra_1e9) ranked by the
+    resource-allocation index — RA = sum over shared neighbors z of
+    1/deg(z) — which down-weights promiscuous middles (a part ordered in
+    every second order says little; a part shared by exactly two
+    materials says a lot). Jaccard = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| is
+    reported alongside in ppm. The reference proposes edges only where a
+    same-document mention pair exists (artifact_ingestor_service.py) and
+    has no notion of structural link scores at all.
+
+    Exactness: RA is a BIGINT sum of 10^9 div deg(z) terms and Jaccard is
+    cn * 10^6 div (deg_u + deg_v - cn) — pure integer arithmetic, bit-
+    identical on any engine/partitioning (the pagerank fixed-point rule;
+    never a float sum whose order could drift). Wedges are generated over
+    middles with degree <= max_middle_degree EXACTLY as in
+    common_neighbors_topk: hub middles are excluded, not sampled, so the
+    capped-wedge scores are deterministic and value-checkable; end
+    vertices keep their TRUE degrees for the Jaccard denominator.
+
+    Scale shape: degree agg, one middle-keyed self-join bounded by
+    |V| * cap^2 / 2, one algebraic (count + sum) agg per pair, one
+    left-anti join against existing edges, orderBy().limit(k) =
+    distributed TakeOrderedAndProject; the two degree lookups join ONLY
+    the k survivors (broadcast-sized), never the full candidate set.
+    Ranking ties break deterministically by (ra desc, cn desc, u, v)."""
+    if k <= 0 or max_middle_degree < 2:
+        raise ValueError("k must be > 0 and max_middle_degree >= 2")
+    und = (
+        _symmetrized(_clean_edges(edges, src, dst))
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy(F.col("src").alias("z")).agg(F.count(F.lit(1)).alias("deg"))
+    mid_ok = deg.where(F.col("deg") <= max_middle_degree).select(
+        F.col("z").alias("m"), F.expr("CAST(1000000000 div deg AS BIGINT)").alias("_ra")
+    )
+    nbrs = und.select(F.col("src").alias("m"), F.col("dst").alias("u")).join(
+        mid_ok, "m"
+    )
+    wedges = nbrs.join(
+        nbrs.select("m", F.col("u").alias("v")), "m"
+    ).where(F.col("u") < F.col("v"))
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum("_ra").alias("ra_1e9"),
+    )
+    existing = und.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    top = (
+        scored.join(existing, ["u", "v"], "left_anti")
+        .orderBy(
+            F.col("ra_1e9").desc(),
+            F.col("common_neighbors").desc(),
+            F.col("u"),
+            F.col("v"),
+        )
+        .limit(k)
+    )
+    du = deg.select(F.col("z").alias("u"), F.col("deg").alias("_du"))
+    dv = deg.select(F.col("z").alias("v"), F.col("deg").alias("_dv"))
+    return (
+        top.join(du, "u").join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.expr(
+                "CAST(common_neighbors * 1000000 div (_du + _dv - common_neighbors)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            "ra_1e9",
+        )
+    )
+
+
 def k_hop_neighborhood(
     edges: DataFrame,
     seeds: DataFrame,

@@ -457,3 +457,55 @@ def test_personalized_pagerank_empty_seeds_raises(spark):
     sdf = spark.createDataFrame([], "vertex long")
     with pytest.raises(ValueError):
         personalized_pagerank(edf, sdf)
+
+
+def test_link_prediction_topk_vs_brute_force(spark):
+    """link_prediction_topk (RA + Jaccard) against a plain-Python replay
+    on a random graph, twice (cap binding and not): pair set, both scores,
+    and the (ra desc, cn desc, u, v) ranking must match exactly — all the
+    arithmetic is integer, so there is no tolerance."""
+    from itertools import combinations
+
+    from entity_extractor_spark.operators.graph import link_prediction_topk
+
+    edges = _random_edges(7, 30, 80)
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    adj: dict[str, set[str]] = {}
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+
+    for cap in (3, 100):
+        exp = []
+        for u, v in combinations(sorted(adj), 2):
+            if v in adj[u]:
+                continue
+            mids = [m for m in adj[u] & adj[v] if len(adj[m]) <= cap]
+            if not mids:
+                continue
+            cn = len(mids)
+            ra = sum(10**9 // len(adj[m]) for m in mids)
+            jac = cn * 10**6 // (len(adj[u]) + len(adj[v]) - cn)
+            exp.append((u, v, cn, jac, ra))
+        exp.sort(key=lambda r: (-r[4], -r[2], r[0], r[1]))
+        k = 10
+        got = [
+            (r["u"], r["v"], r["common_neighbors"], r["jaccard_ppm"], r["ra_1e9"])
+            for r in link_prediction_topk(df, k=k, max_middle_degree=cap).collect()
+        ]
+        got.sort(key=lambda r: (-r[4], -r[2], r[0], r[1]))
+        assert got == exp[:k], f"cap={cap}"
+
+
+def test_link_prediction_validates_args(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.graph import link_prediction_topk
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        link_prediction_topk(df, k=0, max_middle_degree=5)
+    with pytest.raises(ValueError):
+        link_prediction_topk(df, k=5, max_middle_degree=1)
