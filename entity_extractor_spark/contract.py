@@ -2370,6 +2370,37 @@ def w4_tumbling_window_agg(spark, sf_dir):
     )
 
 
+@query(
+    "w9_hopping_window",
+    """WITH g AS (
+         SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP) AS b,
+                event_type, value
+         FROM events),
+       x AS (
+         SELECT unnest([b, b - INTERVAL '30 minutes']) AS window_start,
+                event_type, value
+         FROM g)
+       SELECT window_start,
+              window_start + INTERVAL '1 hour' AS window_end,
+              event_type,
+              count(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       FROM x GROUP BY window_start, event_type""",
+)
+def w9_hopping_window(spark, sf_dir):
+    """Hopping (sliding) window aggregation (windows.hopping_counts):
+    1-hour windows every 30 minutes, so each event contributes to exactly
+    two overlapping windows — the window type between tumbling (w4) and
+    session (w5); same code path batch and streaming. The DuckDB oracle
+    unnests each event's two covering slide-grid starts (time_bucket's
+    2000-01-03 origin sits on every sub-day grid, matching Spark's epoch
+    alignment) and re-aggregates; the decimal-sum makes the float total
+    order-independent so both engines agree bit-exactly."""
+    from .streaming.windows import hopping_counts
+
+    return hopping_counts(_t(spark, sf_dir, "events"))
+
+
 # ------------------------------------------------- curation safety (r2c) --
 
 @query(

@@ -62,6 +62,46 @@ def sessionize(
     )
 
 
+def hopping_counts(
+    events: DataFrame,
+    size: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    dim_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hopping (sliding) event-time window aggregation: every event lands
+    in ceil(size/slide) overlapping windows whose starts sit on the slide
+    grid — the smoothing window type between tumbling (w4) and session
+    (w5); the moving-rate view a monitoring surface wants ("events/hour,
+    refreshed every 30 min"). Works unchanged on a streaming DataFrame
+    (add withWatermark upstream; state = windows-per-horizon x dims).
+
+    Scale shape: F.window with a slide REPLICATES each row
+    ceil(size/slide) times before the algebraic agg — the replication is
+    a narrow map (no shuffle of its own) and the count/sum still partial-
+    aggregates map-side, so the exchange carries (window x dim) groups,
+    not events. Keep size/slide small multiples: a 24h/1m window would
+    1440x the scan. Value-checked against a DuckDB replay that unnests
+    each event's covering window starts (contract:w9_hopping_window)."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), size, slide), F.col(dim_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            dim_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def doc_arrival_counts(
     docs_stream: DataFrame,
     ts_col: str = "event_ts",
