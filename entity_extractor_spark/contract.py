@@ -4306,6 +4306,145 @@ def kg_neighborhood_features(spark, sf_dir):
     )
 
 
+@query(
+    "graph_transitive_closure",
+    """WITH RECURSIVE e AS (
+         SELECT c_custkey AS src, c_custkey // 10 AS dst
+         FROM customer WHERE c_custkey >= 10),
+       r AS (
+         SELECT src, dst, CAST(1 AS BIGINT) AS dist FROM e
+         UNION
+         SELECT r.src, e.dst, r.dist + 1 FROM r JOIN e ON r.dst = e.src)
+       SELECT src, dst, dist FROM r""",
+)
+def graph_transitive_closure(spark, sf_dir):
+    """Ancestor closure with min hop distance (graph.transitive_closure):
+    the digit-shift customer hierarchy (custkey -> custkey DIV 10) is a
+    forest 4-5 levels deep, so the closure is every (node, ancestor,
+    depth) triple — the subsumption/rollup primitive the reference can
+    only produce by walking get_edges_for_node one Python call per level
+    (global_edge_repository.py). Path doubling converges here in 3 rounds
+    (log2 of the depth) where the oracle's recursive CTE — deliberately
+    the opposite, one-level-per-iteration formulation — takes 5; any
+    lost, duplicated, or wrong-depth pair hash-mismatches."""
+    e = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") >= 10)
+        .select(
+            F.col("c_custkey").alias("src"),
+            F.expr("c_custkey DIV 10").alias("dst"),
+        )
+    )
+    return G.transitive_closure(e)
+
+
+@query(
+    "funnel_retention_cohorts",
+    """WITH f AS (
+         SELECT user_id, min(ts) AS first_ts FROM events
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY user_id),
+       j AS (
+         SELECT e.user_id,
+                strftime(date_trunc('week', f.first_ts), '%Y-%m-%d')
+                  AS cohort_week,
+                CAST((CAST(date_trunc('week', e.ts) AS DATE)
+                      - CAST(date_trunc('week', f.first_ts) AS DATE)) // 7
+                     AS BIGINT) AS week_offset
+         FROM events e JOIN f USING (user_id) WHERE e.ts IS NOT NULL)
+       SELECT cohort_week, week_offset,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM j GROUP BY 1, 2""",
+)
+def funnel_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention triangle (funnel.retention_cohorts): users
+    bucketed by the Monday-aligned week of their FIRST event, counted
+    distinct in every later week they reappear. Week arithmetic is pure
+    integers on Monday-truncated dates (datediff of two Mondays is an
+    exact multiple of 7), so both engines agree bit-for-bit with no
+    epoch-origin or timezone ceremony. One groupBy(key) MIN + one
+    equi-join back on the same key + one distinct-collapsing agg."""
+    from .operators.funnel import retention_cohorts
+
+    return retention_cohorts(
+        _t(spark, sf_dir, "events"), "user_id", "ts"
+    ).select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_users",
+    )
+
+
+@query(
+    "funnel_event_transitions",
+    """WITH s AS (
+         SELECT event_type,
+                lead(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS to_stage
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+       SELECT event_type AS from_stage, to_stage,
+              CAST(count(*) AS BIGINT) AS n_transitions
+       FROM s WHERE to_stage IS NOT NULL GROUP BY 1, 2""",
+)
+def funnel_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts (funnel.event_transitions):
+    what event follows what, per user, over the full log — the empirical
+    stage graph. event_id breaks timestamp ties so the per-user sequence
+    (and every count) is the same total order on any engine. One lead()
+    window per user + one algebraic count that partial-aggregates into at
+    most |stages|^2 groups map-side."""
+    from .operators.funnel import event_transitions
+
+    return event_transitions(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_id", "event_type"
+    )
+
+
+@query(
+    "w10_interval_coalesce",
+    """WITH iv AS (
+         SELECT event_type, ts AS s, ts + INTERVAL 15 MINUTE AS e
+         FROM events
+         WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+       sw AS (
+         SELECT event_type, s, e,
+                CASE WHEN max(e) OVER (
+                       PARTITION BY event_type ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     IS NULL
+                     OR s > max(e) OVER (
+                       PARTITION BY event_type ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS opens
+         FROM iv),
+       sp AS (
+         SELECT event_type, s, e,
+                sum(opens) OVER (
+                  PARTITION BY event_type ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+         FROM sw)
+       SELECT event_type, min(s) AS span_start, max(e) AS span_end,
+              CAST(count(*) AS BIGINT) AS n_merged
+       FROM sp GROUP BY event_type, span""",
+)
+def w10_interval_coalesce(spark, sf_dir):
+    """Sweep-line interval coalescing (temporal.interval_coalesce): every
+    event opens a 15-minute activity window per event_type; overlapping-
+    or-touching windows merge into maximal disjoint busy spans with a
+    merge count. At sf0.01 the ~21-minute median inter-event gap per type
+    leaves a mix of merged runs and singletons, so the gate checks both
+    branches of the open/extend decision; at sf0.1 the same query is
+    merge-heavy. ONE hash exchange on the key feeds both windows and the
+    final groupBy."""
+    from .operators.temporal import interval_coalesce
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("e"),
+    )
+    return interval_coalesce(ev, "event_type", "s", "e")
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -273,3 +273,67 @@ def range_join(
         )
         .drop("_pb")
     )
+
+
+def interval_coalesce(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping-or-touching [start, end] intervals per key into
+    maximal disjoint spans — (key, span_start, span_end, n_merged). The
+    classic sweep-line op behind validity-interval compaction (collapse a
+    fact's overlapping evidence windows into coverage spans), sessionized
+    busy-time accounting, and calendar-style availability math; the
+    reference stores raw per-event windows and has no way to ask "when
+    was this entity covered at all".
+
+    Sweep line as two windows on one partitioning: ordered by (start,
+    end), an interval OPENS a new span iff its start is strictly after
+    the running max of all earlier ends (touching intervals merge); the
+    cumulative sum of open flags is the span id; one algebraic groupBy
+    collapses each span. Deterministic under ties: equal (start, end)
+    rows are interchangeable and the open flag compares only against the
+    running max, which any tie order leaves identical.
+
+    Scale shape: ONE hash exchange on key feeds both windows and the
+    final groupBy (same partitioning, Catalyst reuses it); the sort is
+    per-key within partitions. A single key with 10^8 intervals is one
+    task's sort — pre-bucket by coarse time if the data has such a hub.
+    """
+    w = Window.partitionBy("_key").orderBy("_start", "_end")
+    prev_max_end = F.max("_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = Window.partitionBy("_key").orderBy("_start", "_end").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        df.select(
+            F.col(key_col).alias("_key"),
+            F.col(start_col).alias("_start"),
+            F.col(end_col).alias("_end"),
+        )
+        .where(
+            F.col("_key").isNotNull()
+            & F.col("_start").isNotNull()
+            & F.col("_end").isNotNull()
+        )
+        .withColumn(
+            "_open",
+            F.when(
+                prev_max_end.isNull() | (F.col("_start") > prev_max_end), 1
+            ).otherwise(0),
+        )
+        .withColumn("_span", F.sum("_open").over(cum))
+        .groupBy("_key", "_span")
+        .agg(
+            F.min("_start").alias("span_start"),
+            F.max("_end").alias("span_end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .select(
+            F.col("_key").alias(key_col), "span_start", "span_end", "n_merged"
+        )
+    )

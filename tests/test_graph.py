@@ -509,3 +509,79 @@ def test_link_prediction_validates_args(spark):
         link_prediction_topk(df, k=0, max_middle_degree=5)
     with pytest.raises(ValueError):
         link_prediction_topk(df, k=5, max_middle_degree=1)
+
+
+# ------------------------------------------------------ transitive closure --
+
+def _brute_closure(edges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    """Min walk length >= 1 between every ordered pair (BFS per source);
+    includes (s, s, len) when s sits on a cycle, like the operator."""
+    from collections import deque
+
+    adj: dict[str, list[str]] = {}
+    nodes = set()
+    for s, d in edges:
+        nodes.update((s, d))
+        if s != d:
+            adj.setdefault(s, []).append(d)
+    out: dict[tuple[str, str], int] = {}
+    for s in sorted(nodes):
+        dist: dict[str, int] = {}
+        dq = deque()
+        for v in adj.get(s, []):
+            if v not in dist:
+                dist[v] = 1
+                dq.append(v)
+        while dq:
+            u = dq.popleft()
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        for v, d in dist.items():
+            out[(s, v)] = d
+    return out
+
+
+def test_transitive_closure_diamond_takes_min_dist(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "e"), ("e", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["src"], r["dst"]): r["dist"] for r in G.transitive_closure(df).collect()}
+    assert got == _brute_closure(edges)
+    assert got[("a", "d")] == 2  # via e, not the 3-hop b-c path
+
+
+def test_transitive_closure_cycle_stabilizes(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["src"], r["dst"]): r["dist"] for r in G.transitive_closure(df).collect()}
+    assert got == _brute_closure(edges)
+    assert got[("a", "a")] == 3  # self-reachability through the cycle
+
+
+def test_transitive_closure_deep_chain_converges_in_log_rounds(spark):
+    n = 20
+    edges = [(f"v{i:02d}", f"v{i+1:02d}") for i in range(n)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["src"], r["dst"]): r["dist"] for r in G.transitive_closure(df).collect()}
+    assert got == _brute_closure(edges)
+    assert len(got) == n * (n + 1) // 2
+    assert got[("v00", f"v{n:02d}")] == n
+
+
+@pytest.mark.parametrize("seed,nv,ne", [(11, 12, 18), (12, 15, 25), (13, 8, 30)])
+def test_transitive_closure_matches_bruteforce(spark, seed, nv, ne):
+    edges = _random_edges(seed, nv, ne)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["src"], r["dst"]): r["dist"] for r in G.transitive_closure(df).collect()}
+    assert got == _brute_closure(edges)
+
+
+def test_transitive_closure_max_rounds_caps_depth(spark):
+    # depth cap with max_rounds=1: one doubling over R_1 reaches dist <= 2
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["src"], r["dst"]): r["dist"]
+           for r in G.transitive_closure(df, max_rounds=1).collect()}
+    assert max(got.values()) == 2
+    assert ("a", "e") not in got

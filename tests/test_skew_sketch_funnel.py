@@ -6,6 +6,7 @@ import hashlib
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from entity_extractor_spark.operators.funnel import funnel
 from entity_extractor_spark.operators.skew import skew_profile
@@ -190,3 +191,74 @@ def test_neighborhood_features_known_answer(spark):
     assert got[1] == (2, 55.5, 20.0, 35.5)
     assert got[2] == (2, 45.5, 10.0, 35.5)
     assert got[3] == (2, 30.0, 10.0, 20.0)
+
+
+# ------------------------------------------------- retention / transitions --
+
+def test_retention_cohorts_known_answer(spark):
+    from entity_extractor_spark.operators.funnel import retention_cohorts
+
+    # 2024-01-01 is a Monday. u1's first event lands in week Jan-1 (two
+    # events there collapse to one distinct user) and reappears in week
+    # Jan-15 (offset 2). u2's first is Sunday Jan-7 (still week Jan-1);
+    # its next event is Monday Jan-8 — one DAY later but offset 1,
+    # because cohorts count week-boundary crossings, not elapsed time.
+    rows = [
+        ("u1", "2024-01-02 10:00:00"), ("u1", "2024-01-03 09:00:00"),
+        ("u1", "2024-01-16 23:00:00"),
+        ("u2", "2024-01-07 12:00:00"), ("u2", "2024-01-08 00:30:00"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts string").select(
+        "u", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["cohort_week"].strftime("%Y-%m-%d"), r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(df, "u", "ts").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+    }
+
+
+def test_retention_cohorts_null_rows_dropped(spark):
+    from entity_extractor_spark.operators.funnel import retention_cohorts
+
+    rows = [("u1", "2024-01-02 10:00:00"), (None, "2024-01-02 11:00:00"),
+            ("u2", None)]
+    df = spark.createDataFrame(rows, "u string, ts string").select(
+        "u", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = retention_cohorts(df, "u", "ts").collect()
+    assert len(out) == 1 and out[0]["n_users"] == 1
+
+
+def test_event_transitions_known_answer_with_tiebreak(spark):
+    from entity_extractor_spark.operators.funnel import event_transitions
+
+    # u1 has two events at the SAME timestamp — seq orders a before b,
+    # so the sequence is a, b, a. u2 has a single event: no transition.
+    rows = [
+        ("u1", 10, 1, "a"), ("u1", 10, 2, "b"), ("u1", 20, 0, "a"),
+        ("u2", 5, 0, "a"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts long, seq long, st string")
+    got = {
+        (r["from_stage"], r["to_stage"]): r["n_transitions"]
+        for r in event_transitions(df, "u", "ts", "seq", "st").collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 1}
+
+
+def test_event_transitions_counts_accumulate_across_keys(spark):
+    from entity_extractor_spark.operators.funnel import event_transitions
+
+    rows = [("u1", 1, 0, "x"), ("u1", 2, 0, "y"),
+            ("u2", 1, 0, "x"), ("u2", 2, 0, "y"), ("u2", 3, 0, "x")]
+    df = spark.createDataFrame(rows, "u string, ts long, seq long, st string")
+    got = {
+        (r["from_stage"], r["to_stage"]): r["n_transitions"]
+        for r in event_transitions(df, "u", "ts", "seq", "st").collect()
+    }
+    assert got == {("x", "y"): 2, ("y", "x"): 1}

@@ -285,3 +285,102 @@ def test_range_join_timestamps(spark):
     )
     got = [r["pid"] for r in range_join(p, iv, "ts", "s", "e", 30.0).collect()]
     assert got == ["in"]
+
+
+# -------------------------------------------------------- interval coalesce --
+
+def _brute_coalesce(rows):
+    """Sweep per key: merge overlapping-or-touching intervals."""
+    out = []
+    byk: dict = {}
+    for k, s, e in rows:
+        if k is None or s is None or e is None:
+            continue
+        byk.setdefault(k, []).append((s, e))
+    for k, ivs in byk.items():
+        spans = []
+        for s, e in sorted(ivs):
+            if spans and s <= spans[-1][1]:
+                ps, pe, n = spans[-1]
+                spans[-1] = (ps, max(pe, e), n + 1)
+            else:
+                spans.append((s, e, 1))
+        out.extend((k, *sp) for sp in spans)
+    return sorted(out)
+
+
+def test_interval_coalesce_known_answer(spark):
+    from entity_extractor_spark.operators.temporal import interval_coalesce
+
+    rows = [
+        # k1: [1,5]+[4,8] overlap; [8,10] TOUCHES (8 > 8 false -> merges);
+        # [12,15] opens a new span
+        ("k1", 4, 8), ("k1", 1, 5), ("k1", 8, 10), ("k1", 12, 15),
+        # k2: disjoint by one unit -> two spans
+        ("k2", 1, 2), ("k2", 3, 4),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = sorted(
+        (r["k"], r["span_start"], r["span_end"], r["n_merged"])
+        for r in interval_coalesce(df, "k", "s", "e").collect()
+    )
+    assert got == [
+        ("k1", 1, 10, 3), ("k1", 12, 15, 1),
+        ("k2", 1, 2, 1), ("k2", 3, 4, 1),
+    ]
+
+
+def test_interval_coalesce_contained_interval_extends_nothing(spark):
+    from entity_extractor_spark.operators.temporal import interval_coalesce
+
+    # [2,3] sits inside [1,10]; [4,20] must still merge against the
+    # RUNNING MAX end (10), not the previous row's end (3)
+    rows = [("k", 1, 10), ("k", 2, 3), ("k", 4, 20)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = [(r["span_start"], r["span_end"], r["n_merged"])
+           for r in interval_coalesce(df, "k", "s", "e").collect()]
+    assert got == [(1, 20, 3)]
+
+
+def test_interval_coalesce_null_rows_dropped(spark):
+    from entity_extractor_spark.operators.temporal import interval_coalesce
+
+    rows = [("k", 1, 2), (None, 1, 2), ("k", None, 9), ("k", 5, None)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = [(r["k"], r["span_start"], r["span_end"])
+           for r in interval_coalesce(df, "k", "s", "e").collect()]
+    assert got == [("k", 1, 2)]
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_interval_coalesce_matches_bruteforce(spark, seed):
+    from entity_extractor_spark.operators.temporal import interval_coalesce
+
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(300):
+        s = rng.randrange(0, 500)
+        rows.append((f"k{rng.randrange(4)}", s, s + rng.randrange(0, 30)))
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = sorted(
+        (r["k"], r["span_start"], r["span_end"], r["n_merged"])
+        for r in interval_coalesce(df, "k", "s", "e").collect()
+    )
+    assert got == _brute_coalesce(rows)
+
+
+def test_interval_coalesce_timestamps(spark):
+    from entity_extractor_spark.operators.temporal import interval_coalesce
+
+    rows = [
+        ("k", T0, T0 + dt.timedelta(minutes=15)),
+        ("k", T0 + dt.timedelta(minutes=10), T0 + dt.timedelta(minutes=25)),
+        ("k", T0 + dt.timedelta(hours=2), T0 + dt.timedelta(hours=3)),
+    ]
+    df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+    got = [(r["span_start"], r["span_end"], r["n_merged"])
+           for r in interval_coalesce(df, "k", "s", "e").collect()]
+    assert sorted(got) == [
+        (T0, T0 + dt.timedelta(minutes=25), 2),
+        (T0 + dt.timedelta(hours=2), T0 + dt.timedelta(hours=3), 1),
+    ]
