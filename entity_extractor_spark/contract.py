@@ -4445,6 +4445,106 @@ def w10_interval_coalesce(spark, sf_dir):
     return interval_coalesce(ev, "event_type", "s", "e")
 
 
+@query(
+    "audit_profile_columns",
+    """SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS total_rows,
+              CAST(count(o_custkey) AS BIGINT) AS non_null,
+              CAST(count(*) - count(o_custkey) AS BIGINT) AS nulls,
+              CAST((count(*) - count(o_custkey)) * 1000000 // count(*)
+                   AS BIGINT) AS null_ppm,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+              CAST(min(o_custkey) AS VARCHAR) AS min_str,
+              CAST(max(o_custkey) AS VARCHAR) AS max_str
+       FROM orders
+       UNION ALL
+       SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+              count(*) - count(o_orderstatus),
+              (count(*) - count(o_orderstatus)) * 1000000 // count(*),
+              count(DISTINCT o_orderstatus),
+              min(o_orderstatus), max(o_orderstatus)
+       FROM orders
+       UNION ALL
+       SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+              count(*) - count(o_orderpriority),
+              (count(*) - count(o_orderpriority)) * 1000000 // count(*),
+              count(DISTINCT o_orderpriority),
+              min(o_orderpriority), max(o_orderpriority)
+       FROM orders
+       UNION ALL
+       SELECT 'o_orderdate', count(*), count(o_orderdate),
+              count(*) - count(o_orderdate),
+              (count(*) - count(o_orderdate)) * 1000000 // count(*),
+              count(DISTINCT o_orderdate),
+              CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+       FROM orders""",
+)
+def audit_profile_columns(spark, sf_dir):
+    """One-pass column profiler (audit.profile_columns): null counts and
+    ppm, exact distinct cardinality, and value min/max rendered as
+    strings, long-form one row per column — the profile a curator runs
+    before writing constraint_audit rules against a new table drop. ONE
+    Spark aggregation over the pruned columns (the per-column exact
+    count(DISTINCT) is an Expand — the honest cost of exact cardinality);
+    the oracle is the naive per-column UNION ALL, fine at oracle scale."""
+    from .operators.audit import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+    ).withColumnRenamed("column", "col_name")
+
+
+@query(
+    "audit_mad_outliers",
+    """WITH v AS (SELECT event_type, event_id,
+                         CAST(floor(value * 100) AS BIGINT) AS val
+                  FROM events
+                  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+                    AND value IS NOT NULL),
+       med AS (SELECT event_type, val,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY val) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM v),
+       m1 AS (SELECT event_type, val AS med FROM med
+              WHERE rn = (n + 1) // 2),
+       dev AS (SELECT v.event_type, event_id, val, med,
+                      abs(val - med) AS abs_dev
+               FROM v JOIN m1 USING (event_type)),
+       md AS (SELECT event_type, abs_dev,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY abs_dev) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM dev),
+       m2 AS (SELECT event_type, abs_dev AS mad FROM md
+              WHERE rn = (n + 1) // 2)
+       SELECT dev.event_type, event_id, val AS value, med, abs_dev, mad,
+              CASE WHEN mad > 0
+                   THEN CAST(abs_dev * 1000000 // mad AS BIGINT)
+                   ELSE NULL END AS robust_ppm
+       FROM dev JOIN m2 USING (event_type)
+       WHERE abs_dev * 1000000 > 3500000 * mad""",
+)
+def audit_mad_outliers(spark, sf_dir):
+    """Robust per-group outliers (audit.mad_outliers): events whose value
+    (in exact cents) deviates from their event-type median by more than
+    3.5 x MAD — ~9% of the synthetic event values sit in that tail, so
+    the gate checks real flag decisions plus the med/mad/robust_ppm
+    arithmetic on every flagged row. Medians are exact type-1 integer
+    ranks over DISTINCT-value-collapsed tables; the per-group (med, mad)
+    tables broadcast back onto the rows, so raw data is scanned, never
+    shuffled. The oracle replays both medians with row_number windows —
+    the formulation that would ship every raw row at scale."""
+    from .operators.audit import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    return mad_outliers(ev, "event_type", "event_id", "cents")
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

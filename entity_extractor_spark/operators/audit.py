@@ -89,3 +89,159 @@ def merge_conflicts(
         F.min(attr_col).alias("val_min"),
         F.max(attr_col).alias("val_max"),
     )
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One-pass column profile — per column: non-null count, null count,
+    null ppm, exact distinct count, and min/max rendered as strings so
+    every column type fits one long-form schema. The "what is in this
+    table" report a curator runs before trusting a new 100 TB drop, and
+    the input half of constraint_audit (profile first, then write rules
+    against what the profile shows). The reference has no profiling at
+    all — bad columns surface as per-row try/except log lines
+    (artifact_ingestor_service.py).
+
+    Scale shape: ONE aggregation over exactly the profiled columns
+    (column-pruned scan). count/min/max are algebraic; the exact
+    count(DISTINCT c) per column makes Spark plan an Expand (one
+    duplicated stream per distinct aggregate) — the honest cost of exact
+    cardinality, O(|columns|) passes worth of shuffle in one stage.
+    Callers profiling hundreds of columns should batch calls or accept
+    approx_count_distinct; exactness is the default here because the
+    profile doubles as a cross-engine correctness gate. Min/max rendering
+    is CAST(... AS STRING): exact for integer/string/date columns; for
+    float columns prefer profiling a quantized copy (engine float-to-
+    string rendering differs).
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("long").alias("_total")]
+    for i, c in enumerate(columns):
+        aggs.extend(
+            [
+                F.count(c).cast("long").alias(f"_nn{i}"),
+                F.countDistinct(c).cast("long").alias(f"_nd{i}"),
+                F.min(c).cast("string").alias(f"_mn{i}"),
+                F.max(c).cast("string").alias(f"_mx{i}"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    pairs = []
+    for i, c in enumerate(columns):
+        pairs.extend(
+            [
+                F.lit(c),
+                F.struct(
+                    F.col(f"_nn{i}").alias("nn"),
+                    F.col(f"_nd{i}").alias("nd"),
+                    F.col(f"_mn{i}").alias("mn"),
+                    F.col(f"_mx{i}").alias("mx"),
+                ),
+            ]
+        )
+    return wide.select(
+        "_total", F.explode(F.create_map(*pairs)).alias("column", "_m")
+    ).select(
+        "column",
+        F.col("_total").alias("total_rows"),
+        F.col("_m.nn").alias("non_null"),
+        (F.col("_total") - F.col("_m.nn")).alias("nulls"),
+        F.when(
+            F.col("_total") > 0,
+            F.expr(f"(_total - _m.nn) * {_PPM} DIV _total"),
+        )
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("null_ppm"),
+        F.col("_m.nd").alias("n_distinct"),
+        F.col("_m.mn").alias("min_str"),
+        F.col("_m.mx").alias("max_str"),
+    )
+
+
+def _type1_median(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Exact type-1 median per group (value at rank ceil(n/2)) via the
+    distinct-value-collapse pattern of text_quality.group_percentiles:
+    the sort runs over DISTINCT (group, value) pairs, never raw rows."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy("_g").orderBy("_v")
+    return (
+        counts.withColumn("_cum", F.sum("_c").over(w))
+        .withColumn("_n", F.sum("_c").over(Window.partitionBy("_g")))
+        .withColumn("_t", F.expr("(_n + 1) div 2"))
+        .where(
+            (F.col("_cum") >= F.col("_t"))
+            & (F.col("_cum") - F.col("_c") < F.col("_t"))
+        )
+        .select(F.col("_g").alias(group_col), F.col("_v").alias("_median"))
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    k_ppm: int = 3_500_000,
+) -> DataFrame:
+    """Robust per-group outlier detection on an INTEGER value column:
+    flag rows whose absolute deviation from the group median exceeds
+    k x MAD (median absolute deviation), k in ppm (default 3.5 — the
+    classic Iglewicz-Hoaglin cut, here applied to raw MAD without the
+    1.4826 normal-consistency factor, so choose k against MAD units).
+    Median/MAD resist exactly the contamination that breaks mean/stddev
+    fences: one 10^9 sentinel value drags a z-score fence past every
+    real outlier but moves the median not at all. The quality gate for
+    per-source anomaly triage (a crawler that suddenly emits 100x-size
+    documents) that the reference's per-row try/except cannot express.
+
+    Both medians are exact type-1 (pure integer ranks — engines agree
+    bit-for-bit; see group_percentiles' doctrine), computed over
+    DISTINCT-value-collapsed tables, and the per-group (median, mad)
+    tables are BROADCAST back onto the rows: two collapsed sorts + two
+    broadcast joins, the raw data is scanned, never shuffled. The flag
+    predicate and robust_ppm score are pure BIGINT arithmetic
+    (adev * 10^6 vs k_ppm * mad). mad = 0 (>= half the group identical)
+    flags ANY nonzero deviation and reports robust_ppm = NULL rather
+    than a division blowup."""
+    if not isinstance(k_ppm, int) or isinstance(k_ppm, bool) or k_ppm <= 0:
+        raise ValueError("k_ppm must be a positive int")
+    v = df.select(
+        F.col(group_col).alias("_grp"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).cast("long").alias("_val"),
+    ).where(
+        F.col("_grp").isNotNull()
+        & F.col("_id").isNotNull()
+        & F.col("_val").isNotNull()
+    )
+    med = _type1_median(v, "_grp", "_val")
+    dev = v.join(F.broadcast(med), "_grp").withColumn(
+        "_adev", F.abs(F.col("_val") - F.col("_median"))
+    )
+    mad = _type1_median(dev, "_grp", "_adev").withColumnRenamed(
+        "_median", "_mad"
+    )
+    return (
+        dev.join(F.broadcast(mad), "_grp")
+        .where(F.col("_adev") * _PPM > F.lit(k_ppm) * F.col("_mad"))
+        .select(
+            F.col("_grp").alias(group_col),
+            F.col("_id").alias(id_col),
+            F.col("_val").alias("value"),
+            F.col("_median").alias("med"),
+            F.col("_adev").alias("abs_dev"),
+            F.col("_mad").alias("mad"),
+            F.when(
+                F.col("_mad") > 0,
+                F.expr(f"_adev * {_PPM} DIV _mad"),
+            )
+            .otherwise(F.lit(None))
+            .cast("long")
+            .alias("robust_ppm"),
+        )
+    )

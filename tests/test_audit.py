@@ -48,3 +48,130 @@ def test_single_pass_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") <= 1
+
+
+# ---------------------------------------------------------------- profiler --
+
+def test_profile_columns_known_answer(spark):
+    from entity_extractor_spark.operators.audit import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a")], "x long, s string"
+    )
+    got = {r["column"]: r for r in profile_columns(df, ["x", "s"]).collect()}
+    assert set(got) == {"x", "s"}
+    x = got["x"]
+    assert (x["total_rows"], x["non_null"], x["nulls"]) == (4, 3, 1)
+    assert x["null_ppm"] == 250_000
+    assert x["n_distinct"] == 2          # NULL not counted
+    assert (x["min_str"], x["max_str"]) == ("1", "2")
+    s = got["s"]
+    assert (s["nulls"], s["n_distinct"], s["min_str"], s["max_str"]) == (
+        1, 2, "a", "b",
+    )
+
+
+def test_profile_columns_min_is_value_order_not_string_order(spark):
+    from entity_extractor_spark.operators.audit import profile_columns
+
+    # string-ordering min of {9, 100} would be "100"; value min is 9
+    df = spark.createDataFrame([(9,), (100,)], "x long")
+    r = profile_columns(df, ["x"]).head()
+    assert (r["min_str"], r["max_str"]) == ("9", "100")
+
+
+def test_profile_columns_all_null_and_empty_validation(spark):
+    from entity_extractor_spark.operators.audit import profile_columns
+
+    df = spark.createDataFrame([(None,), (None,)], "x string")
+    r = profile_columns(df, ["x"]).head()
+    assert (r["non_null"], r["nulls"], r["null_ppm"], r["n_distinct"]) == (
+        0, 2, 1_000_000, 0,
+    )
+    assert r["min_str"] is None and r["max_str"] is None
+    with pytest.raises(ValueError):
+        profile_columns(df, [])
+
+
+# ------------------------------------------------------------ MAD outliers --
+
+def _brute_mad(rows, k_ppm=3_500_000):
+    """rows: (grp, id, val). Type-1 medians, integer flag predicate."""
+    byg: dict = {}
+    for g, i, v in rows:
+        if None not in (g, i, v):
+            byg.setdefault(g, []).append((i, v))
+    out = {}
+    for g, pairs in byg.items():
+        vals = sorted(v for _, v in pairs)
+        med = vals[(len(vals) + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for _, v in pairs)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        for i, v in pairs:
+            adev = abs(v - med)
+            if adev * 1_000_000 > k_ppm * mad:
+                out[(g, i)] = (
+                    v, med, adev, mad,
+                    adev * 1_000_000 // mad if mad > 0 else None,
+                )
+    return out
+
+
+def test_mad_outliers_known_answer(spark):
+    from entity_extractor_spark.operators.audit import mad_outliers
+
+    # g: values 10,10,10,11,12,100 -> med 10, devs 0,0,0,1,2,90 -> mad 0
+    # mad=0 flags ANY nonzero deviation, robust_ppm NULL
+    rows = [("g", i, v) for i, v in enumerate([10, 10, 10, 11, 12, 100])]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {
+        (r["g"], r["id"]): (r["value"], r["med"], r["abs_dev"], r["mad"],
+                            r["robust_ppm"])
+        for r in mad_outliers(df, "g", "id", "v").collect()
+    }
+    assert got == _brute_mad(rows)
+    assert len(got) == 3  # 11, 12, 100 all deviate from a mad-0 group
+
+
+def test_mad_outliers_resists_contamination(spark):
+    from entity_extractor_spark.operators.audit import mad_outliers
+
+    # one 10^9 sentinel must NOT drag the fence: the moderate outlier 40
+    # (med 10, mad 1, z=30) stays flagged alongside the sentinel
+    rows = [("g", i, v) for i, v in enumerate([8, 9, 10, 10, 11, 12, 40,
+                                               10**9])]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {r["id"]: r["robust_ppm"]
+           for r in mad_outliers(df, "g", "id", "v").collect()}
+    assert set(got) == {6, 7}
+    assert got[6] == 30_000_000
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_mad_outliers_matches_bruteforce(spark, seed):
+    import random
+
+    from entity_extractor_spark.operators.audit import mad_outliers
+
+    rng = random.Random(seed)
+    rows = [
+        (f"g{rng.randrange(3)}", i,
+         rng.randrange(100) if rng.random() < 0.9 else rng.randrange(10_000))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {
+        (r["g"], r["id"]): (r["value"], r["med"], r["abs_dev"], r["mad"],
+                            r["robust_ppm"])
+        for r in mad_outliers(df, "g", "id", "v").collect()
+    }
+    assert got == _brute_mad(rows)
+
+
+def test_mad_outliers_validates(spark):
+    from entity_extractor_spark.operators.audit import mad_outliers
+
+    df = spark.createDataFrame([("g", 1, 2)], "g string, id long, v long")
+    for bad in (0, -1, 2.5, True):
+        with pytest.raises(ValueError):
+            mad_outliers(df, "g", "id", "v", k_ppm=bad)
