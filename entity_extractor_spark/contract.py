@@ -4545,6 +4545,180 @@ def audit_mad_outliers(spark, sf_dir):
     return mad_outliers(ev, "event_type", "event_id", "cents")
 
 
+@query(
+    "cdc_apply_changelog",
+    """WITH ch AS (
+         SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey AS seq,
+                CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I'
+                     ELSE 'D' END AS op,
+                CAST(floor(o_totalprice * 100) AS BIGINT) AS bal
+         FROM orders),
+       last AS (
+         SELECT k, op, bal FROM (
+           SELECT k, op, bal,
+                  row_number() OVER (PARTITION BY k
+                    ORDER BY ts DESC, seq DESC, op DESC, bal DESC) AS rn
+           FROM ch) WHERE rn = 1),
+       snap AS (
+         SELECT c_custkey AS k,
+                CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+         FROM customer)
+       SELECT COALESCE(s.k, l.k) AS k,
+              CASE WHEN l.k IS NULL THEN s.bal ELSE l.bal END AS bal
+       FROM snap s FULL OUTER JOIN last l ON s.k = l.k
+       WHERE l.k IS NULL OR l.op != 'D'""",
+)
+def cdc_apply_changelog(spark, sf_dir):
+    """CDC merge (cdc.apply_changelog): the customer snapshot folded with
+    an order-derived change stream — status F maps to update, O to
+    insert, P to delete, latest change per key wins by (date, orderkey).
+    The winner is an algebraic struct max (hot keys collapse map-side),
+    then ONE key-equi full-outer join applies it; the oracle is the
+    row_number-DESC replay that would ship every raw change at scale.
+    ~1/3 of keys take the delete path, so presence AND absence are both
+    value-checked. The reference applies changes one SQLAlchemy upsert
+    per row (global_node_repository.py)."""
+    from .operators.cdc import apply_changelog
+
+    snap = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("bal"),
+    )
+    ch = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.expr(
+            "CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I' "
+            "ELSE 'D' END"
+        ).alias("op"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("bal"),
+    )
+    return apply_changelog(snap, ch, "k", "ts", "seq", "op", ["bal"])
+
+
+@query(
+    "a9_rollup_report",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_qty,
+              CAST(count(*) AS BIGINT) AS n_rows
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def a9_rollup_report(spark, sf_dir):
+    """Hierarchical rollup (A-family): flag x status subtotals, per-flag
+    subtotals, and the grand total in ONE pass — Spark's native
+    rollup()/grouping_id() (Expand + one algebraic agg, partials combine
+    map-side so the exchange carries group rows only; never one scan per
+    level). gid disambiguates a real NULL dimension value from a
+    rolled-up one — both engines put the first rollup column in the high
+    bit. Double sums route through DECIMAL(18,2) per repo doctrine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        _sum2("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "a10_pivot_report",
+    """SELECT l_returnflag,
+              CAST(sum(CASE WHEN l_linestatus = 'F'
+                       THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                   AS DOUBLE) AS qty_f,
+              CAST(sum(CASE WHEN l_linestatus = 'O'
+                       THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                   AS DOUBLE) AS qty_o
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def a10_pivot_report(spark, sf_dir):
+    """Long-to-wide pivot (A-family): quantity by return flag with one
+    column per line status — Spark's groupBy().pivot() with the value
+    list PINNED (["F", "O"]): an unpinned pivot runs a hidden distinct
+    collect over the pivot column to discover headers, a driver
+    round-trip and a nondeterministic column order a 100 TB job should
+    never pay. With pinned values the plan is one algebraic agg, exactly
+    the oracle's conditional-sum form."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(_sum2("l_quantity", "q"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F").alias("qty_f"),
+        F.col("O").alias("qty_o"),
+    )
+
+
+def _hits_sql(iterations: int = 2) -> str:
+    """Unrolled fixed-iteration HITS as one DuckDB CTE chain —
+    term-for-term the graph.hits dataflow: exact integer fixed-point
+    (1e-9 units), L-inf normalization as half-up division
+    (2*s*units + m) // (2*m) in HUGEINT (the 128-bit twin of the Spark
+    side's DECIMAL(38,0)); only the final display cast divides in
+    doubles."""
+    parts = [
+        """WITH raw AS (
+  SELECT DISTINCT concat('p', CAST(l_partkey AS VARCHAR)) AS src,
+         concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
+  FROM lineitem WHERE l_orderkey % 97 = 1),
+v AS (SELECT DISTINCT vertex FROM
+      (SELECT src AS vertex FROM raw UNION ALL SELECT dst FROM raw)),
+h0 AS (SELECT vertex, CAST(1000000000 AS HUGEINT) AS h FROM v),"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ra{i} AS (
+  SELECT v.vertex, CAST(COALESCE(s.s, 0) AS HUGEINT) AS s FROM v
+  LEFT JOIN (SELECT e.dst AS vertex, SUM(h.h) AS s
+             FROM raw e JOIN h{i - 1} h ON h.vertex = e.src
+             GROUP BY e.dst) s USING (vertex)),
+a{i} AS (
+  SELECT vertex, (2 * s * 1000000000 + (SELECT MAX(s) FROM ra{i}))
+                 // (2 * (SELECT MAX(s) FROM ra{i})) AS a
+  FROM ra{i}),
+rh{i} AS (
+  SELECT v.vertex, CAST(COALESCE(s.s, 0) AS HUGEINT) AS s FROM v
+  LEFT JOIN (SELECT e.src AS vertex, SUM(a.a) AS s
+             FROM raw e JOIN a{i} a ON a.vertex = e.dst
+             GROUP BY e.src) s USING (vertex)),
+h{i} AS (
+  SELECT vertex, (2 * s * 1000000000 + (SELECT MAX(s) FROM rh{i}))
+                 // (2 * (SELECT MAX(s) FROM rh{i})) AS h
+  FROM rh{i}),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"""SELECT a.vertex, CAST(a.a AS DOUBLE) / 1000000000.0 AS authority,
+       CAST(h.h AS DOUBLE) / 1000000000.0 AS hub
+FROM a{iterations} a JOIN h{iterations} h USING (vertex)"""
+    )
+    return "\n".join(parts)
+
+
+@query("graph_hits", _hits_sql())
+def graph_hits(spark, sf_dir):
+    """Hubs & authorities (graph.hits) over the DIRECTED part->supplier
+    order graph: parts are pure hubs, suppliers pure authorities, and the
+    scores weight each side by the quality of the other — the
+    second spectral centrality next to graph_pagerank, for pointing
+    structures where in-links and out-links mean different things. Exact
+    BIGINT/DECIMAL(38,0) fixed-point with L-inf (max) normalization per
+    half-iteration, so the replay is bit-identical by construction; the
+    per-iteration max is the oracle's scalar subquery and the operator's
+    one metadata agg-collect."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 97 == 1)
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return G.hits(edges, iterations=2)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

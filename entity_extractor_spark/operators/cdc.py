@@ -1,0 +1,99 @@
+"""Changelog application (CDC merge): fold an insert/update/delete event
+stream into a snapshot to produce the next snapshot.
+
+Every long-lived KG is maintained this way — the day's entity changes
+arrive as a change stream and must land on the canonical table with
+last-writer-wins semantics. The reference applies changes row-at-a-time
+through SQLAlchemy upserts inside the ingest loop
+(global_node_repository.py add/update + per-doc session.commit()); at
+100 TB the fold must be one relational pass, not 10^9 round-trips.
+
+Semantics (upsert dialect):
+  * per key, only the LATEST change by (ts, seq) applies — earlier
+    changes to the same key are absorbed before ever touching the
+    snapshot;
+  * latest op 'I' or 'U' -> the key exists in the output with the
+    change's payload (an update to an absent key inserts it — standard
+    upsert, what MERGE WHEN NOT MATCHED THEN INSERT does);
+  * latest op 'D' -> the key is absent from the output, whether or not
+    the snapshot had it;
+  * keys the changelog never mentions pass through unchanged.
+
+Determinism: the per-key winner is max(struct(ts, seq, op, payload...)),
+a lexicographic struct max — with a unique (ts, seq) per key it IS the
+newest change; if a producer ever duplicates (ts, seq), the op/payload
+fields extend the comparison so the winner is still a total order, never
+a partition race. An op outside {I, U, D} fails the job loudly
+(raise_error inside the aggregate's input projection) instead of being
+silently coerced.
+
+Scale shape: ONE aggregation shuffles the changelog on key (the struct
+max partial-aggregates map-side, so a hot key with 10^6 changes ships
+one row per map task), then ONE key-equi full-outer join against the
+snapshot — both sides hash-partitioned on the same key. No windows over
+raw changes, no Python. This is exactly the shape MERGE INTO compiles to
+on an Iceberg/Delta table (plans/tableio.py carries the real-MERGE seam);
+this operator is the engine-internal equivalent when the target is plain
+parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_OPS = ("I", "U", "D")
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    op_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Return the next snapshot: (key_col, *payload_cols). `snapshot`
+    must carry key_col + payload_cols; `changes` must carry key_col,
+    ts_col, seq_col, op_col + payload_cols."""
+    if not payload_cols:
+        raise ValueError("payload_cols must be non-empty")
+    op = F.col(op_col)
+    checked_op = F.when(op.isin(*_OPS), op).otherwise(
+        F.raise_error(
+            F.concat(F.lit("apply_changelog: op must be one of I/U/D, got "), op)
+        )
+    )
+    latest = (
+        changes.where(F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("_k"),
+            F.struct(
+                F.col(ts_col).alias("_ts"),
+                F.col(seq_col).alias("_seq"),
+                checked_op.alias("_op"),
+                *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+            ).alias("_ch"),
+        )
+        .groupBy("_k")
+        .agg(F.max("_ch").alias("_ch"))
+    )
+    snap = snapshot.select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c).alias(f"_s_{c}") for c in payload_cols],
+    )
+    joined = snap.join(latest, "_k", "full_outer")
+    has_change = F.col("_ch").isNotNull()
+    return (
+        joined.where(~has_change | (F.col("_ch._op") != "D"))
+        .select(
+            F.col("_k").alias(key_col),
+            *[
+                F.when(has_change, F.col(f"_ch._p_{c}"))
+                .otherwise(F.col(f"_s_{c}"))
+                .alias(c)
+                for c in payload_cols
+            ],
+        )
+    )

@@ -1,0 +1,94 @@
+"""apply_changelog: upsert/delete fold semantics, last-writer-wins by
+(ts, seq), pass-through of untouched keys, loud unknown-op failure."""
+
+from __future__ import annotations
+
+import pytest
+
+from entity_extractor_spark.operators.cdc import apply_changelog
+
+SNAP = "k string, val string"
+CHG = "k string, ts long, seq long, op string, val string"
+
+
+def _apply(spark, snap_rows, chg_rows, payload=("val",)):
+    snap = spark.createDataFrame(snap_rows, SNAP)
+    chg = spark.createDataFrame(chg_rows, CHG)
+    return {
+        r["k"]: tuple(r[c] for c in payload)
+        for r in apply_changelog(
+            snap, chg, "k", "ts", "seq", "op", list(payload)
+        ).collect()
+    }
+
+
+def test_upsert_delete_passthrough(spark):
+    got = _apply(
+        spark,
+        [("k1", "a"), ("k2", "b"), ("k3", "c")],
+        [
+            ("k2", 1, 0, "U", "b2"), ("k2", 2, 0, "U", "b3"),  # newest wins
+            ("k3", 1, 0, "D", None),                            # deleted
+            ("k4", 1, 0, "I", "d"),                             # inserted
+            ("k5", 1, 0, "U", "e"),              # update-of-absent upserts
+        ],
+    )
+    assert got == {"k1": ("a",), "k2": ("b3",), "k4": ("d",), "k5": ("e",)}
+
+
+def test_delete_then_later_insert_resurrects(spark):
+    got = _apply(
+        spark,
+        [("k1", "a")],
+        [("k1", 1, 0, "D", None), ("k1", 1, 1, "I", "a2")],  # seq breaks tie
+    )
+    assert got == {"k1": ("a2",)}
+
+
+def test_insert_then_later_delete_removes(spark):
+    got = _apply(spark, [], [("k1", 1, 0, "I", "a"), ("k1", 2, 0, "D", None)])
+    assert got == {}
+
+
+def test_delete_of_absent_key_is_noop(spark):
+    got = _apply(spark, [("k1", "a")], [("k9", 5, 0, "D", None)])
+    assert got == {"k1": ("a",)}
+
+
+def test_duplicate_ts_seq_winner_is_struct_max_not_partition_race(spark):
+    # two changes share (ts, seq): winner = lexicographic max on
+    # (op, payload) -> ("U", "z") beats ("I", "a"), on every run
+    for _ in range(3):
+        got = _apply(
+            spark, [], [("k1", 1, 0, "I", "a"), ("k1", 1, 0, "U", "z")]
+        )
+        assert got == {"k1": ("z",)}
+
+
+def test_multi_column_payload(spark):
+    s = spark.createDataFrame(
+        [("k1", "a", 1), ("k2", "b", 1)], "k string, val string, n long"
+    )
+    c = spark.createDataFrame(
+        [("k2", 1, 0, "U", "bb", 9)],
+        "k string, ts long, seq long, op string, val string, n long",
+    )
+    got = {
+        r["k"]: (r["val"], r["n"])
+        for r in apply_changelog(s, c, "k", "ts", "seq", "op", ["val", "n"]).collect()
+    }
+    assert got == {"k1": ("a", 1), "k2": ("bb", 9)}
+
+
+def test_unknown_op_fails_loudly(spark):
+    snap = spark.createDataFrame([("k1", "a")], SNAP)
+    chg = spark.createDataFrame([("k1", 1, 0, "X", "b")], CHG)
+    with pytest.raises(Exception, match="op must be one of I/U/D"):
+        apply_changelog(snap, chg, "k", "ts", "seq", "op", ["val"]).collect()
+
+
+def test_empty_payload_validates(spark):
+    snap = spark.createDataFrame([("k1", "a")], SNAP)
+    chg = spark.createDataFrame([], CHG)
+    with pytest.raises(ValueError):
+        apply_changelog(snap, chg, "k", "ts", "seq", "op", [])

@@ -585,3 +585,57 @@ def test_transitive_closure_max_rounds_caps_depth(spark):
            for r in G.transitive_closure(df, max_rounds=1).collect()}
     assert max(got.values()) == 2
     assert ("a", "e") not in got
+
+
+# ------------------------------------------------------------------- HITS --
+
+def _python_hits(edges, iterations=2):
+    UNITS = 10**9
+    e = sorted({(s, d) for s, d in edges})
+    verts = sorted({x for p in e for x in p})
+    h = {v: UNITS for v in verts}
+    a = {}
+
+    def norm(raw):
+        m = max(raw.values()) if raw else 0
+        if not m:
+            return {v: 0 for v in raw}
+        return {v: (2 * s * UNITS + m) // (2 * m) for v, s in raw.items()}
+
+    for _ in range(iterations):
+        ra = {v: 0 for v in verts}
+        for s, d in e:
+            ra[d] += h[s]
+        a = norm(ra)
+        rh = {v: 0 for v in verts}
+        for s, d in e:
+            rh[s] += a[d]
+        h = norm(rh)
+    return {v: (a[v] / 1e9, h[v] / 1e9) for v in verts}
+
+
+def test_hits_star_separates_hubs_from_authorities(spark):
+    # leaves all point at the center: center is the ONLY authority,
+    # leaves are the (equal, maximal) hubs, and roles do not leak
+    edges = [(f"leaf{i}", "center") for i in range(4)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["vertex"]: (r["authority"], r["hub"]) for r in G.hits(df).collect()}
+    assert got["center"] == (1.0, 0.0)
+    for i in range(4):
+        assert got[f"leaf{i}"] == (0.0, 1.0)
+
+
+@pytest.mark.parametrize("seed,nv,ne,it", [(41, 20, 40, 2), (42, 40, 90, 3)])
+def test_hits_matches_python_oracle(spark, seed, nv, ne, it):
+    edges = _random_edges(seed, nv, ne)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["vertex"]: (r["authority"], r["hub"])
+        for r in G.hits(df, iterations=it).collect()
+    }
+    assert got == _python_hits(edges, iterations=it)
+
+
+def test_hits_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert G.hits(df).count() == 0
