@@ -4719,6 +4719,120 @@ def graph_hits(spark, sf_dir):
     return G.hits(edges, iterations=2)
 
 
+@query(
+    "stats_group_ols",
+    """WITH v AS (
+         SELECT o_orderpriority AS grp,
+                CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01'
+                     AS HUGEINT) AS x,
+                CAST(floor(o_totalprice * 100) AS HUGEINT) AS y
+         FROM orders),
+       a AS (
+         SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+                sum(x) AS sx, sum(y) AS sy,
+                sum(x * y) AS sxy, sum(x * x) AS sxx
+         FROM v GROUP BY grp),
+       d AS (
+         SELECT grp, n, sx, sy,
+                n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+         FROM a),
+       s AS (
+         SELECT grp, n, sx, sy, num, den,
+                CASE WHEN den = 0 THEN NULL
+                     ELSE CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1
+                          ELSE 0 END
+                          * (abs(num) * 1000000 // abs(den)) END AS slope
+         FROM d)
+       SELECT grp, CAST(n AS BIGINT) AS n,
+              CAST(num AS VARCHAR) AS slope_num,
+              CAST(den AS VARCHAR) AS slope_den,
+              CAST(slope AS BIGINT) AS slope_ppm,
+              CAST(CASE WHEN slope IS NULL THEN NULL
+                   ELSE CASE WHEN sy * 1000000 - slope * sx < 0 THEN -1
+                        WHEN sy * 1000000 - slope * sx > 0 THEN 1 ELSE 0 END
+                        * (abs(sy * 1000000 - slope * sx) // n) END
+                   AS BIGINT) AS intercept_ppm
+       FROM s""",
+)
+def stats_group_ols(spark, sf_dir):
+    """Per-group OLS drift line (stats.group_ols): order value in cents
+    regressed on the day index, per priority — "is this segment's spend
+    trending". ONE algebraic aggregation (five sums, map-side partials);
+    the slope ships as an exact rational (num, den) pair rendered as
+    strings (past BIGINT at sf0.1; DuckDB HUGEINT reaches pandas as
+    float) plus ppm fixed-point renderings whose signed divisions are
+    spelled sign * (|num| div |den|) on BOTH engines — Spark div
+    truncates, DuckDB // floors, and they only agree through that
+    explicit form."""
+    from .operators.stats import group_ols
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("x"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("y"),
+    )
+    out = group_ols(o, "grp", "x", "y")
+    return out.select(
+        "grp",
+        "n",
+        F.col("slope_num").cast("string").alias("slope_num"),
+        F.col("slope_den").cast("string").alias("slope_den"),
+        "slope_ppm",
+        "intercept_ppm",
+    )
+
+
+@query(
+    "stats_histogram",
+    """SELECT CAST(CASE WHEN n_chars < 100 THEN -1
+                   WHEN n_chars >= 500 THEN 16
+                   ELSE (n_chars - 100) * 16 // 400 END AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(min(n_chars) AS BIGINT) AS v_min,
+              CAST(max(n_chars) AS BIGINT) AS v_max
+       FROM documents WHERE n_chars IS NOT NULL GROUP BY 1""",
+)
+def stats_histogram(spark, sf_dir):
+    """Equi-width histogram (stats.histogram): document lengths over
+    [100, 500) in 16 bins with out-of-range mass REPORTED in buckets -1
+    and 16 (both non-empty on the synthetic corpus — the under/overflow
+    branches are value-checked, not just the happy path). Pure-integer
+    bucket rule, one algebraic groupBy, at most nbins+2 groups leave
+    the map side."""
+    from .operators.stats import histogram
+
+    return histogram(_t(spark, sf_dir, "documents"), "n_chars", 100, 500, 16)
+
+
+@query(
+    "stats_percentile_rank",
+    """WITH c AS (
+         SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS n_rows
+         FROM documents
+         WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+         GROUP BY lang, n_chars),
+       w AS (
+         SELECT lang, n_chars, n_rows,
+                sum(n_rows) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+                sum(n_rows) OVER (PARTITION BY lang) AS n
+         FROM c)
+       SELECT lang, n_chars, n_rows,
+              CAST(cum * 1000000 // n AS BIGINT) AS pct_ppm
+       FROM w""",
+)
+def stats_percentile_rank(spark, sf_dir):
+    """Exact cume_dist in ppm (stats.percentile_rank): for every distinct
+    (language, length) pair, the fraction of that language's documents at
+    or below the length — the threshold-to-kept-mass lookup, inverse of
+    text_length_percentiles. Row mass collapses to distinct pairs through
+    one algebraic count before the window sorts anything."""
+    from .operators.stats import percentile_rank
+
+    return percentile_rank(_t(spark, sf_dir, "documents"), "lang", "n_chars")
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

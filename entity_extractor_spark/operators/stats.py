@@ -1,0 +1,181 @@
+"""Exact distributed statistics: per-group OLS trend, integer histogram,
+percentile rank.
+
+The monitoring layer of a corpus pipeline: "is this source's document
+length drifting", "what does the size distribution look like", "what
+fraction of the corpus is below this quality score". The reference has
+no aggregate statistics at all — per-document rows go to MySQL and any
+reporting is ad-hoc SQL outside the codebase.
+
+Doctrine (same as pagerank/group_percentiles): every published number is
+integer arithmetic on BIGINT/DECIMAL(38,0) — ppm/1e-6 fixed point for
+ratios, rational numerator/denominator pairs where a division would
+round — so results are bit-identical across engines, partitionings and
+retries. One deliberate subtlety: Spark's `div` TRUNCATES toward zero
+while DuckDB's `//` FLOORS, and OLS slopes can be negative, so every
+signed division here is spelled sign(num) * (|num| div |den|) with a
+positive den (den = n*Sxx - Sx^2 >= 0 by Cauchy-Schwarz) — the
+two definitions agree on non-negative operands, and the explicit form
+agrees everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PPM = 1_000_000
+_D38 = "decimal(38,0)"
+
+
+def group_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group least-squares line y = slope * x + intercept over
+    INTEGER x/y columns — the drift detector ("tokens per document by
+    ingest day, per source: which sources are trending down?"). Returns
+    (group, n, slope_num, slope_den, slope_ppm, intercept_ppm):
+
+        slope_num = n*Sxy - Sx*Sy          (exact, DECIMAL(38,0))
+        slope_den = n*Sxx - Sx*Sx          (exact; 0 when all x equal)
+        slope_ppm = trunc(slope_num * 1e6 / slope_den)   (NULL if den=0)
+        intercept_ppm = trunc((Sy*1e6 - slope_ppm*Sx) / n)
+
+    The rational (num, den) pair IS the exact answer; the ppm fields are
+    the fixed-point rendering (intercept is defined over the ppm-rounded
+    slope so it stays pure integer arithmetic — the 1e-6 slope quantum
+    is the documented precision). Envelope: |x|,|y| <= ~1e6 with n up to
+    ~1e9 keeps n*Sxy*1e6 under DECIMAL(38,0)/HUGEINT range; quantize
+    coarser inputs first (the cents/day grids used here are far inside).
+
+    Scale shape: ONE algebraic aggregation — five sums that partial-
+    aggregate map-side; no joins, no windows, no second pass. A group
+    with 10^10 rows costs the same shuffle rows as a group with 10."""
+    g = F.col(group_col)
+    x = F.col(x_col).cast(_D38)
+    y = F.col(y_col).cast(_D38)
+    agg = (
+        df.where(
+            g.isNotNull() & F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+        )
+        .groupBy(g.alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast(_D38).alias("_n"),
+            F.sum(x).alias("_sx"),
+            F.sum(y).alias("_sy"),
+            F.sum(x * y).alias("_sxy"),
+            F.sum(x * x).alias("_sxx"),
+        )
+    )
+    num = F.expr("_n * _sxy - _sx * _sy")
+    den = F.expr("_n * _sxx - _sx * _sx")
+    sgn = F.when(num < 0, F.lit(-1)).when(num > 0, F.lit(1)).otherwise(F.lit(0))
+    slope = F.when(
+        den != 0,
+        (
+            sgn
+            * F.expr(
+                f"abs(_n * _sxy - _sx * _sy) * {_PPM} div abs(_n * _sxx - _sx * _sx)"
+            )
+        ).cast("long"),
+    )
+    out = agg.select(
+        group_col,
+        F.col("_n").cast("long").alias("n"),
+        num.cast(_D38).alias("slope_num"),
+        den.cast(_D38).alias("slope_den"),
+        slope.alias("slope_ppm"),
+        "_sx",
+        "_sy",
+    )
+    inum = F.expr(f"_sy * {_PPM} - slope_ppm * _sx")
+    isgn = F.when(inum < 0, F.lit(-1)).when(inum > 0, F.lit(1)).otherwise(F.lit(0))
+    intercept = F.when(
+        F.col("slope_ppm").isNotNull(),
+        (
+            isgn * F.expr(f"abs(_sy * {_PPM} - slope_ppm * _sx) div n")
+        ).cast("long"),
+    )
+    return out.select(
+        group_col,
+        "n",
+        "slope_num",
+        "slope_den",
+        "slope_ppm",
+        intercept.alias("intercept_ppm"),
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: int,
+    hi: int,
+    nbins: int,
+) -> DataFrame:
+    """Equi-width histogram of an INTEGER column over [lo, hi): bucket
+    b covers [lo + b*(hi-lo)/nbins, ...) by the pure-integer rule
+    b = (v - lo) * nbins div (hi - lo); values below lo land in bucket
+    -1 and values >= hi in bucket nbins, so out-of-range mass is
+    REPORTED, never silently clamped into the edge bars. Returns
+    (bucket, n_rows, v_min, v_max) — min/max inside each bucket show
+    the actual occupied sub-range. One algebraic groupBy on a derived
+    column: at most nbins+2 groups leave the map side."""
+    if hi <= lo:
+        raise ValueError("hi must be > lo")
+    if nbins <= 0:
+        raise ValueError("nbins must be positive")
+    v = F.col(value_col)
+    # (v - lo) is non-negative on the in-range branch, so div == floor
+    bucket = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(nbins))
+        .otherwise(F.expr(f"({value_col} - {lo}) * {nbins} div ({hi} - {lo})"))
+        .cast("long")
+    )
+    return (
+        df.where(v.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(v).cast("long").alias("v_min"),
+            F.max(v).cast("long").alias("v_max"),
+        )
+    )
+
+
+def percentile_rank(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact percentile rank (cume_dist) in ppm for every DISTINCT value
+    per group: pct_ppm = rows_at_or_below * 1e6 div group_rows — the
+    inverse of group_percentiles ("what fraction of en documents are
+    shorter than 2000 chars" instead of "what is p90"), the lookup a
+    curator uses to turn a proposed threshold into kept-mass. All
+    quantities non-negative, so div == floor on both engines.
+
+    Scale shape: the row mass collapses to DISTINCT (group, value)
+    pairs through one algebraic count, then one window over the
+    collapsed table — identical shape to group_percentiles; a 10^9-row
+    group with 10^4 distinct values sorts 10^4 rows."""
+    counts = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).groupBy(
+        F.col(group_col).alias(group_col), F.col(value_col).alias(value_col)
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    return (
+        counts.withColumn("_cum", F.sum("n_rows").over(w))
+        .withColumn("_n", F.sum("n_rows").over(Window.partitionBy(group_col)))
+        .select(
+            group_col,
+            value_col,
+            "n_rows",
+            F.expr(f"_cum * {_PPM} div _n").cast("long").alias("pct_ppm"),
+        )
+    )

@@ -1,0 +1,138 @@
+"""group_ols / histogram / percentile_rank: exact integer replays,
+sign-of-division semantics, out-of-range reporting."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from entity_extractor_spark.operators.stats import (
+    group_ols,
+    histogram,
+    percentile_rank,
+)
+
+PPM = 1_000_000
+
+
+def _trunc_div(a: int, b: int) -> int:
+    s = -1 if (a < 0) != (b < 0) else 1
+    return s * (abs(a) // abs(b))
+
+
+def _brute_ols(rows):
+    byg: dict = {}
+    for g, x, y in rows:
+        if None not in (g, x, y):
+            byg.setdefault(g, []).append((x, y))
+    out = {}
+    for g, pts in byg.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den == 0:
+            out[g] = (n, num, den, None, None)
+        else:
+            slope = _trunc_div(num * PPM, den)
+            out[g] = (n, num, den, slope, _trunc_div(sy * PPM - slope * sx, n))
+    return out
+
+
+def _collect_ols(spark, rows):
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    return {
+        r["g"]: (r["n"], int(r["slope_num"]), int(r["slope_den"]),
+                 r["slope_ppm"], r["intercept_ppm"])
+        for r in group_ols(df, "g", "x", "y").collect()
+    }
+
+
+def test_ols_exact_line(spark):
+    # y = 3x + 7 exactly: slope_ppm 3e6, intercept_ppm 7e6
+    rows = [("g", x, 3 * x + 7) for x in range(10)]
+    got = _collect_ols(spark, rows)
+    assert got["g"][3] == 3 * PPM and got["g"][4] == 7 * PPM
+
+
+def test_ols_negative_slope_truncates_toward_zero(spark):
+    # y = -x with a perturbation so the ppm slope is NOT an integer
+    # multiple: checks sign(num) * (|num| div |den|), not floor
+    rows = [("g", 0, 0), ("g", 1, -1), ("g", 2, -2), ("g", 3, -4)]
+    got = _collect_ols(spark, rows)
+    assert got["g"] == _brute_ols(rows)["g"]
+    assert got["g"][3] < 0
+
+
+def test_ols_vertical_group_is_null_not_crash(spark):
+    rows = [("g", 5, 1), ("g", 5, 9)]  # all x equal: den = 0
+    got = _collect_ols(spark, rows)
+    n, num, den, slope, intercept = got["g"]
+    assert (den, slope, intercept) == (0, None, None)
+
+
+@pytest.mark.parametrize("seed", [51, 52])
+def test_ols_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    rows = [
+        (f"g{rng.randrange(3)}", rng.randrange(-50, 50), rng.randrange(-1000, 1000))
+        for _ in range(300)
+    ]
+    assert _collect_ols(spark, rows) == _brute_ols(rows)
+
+
+# ---------------------------------------------------------------- histogram --
+
+def test_histogram_known_answer(spark):
+    rows = [(v,) for v in [0, 5, 9, 10, 19, 25, -3, 40, 40]]
+    df = spark.createDataFrame(rows, "v long")
+    got = {r["bucket"]: (r["n_rows"], r["v_min"], r["v_max"])
+           for r in histogram(df, "v", 0, 40, 4).collect()}
+    # width 10 over [0, 40): buckets 0..3, -1 underflow, 4 overflow
+    assert got == {
+        -1: (1, -3, -3),
+        0: (3, 0, 9),
+        1: (2, 10, 19),
+        2: (1, 25, 25),
+        4: (2, 40, 40),
+    }
+
+
+def test_histogram_validates(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError):
+        histogram(df, "v", 10, 10, 4)
+    with pytest.raises(ValueError):
+        histogram(df, "v", 0, 10, 0)
+
+
+# ---------------------------------------------------------- percentile rank --
+
+def test_percentile_rank_known_answer(spark):
+    rows = [("g", v) for v in [1, 1, 2, 4]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["v"]: (r["n_rows"], r["pct_ppm"])
+           for r in percentile_rank(df, "g", "v").collect()}
+    assert got == {1: (2, 500_000), 2: (1, 750_000), 4: (1, 1_000_000)}
+
+
+def test_percentile_rank_matches_bruteforce(spark):
+    rng = random.Random(53)
+    rows = [(f"g{rng.randrange(2)}", rng.randrange(20)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {(r["g"], r["v"]): (r["n_rows"], r["pct_ppm"])
+           for r in percentile_rank(df, "g", "v").collect()}
+    byg: dict = {}
+    for g, v in rows:
+        byg.setdefault(g, []).append(v)
+    want = {}
+    for g, vals in byg.items():
+        n = len(vals)
+        for v in set(vals):
+            at = vals.count(v)
+            cum = sum(1 for x in vals if x <= v)
+            want[(g, v)] = (at, cum * PPM // n)
+    assert got == want
