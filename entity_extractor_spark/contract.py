@@ -4833,6 +4833,137 @@ def stats_percentile_rank(spark, sf_dir):
     return percentile_rank(_t(spark, sf_dir, "documents"), "lang", "n_chars")
 
 
+@query(
+    "sketch_sample_quantiles",
+    """WITH v AS (
+         SELECT lang, doc_id, n_chars,
+                CAST(concat('0x', substring(md5(concat(lang, '|',
+                     CAST(doc_id AS VARCHAR), '|qsk')), 1, 12)) AS BIGINT)
+                  AS h
+         FROM documents
+         WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+           AND n_chars IS NOT NULL),
+       tot AS (SELECT lang, count(*) AS n_rows FROM v GROUP BY lang),
+       s AS (SELECT lang, n_chars FROM (
+               SELECT lang, n_chars,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY h, doc_id) AS rn
+               FROM v) WHERE rn <= 64),
+       c AS (SELECT lang, n_chars, count(*) AS cnt FROM s GROUP BY 1, 2),
+       w AS (SELECT lang, n_chars, cnt,
+                    sum(cnt) OVER (PARTITION BY lang
+                                   ORDER BY n_chars) AS cum,
+                    sum(cnt) OVER (PARTITION BY lang) AS n
+             FROM c),
+       p AS (SELECT lang, n_chars, cnt, cum, n,
+                    unnest([50, 90, 99]) AS pct
+             FROM w)
+       SELECT p.lang, CAST(pct AS BIGINT) AS pct, n_chars AS value_est,
+              CAST(n AS BIGINT) AS n_sampled, CAST(n_rows AS BIGINT) AS n_rows
+       FROM p JOIN tot USING (lang)
+       WHERE cum >= (pct * n + 99) // 100
+         AND cum - cnt < (pct * n + 99) // 100""",
+)
+def sketch_sample_quantiles(spark, sf_dir):
+    """Mergeable quantile sketch (sketch.sample_quantiles): per-language
+    p50/p90/p99 of document length from the k=64 rows with the smallest
+    uniform md5 hash of (lang, doc_id) — a fixed property of the data,
+    so the sample (unlike approx_percentile/GK sketches, whose state is
+    order-dependent) is partition/retry/engine-invariant and the oracle
+    replays it bit-for-bit. Every language has > 64 docs at both scale
+    factors, so the ESTIMATOR path is what's value-checked (the
+    degrades-to-exact small-group path is unit-gated). WindowGroupLimit
+    pre-prunes rank<=k map-side; the percentile arithmetic is
+    group_percentiles' exact type-1 integer rule over the sample."""
+    from .operators.sketch import sample_quantiles
+
+    return sample_quantiles(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", "n_chars",
+        (50, 90, 99), k=64,
+    )
+
+
+@query(
+    "kg_sampled_adjacency",
+    """WITH raw AS (
+         SELECT DISTINCT concat('p', CAST(l_partkey AS VARCHAR)) AS src,
+                concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
+         FROM lineitem WHERE l_orderkey % 97 = 1),
+       und AS (
+         SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM raw
+           UNION ALL SELECT dst, src FROM raw)
+         WHERE src != dst),
+       r AS (
+         SELECT src, dst,
+                row_number() OVER (PARTITION BY src
+                  ORDER BY CAST(concat('0x', substring(md5(concat(src, '|',
+                           dst)), 1, 12)) AS BIGINT), dst) AS rn
+         FROM und)
+       SELECT src AS vertex, CAST(count(*) AS BIGINT) AS degree,
+              CAST(sum(CASE WHEN rn <= 4 THEN 1 ELSE 0 END) AS BIGINT)
+                AS k_sampled,
+              string_agg(CASE WHEN rn <= 4 THEN dst END, ','
+                         ORDER BY dst) AS neighbors_csv
+       FROM r GROUP BY src""",
+)
+def kg_sampled_adjacency(spark, sf_dir):
+    """GraphSAGE fan-out export (kg_training.sampled_adjacency): every
+    vertex of the part<->supplier graph with at most 4 neighbors, chosen
+    by smallest hash48(vertex, neighbor) — deterministic neighbor
+    sampling, so hubs cost what leaves cost and re-exports are stable.
+    Neighborhoods render as sorted CSV strings (engine-hashable where
+    array cells are not). One per-vertex window that WindowGroupLimit
+    would cap... here kept unfiltered through the SAME window so degree
+    and the sample come from one pass — then one algebraic agg."""
+    from .operators.kg_training import sampled_adjacency
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 97 == 1)
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return sampled_adjacency(edges, fanout=4)
+
+
+@query(
+    "w11_sessionize",
+    """WITH e AS (
+         SELECT user_id, ts, event_id,
+                lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+         FROM events
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           AND event_id IS NOT NULL),
+       o AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN prev IS NULL
+                       OR date_diff('microsecond', prev, ts) > 25200000000
+                     THEN 1 ELSE 0 END AS opens
+         FROM e)
+       SELECT user_id, ts, event_id,
+              CAST(sum(opens) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
+       FROM o""",
+)
+def w11_sessionize(spark, sf_dir):
+    """Batch sessionization (temporal.sessionize): gap > 7h opens a new
+    per-user session — 7h sits at the median inter-event gap of the
+    synthetic log, so roughly half the rows take each branch of the
+    open/extend decision. Pure integer microsecond arithmetic
+    (unix_micros / date_diff), event_id breaks timestamp ties; ONE hash
+    exchange on the key feeds the lag window and the cumulative sum in
+    a single per-partition sort — the per-event twin of the streaming
+    session_window aggregate (w5)."""
+    from .operators.temporal import sessionize
+
+    return sessionize(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_id", 25200
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -205,3 +205,58 @@ def neighborhood_features(
         F.min("_f").alias("f_min"),
         F.max("_f").alias("f_max"),
     )
+
+
+def sampled_adjacency(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    fanout: int = 16,
+) -> DataFrame:
+    """GraphSAGE-style deterministic neighbor sampling: for every vertex
+    of the undirected graph, keep at most `fanout` neighbors — the ones
+    with the SMALLEST hash48(vertex, neighbor) — and export
+    (vertex, degree, k_sampled, neighbors_csv) with the sampled
+    neighborhood as a comma-joined SORTED string. This is the adjacency
+    artifact a GNN trainer consumes: fan-out-capped so hub vertices cost
+    the same as leaves, and the sample is a pure function of the edge
+    set — partition/retry/engine-invariant and stable across re-exports
+    (an epoch resampler can vary a salt; the default is reproducibility).
+    The reference serves neighborhoods one vertex per call
+    (global_edge_repository.py get_edges_for_node); training wants them
+    all, once, in one pass.
+
+    Neighbors render as a CSV string rather than an array so the export
+    is hashable on any engine (array cells compare engine-specifically);
+    consumers split on ','. Scale shape: one distinct on symmetrized
+    edges, one per-vertex window ordered by (hash, neighbor) that
+    WindowGroupLimit pre-prunes to fanout rows map-side, one algebraic
+    agg with a deterministic sorted string fold (collect into sort_array
+    then join — the list is <= fanout long). Degree comes from the same
+    collapsed table, no second scan."""
+    if fanout <= 0:
+        raise ValueError("fanout must be positive")
+    und = _symmetrized(_clean_edges(edges, src, dst)).where(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    w = Window.partitionBy("src").orderBy(
+        _hash48(F.col("src"), F.col("dst")), "dst"
+    )
+    return (
+        und.withColumn("_rn", F.row_number().over(w))
+        .groupBy(F.col("src").alias("vertex"))
+        .agg(
+            F.count(F.lit(1)).alias("degree"),
+            F.sum(F.when(F.col("_rn") <= fanout, 1).otherwise(0))
+            .cast("long")
+            .alias("k_sampled"),
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("_rn") <= fanout, F.col("dst"))
+                    )
+                ),
+            ).alias("neighbors_csv"),
+        )
+    )

@@ -262,3 +262,83 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+def sample_quantiles(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    k: int = 256,
+) -> DataFrame:
+    """Per-group approximate quantiles by deterministic bottom-k row
+    sampling — the mergeable quantile companion of kmv_distinct, for when
+    group_percentiles' exact path is too wide (its sort is over distinct
+    VALUES; a continuous metric with 10^9 distinct values per group sorts
+    10^9 rows — this sorts k).
+
+    Why not approx_percentile/GK sketches: both are ORDER-DEPENDENT (the
+    sketch state depends on which partition saw which row first), so two
+    runs disagree and no oracle can replay them. Here the sample is the
+    k rows with the SMALLEST uniform hash of (group, id) — a fixed
+    property of the data: partition-, retry- and engine-invariant, and
+    mergeable exactly like KMV (union shard samples, re-take bottom-k).
+    The estimate is then the EXACT type-1 percentile of the sample
+    (rank ceil(p*n/100) — pure integers). Groups with <= k rows keep
+    every row, so the sketch degrades to the exact answer. Sampling
+    error is the usual order-statistic ~1/sqrt(k) in rank space; k is
+    the dial.
+
+    Returns (group, pct, value_est, n_sampled, n_rows). Scale shape: one
+    window per group ordered by (hash, id) — Spark's WindowGroupLimit
+    pre-prunes rank <= k map-side, so a 10^9-row group ships ~k rows per
+    task — then the type-1 rank arithmetic over k-row groups."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    v = df.select(
+        F.col(group_col).alias("_grp"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).alias("_val"),
+    ).where(
+        F.col("_grp").isNotNull()
+        & F.col("_id").isNotNull()
+        & F.col("_val").isNotNull()
+    )
+    h = F.md5(
+        F.concat_ws(
+            "|", F.col("_grp").cast("string"), F.col("_id").cast("string"),
+            F.lit("qsk"),
+        )
+    )
+    v = v.withColumn("_h", F.conv(F.substring(h, 1, 12), 16, 10).cast("long"))
+    totals = v.groupBy("_grp").agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy("_grp").orderBy("_h", "_id")
+    sample = (
+        v.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_h", "_id")
+    )
+    # exact type-1 percentiles of the sample (distinct-value collapse)
+    counts = sample.groupBy("_grp", "_val").agg(F.count(F.lit(1)).alias("_c"))
+    wv = Window.partitionBy("_grp").orderBy("_val")
+    cum = counts.withColumn("_cum", F.sum("_c").over(wv)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy("_grp"))
+    )
+    pcts = F.array(*[F.lit(int(p)) for p in percentiles])
+    return (
+        cum.withColumn("pct", F.explode(pcts))
+        .withColumn("_t", F.expr("(pct * _n + 99) div 100"))
+        .where(
+            (F.col("_cum") >= F.col("_t"))
+            & (F.col("_cum") - F.col("_c") < F.col("_t"))
+        )
+        .join(totals, "_grp")
+        .select(
+            F.col("_grp").alias(group_col),
+            F.col("pct").cast("long").alias("pct"),
+            F.col("_val").alias("value_est"),
+            F.col("_n").cast("long").alias("n_sampled"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )

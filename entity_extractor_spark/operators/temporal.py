@@ -337,3 +337,69 @@ def interval_coalesce(
             F.col("_key").alias(key_col), "span_start", "span_end", "n_merged"
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Assign gap-based session ids to every event: a new session opens
+    when an event arrives more than gap_seconds after its key's previous
+    event — the batch twin of streaming/windows.py's session_window
+    aggregation, but keeping the EVENTS (with a session id column) so
+    downstream features join per-event, where the streaming form only
+    keeps per-session aggregates. Sessions are the unit of behavioral
+    features (events-per-session, funnel-within-session) and of safe
+    hub-key splitting (event_transitions' docstring points here).
+
+    session_id numbers sessions 1..S per key in time order; (ts, seq)
+    orders ties so the assignment is a total order on any engine.
+
+    Scale shape: ONE hash exchange on key feeds the lag window, the
+    cumulative-sum window, and any later per-(key, session) groupBy —
+    the same single-sort gaps-and-islands shape as scd2_collapse. A key
+    with 10^8 events is one task's sort: sessionize per coarse time
+    bucket first if the log has such hubs."""
+    if gap_seconds <= 0:
+        raise ValueError("gap_seconds must be positive")
+    w = Window.partitionBy("_key").orderBy("_ts", "_seq")
+    ev = df.select(
+        F.col(key_col).alias("_key"),
+        F.col(ts_col).alias("_ts"),
+        F.col(seq_col).alias("_seq"),
+    ).where(
+        F.col("_key").isNotNull()
+        & F.col("_ts").isNotNull()
+        & F.col("_seq").isNotNull()
+    )
+    # timestamp subtraction yields a day-time interval — exact integer
+    # microseconds under the hood, works for TIMESTAMP and TIMESTAMP_NTZ
+    # alike with no session-timezone dependence; DuckDB replays it with
+    # date_diff('microsecond')
+    prev = F.lag("_ts").over(w)
+    opens = F.when(
+        prev.isNull()
+        | (
+            (F.col("_ts") - prev)
+            > F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("_open", opens)
+        .withColumn(
+            "session_id",
+            F.sum("_open")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .select(
+            F.col("_key").alias(key_col),
+            F.col("_ts").alias(ts_col),
+            F.col("_seq").alias(seq_col),
+            "session_id",
+        )
+    )

@@ -97,3 +97,47 @@ def test_random_walks_zero_length(spark):
     sdf = spark.createDataFrame([(1,)], "vertex long")
     got = [(r["start"], r["step"], r["vertex"]) for r in random_walks(edf, sdf, 0).collect()]
     assert got == [(1, 0, 1)]
+
+
+# -------------------------------------------------------- sampled adjacency --
+
+def test_sampled_adjacency_star_caps_hub_only(spark):
+    from entity_extractor_spark.operators.kg_training import sampled_adjacency
+
+    edges = [("hub", f"l{i}") for i in range(6)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["vertex"]: r for r in sampled_adjacency(df, fanout=3).collect()}
+    hub = got["hub"]
+    assert (hub["degree"], hub["k_sampled"]) == (6, 3)
+    picked = hub["neighbors_csv"].split(",")
+    assert len(picked) == 3 and set(picked) <= {f"l{i}" for i in range(6)}
+    # hash-determined pick: smallest _hash48(hub, leaf), leaf tiebreak
+    want = sorted(
+        sorted((f"l{i}" for i in range(6)),
+               key=lambda d: (_h48("hub", d), d))[:3]
+    )
+    assert picked == want
+    for i in range(6):
+        leaf = got[f"l{i}"]
+        assert (leaf["degree"], leaf["k_sampled"], leaf["neighbors_csv"]) == (
+            1, 1, "hub",
+        )
+
+
+def test_sampled_adjacency_deterministic_across_partitionings(spark):
+    from entity_extractor_spark.operators.kg_training import sampled_adjacency
+
+    rng = __import__("random").Random(62)
+    edges = [(f"v{rng.randrange(30)}", f"v{rng.randrange(30)}") for _ in range(150)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, sampled_adjacency(df, fanout=4).collect()))
+    b = sorted(map(tuple, sampled_adjacency(df.repartition(5), fanout=4).collect()))
+    assert a == b
+
+
+def test_sampled_adjacency_validates(spark):
+    from entity_extractor_spark.operators.kg_training import sampled_adjacency
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        sampled_adjacency(df, fanout=0)

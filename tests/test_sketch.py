@@ -110,3 +110,74 @@ def test_kmv_slice_jaccard_matches_python_sketch_algebra(spark):
     assert r["jaccard_ppm"] == ei * 1_000_000 // eu
     # ground truth jaccard = 150/500 = 0.30; sketch at k=32 is rough but sane
     assert 0.05 < r["jaccard_ppm"] / 1e6 < 0.65
+
+
+# ------------------------------------------------------- quantile sampling --
+
+def _q_hash(grp, rid):
+    import hashlib
+
+    return int(hashlib.md5(f"{grp}|{rid}|qsk".encode()).hexdigest()[:12], 16)
+
+
+def _brute_sample_quantiles(rows, percentiles=(50, 90, 99), k=256):
+    byg: dict = {}
+    for g, i, v in rows:
+        if None not in (g, i, v):
+            byg.setdefault(g, []).append((i, v))
+    out = {}
+    for g, pairs in byg.items():
+        ordered = sorted(pairs, key=lambda p: (_q_hash(g, p[0]), p[0]))
+        sample = sorted(v for _, v in ordered[:k])
+        n = len(sample)
+        for p in percentiles:
+            t = (p * n + 99) // 100
+            out[(g, p)] = (sample[t - 1], n, len(pairs))
+    return out
+
+
+def test_sample_quantiles_small_group_is_exact(spark):
+    from entity_extractor_spark.operators.sketch import sample_quantiles
+
+    rows = [("g", i, v) for i, v in enumerate([5, 1, 9, 3, 7])]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {
+        (r["g"], r["pct"]): (r["value_est"], r["n_sampled"], r["n_rows"])
+        for r in sample_quantiles(df, "g", "id", "v", (50, 100), k=64).collect()
+    }
+    # sample == whole group: exact type-1 percentiles of {1,3,5,7,9}
+    assert got == {("g", 50): (5, 5, 5), ("g", 100): (9, 5, 5)}
+
+
+def test_sample_quantiles_estimator_matches_python_replay(spark):
+    from entity_extractor_spark.operators.sketch import sample_quantiles
+
+    rng = __import__("random").Random(61)
+    rows = [(f"g{i % 2}", i, rng.randrange(10_000)) for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {
+        (r["g"], r["pct"]): (r["value_est"], r["n_sampled"], r["n_rows"])
+        for r in sample_quantiles(df, "g", "id", "v", k=64).collect()
+    }
+    assert got == _brute_sample_quantiles(rows, k=64)
+    # estimator path really engaged: sample strictly smaller than group
+    assert all(ns == 64 and nr == 300 for _, ns, nr in got.values())
+
+
+def test_sample_quantiles_partitioning_invariant(spark):
+    from entity_extractor_spark.operators.sketch import sample_quantiles
+
+    rows = [("g", i, i * 37 % 101) for i in range(200)]
+    df1 = spark.createDataFrame(rows, "g string, id long, v long")
+    df2 = df1.repartition(7)
+    a = sorted(map(tuple, sample_quantiles(df1, "g", "id", "v", k=32).collect()))
+    b = sorted(map(tuple, sample_quantiles(df2, "g", "id", "v", k=32).collect()))
+    assert a == b
+
+
+def test_sample_quantiles_validates(spark):
+    from entity_extractor_spark.operators.sketch import sample_quantiles
+
+    df = spark.createDataFrame([("g", 1, 2)], "g string, id long, v long")
+    with pytest.raises(ValueError):
+        sample_quantiles(df, "g", "id", "v", k=0)

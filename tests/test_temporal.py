@@ -384,3 +384,68 @@ def test_interval_coalesce_timestamps(spark):
         (T0, T0 + dt.timedelta(minutes=25), 2),
         (T0 + dt.timedelta(hours=2), T0 + dt.timedelta(hours=3), 1),
     ]
+
+
+# ----------------------------------------------------------------- sessionize --
+
+def test_sessionize_known_answer(spark):
+    from entity_extractor_spark.operators.temporal import sessionize
+
+    rows = [
+        ("u", T0, 0),
+        ("u", T0 + dt.timedelta(seconds=30), 1),           # same session
+        ("u", T0 + dt.timedelta(seconds=91), 2),           # 61s gap: new
+        ("u", T0 + dt.timedelta(seconds=151), 3),          # exactly 60s: same
+        ("v", T0, 0),                                       # other key
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, seq long")
+    got = {(r["k"], r["seq"]): r["session_id"]
+           for r in sessionize(df, "k", "ts", "seq", 60).collect()}
+    assert got == {
+        ("u", 0): 1, ("u", 1): 1, ("u", 2): 2, ("u", 3): 2, ("v", 0): 1,
+    }
+
+
+def test_sessionize_tie_ordered_by_seq(spark):
+    from entity_extractor_spark.operators.temporal import sessionize
+
+    rows = [("u", T0, 2), ("u", T0, 1),
+            ("u", T0 + dt.timedelta(seconds=120), 3)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, seq long")
+    got = {r["seq"]: r["session_id"]
+           for r in sessionize(df, "k", "ts", "seq", 60).collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_sessionize_matches_bruteforce(spark):
+    from entity_extractor_spark.operators.temporal import sessionize
+
+    rng = random.Random(63)
+    rows = [
+        (f"u{rng.randrange(4)}",
+         T0 + dt.timedelta(seconds=rng.randrange(0, 3600)), i)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, seq long")
+    got = {(r["k"], r["seq"]): r["session_id"]
+           for r in sessionize(df, "k", "ts", "seq", 45).collect()}
+    want = {}
+    byk: dict = {}
+    for k, ts, seq in rows:
+        byk.setdefault(k, []).append((ts, seq))
+    for k, evs in byk.items():
+        sid, prev = 0, None
+        for ts, seq in sorted(evs):
+            if prev is None or (ts - prev).total_seconds() > 45:
+                sid += 1
+            want[(k, seq)] = sid
+            prev = ts
+    assert got == want
+
+
+def test_sessionize_validates(spark):
+    from entity_extractor_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame([("u", T0, 0)], "k string, ts timestamp, seq long")
+    with pytest.raises(ValueError):
+        sessionize(df, "k", "ts", "seq", 0)
