@@ -4964,6 +4964,49 @@ def w11_sessionize(spark, sf_dir):
     )
 
 
+@query(
+    "graph_incremental_components",
+    """WITH e0 AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM lineitem WHERE l_orderkey % 997 IN (1, 2)
+),
+edges2 AS (
+  SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+  UNION SELECT a, a FROM e0 UNION SELECT b, b FROM e0
+),
+closure AS (
+  WITH RECURSIVE reach(src, dst) AS (
+    SELECT a, b FROM edges2
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges2 e ON r.dst = e.a
+  )
+  SELECT src AS vertex, min(dst) AS component FROM reach GROUP BY src
+)
+SELECT vertex, component FROM closure""",
+)
+def graph_incremental_components(spark, sf_dir):
+    """Incremental CC maintenance (graph.incremental_components):
+    yesterday's labels (CC over the %997==1 slice of the part<->supplier
+    graph) absorb today's batch (the %997==2 slice) by contracting each
+    existing component to its label and running CC only on the
+    relabeled NEW edges — O(new batch + affected components), never a
+    pass over historical edges. The oracle is the full-recompute
+    recursive closure over the UNION, so any label the increment fails
+    to merge (or merges wrongly) hash-mismatches. The daily-ingest
+    canonical-entity shape; CC analog of dedup_incremental_lsh."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def slice_edges(r: int):
+        return li.where(F.col("l_orderkey") % 997 == r).select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+
+    base = G.connected_components(slice_edges(1))
+    return G.incremental_components(base, slice_edges(2))
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

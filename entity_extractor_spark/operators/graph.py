@@ -921,3 +921,64 @@ def hits(
         (F.col("a").cast("double") / F.lit(float(units))).alias("authority"),
         (F.col("h").cast("double") / F.lit(float(units))).alias("hub"),
     )
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Incremental connected-components maintenance: given yesterday's
+    (vertex, component) labels (component = min vertex id, the
+    connected_components convention) and TODAY'S new edge batch, produce
+    the labels of the union graph WITHOUT re-touching yesterday's edges.
+    The daily-ingest shape of canonical-entity maintenance: the KG's
+    merge graph only grows, and re-running full CC over 10^12 edges to
+    absorb 10^7 new ones re-shuffles the world — this contracts it
+    instead, the CC analog of dedupe.incremental_lsh_matches.
+
+    Soundness: every existing component behaves as one supernode (its
+    label); relabeling each new edge's endpoints by their labels (their
+    own id when unseen) yields the CONTRACTED graph, whose components
+    are exactly the merged components of the union graph. Labels are
+    min-ids, so the contracted min IS the global min and the invariant
+    survives arbitrarily many increments (the equivalence
+    incremental(CC(E1), E2) == CC(E1 u E2) is unit-gated on random
+    splits, including label-vertex collisions and brand-new vertices).
+
+    Scale shape: two broadcast-or-shuffle equi-joins sized by the NEW
+    batch relabel the endpoints; connected_components then runs on the
+    contracted graph — O(affected components + new vertices) rows, not
+    O(all edges) (its adaptive union-find fast path usually absorbs it
+    driver-side); one final key join applies the old->new mapping to the
+    label table, whose untouched rows pass through a null-merge. No pass
+    over historical edges, ever."""
+    lab = labels.select(
+        F.col("vertex").alias("_v"), F.col("component").alias("_c")
+    ).where(F.col("_v").isNotNull() & F.col("_c").isNotNull())
+    e = _clean_edges(new_edges, src, dst)
+
+    def relabel(frame: DataFrame, col: str) -> DataFrame:
+        return (
+            frame.join(lab.withColumnRenamed("_v", col), col, "left")
+            .withColumn(col, F.coalesce("_c", F.col(col)))
+            .drop("_c")
+        )
+
+    contracted = relabel(relabel(e, "src"), "dst").select("src", "dst")
+    merged = connected_components(contracted)  # (vertex, component)
+
+    # old label (or new vertex id) -> merged root
+    mapping = merged.select(
+        F.col("vertex").alias("_c"), F.col("component").alias("_root")
+    )
+    kept = lab.join(mapping, "_c", "left").select(
+        F.col("_v").alias("vertex"),
+        F.coalesce("_root", "_c").alias("component"),
+    )
+    new_vertices = (
+        merged.join(lab, merged["vertex"] == lab["_v"], "left_anti")
+        .select("vertex", "component")
+    )
+    return kept.union(new_vertices)

@@ -639,3 +639,61 @@ def test_hits_matches_python_oracle(spark, seed, nv, ne, it):
 def test_hits_empty(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert G.hits(df).count() == 0
+
+
+# ------------------------------------------------- incremental components --
+
+def _split_edges(edges, frac_first=0.5, seed=0):
+    rng = random.Random(seed)
+    first, second = [], []
+    for e in edges:
+        (first if rng.random() < frac_first else second).append(e)
+    return first, second
+
+
+@pytest.mark.parametrize("seed,nv,ne", [(71, 40, 60), (72, 100, 90), (73, 25, 120)])
+def test_incremental_matches_full_recompute(spark, seed, nv, ne):
+    edges = _random_edges(seed, nv, ne)
+    e1, e2 = _split_edges(edges, seed=seed)
+    if not e1 or not e2:
+        pytest.skip("degenerate split")
+    base = G.connected_components(
+        spark.createDataFrame(e1, "src string, dst string")
+    )
+    got = {
+        r["vertex"]: r["component"]
+        for r in G.incremental_components(
+            base, spark.createDataFrame(e2, "src string, dst string")
+        ).collect()
+    }
+    assert got == _brute_components(edges)
+
+
+def test_incremental_chain_of_increments(spark):
+    # three increments that progressively bridge everything into one
+    # component rooted at the global min vertex
+    b0 = G.connected_components(
+        spark.createDataFrame([("d", "e"), ("b", "c")], "src string, dst string")
+    )
+    b1 = G.incremental_components(
+        b0, spark.createDataFrame([("c", "d")], "src string, dst string")
+    )
+    b2 = G.incremental_components(
+        b1, spark.createDataFrame([("a", "e"), ("x", "y")], "src string, dst string")
+    )
+    got = {r["vertex"]: r["component"] for r in b2.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+                   "x": "x", "y": "x"}
+
+
+def test_incremental_untouched_components_pass_through(spark):
+    base = G.connected_components(
+        spark.createDataFrame([("a", "b"), ("m", "n")], "src string, dst string")
+    )
+    got = {
+        r["vertex"]: r["component"]
+        for r in G.incremental_components(
+            base, spark.createDataFrame([("b", "c")], "src string, dst string")
+        ).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "m": "m", "n": "m"}
