@@ -5007,6 +5007,34 @@ def graph_incremental_components(spark, sf_dir):
     return G.incremental_components(base, slice_edges(2))
 
 
+@query(
+    "dedup_fuzzy_match",
+    """WITH p AS (SELECT c_custkey AS id, c_name AS nm, c_nationkey AS grp
+                  FROM customer
+                  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+                    AND c_nationkey IS NOT NULL)
+       SELECT a.grp, a.id AS id1, b.id AS id2,
+              a.nm AS name1, b.nm AS name2,
+              CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+       FROM p a JOIN p b ON a.grp = b.grp AND a.id < b.id
+       WHERE levenshtein(a.nm, b.nm) <= 1""",
+)
+def dedup_fuzzy_match(spark, sf_dir):
+    """Typo-tolerant ER candidates (dedupe.fuzzy_match_pairs): customer
+    name pairs within one Levenshtein edit, blocked by nation — the
+    fuzzy sibling of the exact normalized-name linker (J6). Levenshtein
+    is a pure integer recurrence both engines implement identically, so
+    pairs AND distances hash-match with no float ceremony. The
+    within-block self-join inherits ngram_jaccard_pairs' loud
+    max_group_size guard against coarse blocking keys."""
+    from .operators.dedupe import fuzzy_match_pairs
+
+    return fuzzy_match_pairs(
+        _t(spark, sf_dir, "customer"),
+        "c_custkey", "c_name", "c_nationkey", max_dist=1,
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

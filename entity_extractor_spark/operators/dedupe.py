@@ -351,3 +351,67 @@ def dedup_paragraphs(
             F.size("arr").cast("long").alias("n_kept"),
         )
     )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    group_col: str,
+    max_dist: int = 2,
+    max_group_size: int | None = 10_000,
+) -> DataFrame:
+    """Edit-distance candidate pairs within blocking groups: every
+    (id1 < id2) pair in a group whose names are within `max_dist`
+    Levenshtein edits — typo-tolerant entity matching, the classic ER
+    move the reference's EXACT normalized-name linker (J6,
+    extract.py link path) cannot make: 'Acme Corp' vs 'Acme Corp.' vs
+    'Acme Cor' all land in one candidate set here. Levenshtein is a
+    pure integer recurrence both engines implement identically, so the
+    pairs (and distances) are cross-engine exact — no float similarity
+    to round.
+
+    Same scale contract as ngram_jaccard_pairs: the self-join is
+    quadratic WITHIN each group, so blocking must bound the group (LSH
+    buckets, normalized-prefix keys); any group past max_group_size
+    fails loudly via the executor-side assert rather than silently
+    going n². The group-count guard join reuses the exact shuffle key
+    the pair join needs anyway. Names are compared as-is — normalize
+    (norm_name) upstream; NULL ids/names/groups are dropped."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    s = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_nm"),
+        F.col(group_col).alias("grp"),
+    ).where(
+        F.col("_id").isNotNull()
+        & F.col("_nm").isNotNull()
+        & F.col("grp").isNotNull()
+    )
+    if max_group_size is not None:
+        sizes = s.groupBy("grp").agg(F.count(F.lit(1)).alias("_gsz"))
+        guard = F.assert_true(
+            F.col("_gsz") <= F.lit(max_group_size),
+            F.concat(
+                F.lit("fuzzy_match_pairs: blocking group "),
+                F.col("grp").cast("string"),
+                F.lit(
+                    f" exceeds max_group_size={max_group_size}; the within-"
+                    "group self-join would go quadratic — use a tighter "
+                    "blocking key or raise the limit explicitly"
+                ),
+            ),
+        )
+        s = s.join(sizes, "grp").where(guard.isNull()).drop("_gsz")
+    a = s.select(F.col("_id").alias("id1"), "grp", F.col("_nm").alias("name1"))
+    b = s.select(F.col("_id").alias("id2"), "grp", F.col("_nm").alias("name2"))
+    return (
+        a.join(b, "grp")
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn(
+            "dist", F.levenshtein("name1", "name2").cast("long")
+        )
+        .where(F.col("dist") <= max_dist)
+        .select("grp", "id1", "id2", "name1", "name2", "dist")
+    )

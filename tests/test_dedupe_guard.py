@@ -73,3 +73,50 @@ def test_dedup_paragraphs_intra_doc_dupe_kept_once(spark):
     docs = spark.createDataFrame([(7, "x\nx\ny")], "doc_id bigint, text string")
     row = dedup_paragraphs(docs, "doc_id", "text").head()
     assert (row["text"], row["n_kept"]) == ("x\ny", 2)
+
+
+# -------------------------------------------------------------- fuzzy match --
+
+def test_fuzzy_match_known_answer(spark):
+    from entity_extractor_spark.operators.dedupe import fuzzy_match_pairs
+
+    rows = [
+        (1, "acme corp", "a"), (2, "acme corp.", "a"), (3, "acme cor", "a"),
+        (4, "zenith ltd", "a"),
+        (5, "acme corp", "b"),  # other block: never paired with block a
+    ]
+    df = spark.createDataFrame(rows, "id long, nm string, grp string")
+    got = {
+        (r["id1"], r["id2"]): r["dist"]
+        for r in fuzzy_match_pairs(df, "id", "nm", "grp", max_dist=2).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+
+
+def test_fuzzy_match_dist_zero_exact_dupes_only(spark):
+    from entity_extractor_spark.operators.dedupe import fuzzy_match_pairs
+
+    rows = [(1, "x", "g"), (2, "x", "g"), (3, "y", "g")]
+    df = spark.createDataFrame(rows, "id long, nm string, grp string")
+    got = [(r["id1"], r["id2"], r["dist"])
+           for r in fuzzy_match_pairs(df, "id", "nm", "grp", 0).collect()]
+    assert got == [(1, 2, 0)]
+
+
+def test_fuzzy_match_hub_group_raises(spark):
+    from entity_extractor_spark.operators.dedupe import fuzzy_match_pairs
+
+    rows = [(i, f"n{i}", "hub") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, nm string, grp string")
+    with pytest.raises(Exception, match="max_group_size"):
+        fuzzy_match_pairs(df, "id", "nm", "grp", 1, max_group_size=10).collect()
+    # same data passes with the guard sized (or disabled)
+    assert fuzzy_match_pairs(df, "id", "nm", "grp", 1, max_group_size=None).count() >= 0
+
+
+def test_fuzzy_match_validates(spark):
+    from entity_extractor_spark.operators.dedupe import fuzzy_match_pairs
+
+    df = spark.createDataFrame([(1, "x", "g")], "id long, nm string, grp string")
+    with pytest.raises(ValueError):
+        fuzzy_match_pairs(df, "id", "nm", "grp", -1)
