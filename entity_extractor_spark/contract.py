@@ -5035,6 +5035,68 @@ def dedup_fuzzy_match(spark, sf_dir):
     )
 
 
+@query(
+    "graph_weighted_sssp",
+    """WITH RECURSIVE e AS (
+         SELECT c_custkey // 10 AS src, c_custkey AS dst,
+                c_custkey % 7 + 1 AS w
+         FROM customer WHERE c_custkey >= 10),
+       seeds AS (SELECT c_custkey AS vertex FROM customer
+                 WHERE c_custkey < 10),
+       d(vertex, dist) AS (
+         SELECT vertex, CAST(0 AS BIGINT) FROM seeds
+         UNION
+         SELECT e.dst, d.dist + e.w FROM d JOIN e ON e.src = d.vertex)
+       SELECT vertex, dist FROM d""",
+)
+def graph_weighted_sssp(spark, sf_dir):
+    """Weighted shortest paths (graph.weighted_sssp): root-to-node cost
+    down the digit-shift customer tree with edge weight custkey%7+1 —
+    the priced version of graph_transitive_closure's hop depth
+    (Bellman-Ford relaxation rounds: one edges-x-distances equi-join +
+    one algebraic min per round, fingerprint-stop). The tree's unique
+    paths make the recursive-CTE oracle exact without a min; the
+    operator's min is exercised by the Dijkstra-replay unit tests on
+    cyclic multigraphs. Negative weights fail loudly (unit-gated)."""
+    cust = _t(spark, sf_dir, "customer")
+    e = cust.where(F.col("c_custkey") >= 10).select(
+        F.expr("c_custkey DIV 10").alias("src"),
+        F.col("c_custkey").alias("dst"),
+        F.expr("c_custkey % 7 + 1").alias("weight"),
+    )
+    seeds = cust.where(F.col("c_custkey") < 10).select(
+        F.col("c_custkey").alias("vertex")
+    )
+    return G.weighted_sssp(e, seeds)
+
+
+@query(
+    "graph_bipartite_project",
+    """WITH lr AS (SELECT DISTINCT l_suppkey AS l, l_orderkey AS r
+                   FROM lineitem
+                   WHERE l_suppkey IS NOT NULL AND l_orderkey IS NOT NULL),
+       deg AS (SELECT r, count(*) AS d FROM lr GROUP BY r),
+       ok AS (SELECT lr.l, lr.r FROM lr JOIN deg USING (r) WHERE d <= 5)
+       SELECT a.l AS l1, b.l AS l2, CAST(count(*) AS BIGINT) AS weight
+       FROM ok a JOIN ok b ON a.r = b.r AND a.l < b.l
+       GROUP BY 1, 2 HAVING count(*) >= 2""",
+)
+def graph_bipartite_project(spark, sf_dir):
+    """Weighted one-mode projection (graph.bipartite_project): suppliers
+    co-appearing in the same order, orders with more than 5 distinct
+    suppliers EXCLUDED by the capped-middle doctrine (the cap binds on
+    ~20% of orders at both scale factors, so the exclusion branch is
+    value-checked) — the first-class form of the ad-hoc co-occurrence
+    CTEs every KG build writes (this repo's q25 co-order graph
+    included). One distinct, one degree agg + filter reusing the same
+    right-key exchange, one cap-bounded self-join, one algebraic
+    count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return G.bipartite_project(
+        li, "l_suppkey", "l_orderkey", max_right_degree=5, min_weight=2
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

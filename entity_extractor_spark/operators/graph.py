@@ -982,3 +982,147 @@ def incremental_components(
         .select("vertex", "component")
     )
     return kept.union(new_vertices)
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    seed_col: str = "vertex",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Multi-source weighted shortest paths over a DIRECTED edge table
+    with non-negative INTEGER weights — (vertex, dist) for every vertex
+    reachable from any seed, dist = minimum total weight (0 for seeds).
+    k_hop_neighborhood counts hops; this prices them: latency-weighted
+    reachability, cheapest-derivation depth in an ontology, trust decay
+    along weighted KG edges. The relational Bellman-Ford: the reference
+    could only walk it one node at a time (global_edge_repository.py).
+
+    Each round relaxes EVERY edge once:
+
+        dist'(v) = min(dist(v), min_{u->v}(dist(u) + w(u, v)))
+
+    i.e. one equi-join of current distances against the edge table plus
+    one algebraic min-groupBy (map-side partials absorb fan-in hubs) —
+    the same skeleton as transitive_closure, converging in (longest
+    shortest-path edge count) rounds, fingerprint-stop + max_rounds cap.
+    Negative weights are rejected (Bellman-Ford would need cycle
+    detection; KG edge costs are non-negative); weights are validated
+    lazily executor-side, no extra scan. Determinism: min over a fixed
+    set — no tie to break. localCheckpoint bounds lineage per round."""
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.when(F.col(weight).isNull(), F.lit(None).cast("long"))
+            .when(F.col(weight) >= 0, F.col(weight).cast("long"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("weighted_sssp: negative edge weight "),
+                        F.col(weight).cast("string"),
+                    )
+                )
+            )
+            .alias("_w"),
+        )
+        .where(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & F.col("_w").isNotNull()
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    dist = (
+        seeds.select(F.col(seed_col).alias("vertex"))
+        .where(F.col("vertex").isNotNull())
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("vertex", "dist").cast("decimal(38,0)")),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    fp = fingerprint(dist)
+    for _ in range(max_rounds):
+        relaxed = (
+            dist.join(e, dist["vertex"] == e["src"])
+            .select(F.col("dst").alias("vertex"), (F.col("dist") + F.col("_w")).alias("dist"))
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        nfp = fingerprint(dist)
+        if nfp == fp:
+            break
+        fp = nfp
+    return dist
+
+
+def bipartite_project(
+    df: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_right_degree: int | None = 1_000,
+    min_weight: int = 1,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite relation: edge
+    (l1 < l2, weight = #distinct shared right-nodes) for every left pair
+    sharing at least min_weight rights. THE co-occurrence graph builder
+    of KG construction — entities co-mentioned in a document, parts
+    co-ordered, terms co-occurring — done ad hoc everywhere (this repo's
+    own q25 co-order CTE included); first-class here so the hub policy
+    is explicit instead of implicit.
+
+    Hub policy: a right-node shared by d lefts emits C(d,2) pairs — one
+    viral document with 10^5 entities is 5*10^9 pairs, and its signal is
+    noise (everything co-occurs with everything). Rights above
+    max_right_degree are EXCLUDED — deterministically, not sampled —
+    the same capped-middle doctrine as common_neighbors_topk, so the
+    output is a pure function of the data and the cap is the documented
+    semantic ("co-occurrence within non-viral contexts"). None disables
+    the cap for pre-bounded relations.
+
+    Scale shape: one distinct on (left, right), one degree agg + filter
+    on the SAME right key (exchange reused), one right-keyed self-join
+    whose fan-out the cap bounds at C(cap,2) per right, one algebraic
+    count to (l1, l2) — partials absorb pair skew map-side."""
+    if min_weight < 1:
+        raise ValueError("min_weight must be >= 1")
+    if max_right_degree is not None and max_right_degree < 2:
+        raise ValueError("max_right_degree must be >= 2 (or None)")
+    lr = (
+        df.select(F.col(left_col).alias("_l"), F.col(right_col).alias("_r"))
+        .where(F.col("_l").isNotNull() & F.col("_r").isNotNull())
+        .distinct()
+    )
+    if max_right_degree is not None:
+        deg = lr.groupBy("_r").agg(F.count(F.lit(1)).alias("_d"))
+        lr = (
+            lr.join(deg.where(F.col("_d") <= max_right_degree), "_r")
+            .drop("_d")
+        )
+    a = lr.select(F.col("_l").alias("l1"), "_r")
+    b = lr.select(F.col("_l").alias("l2"), "_r")
+    return (
+        a.join(b, "_r")
+        .where(F.col("l1") < F.col("l2"))
+        .groupBy("l1", "l2")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .where(F.col("weight") >= min_weight)
+    )

@@ -697,3 +697,114 @@ def test_incremental_untouched_components_pass_through(spark):
         ).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "m": "m", "n": "m"}
+
+
+# ---------------------------------------------------------- weighted SSSP --
+
+def _brute_sssp(edges, seeds):
+    """Dijkstra over non-negative integer weights."""
+    import heapq
+
+    adj: dict = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {s: 0 for s in seeds}
+    pq = [(0, s) for s in seeds]
+    heapq.heapify(pq)
+    while pq:
+        dd, u = heapq.heappop(pq)
+        if dd > dist.get(u, 1 << 62):
+            continue
+        for v, w in adj.get(u, []):
+            nd = dd + w
+            if nd < dist.get(v, 1 << 62):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    # a->b->c->d costs 3; direct a->d costs 10: min dist wins, not hops
+    edges = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("a", "d", 10)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    seeds = spark.createDataFrame([("a",)], "vertex string")
+    got = {r["vertex"]: r["dist"] for r in G.weighted_sssp(df, seeds).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_sssp_multi_seed_and_unreachable(spark):
+    edges = [("a", "b", 5), ("x", "y", 1), ("z", "q", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    seeds = spark.createDataFrame([("a",), ("x",)], "vertex string")
+    got = {r["vertex"]: r["dist"] for r in G.weighted_sssp(df, seeds).collect()}
+    assert got == {"a": 0, "b": 5, "x": 0, "y": 1}  # z, q unreachable
+
+
+def test_sssp_zero_weight_and_cycle(spark):
+    edges = [("a", "b", 0), ("b", "a", 0), ("b", "c", 2)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    seeds = spark.createDataFrame([("a",)], "vertex string")
+    got = {r["vertex"]: r["dist"] for r in G.weighted_sssp(df, seeds).collect()}
+    assert got == {"a": 0, "b": 0, "c": 2}
+
+
+@pytest.mark.parametrize("seed,nv,ne", [(81, 25, 60), (82, 40, 100)])
+def test_sssp_matches_dijkstra(spark, seed, nv, ne):
+    rng = random.Random(seed)
+    edges = [
+        (f"v{rng.randrange(nv):03d}", f"v{rng.randrange(nv):03d}",
+         rng.randrange(0, 9))
+        for _ in range(ne)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    seeds = spark.createDataFrame([("v000",), ("v001",)], "vertex string")
+    got = {r["vertex"]: r["dist"] for r in G.weighted_sssp(df, seeds).collect()}
+    assert got == _brute_sssp(edges, ["v000", "v001"])
+
+
+def test_sssp_negative_weight_fails_loudly(spark):
+    df = spark.createDataFrame([("a", "b", -1)], "src string, dst string, weight long")
+    seeds = spark.createDataFrame([("a",)], "vertex string")
+    with pytest.raises(Exception, match="negative edge weight"):
+        G.weighted_sssp(df, seeds).collect()
+
+
+# ----------------------------------------------------- bipartite projection --
+
+def test_bipartite_project_known_answer(spark):
+    rows = [
+        ("c1", "d1"), ("c2", "d1"), ("c3", "d1"),   # d1 shared by 3
+        ("c1", "d2"), ("c2", "d2"),                  # d2 shared by 2
+        ("c4", "d3"),                                # singleton right
+        ("c1", "d1"),                                # duplicate row: ignored
+    ]
+    df = spark.createDataFrame(rows, "l string, r string")
+    got = {(r["l1"], r["l2"]): r["weight"]
+           for r in G.bipartite_project(df, "l", "r").collect()}
+    assert got == {("c1", "c2"): 2, ("c1", "c3"): 1, ("c2", "c3"): 1}
+
+
+def test_bipartite_project_hub_right_excluded(spark):
+    rows = [("c1", "viral"), ("c2", "viral"), ("c3", "viral"),
+            ("c1", "ok"), ("c2", "ok")]
+    df = spark.createDataFrame(rows, "l string, r string")
+    got = {(r["l1"], r["l2"]): r["weight"]
+           for r in G.bipartite_project(df, "l", "r", max_right_degree=2).collect()}
+    assert got == {("c1", "c2"): 1}  # viral right contributes nothing
+
+
+def test_bipartite_project_min_weight(spark):
+    rows = [("a", "r1"), ("b", "r1"), ("a", "r2"), ("b", "r2"), ("a", "r3"),
+            ("c", "r3")]
+    df = spark.createDataFrame(rows, "l string, r string")
+    got = {(r["l1"], r["l2"]): r["weight"]
+           for r in G.bipartite_project(df, "l", "r", min_weight=2).collect()}
+    assert got == {("a", "b"): 2}
+
+
+def test_bipartite_project_validates(spark):
+    df = spark.createDataFrame([("a", "r")], "l string, r string")
+    with pytest.raises(ValueError):
+        G.bipartite_project(df, "l", "r", min_weight=0)
+    with pytest.raises(ValueError):
+        G.bipartite_project(df, "l", "r", max_right_degree=1)
