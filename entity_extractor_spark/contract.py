@@ -5097,6 +5097,346 @@ def graph_bipartite_project(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_setsim_join",
+    """WITH t AS (SELECT DISTINCT l_orderkey AS id, l_partkey AS it
+                  FROM lineitem
+                  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY id),
+       ip AS (SELECT a.id AS id1, b.id AS id2, CAST(count(*) AS BIGINT) AS inter
+              FROM t a JOIN t b ON a.it = b.it AND a.id < b.id GROUP BY 1, 2),
+       j AS (SELECT id1, id2, s1.n AS n1, s2.n AS n2, inter,
+                    s1.n + s2.n - inter AS uni
+             FROM ip JOIN sz s1 ON s1.id = ip.id1 JOIN sz s2 ON s2.id = ip.id2)
+       SELECT id1, id2, n1, n2, inter, uni,
+              CAST(inter * 1000000 // uni AS BIGINT) AS jac_ppm
+       FROM j WHERE inter * 1000000 >= 500000 * uni""",
+)
+def dedup_setsim_join(spark, sf_dir):
+    """Exact Jaccard-threshold set-similarity self-join
+    (dedupe.set_similarity_join, prefix filtering a la PPJoin): order
+    pairs whose part BASKETS overlap at Jaccard >= 0.5 — the
+    recall-1.0 counterpart of dedup_minhash_lsh_pairs, for decisions
+    that must be provably complete. The operator generates candidates
+    only from each set's rarest-first PREFIX plus a size filter, then
+    verifies exactly in BIGINT ppm; the oracle is the UNFILTERED
+    brute-force join over ALL shared items, so a single pair missed by
+    the prefix filter (or a wrong intersection count) hash-mismatches.
+    """
+    return D.set_similarity_join(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        threshold_ppm=500_000,
+    )
+
+
+@query(
+    "er_golden_record",
+    """WITH base AS (
+         SELECT o_custkey AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+                max(o_totalprice) AS o_totalprice_max,
+                CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS o_odate_min
+         FROM orders GROUP BY 1),
+       fb AS (
+         SELECT cluster, o_orderstatus AS o_orderstatus_first FROM (
+           SELECT o_custkey AS cluster, o_orderstatus,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderstatus) AS rn
+           FROM orders) s WHERE rn = 1),
+       mc AS (SELECT o_custkey AS cluster, o_orderpriority AS v, count(*) AS c
+              FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
+       mpick AS (
+         SELECT cluster, v AS o_orderpriority_mode,
+                CAST(nv AS BIGINT) AS o_orderpriority_nvals FROM (
+           SELECT cluster, v,
+                  row_number() OVER (PARTITION BY cluster ORDER BY c DESC, v) AS rn,
+                  count(*) OVER (PARTITION BY cluster) AS nv
+           FROM mc) s WHERE rn = 1)
+       SELECT b.cluster, b.n_members, b.o_totalprice_max, b.o_odate_min,
+              fb.o_orderstatus_first, mpick.o_orderpriority_mode,
+              mpick.o_orderpriority_nvals
+       FROM base b
+       LEFT JOIN fb USING (cluster) LEFT JOIN mpick USING (cluster)""",
+)
+def er_golden_record(spark, sf_dir):
+    """ER survivorship (survivorship.golden_record): collapse each
+    customer's order observations into ONE canonical profile with a
+    deterministic rule per attribute — preference-ordered mode for
+    priority (count desc, value asc — the cluster-level form of A4),
+    algebraic max/min for price/first-date, earliest-record-wins for
+    status (min struct, payload tie-break). The oracle replays every
+    rule through windows instead of struct-min aggregates, so a tie
+    broken differently on either engine hash-mismatches. All paths are
+    algebraic aggregations — hub clusters collapse map-side, no window
+    over raw observations."""
+    from .operators.survivorship import golden_record
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_odate", F.col("o_orderdate").cast("date")
+    )
+    return golden_record(
+        o,
+        "o_custkey",
+        mode_cols=["o_orderpriority"],
+        max_cols=["o_totalprice"],
+        min_cols=["o_odate"],
+        first_by=("o_orderdate", ["o_orderstatus"]),
+    ).withColumn("o_odate_min", F.col("o_odate_min").cast("string"))
+
+
+_KEEPER_BUCKET_SQL = _SPLIT_BUCKET_SQL.replace("doc_id", "keeper")
+
+
+@query(
+    "curate_safe_splits",
+    _MINHASH_SIG_SQL + """,
+       """ + _LSH_BUCKETS_SQL + f""",
+       prs AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id
+       ),
+       e AS (
+         SELECT lpad(CAST(d1 AS VARCHAR), 20, '0') AS a,
+                lpad(CAST(d2 AS VARCHAR), 20, '0') AS b FROM prs
+       ),
+       edges2 AS (
+         SELECT a, b FROM e UNION SELECT b, a FROM e
+         UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+       ),
+       closure AS (
+         WITH RECURSIVE reach(src, dst) AS (
+           SELECT a, b FROM edges2
+           UNION
+           SELECT r.src, e2.b FROM reach r JOIN edges2 e2 ON r.dst = e2.a
+         )
+         SELECT src AS vertex, min(dst) AS component FROM reach GROUP BY src
+       ),
+       canon AS (
+         SELECT d.doc_id,
+                CAST(COALESCE(c.component,
+                              lpad(CAST(d.doc_id AS VARCHAR), 20, '0')) AS BIGINT) AS keeper
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         LEFT JOIN closure c ON c.vertex = lpad(CAST(d.doc_id AS VARCHAR), 20, '0'))
+       SELECT doc_id, keeper,
+              CASE WHEN {_KEEPER_BUCKET_SQL} < 50000 THEN 'test'
+                   WHEN {_KEEPER_BUCKET_SQL} < 950000 THEN 'train'
+                   ELSE 'valid' END AS split
+       FROM canon""",
+)
+def curate_safe_splits(spark, sf_dir):
+    """Leakage-proof split assignment (sampling.leakage_safe_splits):
+    the FIX for exactly the leakage curate_split_leakage measures — LSH
+    near-dup pairs -> connected components -> every member hashes its
+    component's min-id keeper through the same 90/5/5 bucket ranges, so
+    near-duplicates (including transitive chains) can never straddle
+    the train/eval boundary. Singletons key on themselves and split
+    exactly as sample_assign_splits would. The oracle replays the full
+    composition: banded MinHash pairing, recursive-CTE closure, keeper
+    arithmetic, bucket CASE."""
+    from .operators import sampling as SAMP
+
+    d = _t(spark, sf_dir, "documents").where("doc_id % 10 = 0")
+    sig = D.minhash_signatures(d, "doc_id", "text", num_hashes=16, shingle_n=2)
+    pairs = D.lsh_candidate_pairs(sig, band_size=4)
+    return SAMP.leakage_safe_splits(
+        d, "doc_id", pairs,
+        {"train": 0.9, "valid": 0.05, "test": 0.05}, salt="split0",
+    )
+
+
+@query(
+    "a11_decayed_agg",
+    """WITH b AS (SELECT event_type AS key, epoch_us(ts) AS us, value AS v
+                  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+       a AS (SELECT max(us) AS anchor FROM b)
+       SELECT key, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(1000000 >> CAST(least((a.anchor - b.us) // 86400000000 // 4,
+                                             62) AS INT)) AS BIGINT) AS decayed_count_ppm,
+              CAST(sum(CAST(CAST(b.v AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * (1000000 >> CAST(least((a.anchor - b.us) // 86400000000 // 4,
+                                                62) AS INT))) AS BIGINT)
+                AS decayed_value_cents_ppm
+       FROM b, a GROUP BY key""",
+)
+def a11_decayed_agg(spark, sf_dir):
+    """Half-life recency weighting (stats.half_life_decayed): per
+    event-type decayed counts and decayed value mass, weight halving
+    every 4 days of age before the corpus's newest event — trending
+    scores / source-reputation decay in EXACT integer arithmetic
+    (weight = 1e6 >> (age_days div 4); value on the cents*ppm BIGINT
+    grid), so the sums are order/partitioning/engine-invariant where
+    float exponential decay would not be. One scalar anchor job + ONE
+    algebraic aggregation; the 30-day event span crosses ~7 halving
+    boundaries so every weight branch carries mass."""
+    from .operators.stats import half_life_decayed
+
+    return half_life_decayed(
+        _t(spark, sf_dir, "events"), "event_type", "ts", 4, value_col="value"
+    )
+
+
+def _truss_rounds_sql(rounds: int, k: int) -> str:
+    """Unrolled synchronous truss-peel rounds over c0 (src < dst canonical
+    edges): each round recounts per-edge triangle support by the NAIVE
+    common-neighbor join (deliberately a different formulation than the
+    operator's degree-ordered orientation) and keeps support >= k-2."""
+    parts = []
+    for i in range(rounds):
+        parts.append(
+            f"""und{i} AS (SELECT src AS u, dst AS w FROM c{i}
+                    UNION ALL SELECT dst, src FROM c{i}),
+       c{i + 1} AS (
+         SELECT e.src, e.dst, CAST(count(*) AS BIGINT) AS support
+         FROM c{i} e
+         JOIN und{i} x ON x.u = e.src
+         JOIN und{i} y ON y.u = e.dst AND y.w = x.w
+         GROUP BY 1, 2 HAVING count(*) >= {k - 2})"""
+        )
+    return ",\n       ".join(parts)
+
+
+@query(
+    "graph_k_truss",
+    f"""WITH c0 AS (
+         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey
+          AND a.l_quantity >= 25 AND b.l_quantity >= 25
+         WHERE a.l_partkey < b.l_partkey),
+       {_truss_rounds_sql(3, 6)}
+       SELECT src, dst, support FROM c3""",
+)
+def graph_k_truss(spark, sf_dir):
+    """Edge-level cohesion filter (graph.k_truss): 6-truss of the q25
+    co-order graph after 3 synchronous peel rounds — edges embedded in
+    >= 4 triangles among surviving edges, the denoiser that drops weak
+    bridges BEFORE canonicalization merges clusters across them (k_core
+    keeps a spam hub's edges; k_truss demands the corroborating
+    neighbors know each other). Fixed-round doctrine as k_core/pagerank;
+    the peel converges by round 3 at both scale factors while removing
+    ~85% of edges, so both branches are value-checked. The operator
+    counts support via degree-ordered triangle orientation (hub fan-out
+    O(sqrt E)); the oracle recounts it via the naive common-neighbor
+    join — different strategy, same integers."""
+    return G.k_truss(_q25_edges(spark, sf_dir), k=6, rounds=3)
+
+
+def _zinterleave_sql(bits: int) -> str:
+    from .operators.layout import _interleave_expr
+
+    return _interleave_expr(bits).replace("_zx", "zx").replace("_zy", "zy")
+
+
+@query(
+    "layout_zorder_key",
+    f"""WITH d AS (SELECT o_orderkey, o_custkey AS x,
+                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y
+           FROM orders),
+       s AS (SELECT min(x) AS lx, max(x) AS hx, min(y) AS ly, max(y) AS hy FROM d),
+       z AS (SELECT o_orderkey,
+                    CAST((x - s.lx) * 65536 // (s.hx - s.lx + 1) AS BIGINT) AS zx,
+                    CAST((y - s.ly) * 65536 // (s.hy - s.ly + 1) AS BIGINT) AS zy
+             FROM d, s)
+       SELECT o_orderkey, zx, zy,
+              CAST({_zinterleave_sql(16)} AS BIGINT) AS zvalue
+       FROM z""",
+)
+def layout_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key (layout.zorder_values): interleave
+    bucketized (customer, order-day) bits so range-partitioned files
+    cover compact rectangles of the tenant x time plane and predicates
+    on EITHER column row-group-skip — the Delta OPTIMIZE ZORDER BY move,
+    in exact integer arithmetic (value-range bucket + shift/mask
+    interleave, min/max embedded as collected literals). The locality
+    payoff itself (per-file bounding boxes ~4x tighter than a
+    single-column sort) is gated in tests/test_layout.py; this row
+    value-checks the key for every order at both scale factors."""
+    from .operators.layout import zorder_values
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("y"),
+    )
+    return zorder_values(o, "x", "y", bits=16).select(
+        "o_orderkey", "zx", "zy", "zvalue"
+    )
+
+
+@query(
+    "text_inverted_index",
+    r"""WITH t AS (SELECT doc_id AS d,
+                  unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+       td AS (SELECT term, d, CAST(count(*) AS BIGINT) AS tf
+              FROM t WHERE term <> '' GROUP BY 1, 2),
+       stats AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                        CAST(sum(tf) AS BIGINT) AS cf
+                 FROM td GROUP BY 1),
+       rk AS (SELECT term, d,
+                     row_number() OVER (
+                       PARTITION BY term
+                       ORDER BY md5(concat(CAST(d AS VARCHAR), '|', 'post0')), d) AS rn
+              FROM td),
+       posts AS (SELECT term, CAST(count(*) AS BIGINT) AS n_postings,
+                        string_agg(CAST(d AS VARCHAR), ',' ORDER BY d) AS postings_csv
+                 FROM rk WHERE rn <= 100 GROUP BY term)
+       SELECT s.term, s.df, s.cf, p.n_postings, p.postings_csv
+       FROM stats s JOIN posts p USING (term)""",
+)
+def text_inverted_index(spark, sf_dir):
+    """Capped inverted-index export (text_quality.inverted_index): per
+    term, EXACT document/corpus frequency plus the 100 md5-smallest doc
+    ids as an ascending CSV posting sample — the retrieval artifact a
+    corpus engine ships to search/RAG, with hub terms costing the cap
+    (WindowGroupLimit pre-prunes map-side) instead of the corpus. The
+    hash-smallest sample is a fixed property of the data (sample_
+    quantiles doctrine): partition/retry/engine-invariant and shard-
+    mergeable. Cap binds on every term at sf0.1 (5000 docs, 31-term
+    vocabulary) and is mixed at sf0.01 — both branches value-checked."""
+    return TQ.inverted_index(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_postings=100
+    )
+
+
+@query(
+    "w12_gap_fill",
+    """WITH b AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS bucket,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events
+           WHERE event_id % 37 = 0 AND event_type IS NOT NULL AND ts IS NOT NULL),
+       bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+       keys AS (SELECT DISTINCT key FROM b),
+       spine AS (SELECT key, unnest(generate_series(bounds.lo, bounds.hi)) AS bucket
+                 FROM keys, bounds),
+       agg AS (SELECT key, bucket, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(cents) AS BIGINT) AS vc
+               FROM b GROUP BY 1, 2)
+       SELECT s.key, s.bucket, COALESCE(a.n, 0) AS n,
+              COALESCE(a.vc, 0) AS value_cents
+       FROM spine s LEFT JOIN agg a ON a.key = s.key AND a.bucket = s.bucket""",
+)
+def w12_gap_fill(spark, sf_dir):
+    """Time-series gap-fill (temporal.gap_fill): a dense hourly spine per
+    event type over a sparse event slice (event_id % 37), zero-filled
+    where nothing happened — the resample every rolling-window/drift/
+    anomaly consumer needs, because a MISSING hour is a signal a sparse
+    frame hides. Bucket arithmetic in exact integer µs (NTZ-safe
+    timestampdiff), value mass on the BIGINT cents grid; the spine is a
+    per-key sequence explode (narrow — never a crossJoin/BNLJ). The
+    slice leaves ~92% of spine cells empty at sf0.01 and ~44% at sf0.1,
+    so the zero-fill and aggregate branches both carry mass at both
+    scale factors."""
+    from .operators.temporal import gap_fill
+
+    return gap_fill(
+        _t(spark, sf_dir, "events").where("event_id % 37 = 0"),
+        "event_type", "ts", 3_600_000_000, value_col="value",
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -415,3 +415,111 @@ def fuzzy_match_pairs(
         .where(F.col("dist") <= max_dist)
         .select("grp", "id1", "id2", "name1", "name2", "dist")
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    item_col: str,
+    threshold_ppm: int = 500_000,
+    max_prefix_df: int | None = 100_000,
+) -> DataFrame:
+    """Exact Jaccard-threshold set-similarity self-join via prefix
+    filtering (Chaudhuri/Ganti/Kaushik 2006, the PPJoin family): every
+    (id1 < id2) pair of item SETS with Jaccard >= threshold_ppm/1e6,
+    reported with exact intersection/union sizes and the floor-ppm
+    Jaccard. The EXACT counterpart of lsh_candidate_pairs: LSH trades
+    recall for a bounded join, this keeps recall 1.0 while still
+    bounding the join — the right tool when a dedup/ER decision must be
+    provably complete (benchmark decontamination, legal holds) rather
+    than probably so. The reference resolves entity aliases only by
+    exact normalized-name equality (chemical_service.py link path);
+    this is the set-valued generalization.
+
+    Prefix-filter completeness: order each set by ascending GLOBAL item
+    frequency (ties on the item value — one total order shared by both
+    join sides); two sets with Jaccard >= t must share an item among
+    each one's first n - ceil(t*n) + 1 items under any common total
+    order, so candidates = pairs sharing a PREFIX item that also pass
+    the size filter t * max(n1, n2) <= min(n1, n2). Verification counts
+    the true intersection for candidates only; the final threshold
+    compare is inter * 1e6 >= t_ppm * union — pure BIGINT, no float.
+
+    Scale shape: the frequency-ascending order puts the RAREST items in
+    prefixes, so hub items (stopwords, boilerplate SKUs) drop out of
+    candidate generation everywhere except sets where nothing rarer
+    exists; candidate volume is sum over PREFIX items of df^2, not over
+    all items. The max_prefix_df guard fails loudly (executor-side
+    assert) when a prefix item would still explode the self-join —
+    raise the threshold or pre-drop hub items — instead of silently
+    going quadratic. One distinct + one frequency agg + one per-set
+    window rank (partitioned by id — never global), then equi-joins
+    with algebraic counts; no driver-side data path.
+    """
+    from pyspark.sql import Window
+
+    denom = 1_000_000
+    if not (0 < threshold_ppm <= denom):
+        raise ValueError("threshold_ppm must be in (0, 1000000]")
+    t = (
+        df.select(F.col(id_col).alias("_id"), F.col(item_col).alias("_it"))
+        .where(F.col("_id").isNotNull() & F.col("_it").isNotNull())
+        .distinct()
+    )
+    freq = t.groupBy("_it").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = t.join(freq, "_it").select(
+        "_id",
+        "_it",
+        "_df",
+        F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_it")).alias("_rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
+    )
+    # prefix length n - ceil(t*n) + 1 on the integer grid
+    prefix = ranked.where(
+        F.col("_rk")
+        <= F.col("_n") - F.expr(f"({threshold_ppm} * _n + {denom - 1}) DIV {denom}") + 1
+    )
+    if max_prefix_df is not None:
+        guard = F.assert_true(
+            F.col("_df") <= F.lit(max_prefix_df),
+            F.concat(
+                F.lit("set_similarity_join: prefix item "),
+                F.col("_it").cast("string"),
+                F.lit(
+                    f" has document frequency above max_prefix_df={max_prefix_df};"
+                    " the candidate self-join would explode — raise the threshold,"
+                    " pre-drop hub items, or raise the limit explicitly"
+                ),
+            ),
+        )
+        prefix = prefix.where(guard.isNull())
+    a = prefix.select(F.col("_id").alias("id1"), "_it", F.col("_n").alias("n1"))
+    b = prefix.select(F.col("_id").alias("id2"), "_it", F.col("_n").alias("n2"))
+    cand = (
+        a.join(b, "_it")
+        .where(F.col("id1") < F.col("id2"))
+        .where(F.expr(f"least(n1, n2) * {denom} >= {threshold_ppm} * greatest(n1, n2)"))
+        .select("id1", "id2", "n1", "n2")
+        .distinct()
+    )
+    t1 = t.select(F.col("_id").alias("id1"), "_it")
+    t2 = t.select(F.col("_id").alias("id2"), "_it")
+    inter = (
+        cand.join(t1, "id1")
+        .join(t2, ["id2", "_it"])
+        .groupBy("id1", "id2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn("uni", F.col("n1") + F.col("n2") - F.col("inter"))
+        .where(F.col("inter") * denom >= F.lit(threshold_ppm) * F.col("uni"))
+        .select(
+            "id1",
+            "id2",
+            "n1",
+            "n2",
+            "inter",
+            "uni",
+            F.expr(f"inter * {denom} DIV uni").alias("jac_ppm"),
+        )
+    )

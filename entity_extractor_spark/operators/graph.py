@@ -1126,3 +1126,87 @@ def bipartite_project(
         .agg(F.count(F.lit(1)).alias("weight"))
         .where(F.col("weight") >= min_weight)
     )
+
+
+def k_truss(
+    edges: DataFrame, k: int, src: str = "src", dst: str = "dst", rounds: int = 3
+) -> DataFrame:
+    """k-truss peeling: keep edges that sit in >= k-2 triangles,
+    recounted for `rounds` synchronous rounds over the shrinking graph —
+    the EDGE-level cohesion filter, strictly stronger than k_core's
+    vertex degrees. For an entity graph this is the difference between
+    "this co-mention happened k times somewhere" (degree survives
+    spam hubs) and "this relation is embedded in k-2 mutually-connected
+    contexts" (a triangle needs two corroborating neighbors that also
+    know EACH OTHER) — the standard denoiser before canonicalization
+    merges clusters across weak bridges, because bridges by definition
+    live in few triangles and peel first.
+
+    Fixed-round formulation for the same reason as k_core/pagerank: R
+    synchronous rounds ARE value-checkable by an unrolled cross-engine
+    oracle while a data-dependent fixpoint is not; cascades shrink
+    geometrically, so small R converges in practice (the contract gate's
+    graph converges in 3). Output = final round's surviving canonical
+    (src < dst) edges with the support count that round measured. Pure
+    integer arithmetic — bit-exact anywhere.
+
+    Scale shape per round: triangle SUPPORT is counted by the same
+    degree-ordered orientation as triangle_count (Suri & Vassilvitskii
+    2011) — wedge fan-out capped at O(sqrt(|E|)) per vertex, so hub
+    vertices cannot square — then each enumerated triangle contributes
+    +1 to its three canonical edges via an algebraic count (partials
+    collapse map-side). The edge table only ever shrinks; round 1 is an
+    upper bound on every round's cost. localCheckpoint bounds lineage.
+    No driver-side data path.
+    """
+    if k < 3:
+        raise ValueError("k must be >= 3 (k-2 triangle support threshold)")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    cur = (
+        _symmetrized(_clean_edges(edges, src, dst))
+        .where(F.col("src") < F.col("dst"))  # canonical undirected form
+        .localCheckpoint(eager=True)
+    )
+    sup = None
+    for _ in range(rounds):
+        und = cur.union(cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        oriented = (
+            und.join(deg.select("src", F.col("deg").alias("sdeg")), "src")
+            .join(deg.select(F.col("src").alias("dst"), F.col("deg").alias("ddeg")), "dst")
+            .where(
+                (F.col("sdeg") < F.col("ddeg"))
+                | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=True)  # feeds three join inputs below
+        )
+        tri = (
+            oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .join(oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b")
+            .join(
+                oriented.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+                ["a", "c"],
+            )
+        )
+        contrib = (
+            tri.select(F.least("a", "b").alias("e1"), F.greatest("a", "b").alias("e2"))
+            .union(tri.select(F.least("b", "c"), F.greatest("b", "c")))
+            .union(tri.select(F.least("a", "c"), F.greatest("a", "c")))
+        )
+        sup = (
+            contrib.groupBy("e1", "e2")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= k - 2)
+            # zero-support edges never appear in contrib, so the inner
+            # semantics of "support >= k-2 >= 1" need no outer join
+            .join(
+                cur,
+                (F.col("e1") == F.col("src")) & (F.col("e2") == F.col("dst")),
+            )
+            .select("src", "dst", "support")
+            .localCheckpoint(eager=True)
+        )
+        cur = sup.select("src", "dst")
+    return sup

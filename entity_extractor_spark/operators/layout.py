@@ -1,0 +1,117 @@
+"""Physical data-layout operators: Z-order (Morton) multi-dimensional
+clustering and the file-level pruning report that proves it worked.
+
+At 100 TB the scan you DON'T do is the fastest operator in the engine.
+Partition pruning (write_partitioned, plans/tableio.py) handles one
+coarse dimension; Z-order handles the next two finer ones: interleave
+the bits of two bucketized sort keys and range-partition files by the
+interleaved value, and every file's (min, max) footer covers a roughly
+SQUARE region of the (x, y) plane instead of a full-width slab — so
+point/range predicates on EITHER column skip most files, which is
+exactly what Delta OPTIMIZE ZORDER BY / Iceberg sort orders buy on a
+real lakehouse. Everything here is exact integer arithmetic (bucket =
+(v - min) * 2^bits div (range + 1); interleave = shifts and masks), so
+the key is reproducible on any engine and stable across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _interleave_expr(bits: int) -> str:
+    """x bits land in odd positions (high), y bits in even — one codegen'd
+    shift/mask chain, no UDF."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((_zx >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((_zy >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def zorder_values(
+    df: DataFrame, x_col: str, y_col: str, bits: int = 16
+) -> DataFrame:
+    """Append `zx`, `zy` (bucketized coordinates in [0, 2^bits)) and
+    `zvalue` (their bit interleave) for two INTEGER columns. Buckets are
+    value-range quantized — (v - min) * 2^bits div (max - min + 1) — off
+    the two min/max scalars (one pruned-scan agg, collected and embedded
+    as literals: never a crossJoin(broadcast(1-row)), which plans as
+    BNLJ). NULL coordinates are rejected loudly (a NULL has no position
+    on the curve — filter or impute upstream); ranges wide enough to
+    overflow the product raise with the fix (lower `bits`) instead of
+    wrapping. Narrow codegen'd projection, zero shuffle — the shuffle
+    belongs to write_zordered's range partitioner.
+    """
+    if not (1 <= bits <= 20):
+        raise ValueError("bits must be in [1, 20]")
+    row = df.agg(
+        F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col),
+        F.sum(F.when(F.col(x_col).isNull() | F.col(y_col).isNull(), 1).otherwise(0)),
+    ).collect()[0]
+    lo_x, hi_x, lo_y, hi_y, nulls = row
+    if nulls or lo_x is None or lo_y is None:
+        raise ValueError(
+            f"zorder_values: NULLs in ({x_col}, {y_col}) — a NULL has no "
+            "curve position; filter or impute upstream"
+        )
+    scale = 1 << bits
+    for lo, hi, name in ((lo_x, hi_x, x_col), (lo_y, hi_y, y_col)):
+        if (int(hi) - int(lo)) * scale >= (1 << 63):
+            raise ValueError(
+                f"zorder_values: range of {name} too wide for bits={bits}; "
+                "lower bits or pre-bucket the column"
+            )
+    zx = f"CAST(({x_col} - {int(lo_x)}) * {scale} DIV {int(hi_x) - int(lo_x) + 1} AS BIGINT)"
+    zy = f"CAST(({y_col} - {int(lo_y)}) * {scale} DIV {int(hi_y) - int(lo_y) + 1} AS BIGINT)"
+    return (
+        df.withColumn("_zx", F.expr(zx))
+        .withColumn("_zy", F.expr(zy))
+        .withColumn("zvalue", F.expr(_interleave_expr(bits)))
+        .withColumnRenamed("_zx", "zx")
+        .withColumnRenamed("_zy", "zy")
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster `df` into `num_files` parquet files by Z-value range —
+    after this, every file's parquet footer (min, max) stats cover a
+    compact rectangle of the (x, y) plane and a reader filtering on
+    EITHER column row-group-skips most files. repartitionByRange samples
+    the z distribution, so files are balanced even when the plane is not
+    uniformly populated (the classic time×tenant hotspot)."""
+    z = zorder_values(df, x_col, y_col, bits=bits)
+    z.repartitionByRange(num_files, "zvalue").drop("zx", "zy", "zvalue").write.mode(
+        mode
+    ).parquet(path)
+
+
+def layout_report(
+    spark: SparkSession, path: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-file bounding boxes of a written dataset: (file, rows, min/max
+    of both layout columns, spans) — the evidence that a clustering
+    actually tightened pruning (compare avg spans before/after). One
+    file-grouped algebraic agg over a two-column pruned scan."""
+    d = spark.read.parquet(path)
+    return (
+        d.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(x_col).alias("x_min"),
+            F.max(x_col).alias("x_max"),
+            F.min(y_col).alias("y_min"),
+            F.max(y_col).alias("y_max"),
+        )
+        .withColumn("x_span", F.col("x_max") - F.col("x_min"))
+        .withColumn("y_span", F.col("y_max") - F.col("y_min"))
+    )

@@ -292,3 +292,45 @@ def sample_weighted(
             F.coalesce(F.col(weight_ppm_col).cast("long"), F.lit(0)), F.lit(DENOM)
         )
     )
+
+
+def leakage_safe_splits(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    splits: dict[str, float],
+    salt: str = "split0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-dup-cluster-aware train/valid/test assignment: the fix for
+    exactly the leakage contamination.cross_split_leakage measures. A
+    row-level split (assign_splits) can put two near-duplicate documents
+    on opposite sides of the train/eval boundary — the eval set then
+    scores memorization. Here the split key is the document's dup
+    CLUSTER, not the document: pairs (any generator — LSH, SimHash
+    radius, embedding near-dup) -> connected components -> every member
+    hashes its component's canonical min-id keeper through the same
+    md5-bucket ranges assign_splits uses. Same-cluster rows agree on the
+    key by construction, so cross-split leakage over the pair closure is
+    structurally zero — including for dup CHAINS (a~b, b~c) where (a, c)
+    was never a candidate pair.
+
+    Output: (id_col, keeper, split) for every row of `df` — singletons
+    key on themselves, so non-duplicated docs split exactly as
+    assign_splits(key=id) would with the same salt.
+
+    Scale shape: dedup_canonical's adaptive CC over the PAIRS (pair
+    volume, not corpus volume), one left join back to ids, then the
+    codegen'd bucket CASE; no window, no driver-side data path.
+    """
+    from .dedupe import dedup_canonical
+
+    canon = dedup_canonical(pairs, df.select(id_col), id_col)
+    labeled = assign_splits(
+        canon.select(F.col("doc_id").alias(id_col), "keeper"),
+        "keeper",
+        splits,
+        salt=salt,
+        split_col=split_col,
+    )
+    return labeled

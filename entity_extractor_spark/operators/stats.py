@@ -179,3 +179,68 @@ def percentile_rank(
             F.expr(f"_cum * {_PPM} div _n").cast("long").alias("pct_ppm"),
         )
     )
+
+
+def half_life_decayed(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    half_life_days: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Half-life-decayed aggregates in exact integer arithmetic: each
+    event weighs 2^-floor(age / half_life) on the ppm grid — i.e.
+    weight_ppm = 1_000_000 >> (age_days div half_life_days), zero once
+    the shift exceeds 62. Age is whole 86400-second blocks before the
+    corpus's newest event: age_days = (max(ts_us) - ts_us) div 86400e6,
+    computed with timestampdiff(MICROSECOND, ...) so TIMESTAMP and
+    TIMESTAMP_NTZ behave identically (no session-timezone dependence,
+    same doctrine as sessionize/asof_join).
+
+    This is the recency weighting every freshness-sensitive corpus use
+    needs — trending-entity scores, decayed source reputation, "how
+    alive is this crawl seed" — expressed so the result is bit-identical
+    across engines, partitionings and retries: exponential decay through
+    floats would make every sum order-dependent; halving on the integer
+    ppm grid makes it algebraic BIGINT addition. The step-wise halving
+    (piecewise-constant within each half-life) is the documented
+    tradeoff for exactness.
+
+    Output per key: n events, decayed_count_ppm = sum(weight), and (when
+    value_col is given) decayed_value_cents_ppm = sum(cents * weight)
+    with cents = CAST(value AS DECIMAL(18,2)) * 100 — exact BIGINT up to
+    ~9.2e18 cents*ppm per key.
+
+    Scale shape: one max-scalar job (collected, embedded as a literal —
+    never a crossJoin(broadcast(1-row)), which plans as BNLJ), then ONE
+    algebraic aggregation; hot keys collapse map-side. The anchor pass
+    is a pruned single-column scan.
+    """
+    if half_life_days <= 0:
+        raise ValueError("half_life_days must be > 0")
+    dt = dict(df.dtypes).get(ts_col)
+    epoch = (
+        "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+        if dt == "timestamp_ntz"
+        else "TIMESTAMP'1970-01-01 00:00:00+00:00'"
+    )
+    us = F.expr(f"timestampdiff(MICROSECOND, {epoch}, `{ts_col}`)")
+    base = df.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("key"), us.alias("_us"),
+        *( [F.col(value_col).alias("_v")] if value_col else [] ),
+    )
+    anchor = base.agg(F.max("_us")).collect()[0][0]
+    if anchor is None:
+        return base.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    w = F.expr(
+        f"shiftright({_PPM}, CAST(least(({int(anchor)} - _us) DIV 86400000000"
+        f" DIV {int(half_life_days)}, 62) AS INT))"
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w).alias("decayed_count_ppm"),
+    ]
+    if value_col:
+        cents = (F.col("_v").cast("decimal(18,2)") * 100).cast("long")
+        aggs.append(F.sum(cents * w).alias("decayed_value_cents_ppm"))
+    return base.groupBy("key").agg(*aggs)

@@ -403,3 +403,79 @@ def sessionize(
             "session_id",
         )
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket_us: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Dense per-key time spine: exactly one row per (key, bucket) for
+    EVERY bucket between the corpus's first and last event — shared
+    bounds so keys are comparable — with event count and exact cents
+    value mass, ZERO-FILLED where nothing happened. The resample/gap-fill
+    every time-series consumer needs before rolling windows, drift lines
+    (group_ols) or anomaly fences (mad_outliers): a missing day is a
+    SIGNAL (crawler died, source went dark) that a sparse frame silently
+    hides — lag()-based features silently skip gaps without this.
+
+    Bucket = floor µs-since-epoch / bucket_us via timestampdiff
+    (TIMESTAMP/TIMESTAMP_NTZ-identical, no session-timezone dependence —
+    sessionize doctrine). Value mass on the BIGINT cents grid (exact,
+    engine-invariant).
+
+    Scale shape: the spine is built by exploding ONE sequence literal
+    per key — a narrow map over the distinct-keys frame, never a
+    crossJoin (BNLJ) and never a driver-side loop — then one left join
+    against the (key, bucket) aggregate, both sides pre-shrunk to
+    keys x buckets. Size the bucket so span/bucket_us stays bounded
+    (a year of 1-second buckets is 31M rows per key — use minutes).
+    """
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be > 0")
+    dt = dict(df.dtypes).get(ts_col)
+    epoch = (
+        "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+        if dt == "timestamp_ntz"
+        else "TIMESTAMP'1970-01-01 00:00:00+00:00'"
+    )
+    bucket = F.expr(
+        f"timestampdiff(MICROSECOND, {epoch}, `{ts_col}`) DIV {int(bucket_us)}"
+    )
+    base = df.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        bucket.alias("bucket"),
+        *([F.col(value_col).alias("_v")] if value_col else []),
+    )
+    lo, hi = base.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs.append(
+            F.sum((F.col("_v").cast("decimal(18,2)") * 100).cast("long")).alias("_vc")
+        )
+    if lo is None:
+        out = base.groupBy("key", "bucket").agg(*aggs)
+        return (
+            out.select("key", "bucket", "n", F.col("_vc").alias("value_cents"))
+            if value_col
+            else out
+        )
+    agg = base.groupBy("key", "bucket").agg(*aggs)
+    spine = (
+        base.select("key")
+        .distinct()
+        .withColumn("bucket", F.explode(F.sequence(F.lit(int(lo)), F.lit(int(hi)))))
+    )
+    out = spine.join(agg, ["key", "bucket"], "left").select(
+        "key",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+        *(
+            [F.coalesce(F.col("_vc"), F.lit(0).cast("long")).alias("value_cents")]
+            if value_col
+            else []
+        ),
+    )
+    return out

@@ -484,3 +484,58 @@ def tfidf_top_terms(
         .where(F.col("_rn") <= k)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_postings: int = 100,
+    salt: str = "post0",
+) -> DataFrame:
+    """Capped inverted-index export: per whitespace term, its document
+    frequency, corpus frequency, and a deterministic sample of up to
+    max_postings doc ids — the retrieval-side artifact a corpus engine
+    ships to search/RAG infrastructure, and the exact-index sibling of
+    the hashed-TF vectors the ANN path uses.
+
+    The posting sample is the max_postings md5-smallest doc ids (same
+    fixed-property-of-the-data doctrine as sample_quantiles /
+    sampled_adjacency): partition/retry/engine-invariant, shard-
+    mergeable (the union's k smallest = k smallest of the merged
+    samples), and exactly replayable by any engine with md5. Postings
+    are emitted as an ascending CSV string because array cells never
+    hash cross-engine.
+
+    Scale shape: explode -> one (term, doc) tf aggregation (map-side
+    partials), then a term-keyed stats agg plus a row_number <=
+    max_postings window that Spark plans with WindowGroupLimit — hub
+    terms ("the" in 10^9 docs) are pre-pruned map-side to max_postings
+    rows per partition before the exchange, so the stopword posting
+    list costs the cap, not the corpus. df/cf stay EXACT (algebraic);
+    only the posting list is capped, and n_postings says when.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    td = toks.groupBy("term", "_d").agg(F.count(F.lit(1)).alias("_tf"))
+    stats = td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("_tf").alias("cf")
+    )
+    h = F.md5(F.concat_ws("|", F.col("_d").cast("string"), F.lit(salt)))
+    w = Window.partitionBy("term").orderBy(h.asc(), F.col("_d").asc())
+    posts = (
+        td.select("term", "_d", F.row_number().over(w).alias("_rk"))
+        .where(F.col("_rk") <= max_postings)
+        .groupBy("term")
+        .agg(F.array_sort(F.collect_list("_d")).alias("_arr"))
+        .select(
+            "term",
+            F.size("_arr").cast("long").alias("n_postings"),
+            F.array_join(F.transform("_arr", lambda v: v.cast("string")), ",").alias(
+                "postings_csv"
+            ),
+        )
+    )
+    return stats.join(posts, "term")

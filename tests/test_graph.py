@@ -808,3 +808,70 @@ def test_bipartite_project_validates(spark):
         G.bipartite_project(df, "l", "r", min_weight=0)
     with pytest.raises(ValueError):
         G.bipartite_project(df, "l", "r", max_right_degree=1)
+
+
+# ------------------------------------------------------------------ k-truss
+
+def _truss_brute(edges: set[tuple[int, int]], k: int, rounds: int):
+    """Python replay of the fixed-round synchronous truss peel."""
+    cur = {tuple(sorted(e)) for e in edges}
+    sup: dict[tuple[int, int], int] = {}
+    for _ in range(rounds):
+        adj: dict[int, set[int]] = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in cur}
+        cur = {e for e, s in sup.items() if s >= k - 2}
+        sup = {e: s for e, s in sup.items() if s >= k - 2}
+    return sup
+
+
+def test_k_truss_k5_plus_pendant(spark):
+    from entity_extractor_spark.operators.graph import k_truss
+
+    ed = [(a, b) for a in range(5) for b in range(a + 1, 5)] + [(4, 10), (10, 11)]
+    df = spark.createDataFrame(ed, "src long, dst long")
+    got = {(r.src, r.dst): r.support for r in k_truss(df, k=4, rounds=3).collect()}
+    # K5 edges all have support 3 (each pair has 3 common neighbors);
+    # pendant path closes no triangle and peels in round 1
+    assert got == {(a, b): 3 for a in range(5) for b in range(a + 1, 5)}
+
+
+def test_k_truss_bridge_peels_cascade(spark):
+    from entity_extractor_spark.operators.graph import k_truss
+
+    # two triangles joined by a bridge: at k=3 the triangles survive
+    # (support 1), the bridge has support 0 and peels
+    ed = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5)]
+    df = spark.createDataFrame(ed, "src long, dst long")
+    got = {(r.src, r.dst): r.support for r in k_truss(df, k=3, rounds=2).collect()}
+    assert got == {(0, 1): 1, (1, 2): 1, (0, 2): 1, (3, 4): 1, (4, 5): 1, (3, 5): 1}
+
+
+def test_k_truss_matches_bruteforce_random(spark):
+    import random
+
+    from entity_extractor_spark.operators.graph import k_truss
+
+    random.seed(11)
+    for trial, (n, m, k) in enumerate([(18, 60, 4), (14, 45, 5), (22, 80, 3)]):
+        edges = set()
+        while len(edges) < m:
+            a, b = random.sample(range(n), 2)
+            edges.add((min(a, b), max(a, b)))
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got = {(r.src, r.dst): r.support for r in k_truss(df, k=k, rounds=3).collect()}
+        assert got == _truss_brute(edges, k, 3), f"trial {trial}"
+
+
+def test_k_truss_validates(spark):
+    from entity_extractor_spark.operators.graph import k_truss
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        k_truss(df, k=2)
+    with _pt.raises(ValueError):
+        k_truss(df, k=4, rounds=0)

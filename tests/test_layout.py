@@ -1,0 +1,66 @@
+"""zorder_values / write_zordered: bit-interleave python replay, guards,
+and the locality payoff (z-ordered files have tighter 2-D bounding boxes
+than a single-column sort)."""
+
+from __future__ import annotations
+
+import pytest
+
+from entity_extractor_spark.operators.layout import (
+    layout_report,
+    write_zordered,
+    zorder_values,
+)
+
+
+def _interleave(zx: int, zy: int, bits: int) -> int:
+    v = 0
+    for i in range(bits):
+        v += ((zx >> i) & 1) << (2 * i + 1)
+        v += ((zy >> i) & 1) << (2 * i)
+    return v
+
+
+def test_zvalue_python_replay(spark):
+    rows = [(x, y) for x in range(0, 50, 7) for y in range(3, 40, 5)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r.x, r.y): (r.zx, r.zy, r.zvalue) for r in
+           zorder_values(df, "x", "y", bits=8).collect()}
+    lo_x, hi_x = 0, 49
+    lo_y, hi_y = 3, 38
+    for x, y in rows:
+        zx = (x - lo_x) * 256 // (hi_x - lo_x + 1)
+        zy = (y - lo_y) * 256 // (hi_y - lo_y + 1)
+        assert got[(x, y)] == (zx, zy, _interleave(zx, zy, 8))
+
+
+def test_zvalue_guards(spark):
+    with pytest.raises(ValueError, match="bits"):
+        zorder_values(None, "x", "y", bits=0)
+    df = spark.createDataFrame([(1, None)], "x long, y long")
+    with pytest.raises(ValueError, match="NULL"):
+        zorder_values(df, "x", "y")
+    wide = spark.createDataFrame([(0, 0), (1 << 50, 1)], "x long, y long")
+    with pytest.raises(ValueError, match="too wide"):
+        zorder_values(wide, "x", "y", bits=16)
+
+
+def test_zorder_layout_beats_single_column_sort(spark, tmp_path):
+    # deterministic 64x64 grid; 16 files. A single-column sort gives
+    # full-width slabs on the other dimension; z-order gives compact boxes.
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    zpath = str(tmp_path / "zordered")
+    spath = str(tmp_path / "xsorted")
+    write_zordered(df, zpath, "x", "y", bits=6, num_files=16)
+    df.repartitionByRange(16, "x").write.parquet(spath)
+    zrep = layout_report(spark, zpath, "x", "y").collect()
+    srep = layout_report(spark, spath, "x", "y").collect()
+    z_yspan = sum(r.y_span for r in zrep) / len(zrep)
+    s_yspan = sum(r.y_span for r in srep) / len(srep)
+    # x-sorted slabs span the full y range (63); z-order files must not
+    assert s_yspan >= 60
+    assert z_yspan <= s_yspan / 2
+    # and the z layout still bounds x decently (compact rectangles)
+    z_xspan = sum(r.x_span for r in zrep) / len(zrep)
+    assert z_xspan <= 32

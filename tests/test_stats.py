@@ -136,3 +136,40 @@ def test_percentile_rank_matches_bruteforce(spark):
             cum = sum(1 for x in vals if x <= v)
             want[(g, v)] = (at, cum * PPM // n)
     assert got == want
+
+
+def test_half_life_decayed_python_replay(spark):
+    from datetime import datetime, timedelta
+
+    from entity_extractor_spark.operators.stats import half_life_decayed
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # ages chosen to straddle halving boundaries incl. the same-day and
+    # far-past (weight 0 beyond shift 62 is unreachable here; shift 21+
+    # zeroes on the ppm grid)
+    for i, days in enumerate([0, 1, 3, 4, 5, 8, 12, 100]):
+        rows.append((i % 2, base + timedelta(days=-days, hours=1), float(i)))
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz, v double")
+    out = {r.key: (r.n, r.decayed_count_ppm, r.decayed_value_cents_ppm)
+           for r in half_life_decayed(df, "k", "ts", 4, value_col="v").collect()}
+    anchor = max(r[1] for r in rows)
+    want = {}
+    for k in (0, 1):
+        mine = [r for r in rows if r[0] == k]
+        ws = []
+        for _, ts, v in mine:
+            age_days = int((anchor - ts).total_seconds() * 1_000_000) // 86_400_000_000
+            w = 1_000_000 >> min(age_days // 4, 62)
+            ws.append((w, int(v * 100) * w))
+        want[k] = (len(mine), sum(w for w, _ in ws), sum(x for _, x in ws))
+    assert out == want
+
+
+def test_half_life_decayed_validates_and_handles_empty(spark):
+    from entity_extractor_spark.operators.stats import half_life_decayed
+
+    df = spark.createDataFrame([], "k long, ts timestamp_ntz, v double")
+    with pytest.raises(ValueError):
+        half_life_decayed(df, "k", "ts", 0)
+    assert half_life_decayed(df, "k", "ts", 7).count() == 0

@@ -449,3 +449,41 @@ def test_sessionize_validates(spark):
     df = spark.createDataFrame([("u", T0, 0)], "k string, ts timestamp, seq long")
     with pytest.raises(ValueError):
         sessionize(df, "k", "ts", "seq", 0)
+
+
+def test_gap_fill_zero_fills_and_replays(spark):
+    from datetime import datetime
+
+    from entity_extractor_spark.operators.temporal import gap_fill
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 30), 1.50),
+        ("a", datetime(2024, 1, 1, 0, 45), 2.25),
+        ("a", datetime(2024, 1, 1, 3, 10), 4.00),
+        ("b", datetime(2024, 1, 1, 1, 5), 10.00),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double")
+    out = {(r.key, r.bucket): (r.n, r.value_cents)
+           for r in gap_fill(df, "k", "ts", 3_600_000_000, value_col="v").collect()}
+    base = datetime(2024, 1, 1).timestamp()  # UTC in test env? use integer µs math
+    import calendar
+    lo = calendar.timegm(datetime(2024, 1, 1, 0, 30).timetuple()) * 1_000_000 // 3_600_000_000
+    hi = calendar.timegm(datetime(2024, 1, 1, 3, 10).timetuple()) * 1_000_000 // 3_600_000_000
+    # spine: 2 keys x 4 hourly buckets, zero-filled gaps
+    assert len(out) == 2 * (hi - lo + 1) == 8
+    assert out[("a", lo)] == (2, 375)
+    assert out[("a", lo + 1)] == (0, 0)
+    assert out[("a", lo + 3)] == (1, 400)
+    assert out[("b", lo + 1)] == (1, 1000)
+    assert out[("b", lo + 3)] == (0, 0)
+
+
+def test_gap_fill_empty_and_validation(spark):
+    from entity_extractor_spark.operators.temporal import gap_fill
+
+    df = spark.createDataFrame([], "k string, ts timestamp_ntz, v double")
+    assert gap_fill(df, "k", "ts", 1_000_000, value_col="v").count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        gap_fill(df, "k", "ts", 0)

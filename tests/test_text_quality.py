@@ -89,3 +89,29 @@ def test_pair_counts_bruteforce(spark):
         for p, c in sorted(tf.items(), key=lambda x: (-x[1], x[0]))[:3]
     ]
     assert got == expect
+
+
+def test_inverted_index_replay_and_cap(spark):
+    import hashlib
+
+    from entity_extractor_spark.operators.text_quality import inverted_index
+
+    docs = [(i, "alpha beta " + ("alpha " if i % 2 == 0 else "gamma ") * 2) for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.term: (r.df, r.cf, r.n_postings, r.postings_csv)
+           for r in inverted_index(df, "doc_id", "text", max_postings=5).collect()}
+    # python replay
+    from collections import defaultdict
+    tf = defaultdict(dict)
+    for d, text in docs:
+        for t in text.strip().lower().split():
+            tf[t][d] = tf[t].get(d, 0) + 1
+    for t, per in tf.items():
+        dfx, cfx = len(per), sum(per.values())
+        ranked = sorted(per, key=lambda d: (hashlib.md5(f"{d}|post0".encode()).hexdigest(), d))[:5]
+        csv = ",".join(str(d) for d in sorted(ranked))
+        assert out[t] == (dfx, cfx, min(5, dfx), csv), t
+    # hub term (alpha: df 20) capped at 5; rare term uncapped
+    assert out["alpha"][0] == 20 and out["alpha"][2] == 5
+    assert out["gamma"][0] == 10 and out["gamma"][2] == 5
+    assert out["beta"][0] == 20
