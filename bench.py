@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     # (the deliberate heavy wedge-join workload)
     "w8_range_join",
     "graph_common_neighbors",
+    # round-3 additions (third wave): exact prefix-filtered set-similarity
+    # join (the provably-complete dedup path) and the 3-round k-truss peel
+    # (triangle-support recount per round — the heaviest graph shape here)
+    "dedup_setsim_join",
+    "graph_k_truss",
 ]
 
 

@@ -5437,6 +5437,249 @@ def w12_gap_fill(spark, sf_dir):
     )
 
 
+# Shared dirty/clean order-KG triple construction for the kg-quality gates:
+# a (subj, pred, obj, weight_percent) table derived from orders/lineitem with
+# deterministic dirt slices (typo'd predicate %97, 10x out-of-range weight
+# %89, missing weight %83, double-valued functional pred %79, forbidden
+# weight %73, malformed subject %71).
+def _order_kg_triples(spark, sf_dir, dirty: bool):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    if dirty:
+        pred = F.when(F.col("l_orderkey") % 97 == 0, F.lit("containsPrt")).otherwise(
+            F.lit("containsPart")
+        )
+        weight = (
+            F.when(
+                F.col("l_orderkey") % 89 == 0,
+                (F.col("l_quantity") * 10).cast("string"),
+            )
+            .when(F.col("l_orderkey") % 83 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("l_quantity").cast("string"))
+        )
+        oprefix = F.when(F.col("o_orderkey") % 71 == 0, F.lit("X")).otherwise(
+            F.lit("O")
+        )
+        pweight = F.when(F.col("o_orderkey") % 73 == 0, F.lit("5")).otherwise(
+            F.lit(None).cast("string")
+        )
+    else:
+        pred = F.lit("containsPart")
+        weight = F.col("l_quantity").cast("string")
+        oprefix = F.lit("O")
+        pweight = F.lit(None).cast("string")
+    contains = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("subj"),
+        pred.alias("pred"),
+        F.col("l_partkey").cast("string").alias("obj"),
+        weight.alias("weight_percent"),
+    )
+    placed = o.select(
+        F.concat(oprefix, F.col("o_orderkey").cast("string")).alias("subj"),
+        F.lit("placedBy").alias("pred"),
+        F.col("o_custkey").cast("string").alias("obj"),
+        pweight.alias("weight_percent"),
+    )
+    t = contains.unionAll(placed)
+    if dirty:
+        dup = o.where(F.col("o_orderkey") % 79 == 0).select(
+            F.concat(oprefix, F.col("o_orderkey").cast("string")).alias("subj"),
+            F.lit("placedBy").alias("pred"),
+            (F.col("o_custkey") + 1).cast("string").alias("obj"),
+            F.lit(None).cast("string").alias("weight_percent"),
+        )
+        t = t.unionAll(dup)
+    return t
+
+
+_ORDER_KG_DIRTY_SQL = """t AS (
+         SELECT 'O' || CAST(l_orderkey AS VARCHAR) AS subj,
+                CASE WHEN l_orderkey % 97 = 0 THEN 'containsPrt'
+                     ELSE 'containsPart' END AS pred,
+                CAST(l_partkey AS VARCHAR) AS obj,
+                CASE WHEN l_orderkey % 89 = 0 THEN CAST(l_quantity * 10 AS VARCHAR)
+                     WHEN l_orderkey % 83 = 0 THEN NULL
+                     ELSE CAST(l_quantity AS VARCHAR) END AS weight_percent
+         FROM lineitem
+         UNION ALL
+         SELECT CASE WHEN o_orderkey % 71 = 0 THEN 'X' ELSE 'O' END
+                  || CAST(o_orderkey AS VARCHAR),
+                'placedBy', CAST(o_custkey AS VARCHAR),
+                CASE WHEN o_orderkey % 73 = 0 THEN '5' ELSE NULL END
+         FROM orders
+         UNION ALL
+         SELECT CASE WHEN o_orderkey % 71 = 0 THEN 'X' ELSE 'O' END
+                  || CAST(o_orderkey AS VARCHAR),
+                'placedBy', CAST(o_custkey + 1 AS VARCHAR), NULL
+         FROM orders WHERE o_orderkey % 79 = 0
+       )"""
+
+
+@query(
+    "kg_constraint_audit",
+    f"""WITH {_ORDER_KG_DIRTY_SQL},
+       fd AS (SELECT subj, pred FROM t WHERE pred = 'placedBy'
+              GROUP BY subj, pred HAVING count(DISTINCT obj) > 1)
+       SELECT subj, pred, obj, 'unknown_pred' AS rule FROM t
+       WHERE pred NOT IN ('containsPart', 'placedBy')
+       UNION ALL
+       SELECT subj, pred, obj, 'subj_format' FROM t
+       WHERE NOT regexp_matches(subj, '^O[0-9]+$')
+       UNION ALL
+       SELECT subj, pred, obj, 'weight_missing' FROM t
+       WHERE pred = 'containsPart' AND weight_percent IS NULL
+       UNION ALL
+       SELECT subj, pred, obj, 'weight_range' FROM t
+       WHERE pred = 'containsPart' AND weight_percent IS NOT NULL
+         AND (TRY_CAST(weight_percent AS DECIMAL(18,6)) IS NULL
+              OR TRY_CAST(weight_percent AS DECIMAL(18,6)) < 0
+              OR TRY_CAST(weight_percent AS DECIMAL(18,6)) > 100)
+       UNION ALL
+       SELECT subj, pred, obj, 'weight_forbidden' FROM t
+       WHERE pred = 'placedBy' AND weight_percent IS NOT NULL
+       UNION ALL
+       SELECT t.subj, t.pred, t.obj, 'functional_dup'
+       FROM t JOIN fd ON fd.subj = t.subj AND fd.pred = t.pred""",
+)
+def kg_constraint_audit(spark, sf_dir):
+    """Ontology/constraint audit (kg_quality.validate_triples) over an
+    order-KG triple table with six deterministic dirt slices — typo'd
+    predicate, 10x out-of-range weight, missing weight, double-valued
+    functional predicate, forbidden weight, malformed subject — the
+    post-ingest gate every CDC-fed KG needs (the reference trusts its
+    extractor and upserts unchecked). Every rule is a codegen'd column
+    predicate fused over one scan except functional_dup: one
+    (subj, pred) distinct-count agg joined back to offenders only.
+    Each rule's branch carries mass at both scale factors (~1% slices);
+    the %89 slice splits between legal (qty <= 10) and violating rows so
+    the range boundary itself is value-checked."""
+    from .operators.kg_quality import validate_triples
+
+    return validate_triples(
+        _order_kg_triples(spark, sf_dir, dirty=True),
+        allowed_preds=["containsPart", "placedBy"],
+        weight_preds=["containsPart"],
+        functional_preds=["placedBy"],
+        subj_pattern=r"^O[0-9]+$",
+    )
+
+
+@query(
+    "kg_verbalize_triples",
+    """WITH c AS (SELECT 'O' || CAST(l_orderkey AS VARCHAR) AS subj,
+                 CAST(l_partkey AS VARCHAR) AS obj,
+                 CAST(l_quantity AS VARCHAR) AS w FROM lineitem),
+       g AS (SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS subj,
+                    min(CAST(o_custkey AS VARCHAR)) AS gobj
+             FROM orders GROUP BY 1),
+       items AS (SELECT subj, CAST(count(*) AS BIGINT) AS n_facts,
+                        string_agg('part ' || obj || ' (' || w || '%)', ', '
+                          ORDER BY CAST(obj AS BIGINT),
+                                   'part ' || obj || ' (' || w || '%)') AS lst
+                 FROM c GROUP BY subj)
+       SELECT g.subj,
+              'Order ' || g.subj || ' was placed by customer ' || g.gobj
+                || '. Contains ' || i.lst || '.' AS text,
+              i.n_facts
+       FROM g JOIN items i USING (subj)""",
+)
+def kg_verbalize_triples(spark, sf_dir):
+    """KG->training-text export (kg_quality.verbalize_triples): one
+    deterministic sentence per order from the clean order-KG — items
+    sorted by numeric object id then rendered phrase, so the string is a
+    pure function of the graph (sorted-CSV doctrine; unordered
+    collect_list would never hash cross-engine). This is the
+    verbalization step of a KG-augmented pretraining corpus; two
+    algebraic per-subject aggregations + one join, string assembly
+    codegen'd."""
+    from .operators.kg_quality import verbalize_triples
+
+    return verbalize_triples(
+        _order_kg_triples(spark, sf_dir, dirty=False),
+        "placedBy",
+        "containsPart",
+        frame=("Order ", " was placed by customer ", ". Contains "),
+        item_template=("part ", " (", "%)"),
+    )
+
+
+@query(
+    "w13_rolling_window",
+    """WITH b AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS bucket,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events
+           WHERE event_id % 37 = 0 AND event_type IS NOT NULL AND ts IS NOT NULL),
+       bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+       keys AS (SELECT DISTINCT key FROM b),
+       spine AS (SELECT key, unnest(generate_series(bounds.lo, bounds.hi)) AS bucket
+                 FROM keys, bounds),
+       agg AS (SELECT key, bucket, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(cents) AS BIGINT) AS vc
+               FROM b GROUP BY 1, 2),
+       filled AS (SELECT s.key, s.bucket, COALESCE(a.n, 0) AS n,
+                         COALESCE(a.vc, 0) AS value_cents
+                  FROM spine s LEFT JOIN agg a
+                    ON a.key = s.key AND a.bucket = s.bucket)
+       SELECT key, bucket, n, value_cents,
+              CAST(sum(n) OVER w AS BIGINT) AS n_roll,
+              CAST(sum(value_cents) OVER w AS BIGINT) AS value_cents_roll
+       FROM filled
+       WINDOW w AS (PARTITION BY key ORDER BY bucket
+                    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""",
+)
+def w13_rolling_window(spark, sf_dir):
+    """Trailing 24-hour rolling sums (temporal.rolling_window) over the
+    gap-filled hourly spine of w12 — the composition that makes ROWS
+    frames MEAN time windows: on the dense spine, 24 rows == 24 hours,
+    including the zero-filled gaps a sparse frame would silently skip.
+    One key-partitioned window (never global) computes every rolling
+    column on one exchange; all sums on the exact BIGINT cents grid."""
+    from .operators.temporal import gap_fill, rolling_window
+
+    filled = gap_fill(
+        _t(spark, sf_dir, "events").where("event_id % 37 = 0"),
+        "event_type", "ts", 3_600_000_000, value_col="value",
+    )
+    return rolling_window(filled, "key", "bucket", ["n", "value_cents"], 23)
+
+
+@query(
+    "graph_harmonic_centrality",
+    f"""WITH {_Q25_PAIRS_CTE},
+       seeds AS (SELECT DISTINCT l_partkey AS v FROM lineitem
+                 WHERE l_partkey % 499 = 0),
+       reach AS (
+         SELECT seed, vertex, min(dist) AS dist FROM (
+           SELECT v AS seed, v AS vertex, 0 AS dist FROM seeds
+           UNION ALL
+           SELECT s.v, u.dst, 1 FROM seeds s JOIN und u ON u.src = s.v
+           UNION ALL
+           SELECT s.v, u2.dst, 2 FROM seeds s
+           JOIN und u1 ON u1.src = s.v
+           JOIN und u2 ON u2.src = u1.dst
+         ) q GROUP BY 1, 2)
+       SELECT vertex, CAST(count(*) AS BIGINT) AS reached_seeds,
+              CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_ppm
+       FROM reach WHERE dist >= 1 GROUP BY vertex""",
+)
+def graph_harmonic_centrality(spark, sf_dir):
+    """Sampled harmonic centrality (graph.harmonic_centrality): exact
+    2-round multi-source BFS from the deterministic %499 part-seed
+    sample over the q25 co-order graph, score = sum of 1e6 div d(s, v)
+    in pure BIGINT — the Eppstein-Wang-style closeness estimate whose
+    cost is |S| x |E| per round instead of the unpayable V x E, and
+    which stays defined on disconnected graphs. One frontier equi-join
+    + one algebraic (seed, vertex) min per round. The oracle unrolls
+    both hops and takes the same min, so a frontier that double-counts
+    or misses a shorter path hash-mismatches; dist 1 and 2 both carry
+    mass at both scale factors."""
+    li = _t(spark, sf_dir, "lineitem")
+    seeds = li.where("l_partkey % 499 = 0").select(
+        F.col("l_partkey").alias("v")
+    ).distinct()
+    return G.harmonic_centrality(_q25_edges(spark, sf_dir), seeds, rounds=2)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

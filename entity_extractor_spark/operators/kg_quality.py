@@ -1,0 +1,172 @@
+"""KG quality gates and exporters that run AFTER triple materialization:
+schema/constraint auditing and templated verbalization.
+
+The reference writes triples straight to MySQL with no ontology check
+(chemical_service.py upsert path trusts the extractor); at KG scale a
+constraint audit is the difference between a graph and a landfill —
+every CDC batch brings typo'd predicates, out-of-range literals and
+double-valued functional relations, and the audit has to be a cheap
+relational pass, not a validator loop.
+
+All rules are declarative column predicates + algebraic counts, so the
+audit is one scan + one (subj, pred) agg regardless of corpus size, and
+every verdict is engine-exact (string/format/BIGINT comparisons, DECIMAL
+range checks — no floats).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def validate_triples(
+    triples: DataFrame,
+    allowed_preds: Sequence[str],
+    weight_preds: Sequence[str] = (),
+    functional_preds: Sequence[str] = (),
+    subj_pattern: str | None = None,
+) -> DataFrame:
+    """Constraint audit over a (subj, pred, obj, weight_percent) triple
+    table. Emits ONE ROW PER VIOLATED RULE (a triple can appear under
+    several rules): columns (subj, pred, obj, rule).
+
+    Rules:
+      * unknown_pred     — pred outside the allowed vocabulary;
+      * subj_format      — subj does not rlike `subj_pattern` (skipped
+                           when None);
+      * weight_missing   — a weight-bearing pred with NULL weight;
+      * weight_range     — weight present but not parseable as a
+                           DECIMAL(18,6) in [0, 100] (try_cast, so junk
+                           strings land here, never a crash);
+      * weight_forbidden — weight on a KNOWN pred that must not carry
+                           one (unknown preds are already flagged once);
+      * functional_dup   — a functional pred with >1 DISTINCT object for
+                           one subject (every participating triple is
+                           flagged, so the fix-up join is direct).
+
+    Scale shape: the five row-local rules are one codegen'd pass
+    (Catalyst fuses the unions of filters over one scan); functional_dup
+    is one (subj, pred) distinct-count aggregation joined back to the
+    offending rows only — hub subjects collapse map-side. Predicate
+    vocabularies are literal IN-lists (they are schema, not data).
+    """
+    if not allowed_preds:
+        raise ValueError("allowed_preds must be non-empty")
+    t = triples.select("subj", "pred", "obj", "weight_percent")
+    viol = []
+
+    def flag(cond, rule: str):
+        viol.append(
+            t.where(cond).select(
+                "subj", "pred", "obj", F.lit(rule).alias("rule")
+            )
+        )
+
+    flag(~F.col("pred").isin(*allowed_preds), "unknown_pred")
+    if subj_pattern is not None:
+        flag(~F.col("subj").rlike(subj_pattern), "subj_format")
+    if weight_preds:
+        wp = F.col("pred").isin(*weight_preds)
+        w = F.expr("try_cast(weight_percent AS DECIMAL(18,6))")
+        flag(wp & F.col("weight_percent").isNull(), "weight_missing")
+        flag(
+            wp
+            & F.col("weight_percent").isNotNull()
+            & (w.isNull() | (w < 0) | (w > 100)),
+            "weight_range",
+        )
+        flag(
+            F.col("pred").isin(*allowed_preds)
+            & ~wp
+            & F.col("weight_percent").isNotNull(),
+            "weight_forbidden",
+        )
+    out = viol[0]
+    for v in viol[1:]:
+        out = out.unionAll(v)
+    if functional_preds:
+        fp = t.where(F.col("pred").isin(*functional_preds))
+        dups = (
+            fp.groupBy("subj", "pred")
+            .agg(F.countDistinct("obj").alias("_nobj"))
+            .where(F.col("_nobj") > 1)
+            .select("subj", "pred")
+        )
+        out = out.unionAll(
+            fp.join(dups, ["subj", "pred"]).select(
+                "subj", "pred", "obj", F.lit("functional_dup").alias("rule")
+            )
+        )
+    return out
+
+
+def verbalize_triples(
+    triples: DataFrame,
+    group_pred: str,
+    list_pred: str,
+    frame: tuple[str, str, str],
+    item_template: tuple[str, str, str],
+    list_sep: str = ", ",
+) -> DataFrame:
+    """Deterministic KG->text export: one training sentence per subject,
+    assembled from a functional predicate and a list predicate —
+    frame[0] + subj + frame[1] + group_obj + frame[2] + sorted item list
+    + '.' — with items ordered by their NUMERIC object id (a fixed total
+    order, so the string is a pure function of the graph — same doctrine
+    as sampled_adjacency's sorted CSV; array cells and nondeterministic
+    collect orders never survive cross-engine checks, sorted joins do).
+
+    item_template = (pre, mid, post): each list item renders as
+    pre + obj + (mid + weight + post when weight present, else '').
+    Subjects missing either predicate are dropped (INNER joins) —
+    verbalization is for complete facts; audit first (validate_triples).
+
+    Scale shape: two algebraic per-subject aggregations (the list side
+    collects sorted structs — bounded by the subject's fact count, the
+    join-key exchange shared) and one join; string assembly is
+    codegen'd concat. Output: (subj, text, n_facts).
+    """
+    g = (
+        triples.where(F.col("pred") == group_pred)
+        .groupBy("subj")
+        .agg(F.min("obj").alias("_gobj"))
+    )
+    pre, mid, post = item_template
+    phrase = F.concat(
+        F.lit(pre),
+        F.col("obj"),
+        F.when(
+            F.col("weight_percent").isNotNull(),
+            F.concat(F.lit(mid), F.col("weight_percent"), F.lit(post)),
+        ).otherwise(F.lit("")),
+    )
+    items = (
+        triples.where(F.col("pred") == list_pred)
+        .select(
+            "subj",
+            F.struct(
+                F.col("obj").cast("long").alias("k"), phrase.alias("p")
+            ).alias("_it"),
+        )
+        .groupBy("subj")
+        .agg(F.array_sort(F.collect_list("_it")).alias("_arr"))
+        .select(
+            "subj",
+            F.size("_arr").cast("long").alias("n_facts"),
+            F.array_join(F.transform("_arr", lambda s: s["p"]), list_sep).alias(
+                "_list"
+            ),
+        )
+    )
+    f0, f1, f2 = frame
+    return g.join(items, "subj").select(
+        "subj",
+        F.concat(
+            F.lit(f0), F.col("subj"), F.lit(f1), F.col("_gobj"),
+            F.lit(f2), F.col("_list"), F.lit("."),
+        ).alias("text"),
+        "n_facts",
+    )

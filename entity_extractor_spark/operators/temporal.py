@@ -479,3 +479,40 @@ def gap_fill(
         ),
     )
     return out
+
+
+def rolling_window(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    sum_cols: list[str],
+    preceding: int,
+) -> DataFrame:
+    """Trailing rolling sums over a DENSE per-key series: for each row,
+    sum each of `sum_cols` over the last `preceding`+1 rows in
+    `order_col` order within the key — the moving-average/burst-detect
+    primitive every monitoring consumer builds on top of gap_fill.
+
+    DENSE matters: ROWS-frame windows on a sparse series silently sum
+    "last k events" instead of "last k intervals" — run gap_fill first
+    so row distance == time distance (that composition is the contract
+    gate). Sums stay on whatever exact integer grid the inputs are on.
+
+    Scale shape: ONE window partitioned by key (never global), all
+    rolling columns computed over the same frame spec so Spark plans a
+    single Window operator on one exchange; trailing ROWS frames stream
+    in order-of-arrival within the partition with an O(frame) running
+    buffer. Skew bound: a key's partition holds span/bucket rows — the
+    gap_fill spine, not the raw events.
+    """
+    if preceding < 0:
+        raise ValueError("preceding must be >= 0")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(-preceding, 0)
+    )
+    out = df
+    for c in sum_cols:
+        out = out.withColumn(f"{c}_roll", F.sum(c).over(w))
+    return out

@@ -875,3 +875,57 @@ def test_k_truss_validates(spark):
         k_truss(df, k=2)
     with _pt.raises(ValueError):
         k_truss(df, k=4, rounds=0)
+
+
+# ------------------------------------------------- harmonic centrality
+
+def test_harmonic_centrality_matches_bfs_bruteforce(spark):
+    import random
+    from collections import deque
+
+    from entity_extractor_spark.operators.graph import harmonic_centrality
+
+    random.seed(23)
+    n, m = 25, 60
+    edges = set()
+    while len(edges) < m:
+        a, b = random.sample(range(n), 2)
+        edges.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = [0, 3, 7, 99]  # 99 is not in the graph: contributes nothing
+    rounds = 3
+    want = {}
+    for s in seeds:
+        if s not in adj:
+            continue
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= rounds:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            if d >= 1:
+                r, h = want.get(v, (0, 0))
+                want[v] = (r + 1, h + 1_000_000 // d)
+    edf = spark.createDataFrame(sorted(edges), "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "v long")
+    got = {r.vertex: (r.reached_seeds, r.harmonic_ppm)
+           for r in harmonic_centrality(edf, sdf, rounds=rounds).collect()}
+    assert got == want
+
+
+def test_harmonic_centrality_validates(spark):
+    import pytest as _pt
+
+    from entity_extractor_spark.operators.graph import harmonic_centrality
+
+    with _pt.raises(ValueError):
+        harmonic_centrality(None, None, rounds=0)

@@ -487,3 +487,24 @@ def test_gap_fill_empty_and_validation(spark):
 
     with _pt.raises(ValueError):
         gap_fill(df, "k", "ts", 0)
+
+
+def test_rolling_window_replay(spark):
+    from entity_extractor_spark.operators.temporal import rolling_window
+
+    rows = [("a", b, b + 1, 10 * b) for b in range(6)] + [("b", b, 1, 5) for b in range(3)]
+    df = spark.createDataFrame(rows, "k string, bucket long, n long, cents long")
+    out = {(r.k, r.bucket): (r.n_roll, r.cents_roll) for r in
+           rolling_window(df, "k", "bucket", ["n", "cents"], preceding=2).collect()}
+    for k, b, n, c in rows:
+        window = [(rn, rc) for (rk, rb, rn, rc) in rows if rk == k and b - 2 <= rb <= b]
+        assert out[(k, b)] == (sum(x for x, _ in window), sum(y for _, y in window))
+
+
+def test_rolling_window_validates(spark):
+    from entity_extractor_spark.operators.temporal import rolling_window
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rolling_window(None, "k", "b", ["n"], -1)
