@@ -5680,6 +5680,58 @@ def graph_harmonic_centrality(spark, sf_dir):
     return G.harmonic_centrality(_q25_edges(spark, sf_dir), seeds, rounds=2)
 
 
+@query(
+    "stream_entity_cc",
+    """WITH e0 AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM lineitem WHERE l_orderkey % 997 IN (3, 4)
+),
+edges2 AS (
+  SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+  UNION SELECT a, a FROM e0 UNION SELECT b, b FROM e0
+),
+closure AS (
+  WITH RECURSIVE reach(src, dst) AS (
+    SELECT a, b FROM edges2
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges2 e ON r.dst = e.a
+  )
+  SELECT src AS vertex, min(dst) AS component FROM reach GROUP BY src
+)
+SELECT vertex, component FROM closure""",
+)
+def stream_entity_cc(spark, sf_dir):
+    """Streaming canonical-entity labels (streaming/entities.py): two
+    edge micro-batches (the %997==3 and ==4 slices of the
+    part<->supplier graph) flow through the REAL accumulator — per-batch
+    incremental CC, label DELTAS persisted to fenced batch dirs, one
+    compaction between batches, last-writer-wins fold on read — and the
+    final read_labels() must equal the from-scratch recursive closure
+    over the union. This value-checks the whole streaming state path
+    (delta computation, _batch fencing, compaction manifest, struct-max
+    fold), not just the incremental operator the batch gate covers;
+    redelivery idempotence and delta minimality are unit-gated in
+    tests/test_streaming_cc.py."""
+    import tempfile
+
+    from .streaming.entities import cc_batch, compact_state, read_labels
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def slice_edges(r: int):
+        return li.where(F.col("l_orderkey") % 997 == r).select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+
+    out = tempfile.mkdtemp(prefix="kg_stream_cc_")
+    cc_batch(spark, slice_edges(3), 0, out)
+    compact_state(spark, out)
+    cc_batch(spark, slice_edges(4), 1, out)
+    return read_labels(spark, out)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).
