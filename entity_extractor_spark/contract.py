@@ -5732,6 +5732,72 @@ def stream_entity_cc(spark, sf_dir):
     return read_labels(spark, out)
 
 
+_JSE_THRESH = ((1 << 48) * 200_000) // 1_000_000
+_JSE_HASH = (
+    "CAST(concat('0x', substring(md5(concat(CAST(l_partkey AS VARCHAR), "
+    "'|', 'kmv')), 1, 12)) AS BIGINT)"
+)
+
+
+@query(
+    "sketch_join_size",
+    f"""WITH sa AS (SELECT l_partkey AS k FROM lineitem
+                   WHERE l_partkey IS NOT NULL AND {_JSE_HASH} < {_JSE_THRESH}),
+       fa AS (SELECT k, CAST(count(*) AS BIGINT) AS f FROM sa GROUP BY k)
+       SELECT CAST(count(*) AS BIGINT) AS n_sampled_keys,
+              CAST(COALESCE(sum(f * f), 0) AS BIGINT) AS sampled_pairs,
+              CAST(CAST(COALESCE(sum(f * f), 0) AS DECIMAL(38,0)) * 1000000
+                   // 200000 AS BIGINT) AS est_join_rows
+       FROM fa""",
+)
+def sketch_join_size(spark, sf_dir):
+    """Join-cardinality forecast (sketch.join_size_estimate): predict the
+    size of the lineitem self-join on l_partkey — the co-order explosion
+    every graph gate here pays — from a 20% hash-correlated key sample,
+    BEFORE paying the shuffle (Vengerov-style correlated sampling: a key
+    is sampled on both sides or neither, so hot keys contribute their
+    full fA*fB when sampled; the all-or-nothing hot-key variance and the
+    exact mode that avoids it are documented and unit-gated). Pushed-down
+    scan filter + one p-fraction (key, count) join; pure function of
+    (data, sample_ppm) on the md5 grid, DECIMAL(38,0) scale-up."""
+    from .operators.sketch import join_size_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    return join_size_estimate(li, "l_partkey", li, "l_partkey", sample_ppm=200_000)
+
+
+@query(
+    "curate_source_scorecard",
+    r"""WITH b AS (SELECT source,
+                  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nt,
+                  md5(text) AS h
+           FROM documents WHERE source IS NOT NULL)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(nt) AS BIGINT) AS total_tokens,
+              CAST(sum(nt) * 1000000 // count(*) AS BIGINT) AS mean_tokens_ppm,
+              CAST((count(*) - count(DISTINCT h)) * 1000000 // count(*) AS BIGINT)
+                AS exact_dup_ppm,
+              CAST(count(*) FILTER (WHERE nt < 50) AS BIGINT) AS short_docs,
+              CAST(count(*) FILTER (WHERE nt < 50) * 1000000 // count(*) AS BIGINT)
+                AS short_ppm
+       FROM b GROUP BY source""",
+)
+def curate_source_scorecard(spark, sf_dir):
+    """Per-source corpus health dashboard (audit.source_scorecard): doc
+    count, token mass, fixed-point mean length, exact duplicate rate and
+    short-doc rate per source — the table an ingest pipeline publishes
+    per batch so a rotting feed is caught at the source granularity
+    where the fix lives. ONE grouped aggregation over a narrow codegen'd
+    projection; the only non-algebraic piece is the exact distinct
+    text-hash (the honestly-priced Expand, profile_columns doctrine);
+    every ratio on the BIGINT ppm grid."""
+    from .operators.audit import source_scorecard
+
+    return source_scorecard(
+        _t(spark, sf_dir, "documents"), "source", "doc_id", "text"
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

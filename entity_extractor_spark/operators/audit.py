@@ -245,3 +245,56 @@ def mad_outliers(
             .alias("robust_ppm"),
         )
     )
+
+
+def source_scorecard(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    short_tokens: int = 50,
+) -> DataFrame:
+    """Per-source corpus health dashboard — the table a 100 TB ingest
+    pipeline publishes after every batch so a rotting source (collapsing
+    doc counts, exploding duplicate rate, shrinking documents) is caught
+    at the SOURCE granularity where the fix lives (drop the feed,
+    re-negotiate the crawl), not as corpus-wide drift.
+
+    Per group: n_docs, total_tokens, mean_tokens_ppm (fixed-point mean
+    doc length), exact_dup_ppm (1 - distinct md5(text) / docs — the
+    boilerplate signal), short_docs + short_ppm (docs under
+    short_tokens whitespace tokens — the truncated-fetch signal). All
+    ratios on the BIGINT ppm grid; the only non-algebraic piece is the
+    exact distinct text-hash count, the same honestly-priced Expand as
+    profile_columns.
+
+    Scale shape: ONE grouped aggregation over a narrow projection
+    (token counts are a codegen'd split+size, no explode); hub sources
+    partial-aggregate map-side on every column except the distinct.
+    """
+    toks = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).cast("long")
+    base = df.where(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("source"),
+        toks.alias("_nt"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.countDistinct("_h").alias("_nd"),
+            F.sum(F.when(F.col("_nt") < short_tokens, 1).otherwise(0)).alias(
+                "short_docs"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr(f"total_tokens * {_PPM} DIV n_docs").alias("mean_tokens_ppm"),
+            F.expr(f"(n_docs - _nd) * {_PPM} DIV n_docs").alias("exact_dup_ppm"),
+            "short_docs",
+            F.expr(f"short_docs * {_PPM} DIV n_docs").alias("short_ppm"),
+        )
+    )

@@ -342,3 +342,78 @@ def sample_quantiles(
             F.col("n_rows").cast("long").alias("n_rows"),
         )
     )
+
+
+def join_size_estimate(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    sample_ppm: int = 100_000,
+) -> DataFrame:
+    """Forecast |A join B on key| BEFORE paying the shuffle — correlated
+    sampling (Vengerov et al., VLDB 2015): both sides keep only keys
+    whose shared deterministic hash lands under the same threshold
+    (kmv_hash < sample_ppm/1e6 of the hash space), so a sampled key is
+    sampled on BOTH sides and its full frequency product survives;
+    estimate = (sum over sampled keys of fA*fB) * 1e6 div sample_ppm.
+    Independent Bernoulli ROW-sampling would break the key correlation
+    (a key sampled on one side but not the other contributes garbage);
+    hash-correlated sampling sees a key's full fA*fB whenever it sees
+    the key at all.
+
+    This is the cardinality probe a planner wants exposed as an
+    operator: at 100 TB, knowing a proposed join explodes to 10^14 rows
+    is worth one pushed-down scan-level hash filter per side (the
+    sampled fraction never leaves the scan stage) + one p-fraction
+    equi-join over pre-aggregated (key, count) rows. The hash grid is
+    the md5 48-bit one every sketch here uses: the estimate is a pure
+    function of (data, sample_ppm) — partition/retry/engine-invariant.
+
+    Regimes, stated plainly: sample_ppm = 1e6 is EXACT at distinct-key
+    cost — two algebraic (key, count) aggs + one distinct-key join; the
+    join explosion itself never materializes, so exact mode is already
+    cheap and is the right default below ~10^10 distinct keys. Sampled
+    mode is for beyond that, and its variance concentrates in the head:
+    a single key dominating the join is included with probability p and
+    missed otherwise (all-or-nothing), so on skewed joins either pin
+    the hot keys exactly first (skew.skew_profile emits exactly that
+    top-k list; subtract, sample the tail) or run exact mode. Estimates
+    are trustworthy when no surviving key dominates the sampled sum.
+
+    Output (one row): n_sampled_keys (matched keys in the sample),
+    sampled_pairs (exact BIGINT sum of fA*fB over them), est_join_rows
+    (scaled, DECIMAL(38,0) arithmetic so hot-key products * 1e6 cannot
+    overflow, floor-cast back to BIGINT).
+    """
+    if not (0 < sample_ppm <= 1_000_000):
+        raise ValueError("sample_ppm must be in (0, 1000000]")
+    thresh = HASH_SPACE * sample_ppm // 1_000_000
+
+    def side(df: DataFrame, key: str, alias: str) -> DataFrame:
+        return (
+            df.select(F.col(key).alias("_k"))
+            .where(F.col("_k").isNotNull() & (kmv_hash(F.col("_k")) < thresh))
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    fa = side(a, a_key, "_fa")
+    fb = side(b, b_key, "_fb")
+    return (
+        fa.join(fb, "_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled_keys"),
+            F.coalesce(F.sum(F.col("_fa") * F.col("_fb")), F.lit(0)).alias(
+                "sampled_pairs"
+            ),
+        )
+        .select(
+            "n_sampled_keys",
+            "sampled_pairs",
+            F.expr(
+                "CAST(CAST(sampled_pairs AS DECIMAL(38,0)) * 1000000"
+                f" DIV {int(sample_ppm)} AS BIGINT)"
+            ).alias("est_join_rows"),
+        )
+    )

@@ -175,3 +175,36 @@ def test_mad_outliers_validates(spark):
     for bad in (0, -1, 2.5, True):
         with pytest.raises(ValueError):
             mad_outliers(df, "g", "id", "v", k_ppm=bad)
+
+
+def test_source_scorecard_python_replay(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from entity_extractor_spark.operators.audit import source_scorecard
+
+    docs = [
+        ("a", 1, "one two three"),
+        ("a", 2, "one two three"),          # exact dup of doc 1
+        ("a", 3, "x " * 60),                # long doc
+        ("b", 4, "short doc"),
+        (None, 5, "dropped null source"),
+    ]
+    df = spark.createDataFrame(docs, "source string, doc_id long, text string")
+    out = {r.source: r.asDict() for r in
+           source_scorecard(df, "source", "doc_id", "text", short_tokens=5).collect()}
+    per = defaultdict(list)
+    for s, _, t in docs:
+        if s is not None:
+            per[s].append(t)
+    for s, texts in per.items():
+        n = len(texts)
+        toks = [len(t.strip().lower().split()) for t in texts]
+        dups = n - len({hashlib.md5(t.encode()).hexdigest() for t in texts})
+        short = sum(1 for x in toks if x < 5)
+        row = out[s]
+        assert row["n_docs"] == n and row["total_tokens"] == sum(toks)
+        assert row["mean_tokens_ppm"] == sum(toks) * 1_000_000 // n
+        assert row["exact_dup_ppm"] == dups * 1_000_000 // n
+        assert (row["short_docs"], row["short_ppm"]) == (short, short * 1_000_000 // n)
+    assert set(out) == {"a", "b"}

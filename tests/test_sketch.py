@@ -181,3 +181,54 @@ def test_sample_quantiles_validates(spark):
     df = spark.createDataFrame([("g", 1, 2)], "g string, id long, v long")
     with pytest.raises(ValueError):
         sample_quantiles(df, "g", "id", "v", k=0)
+
+
+def test_join_size_estimate_accuracy_and_determinism(spark):
+    import random
+
+    from entity_extractor_spark.operators.sketch import join_size_estimate
+
+    random.seed(31)
+    # moderately-skewed keys (hottest ~3x the median) — the regime the
+    # docstring declares trustworthy for SAMPLED mode; a single dominant
+    # mega-key is the documented all-or-nothing case (exact mode below
+    # covers it)
+    a = [(random.randint(0, 200) if random.random() > 0.3 else random.randint(0, 60),)
+         for _ in range(4000)]
+    b = [(random.randint(0, 200) if random.random() > 0.3 else random.randint(0, 60),)
+         for _ in range(3000)]
+    adf = spark.createDataFrame(a, "k long")
+    bdf = spark.createDataFrame(b, "k long")
+    from collections import Counter
+
+    ca, cb = Counter(x for (x,) in a), Counter(x for (x,) in b)
+    truth = sum(ca[k] * cb[k] for k in ca if k in cb)
+    row = join_size_estimate(adf, "k", bdf, "k", sample_ppm=300_000).collect()[0]
+    assert row.n_sampled_keys > 20
+    # hash-correlated sampling at 30% over ~200 keys: generous 2x bound,
+    # and the value is DETERMINISTIC (re-run must be identical)
+    assert truth / 2 <= row.est_join_rows <= truth * 2
+    row2 = join_size_estimate(adf, "k", bdf, "k", sample_ppm=300_000).collect()[0]
+    assert (row.n_sampled_keys, row.sampled_pairs, row.est_join_rows) == (
+        row2.n_sampled_keys, row2.sampled_pairs, row2.est_join_rows)
+    # full sampling degrades to the exact join size — including on a
+    # mega-key distribution where sampled mode is documented unreliable
+    hot_a = [(0 if random.random() < 0.3 else random.randint(0, 200),) for _ in range(2000)]
+    hot_b = [(0 if random.random() < 0.3 else random.randint(0, 200),) for _ in range(2000)]
+    hadf, hbdf = spark.createDataFrame(hot_a, "k long"), spark.createDataFrame(hot_b, "k long")
+    hca, hcb = Counter(x for (x,) in hot_a), Counter(x for (x,) in hot_b)
+    hot_truth = sum(hca[k] * hcb[k] for k in hca if k in hcb)
+    full = join_size_estimate(hadf, "k", hbdf, "k", sample_ppm=1_000_000).collect()[0]
+    assert full.est_join_rows == full.sampled_pairs == hot_truth
+
+
+def test_join_size_estimate_validates_and_empty(spark):
+    import pytest as _pt
+
+    from entity_extractor_spark.operators.sketch import join_size_estimate
+
+    with _pt.raises(ValueError):
+        join_size_estimate(None, "k", None, "k", sample_ppm=0)
+    a = spark.createDataFrame([], "k long")
+    row = join_size_estimate(a, "k", a, "k").collect()[0]
+    assert (row.n_sampled_keys, row.sampled_pairs, row.est_join_rows) == (0, 0, 0)
