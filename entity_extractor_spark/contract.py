@@ -5798,6 +5798,65 @@ def curate_source_scorecard(spark, sf_dir):
     )
 
 
+@query(
+    "kg_match_path",
+    """SELECT CAST(o.o_custkey AS VARCHAR) AS v0,
+              'O' || CAST(o.o_orderkey AS VARCHAR) AS v1,
+              CAST(l.l_partkey AS VARCHAR) AS v2
+       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey""",
+)
+def kg_match_path(spark, sf_dir):
+    """Graph-pattern path query (kg_quality.match_path): bindings for
+    customer <-placedBy- order -containsPart-> part over the clean
+    order-KG — the SPARQL-BGP/Cypher-chain primitive, executed as one
+    pred-filtered hash equi-join per step (filters pushed into the
+    triple scan, shared-variable joins, no cartesian). The oracle is the
+    DIRECT relational join over orders x lineitem — a completely
+    different formulation, so a step that walks the wrong direction or
+    drops/duplicates bindings hash-mismatches. Cycle exclusion
+    (distinct_nodes) is unit-gated on a cyclic toy graph."""
+    from .operators.kg_quality import match_path
+
+    return match_path(
+        _order_kg_triples(spark, sf_dir, dirty=False),
+        [("placedBy", "rev"), ("containsPart", "fwd")],
+    )
+
+
+@query(
+    "cdc_incremental_agg",
+    """SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS BIGINT) AS qty_cents
+       FROM lineitem WHERE l_orderkey % 3 IN (0, 1) GROUP BY 1""",
+)
+def cdc_incremental_agg(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance
+    (cdc.incremental_agg): per-supplier shipment counts + exact cents
+    quantity mass, bootstrapped from the l_orderkey%3==0 slice and then
+    absorbing the %3==1 slice as an append batch — one algebraic batch
+    agg + one full-outer key join, O(|batch| + |affected keys|), never a
+    re-aggregation of history (the materialized-view sibling of
+    incremental CC / incremental LSH). The oracle aggregates the UNION
+    from scratch, so a lost key, a double-counted batch, or a
+    null-as-zero slip hash-mismatches; 3-batch fold == full recompute
+    and untouched-key pass-through are unit-gated."""
+    from .operators.cdc import incremental_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def slice_rows(r: int):
+        return li.where(F.col("l_orderkey") % 3 == r).select(
+            "l_suppkey",
+            (F.col("l_quantity").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("qty_cents"),
+        )
+
+    state = incremental_agg(None, slice_rows(0), "l_suppkey", ["qty_cents"])
+    return incremental_agg(state, slice_rows(1), "l_suppkey", ["qty_cents"])
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

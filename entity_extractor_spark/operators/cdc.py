@@ -97,3 +97,61 @@ def apply_changelog(
             ],
         )
     )
+
+
+def incremental_agg(
+    state: DataFrame | None,
+    batch: DataFrame,
+    key_col: str,
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance for ALGEBRAIC
+    aggregates: fold an append-only batch into a persisted per-key
+    (n, sums...) state without re-aggregating history —
+    new_state = state FULL-OUTER-JOIN agg(batch), columns added with
+    null-as-zero. The materialized-view shape of incremental_components
+    / incremental_lsh_matches: at 100 TB the rollup a dashboard reads
+    must absorb today's partition at O(|batch| + |affected keys|), never
+    O(|history|).
+
+    Only additive measures belong here (count, sum — and avg/variance
+    via their sum decompositions); min/max are NOT maintainable under
+    this contract once data can be deleted, and deletes/updates should
+    flow through apply_changelog into a snapshot first. Sums ride
+    whatever exact integer/decimal grid the caller puts them on.
+
+    Scale shape: one algebraic aggregation of the batch (map-side
+    partials — a hot key's batch rows collapse before the shuffle) +
+    one key equi-join against state, which AQE broadcasts while the
+    batch-agg side is small. Untouched state keys pass through the
+    outer join unmodified.
+
+    Output: (key, n, <sum_cols>...) — same schema as
+    `batch.groupBy(key).agg(count, sums)`, so state bootstraps from
+    None and chains forever.
+    """
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(c).alias(c) for c in sum_cols
+    ]
+    b = batch.groupBy(F.col(key_col).alias("key")).agg(*aggs)
+    if state is None:
+        return b
+    s = state.select(
+        F.col("key"), F.col("n").alias("_sn"),
+        *[F.col(c).alias(f"_s_{c}") for c in sum_cols],
+    )
+    joined = s.join(b.select("key", F.col("n").alias("_bn"),
+                             *[F.col(c).alias(f"_b_{c}") for c in sum_cols]),
+                    "key", "full_outer")
+    out_cols = [
+        "key",
+        (F.coalesce("_sn", F.lit(0)) + F.coalesce("_bn", F.lit(0))).alias("n"),
+    ]
+    for c in sum_cols:
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"_s_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"_b_{c}"), F.lit(0))
+            ).alias(c)
+        )
+    return joined.select(*out_cols)

@@ -170,3 +170,51 @@ def verbalize_triples(
         ).alias("text"),
         "n_facts",
     )
+
+
+def match_path(
+    triples: DataFrame,
+    steps: Sequence[tuple[str, str]],
+    distinct_nodes: bool = False,
+) -> DataFrame:
+    """Directed path-motif matching over the triple table: bindings
+    (v0, v1, ..., vk) such that consecutive nodes are connected by the
+    given predicate sequence — steps = [(pred, 'fwd'|'rev'), ...] where
+    'fwd' walks subj->obj and 'rev' walks obj->subj (so
+    customer <-placedBy- order -containsPart-> part is
+    [('placedBy','rev'), ('containsPart','fwd')] anchored at the
+    customer). The basic graph-pattern query (one SPARQL BGP path /
+    Cypher chain) a KG that only exposes DataFrames still owes its
+    users; multi-hop joins are how every "who supplied the material
+    containing X" question runs.
+
+    Scale shape: each step is ONE hash equi-join on the shared variable,
+    with its predicate filter pushed into the triple scan (Catalyst
+    prunes to one pass over the pred-partitioned data per step); no
+    driver-side expansion, no cartesian anywhere. distinct_nodes=True
+    appends pairwise v_i != v_j filters (cycle exclusion) — O(k^2)
+    codegen'd comparisons, k = path length. Skew note: a hub node fans
+    out exactly like the underlying join; cap upstream (bipartite_
+    project's capped-middle doctrine) when hubs are viral.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    for _, d in steps:
+        if d not in ("fwd", "rev"):
+            raise ValueError("step direction must be 'fwd' or 'rev'")
+
+    def edge(pred: str, direction: str, i: int) -> DataFrame:
+        t = triples.where(F.col("pred") == pred)
+        a, b = ("subj", "obj") if direction == "fwd" else ("obj", "subj")
+        return t.select(F.col(a).alias(f"v{i}"), F.col(b).alias(f"v{i + 1}"))
+
+    cur = edge(*steps[0], 0)
+    for i, (p, d) in enumerate(steps[1:], start=1):
+        cur = cur.join(edge(p, d, i), f"v{i}")
+    cols = [f"v{i}" for i in range(len(steps) + 1)]
+    out = cur.select(*cols)
+    if distinct_nodes:
+        for i in range(len(cols)):
+            for j in range(i + 1, len(cols)):
+                out = out.where(F.col(cols[i]) != F.col(cols[j]))
+    return out

@@ -92,3 +92,41 @@ def test_empty_payload_validates(spark):
     chg = spark.createDataFrame([], CHG)
     with pytest.raises(ValueError):
         apply_changelog(snap, chg, "k", "ts", "seq", "op", [])
+
+
+def test_incremental_agg_fold_equals_full_recompute(spark):
+    import random
+
+    from entity_extractor_spark.operators.cdc import incremental_agg
+
+    random.seed(41)
+    batches = [
+        [(random.randint(0, 20), random.randint(1, 9), random.randint(-5, 5))
+         for _ in range(200)]
+        for _ in range(3)
+    ]
+    schema = "k long, a long, b long"
+    state = None
+    for rows in batches:
+        state = incremental_agg(state, spark.createDataFrame(rows, schema), "k", ["a", "b"])
+    got = {r.key: (r.n, r.a, r.b) for r in state.collect()}
+    allrows = [r for rows in batches for r in rows]
+    want = {}
+    for k, a, b in allrows:
+        n0, a0, b0 = want.get(k, (0, 0, 0))
+        want[k] = (n0 + 1, a0 + a, b0 + b)
+    assert got == want
+
+
+def test_incremental_agg_untouched_keys_pass_through(spark):
+    from entity_extractor_spark.operators.cdc import incremental_agg
+
+    s0 = incremental_agg(
+        None, spark.createDataFrame([(1, 10), (2, 20)], "k long, a long"), "k", ["a"]
+    )
+    s1 = incremental_agg(
+        s0, spark.createDataFrame([(2, 5), (3, 7)], "k long, a long"), "k", ["a"]
+    )
+    assert {r.key: (r.n, r.a) for r in s1.collect()} == {
+        1: (1, 10), 2: (2, 25), 3: (1, 7),
+    }

@@ -84,3 +84,50 @@ def test_verbalize_triples_sorted_and_complete(spark):
             3,
         )
     }
+
+
+def test_match_path_directions_and_bindings(spark):
+    from entity_extractor_spark.operators.kg_quality import match_path
+
+    t = spark.createDataFrame(
+        [
+            ("O1", "placedBy", "C1", None),
+            ("O1", "containsPart", "P1", "1"),
+            ("O1", "containsPart", "P2", "2"),
+            ("O2", "placedBy", "C1", None),
+            ("O2", "containsPart", "P2", "3"),
+            ("O3", "containsPart", "P9", None),  # no placedBy -> no binding
+        ],
+        SCHEMA,
+    )
+    # customer <-placedBy- order -containsPart-> part
+    got = {(r.v0, r.v1, r.v2) for r in match_path(
+        t, [("placedBy", "rev"), ("containsPart", "fwd")]).collect()}
+    assert got == {
+        ("C1", "O1", "P1"), ("C1", "O1", "P2"), ("C1", "O2", "P2"),
+    }
+
+
+def test_match_path_distinct_nodes_excludes_cycles(spark):
+    from entity_extractor_spark.operators.kg_quality import match_path
+
+    t = spark.createDataFrame(
+        [("a", "knows", "b", None), ("b", "knows", "a", None),
+         ("b", "knows", "c", None)],
+        SCHEMA,
+    )
+    steps = [("knows", "fwd"), ("knows", "fwd")]
+    allp = {(r.v0, r.v1, r.v2) for r in match_path(t, steps).collect()}
+    assert allp == {("a", "b", "a"), ("a", "b", "c"), ("b", "a", "b")}
+    nocyc = {(r.v0, r.v1, r.v2) for r in match_path(
+        t, steps, distinct_nodes=True).collect()}
+    assert nocyc == {("a", "b", "c")}
+
+
+def test_match_path_validates(spark):
+    from entity_extractor_spark.operators.kg_quality import match_path
+
+    with pytest.raises(ValueError):
+        match_path(None, [])
+    with pytest.raises(ValueError):
+        match_path(None, [("p", "sideways")])
