@@ -5793,9 +5793,7 @@ def curate_source_scorecard(spark, sf_dir):
     every ratio on the BIGINT ppm grid."""
     from .operators.audit import source_scorecard
 
-    return source_scorecard(
-        _t(spark, sf_dir, "documents"), "source", "doc_id", "text"
-    )
+    return source_scorecard(_t(spark, sf_dir, "documents"), "source", "text")
 
 
 @query(
@@ -5855,6 +5853,75 @@ def cdc_incremental_agg(spark, sf_dir):
 
     state = incremental_agg(None, slice_rows(0), "l_suppkey", ["qty_cents"])
     return incremental_agg(state, slice_rows(1), "l_suppkey", ["qty_cents"])
+
+
+@query(
+    "kg_contrastive_pairs",
+    """WITH lr AS (SELECT DISTINCT l_partkey AS l, l_orderkey AS r
+                  FROM lineitem
+                  WHERE l_quantity >= 25 AND l_partkey IS NOT NULL
+                    AND l_orderkey IS NOT NULL),
+       e0 AS (SELECT a.l AS l1, b.l AS l2, CAST(count(*) AS BIGINT) AS weight
+              FROM lr a JOIN lr b ON a.r = b.r AND a.l < b.l GROUP BY 1, 2),
+       sym AS (SELECT l1 AS src, l2 AS dst FROM e0
+               UNION ALL SELECT l2, l1 FROM e0),
+       ents AS (SELECT DISTINCT p_partkey AS ent FROM part),
+       idx AS (SELECT ent, row_number() OVER (ORDER BY
+                 CAST(concat('0x', substring(md5(concat(CAST(ent AS VARCHAR),
+                   '|', 'ctr0')), 1, 12)) AS BIGINT), ent) - 1 AS i
+               FROM ents),
+       drawn AS (SELECT src, dst,
+                 CAST(concat('0x', substring(md5(concat(
+                   CAST(src AS VARCHAR), '|', 'cooccurs', '|',
+                   CAST(dst AS VARCHAR), '|', '0', '|', 'ctr0')), 1, 12))
+                   AS BIGINT) % (SELECT count(*) FROM ents) AS i
+                 FROM sym),
+       neg AS (SELECT d.src, x.ent AS dst FROM drawn d JOIN idx x USING (i)),
+       negf AS (SELECT neg.src, neg.dst FROM neg
+                LEFT JOIN sym p ON p.src = neg.src AND p.dst = neg.dst
+                WHERE p.src IS NULL)
+       SELECT l1 AS a, l2 AS b, CAST(1 AS BIGINT) AS label, weight FROM e0
+       UNION ALL
+       SELECT src, dst, 0, 0 FROM negf""",
+)
+def kg_contrastive_pairs(spark, sf_dir):
+    """Contrastive-pair export for entity-embedding training: positives =
+    weighted co-occurrence edges (graph.bipartite_project over the q25
+    part<->order relation), negatives = one filtered hash-corruption per
+    orientation (kg_training.negative_sample over the SYMMETRIZED edge
+    set, so a corruption colliding with a co-occurrence in EITHER
+    direction is dropped — the undirected form of the TransE filtered
+    setting). The (anchor, other, label, weight) table is what a
+    two-tower/skip-gram trainer consumes; both the projection and the
+    draws replay bit-for-bit on the md5 grid. Composition of two
+    value-checked operators; the filter branch carries mass both ways
+    on this sparse graph (most draws survive, co-occurring draws die).
+    """
+    from .operators.kg_training import negative_sample
+
+    li = _t(spark, sf_dir, "lineitem").where("l_quantity >= 25")
+    pos = G.bipartite_project(
+        li, "l_partkey", "l_orderkey", max_right_degree=None, min_weight=1
+    )
+    sym = pos.select("l1", "l2").union(
+        pos.select(F.col("l2").alias("l1"), F.col("l1").alias("l2"))
+    )
+    triples = sym.select(
+        F.col("l1").alias("src"), F.lit("cooccurs").alias("rel"),
+        F.col("l2").alias("dst"),
+    )
+    ents = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("entity"))
+    neg = negative_sample(triples, ents, 1, salt="ctr0")
+    return pos.select(
+        F.col("l1").alias("a"), F.col("l2").alias("b"),
+        F.lit(1).cast("long").alias("label"), F.col("weight"),
+    ).unionAll(
+        neg.select(
+            F.col("src").alias("a"), F.col("dst").alias("b"),
+            F.lit(0).cast("long").alias("label"),
+            F.lit(0).cast("long").alias("weight"),
+        )
+    )
 
 
 # --------------------------------------------------------- driver ordering --

@@ -250,7 +250,6 @@ def mad_outliers(
 def source_scorecard(
     df: DataFrame,
     group_col: str,
-    id_col: str,
     text_col: str,
     short_tokens: int = 50,
 ) -> DataFrame:
@@ -261,22 +260,33 @@ def source_scorecard(
     re-negotiate the crawl), not as corpus-wide drift.
 
     Per group: n_docs, total_tokens, mean_tokens_ppm (fixed-point mean
-    doc length), exact_dup_ppm (1 - distinct md5(text) / docs — the
+    doc length), exact_dup_ppm (1 - distinct text-hash / docs — the
     boilerplate signal), short_docs + short_ppm (docs under
     short_tokens whitespace tokens — the truncated-fetch signal). All
     ratios on the BIGINT ppm grid; the only non-algebraic piece is the
     exact distinct text-hash count, the same honestly-priced Expand as
     profile_columns.
 
+    Degenerate-text semantics, pinned because the rotten docs are what
+    this table exists to surface: NULL or whitespace-only text counts
+    ZERO tokens (a bare split('') would report 1), and NULL texts hash
+    to one explicit sentinel group — two NULL-text docs ARE duplicates
+    of the same nothing, and md5(NULL)=NULL would otherwise silently
+    drop them from the distinct count and overstate dup rates for
+    sources with a single NULL doc.
+
     Scale shape: ONE grouped aggregation over a narrow projection
     (token counts are a codegen'd split+size, no explode); hub sources
     partial-aggregate map-side on every column except the distinct.
     """
-    toks = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).cast("long")
+    blank = F.col(text_col).isNull() | (F.trim(F.col(text_col)) == "")
+    toks = F.when(blank, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    ).cast("long")
     base = df.where(F.col(group_col).isNotNull()).select(
         F.col(group_col).alias("source"),
         toks.alias("_nt"),
-        F.md5(F.col(text_col)).alias("_h"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("<NULL>")).alias("_h"),
     )
     return (
         base.groupBy("source")

@@ -128,12 +128,19 @@ def incremental_agg(
 
     Output: (key, n, <sum_cols>...) — same schema as
     `batch.groupBy(key).agg(count, sums)`, so state bootstraps from
-    None and chains forever.
+    None and chains forever. NULL keys are dropped (same contract as
+    gap_fill / half_life_decayed / source_scorecard): a full-outer
+    equi-join never matches NULL to NULL, so keeping them would append
+    a fresh splinter NULL-key row per batch instead of one group.
     """
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.sum(c).alias(c) for c in sum_cols
     ]
-    b = batch.groupBy(F.col(key_col).alias("key")).agg(*aggs)
+    b = (
+        batch.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(*aggs)
+    )
     if state is None:
         return b
     s = state.select(

@@ -34,9 +34,12 @@ def validate_triples(
     several rules): columns (subj, pred, obj, rule).
 
     Rules:
-      * unknown_pred     — pred outside the allowed vocabulary;
-      * subj_format      — subj does not rlike `subj_pattern` (skipped
-                           when None);
+      * unknown_pred     — pred outside the allowed vocabulary, INCLUDING
+                           NULL pred (a bare ~isin() would evaluate to
+                           NULL and silently drop the row — exactly the
+                           junk an audit exists to catch);
+      * subj_format      — subj NULL or not rlike `subj_pattern`
+                           (skipped when None);
       * weight_missing   — a weight-bearing pred with NULL weight;
       * weight_range     — weight present but not parseable as a
                            DECIMAL(18,6) in [0, 100] (try_cast, so junk
@@ -65,9 +68,15 @@ def validate_triples(
             )
         )
 
-    flag(~F.col("pred").isin(*allowed_preds), "unknown_pred")
+    flag(
+        F.col("pred").isNull() | ~F.col("pred").isin(*allowed_preds),
+        "unknown_pred",
+    )
     if subj_pattern is not None:
-        flag(~F.col("subj").rlike(subj_pattern), "subj_format")
+        flag(
+            F.col("subj").isNull() | ~F.col("subj").rlike(subj_pattern),
+            "subj_format",
+        )
     if weight_preds:
         wp = F.col("pred").isin(*weight_preds)
         w = F.expr("try_cast(weight_percent AS DECIMAL(18,6))")

@@ -63,8 +63,17 @@ def zorder_values(
                 f"zorder_values: range of {name} too wide for bits={bits}; "
                 "lower bits or pre-bucket the column"
             )
-    zx = f"CAST(({x_col} - {int(lo_x)}) * {scale} DIV {int(hi_x) - int(lo_x) + 1} AS BIGINT)"
-    zy = f"CAST(({y_col} - {int(lo_y)}) * {scale} DIV {int(hi_y) - int(lo_y) + 1} AS BIGINT)"
+    # cast to BIGINT BEFORE multiplying: an IntegerType column would
+    # otherwise evaluate (v - lo) * 2^bits in 32-bit arithmetic and wrap
+    # silently long before the Python-side 2^63 range guard fires
+    zx = (
+        f"CAST((CAST({x_col} AS BIGINT) - {int(lo_x)}) * {scale}"
+        f" DIV {int(hi_x) - int(lo_x) + 1} AS BIGINT)"
+    )
+    zy = (
+        f"CAST((CAST({y_col} AS BIGINT) - {int(lo_y)}) * {scale}"
+        f" DIV {int(hi_y) - int(lo_y) + 1} AS BIGINT)"
+    )
     return (
         df.withColumn("_zx", F.expr(zx))
         .withColumn("_zy", F.expr(zy))

@@ -231,11 +231,15 @@ def half_life_decayed(
     )
     anchor = base.agg(F.max("_us")).collect()[0][0]
     if anchor is None:
-        return base.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
-    w = F.expr(
-        f"shiftright({_PPM}, CAST(least(({int(anchor)} - _us) DIV 86400000000"
-        f" DIV {int(half_life_days)}, 62) AS INT))"
-    )
+        # zero qualifying rows: keep the FULL output schema (a scheduled
+        # consumer selecting decayed_* must get an empty frame, not an
+        # AnalysisException) — weight 0 over no rows is vacuously exact
+        w = F.lit(0)
+    else:
+        w = F.expr(
+            f"shiftright({_PPM}, CAST(least(({int(anchor)} - _us) DIV 86400000000"
+            f" DIV {int(half_life_days)}, 62) AS INT))"
+        )
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(w).alias("decayed_count_ppm"),

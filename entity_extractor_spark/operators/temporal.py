@@ -421,10 +421,14 @@ def gap_fill(
     SIGNAL (crawler died, source went dark) that a sparse frame silently
     hides — lag()-based features silently skip gaps without this.
 
-    Bucket = floor µs-since-epoch / bucket_us via timestampdiff
+    Bucket = FLOOR(µs-since-epoch / bucket_us) via timestampdiff
     (TIMESTAMP/TIMESTAMP_NTZ-identical, no session-timezone dependence —
-    sessionize doctrine). Value mass on the BIGINT cents grid (exact,
-    engine-invariant).
+    sessionize doctrine), with the floor spelled out sign-correctly:
+    Spark's DIV truncates toward zero while DuckDB's // floors, so a
+    pre-1970 timestamp would otherwise bucket differently per engine
+    AND give the epoch-spanning bucket double width (group_ols
+    doctrine: the explicit form is the only one both engines agree
+    on). Value mass on the BIGINT cents grid (exact, engine-invariant).
 
     Scale shape: the spine is built by exploding ONE sequence literal
     per key — a narrow map over the distinct-keys frame, never a
@@ -441,8 +445,11 @@ def gap_fill(
         if dt == "timestamp_ntz"
         else "TIMESTAMP'1970-01-01 00:00:00+00:00'"
     )
+    us = f"timestampdiff(MICROSECOND, {epoch}, `{ts_col}`)"
+    b = int(bucket_us)
     bucket = F.expr(
-        f"timestampdiff(MICROSECOND, {epoch}, `{ts_col}`) DIV {int(bucket_us)}"
+        f"CASE WHEN ({us}) >= 0 THEN ({us}) DIV {b}"
+        f" ELSE -((-({us}) + {b} - 1) DIV {b}) END"
     )
     base = df.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()).select(
         F.col(key_col).alias("key"),

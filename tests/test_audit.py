@@ -192,7 +192,7 @@ def test_source_scorecard_python_replay(spark):
     ]
     df = spark.createDataFrame(docs, "source string, doc_id long, text string")
     out = {r.source: r.asDict() for r in
-           source_scorecard(df, "source", "doc_id", "text", short_tokens=5).collect()}
+           source_scorecard(df, "source", "text", short_tokens=5).collect()}
     per = defaultdict(list)
     for s, _, t in docs:
         if s is not None:
@@ -208,3 +208,19 @@ def test_source_scorecard_python_replay(spark):
         assert row["exact_dup_ppm"] == dups * 1_000_000 // n
         assert (row["short_docs"], row["short_ppm"]) == (short, short * 1_000_000 // n)
     assert set(out) == {"a", "b"}
+
+
+def test_source_scorecard_null_and_blank_text_semantics(spark):
+    from entity_extractor_spark.operators.audit import source_scorecard
+
+    df = spark.createDataFrame(
+        [("s", "real doc here"), ("s", None), ("s", None), ("s", "   ")],
+        "source string, text string",
+    )
+    row = source_scorecard(df, "source", "text", short_tokens=2).collect()[0]
+    # NULL/blank texts count zero tokens (split('') would say 1)
+    assert row.total_tokens == 3
+    # the two NULL texts are ONE sentinel hash group: 4 docs, 3 distinct
+    # hashes (real, <NULL>, blank) -> exactly one duplicate
+    assert row.exact_dup_ppm == 1 * 1_000_000 // 4
+    assert row.short_docs == 3  # both NULLs + the blank are short

@@ -130,3 +130,18 @@ def test_incremental_agg_untouched_keys_pass_through(spark):
     assert {r.key: (r.n, r.a) for r in s1.collect()} == {
         1: (1, 10), 2: (2, 25), 3: (1, 7),
     }
+
+
+def test_incremental_agg_null_keys_dropped_not_splintered(spark):
+    from entity_extractor_spark.operators.cdc import incremental_agg
+
+    schema = "k long, a long"
+    s0 = incremental_agg(
+        None, spark.createDataFrame([(None, 1), (1, 2)], schema), "k", ["a"]
+    )
+    s1 = incremental_agg(
+        s0, spark.createDataFrame([(None, 3), (1, 4)], schema), "k", ["a"]
+    )
+    rows = s1.collect()
+    assert {r.key: (r.n, r.a) for r in rows} == {1: (2, 6)}
+    assert len(rows) == 1  # no splinter NULL rows accumulating per batch

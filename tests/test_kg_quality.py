@@ -131,3 +131,17 @@ def test_match_path_validates(spark):
         match_path(None, [])
     with pytest.raises(ValueError):
         match_path(None, [("p", "sideways")])
+
+
+def test_validate_triples_null_pred_and_subj_are_flagged(spark):
+    from entity_extractor_spark.operators.kg_quality import validate_triples
+
+    df = spark.createDataFrame(
+        [("O1", None, "5", None), (None, "placedBy", "3", None)], SCHEMA
+    )
+    out = {(r.subj, r.pred, r.rule) for r in validate_triples(
+        df, ["containsPart", "placedBy"], ["containsPart"], ["placedBy"],
+        r"^O[0-9]+$",
+    ).collect()}
+    assert ("O1", None, "unknown_pred") in out
+    assert (None, "placedBy", "subj_format") in out

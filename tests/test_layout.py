@@ -64,3 +64,16 @@ def test_zorder_layout_beats_single_column_sort(spark, tmp_path):
     # and the z layout still bounds x decently (compact rectangles)
     z_xspan = sum(r.x_span for r in zrep) / len(zrep)
     assert z_xspan <= 32
+
+
+def test_zvalue_integer_type_wide_range_no_wraparound(spark):
+    # IntegerType column whose (v - lo) * 2^bits exceeds 2^31: without the
+    # BIGINT pre-cast this wraps silently in 32-bit arithmetic
+    rows = [(0, 0), (100_000, 100_000), (70_000, 30_000)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {(r.x, r.y): (r.zx, r.zy) for r in zorder_values(df, "x", "y", bits=16).collect()}
+    for x, y in rows:
+        assert got[(x, y)] == (
+            x * 65536 // 100_001, y * 65536 // 100_001
+        )
+        assert got[(x, y)][0] >= 0 and got[(x, y)][1] >= 0

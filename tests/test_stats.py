@@ -172,4 +172,8 @@ def test_half_life_decayed_validates_and_handles_empty(spark):
     df = spark.createDataFrame([], "k long, ts timestamp_ntz, v double")
     with pytest.raises(ValueError):
         half_life_decayed(df, "k", "ts", 0)
-    assert half_life_decayed(df, "k", "ts", 7).count() == 0
+    empty = half_life_decayed(df, "k", "ts", 7, value_col="v")
+    # full schema preserved on empty input (scheduled consumers select
+    # the decayed columns unconditionally)
+    assert empty.columns == ["key", "n", "decayed_count_ppm", "decayed_value_cents_ppm"]
+    assert empty.count() == 0

@@ -508,3 +508,19 @@ def test_rolling_window_validates(spark):
 
     with _pt.raises(ValueError):
         rolling_window(None, "k", "b", ["n"], -1)
+
+
+def test_gap_fill_pre_epoch_buckets_floor_not_truncate(spark):
+    from datetime import datetime
+
+    from entity_extractor_spark.operators.temporal import gap_fill
+
+    rows = [
+        ("a", datetime(1969, 12, 31, 23, 30), 1.00),   # µs = -1.8e9 -> bucket -1
+        ("a", datetime(1970, 1, 1, 0, 30), 2.00),      # bucket 0
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double")
+    out = {(r.key, r.bucket): (r.n, r.value_cents) for r in
+           gap_fill(df, "k", "ts", 3_600_000_000, value_col="v").collect()}
+    # truncation toward zero would merge both events into bucket 0
+    assert out == {("a", -1): (1, 100), ("a", 0): (1, 200)}
