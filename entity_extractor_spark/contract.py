@@ -5924,6 +5924,57 @@ def kg_contrastive_pairs(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------- fuzzy link --
+
+@query(
+    "link_fuzzy_names",
+    """WITH probe AS (
+         SELECT p_partkey AS probe_id,
+                substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+                || substring(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)
+                  AS q
+         FROM part WHERE p_partkey % 20 = 0),
+       probe3 AS (
+         SELECT probe_id, q, length(q) + off AS tlen
+         FROM probe, (VALUES (-1), (0), (1)) v(off)),
+       cand AS (
+         SELECT p.probe_id, g.p_partkey AS gaz_id,
+                levenshtein(p.q, g.p_name) AS d
+         FROM probe3 p JOIN part g ON length(g.p_name) = p.tlen
+         WHERE levenshtein(p.q, g.p_name) <= 1)
+       SELECT probe_id, gaz_id AS p_partkey, CAST(d AS BIGINT) AS dist
+       FROM (SELECT probe_id, gaz_id, d,
+                    row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY d, gaz_id) AS rn
+             FROM cand)
+       WHERE rn = 1""",
+)
+def link_fuzzy_names(spark, sf_dir):
+    """Typo-tolerant entity linking (fuzzy.fuzzy_link_best): part names
+    corrupted by one deterministic character deletion (at position
+    p_partkey % length, every 20th part) are linked back to the clean
+    part gazetteer at edit distance <= 1 via the SymSpell
+    deletion-neighborhood join — the exact-complete, linear-index
+    replacement for the reference's per-probe substring table scan
+    (global_node_repository.py:180). The DuckDB oracle is the brute
+    formulation on purpose: every probe x every length-compatible
+    gazetteer name through levenshtein(), argmin by (dist, key) — a
+    blocked join that dropped a true candidate or scored a pair twice
+    hash-mismatches."""
+    from .operators.fuzzy import fuzzy_link_best
+
+    part = _t(spark, sf_dir, "part")
+    probe = part.where(F.col("p_partkey") % 20 == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.expr(
+            "concat(substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT)),"
+            " substring(p_name, CAST(p_partkey % length(p_name) AS INT) + 2))"
+        ).alias("q"),
+    )
+    gaz = part.select("p_partkey", "p_name")
+    return fuzzy_link_best(probe, gaz, "probe_id", "q", "p_partkey", "p_name")
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).
