@@ -5975,6 +5975,162 @@ def link_fuzzy_names(spark, sf_dir):
     return fuzzy_link_best(probe, gaz, "probe_id", "q", "p_partkey", "p_name")
 
 
+# -------------------------------------------------------------- BPE train --
+
+def _bpe_oracle_sql(rounds: int, encode: bool) -> str:
+    """Unrolled DuckDB replay of bpe.bpe_train / bpe_apply: per round, the
+    same lead()-window pair count, (count DESC, lhs, rhs) argmax, run-
+    parity greedy match selection, and rebuild — generated by loop so the
+    round blocks cannot drift apart."""
+    parts = [
+        """WITH words AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+               FROM documents)
+         WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+       t1 AS MATERIALIZED (
+         SELECT w, cnt, CAST(i AS INT) AS pos,
+                substring(w, CAST(i AS INT), 1) AS tok
+         FROM words, unnest(generate_series(1, length(w))) AS u(i))"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+       p{r} AS MATERIALIZED (SELECT w, cnt, pos, tok,
+                       lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+                FROM t{r}),
+       best{r} AS MATERIALIZED (SELECT tok AS lhs, nxt AS rhs,
+                          CAST(sum(cnt) AS BIGINT) AS pair_count
+                   FROM p{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
+                   ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+       keep{r} AS MATERIALIZED (
+         SELECT w, pos FROM (
+           SELECT w, pos,
+                  row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS rnk
+           FROM (SELECT m.w, m.pos,
+                        m.pos - row_number() OVER (PARTITION BY m.w
+                                                   ORDER BY m.pos) AS grp
+                 FROM p{r} m, best{r} b
+                 WHERE m.tok = b.lhs AND m.nxt = b.rhs))
+         WHERE rnk % 2 = 1),
+       t{r + 1} AS MATERIALIZED (
+         SELECT w, cnt,
+                CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS INT)
+                  AS pos,
+                tok
+         FROM (
+           SELECT p.w, p.cnt, p.pos,
+                  CASE WHEN k.pos IS NOT NULL THEN p.tok || p.nxt
+                       ELSE p.tok END AS tok,
+                  lag(CASE WHEN k.pos IS NOT NULL THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY p.w ORDER BY p.pos) AS prevm
+           FROM p{r} p LEFT JOIN keep{r} k ON p.w = k.w AND p.pos = k.pos)
+         WHERE COALESCE(prevm, 0) = 0)""")
+    if encode:
+        parts.append(f"""
+       SELECT w, cnt, string_agg(tok, ' ' ORDER BY pos) AS toks
+       FROM t{rounds + 1} GROUP BY w, cnt""")
+    else:
+        union = "\n       UNION ALL ".join(
+            f'SELECT CAST({r} AS BIGINT) AS "round", lhs, rhs, pair_count '
+            f"FROM best{r}"
+            for r in range(1, rounds + 1)
+        )
+        parts.append(f"\n       {union}")
+    return "".join(parts)
+
+
+_BPE_ROUNDS = 8
+
+
+@query("text_bpe_train", _bpe_oracle_sql(_BPE_ROUNDS, encode=False))
+def text_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (bpe.bpe_train): 8 merge rounds
+    over the documents word histogram — per round one algebraic weighted
+    pair count, a deterministic (count DESC, lhs, rhs) argmax, and a
+    strict leftmost-greedy merge expressed as run-parity windows. The
+    whole loop runs on the histogram, never the corpus (the 100 TB
+    design: ~10^8 token rows vs 10^13 corpus tokens). The oracle unrolls
+    all 8 rounds in DuckDB — a wrong count, a wrong tie-break, or a
+    non-greedy merge in ANY round cascades into every later round's best
+    pair and hash-mismatches."""
+    from .operators import bpe as B
+
+    mdf, _ = B.bpe_train(_t(spark, sf_dir, "documents"), "text", _BPE_ROUNDS)
+    return mdf
+
+
+@query("text_bpe_encode", _bpe_oracle_sql(_BPE_ROUNDS, encode=True))
+def text_bpe_encode(spark, sf_dir):
+    """BPE inference (bpe.bpe_apply): segment every distinct corpus word
+    with the 8 merges text_bpe_train learned, in learned order — output
+    one row per word with its final token sequence as a space-joined
+    string (sorted-CSV doctrine). Checks the MERGE APPLICATION deeply:
+    every word's full segmentation must match DuckDB's replay, including
+    the a==b run-parity words ('agg' -> 'a' + 'gg' only if (g,g) merged
+    before (a,g))."""
+    from .operators import bpe as B
+
+    d = _t(spark, sf_dir, "documents")
+    _, merges = B.bpe_train(d, "text", _BPE_ROUNDS)
+    return B.bpe_apply(B.word_histogram(d, "text"), merges)
+
+
+# ------------------------------------------------- functional dependencies --
+
+@query(
+    "audit_functional_deps",
+    """WITH c AS (
+         SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+                CAST(o_orderkey AS VARCHAR) AS det,
+                COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>') AS dep
+         FROM orders WHERE o_orderkey IS NOT NULL
+         UNION ALL
+         SELECT 'o_custkey', 'o_orderstatus', CAST(o_custkey AS VARCHAR),
+                COALESCE(CAST(o_orderstatus AS VARCHAR), '<NULL>')
+         FROM orders WHERE o_custkey IS NOT NULL
+         UNION ALL
+         SELECT 'o_orderstatus', 'o_orderpriority',
+                CAST(o_orderstatus AS VARCHAR),
+                COALESCE(CAST(o_orderpriority AS VARCHAR), '<NULL>')
+         FROM orders WHERE o_orderstatus IS NOT NULL
+         UNION ALL
+         SELECT 'o_orderdate', 'o_orderstatus', CAST(o_orderdate AS VARCHAR),
+                COALESCE(CAST(o_orderstatus AS VARCHAR), '<NULL>')
+         FROM orders WHERE o_orderdate IS NOT NULL),
+       g AS (SELECT determinant, dependent, det,
+                    count(DISTINCT dep) AS nd
+             FROM c GROUP BY 1, 2, 3)
+       SELECT determinant, dependent,
+              CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_viol_keys,
+              CAST(max(nd) AS BIGINT) AS max_distinct_deps,
+              sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+       FROM g GROUP BY 1, 2""",
+)
+def audit_functional_deps(spark, sf_dir):
+    """Functional-dependency discovery (audit.functional_dependencies):
+    four candidate FDs over orders measured in ONE stacked pass — the
+    primary key (o_orderkey -> o_custkey) must hold, the fan-outs
+    (o_custkey -> status, status -> priority, date -> status) must report
+    their exact violation counts and worst fan-out. Dates stringify via
+    CAST on both engines (the raw-DATE pandas-compare lesson)."""
+    from .operators.audit import functional_dependencies
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("string")
+    )
+    return functional_dependencies(
+        o,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderstatus"),
+            ("o_orderstatus", "o_orderpriority"),
+            ("o_orderdate", "o_orderstatus"),
+        ],
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

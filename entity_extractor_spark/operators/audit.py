@@ -308,3 +308,57 @@ def source_scorecard(
             F.expr(f"short_docs * {_PPM} DIV n_docs").alias("short_ppm"),
         )
     )
+
+
+_FD_NULL = "<NULL>"
+
+
+def functional_dependencies(
+    df: DataFrame, candidates: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency discovery over candidate (determinant ->
+    dependent) column pairs — the schema-inference step a curator runs
+    before trusting a denormalized 100 TB drop: "is p_partkey -> p_name
+    actually a key here, or did the join fan out?". The reference assumes
+    its MySQL schema's FDs hold; over ingested files nothing guarantees
+    them, so they must be measured.
+
+    Output, one row per candidate: n_keys (distinct determinant values),
+    n_viol_keys (determinant values mapping to >1 distinct dependent),
+    max_distinct_deps (worst fan-out), fd_holds (n_viol_keys == 0).
+    Rows with a NULL determinant are excluded (an FD says nothing about
+    an absent key); a NULL dependent counts as the explicit sentinel
+    value — key->{NULL, 'x'} IS a violation, not an accident of
+    count(DISTINCT) null-skipping (the source_scorecard lesson).
+
+    Scale shape: all candidates stack into ONE pass — union of (cand,
+    det, dep) string projections, one two-phase distinct aggregation by
+    (cand, det), one algebraic rollup by cand. Candidate count multiplies
+    the mapped row volume (|candidates| projections of 2 columns each),
+    not the number of jobs."""
+    if not candidates:
+        raise ValueError("candidates must be non-empty")
+    stacked = None
+    for det, dep in candidates:
+        part = df.select(
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            F.col(det).cast("string").alias("_det"),
+            F.coalesce(F.col(dep).cast("string"), F.lit(_FD_NULL)).alias(
+                "_dep"
+            ),
+        ).where(F.col("_det").isNotNull())
+        stacked = part if stacked is None else stacked.unionAll(part)
+    per_key = stacked.groupBy("determinant", "dependent", "_det").agg(
+        F.countDistinct("_dep").alias("_nd")
+    )
+    return per_key.groupBy("determinant", "dependent").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_viol_keys"),
+        F.max("_nd").cast("bigint").alias("max_distinct_deps"),
+        (F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0)) == 0).alias(
+            "fd_holds"
+        ),
+    )

@@ -224,3 +224,44 @@ def test_source_scorecard_null_and_blank_text_semantics(spark):
     # hashes (real, <NULL>, blank) -> exactly one duplicate
     assert row.exact_dup_ppm == 1 * 1_000_000 // 4
     assert row.short_docs == 3  # both NULLs + the blank are short
+
+
+def test_functional_dependencies_nulls_and_fanout(spark):
+    from entity_extractor_spark.operators.audit import functional_dependencies
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (1, "a", 10),     # same key, same dep -> no violation
+            (2, "b", 20),
+            (2, None, 20),    # NULL dep counts as a value -> violation
+            (None, "c", 30),  # NULL determinant row excluded
+            (3, "d", 30),
+            (3, "e", 30),
+            (3, "f", 30),     # key 3 fans out to 3 deps
+        ],
+        "k int, v string, z int",
+    )
+    rows = {
+        (r.determinant, r.dependent): r
+        for r in functional_dependencies(df, [("k", "v"), ("z", "k")]).collect()
+    }
+    kv = rows[("k", "v")]
+    assert (kv.n_keys, kv.n_viol_keys, kv.max_distinct_deps, kv.fd_holds) == (
+        3, 2, 3, False,
+    )
+    zk = rows[("z", "k")]
+    # z=10->{1}, z=20->{2}, z=30->{NULL? no - det side here is z, dep k:
+    # 30 -> {<NULL> excluded? NULL dep becomes sentinel} -> {3, <NULL>}
+    assert (zk.n_keys, zk.n_viol_keys, zk.fd_holds) == (3, 1, False)
+
+
+def test_functional_dependencies_rejects_empty(spark):
+    from entity_extractor_spark.operators.audit import functional_dependencies
+
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    try:
+        functional_dependencies(df, [])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
