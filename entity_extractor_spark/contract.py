@@ -6131,6 +6131,203 @@ def audit_functional_deps(spark, sf_dir):
     )
 
 
+# ------------------------------------------ provenance / fusion / summarize --
+
+@query(
+    "kg_triple_evidence",
+    """SELECT 'O' || CAST(l_orderkey AS VARCHAR) AS subj,
+              'containsPart' AS pred,
+              CAST(l_partkey AS VARCHAR) AS obj,
+              CAST(count(*) AS BIGINT) AS support,
+              CAST(count(DISTINCT 'S' || CAST(l_suppkey AS VARCHAR)) AS BIGINT)
+                AS n_sources,
+              min(CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS first_seen,
+              max(CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS last_seen,
+              CAST(count(*) * 1000000 // (count(*) + 2) AS BIGINT)
+                AS confidence_ppm
+       FROM lineitem WHERE l_orderkey % 5 = 0
+       GROUP BY 1, 2, 3""",
+)
+def kg_triple_evidence(spark, sf_dir):
+    """Provenance-scored facts (kg_quality.triple_evidence): observation-
+    level containsPart triples (one per lineitem row, source = supplier,
+    ts = ship date) roll up to evidence rows with support, distinct
+    sources, first/last seen, and the saturating integer confidence —
+    the signal the reference's overwrite-on-reingest edge upsert throws
+    away. One grouped aggregation; all members algebraic except the
+    exact distinct-source count."""
+    from .operators.kg_quality import triple_evidence
+
+    obs = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
+        .select(
+            F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("subj"),
+            F.lit("containsPart").alias("pred"),
+            F.col("l_partkey").cast("string").alias("obj"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("source"),
+            F.col("l_shipdate").cast("date").alias("ts"),
+        )
+    )
+    return triple_evidence(obs, k=2)
+
+
+@query(
+    "rag_rrf_fusion",
+    """WITH base AS (
+         SELECT o.o_custkey AS c, l.l_partkey AS p,
+                CAST(l.l_quantity AS BIGINT) AS q, l.l_shipdate AS d
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_custkey % 7 = 0),
+       ra AS (
+         SELECT c, p, row_number() OVER (PARTITION BY c
+                   ORDER BY sum(q) DESC, p) AS rnk
+         FROM base GROUP BY c, p QUALIFY rnk <= 10),
+       rb AS (
+         SELECT c, p, row_number() OVER (PARTITION BY c
+                   ORDER BY max(d) DESC, p) AS rnk
+         FROM base GROUP BY c, p QUALIFY rnk <= 10),
+       stacked AS (
+         SELECT c, p, 1000000000 // (60 + rnk) AS s FROM ra
+         UNION ALL
+         SELECT c, p, 1000000000 // (60 + rnk) AS s FROM rb),
+       fused AS (
+         SELECT c AS query, p AS item, CAST(sum(s) AS BIGINT) AS rrf_score,
+                CAST(count(*) AS BIGINT) AS n_rankers
+         FROM stacked GROUP BY 1, 2)
+       SELECT query, item, rrf_score, n_rankers,
+              CAST(rank AS BIGINT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY query
+                  ORDER BY rrf_score DESC, item) AS rank FROM fused)
+       WHERE rank <= 5""",
+)
+def rag_rrf_fusion(spark, sf_dir):
+    """Multi-signal retrieval fusion (ranking.rrf_fuse): per customer,
+    a volume ranker (parts by total quantity) and a freshness ranker
+    (parts by last ship date) each emit a top-10; RRF fuses them on the
+    10^9 div (60 + rank) integer grid into a final top-5 — rank-only
+    fusion, no score calibration, engine-order-invariant BIGINT sums.
+    Items in both rankers carry n_rankers=2; single-ranker stragglers
+    survive with one contribution (standard RRF)."""
+    from .operators.ranking import rrf_fuse
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 7 == 0)
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("c"),
+        F.col("l_partkey").alias("p"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.col("l_shipdate").alias("d"),
+    )
+    wq = Window.partitionBy("c")
+    ra = (
+        base.groupBy("c", "p")
+        .agg(F.sum("q").alias("_q"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(wq.orderBy(F.col("_q").desc(), F.col("p"))),
+        )
+        .where(F.col("rnk") <= 10)
+    )
+    rb = (
+        base.groupBy("c", "p")
+        .agg(F.max("d").alias("_d"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(wq.orderBy(F.col("_d").desc(), F.col("p"))),
+        )
+        .where(F.col("rnk") <= 10)
+    )
+    return rrf_fuse([ra, rb], "c", "p", "rnk", k=60, top_n=5)
+
+
+@query(
+    "graph_edge_lift",
+    """WITH pc AS (
+         SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                CAST(count(*) AS BIGINT) AS c_ab
+         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         WHERE a.l_partkey < b.l_partkey AND a.l_orderkey % 3 = 0
+         GROUP BY 1, 2),
+       tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS t FROM pc),
+       deg AS (
+         SELECT v, CAST(sum(c_ab) AS BIGINT) AS c_v FROM (
+           SELECT src AS v, c_ab FROM pc
+           UNION ALL SELECT dst, c_ab FROM pc)
+         GROUP BY v),
+       scored AS (
+         SELECT pc.src, pc.dst, pc.c_ab,
+                CAST((CAST(pc.c_ab AS HUGEINT) * tot.t * 1000000)
+                     // (CAST(da.c_v AS HUGEINT) * db.c_v) AS BIGINT)
+                  AS lift_ppm
+         FROM pc
+         JOIN deg da ON da.v = pc.src
+         JOIN deg db ON db.v = pc.dst
+         CROSS JOIN tot
+         WHERE pc.c_ab >= 2)
+       SELECT src, dst, c_ab, lift_ppm FROM scored
+       ORDER BY lift_ppm DESC, src, dst LIMIT 100""",
+)
+def graph_edge_lift(spark, sf_dir):
+    """KG edge pruning by association strength (graph.edge_lift): parts
+    co-ordered on every 3rd order, scored with integer-PMI lift_ppm =
+    c_ab * T * 10^6 div (c_a * c_b) at min support 2, top-100 by (lift
+    DESC, src, dst). Lift surfaces genuinely associated pairs where raw
+    counts keep hub x hub noise; DECIMAL(38,0)/HUGEINT products so the
+    triple product cannot overflow at scale."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 3 == 0)
+    a, b = li.alias("a"), li.alias("b")
+    pc = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return G.edge_lift(pc, top_k=100, min_support=2)
+
+
+@query(
+    "graph_coarsen_brands",
+    """WITH e AS (
+         SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         WHERE a.l_partkey < b.l_partkey AND a.l_orderkey % 3 = 0),
+       le AS (
+         SELECT least(pa.p_brand, pb.p_brand) AS label_a,
+                greatest(pa.p_brand, pb.p_brand) AS label_b
+         FROM e JOIN part pa ON pa.p_partkey = e.s
+                JOIN part pb ON pb.p_partkey = e.t)
+       SELECT label_a, label_b, CAST(count(*) AS BIGINT) AS n_edges
+       FROM le WHERE label_a != label_b
+       GROUP BY 1, 2""",
+)
+def graph_coarsen_brands(spark, sf_dir):
+    """Graph summarization (graph.coarsen): the part co-order graph
+    collapsed to the brand supergraph — (brand_a <= brand_b, n_edges)
+    with intra-brand self-loops dropped — the entity-level rollup a KG
+    exposes after canonicalization (here the label map is the part ->
+    brand attribute; connected_components labels plug into the same
+    signature). Two broadcastable label joins + one algebraic count."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 3 == 0)
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    labels = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("vertex"), F.col("p_brand").alias("label")
+    )
+    return G.coarsen(edges, labels)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -1273,3 +1273,113 @@ def harmonic_centrality(
             F.sum(F.expr("1000000 DIV dist")).alias("harmonic_ppm"),
         )
     )
+
+
+def edge_lift(
+    pair_counts: DataFrame,
+    top_k: int,
+    min_support: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    count_col: str = "n",
+) -> DataFrame:
+    """PMI-style association strength for KG edge pruning: given canonical
+    (src < dst) co-occurrence pair counts, score each edge with
+    lift_ppm = c_ab * T * 10^6 div (c_a * c_b) — the integer-grid
+    pointwise-mutual-information ratio P(ab) / (P(a) P(b)), where c_a is
+    the node's total incidence mass and T the total pair mass. Lift >
+    10^6 means the pair co-occurs more than independence predicts; a raw
+    count keeps hub x hub noise, lift surfaces the genuinely associated
+    pairs (distinctive_terms' doctrine applied to graph edges).
+
+    Output: top_k edges with support >= min_support ordered by
+    (lift_ppm DESC, src, dst) — a distributed TakeOrderedAndProject,
+    never a global sort. Products run in DECIMAL(38,0): c_ab * T * 10^6
+    overflows BIGINT at web scale (10^8 * 10^12 * 10^6). The scalar T
+    comes from one agg-collect over the localCheckpoint'd counts (the
+    pagerank pattern — a 1-row crossJoin would plan as BNLJ), and the
+    checkpoint is reused by the degree agg and the join, so the pair
+    table is computed once."""
+    if top_k <= 0 or min_support < 1:
+        raise ValueError("top_k must be > 0 and min_support >= 1")
+    pc = pair_counts.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(count_col).cast("bigint").alias("c_ab"),
+    ).localCheckpoint(eager=True)
+    total = pc.agg(F.sum("c_ab")).collect()[0][0] or 0
+    if total == 0:
+        return pc.select(
+            "src", "dst", "c_ab", F.lit(None).cast("bigint").alias("lift_ppm")
+        ).where(F.lit(False))
+    deg = (
+        pc.select(F.col("src").alias("v"), "c_ab")
+        .unionAll(pc.select(F.col("dst").alias("v"), "c_ab"))
+        .groupBy("v")
+        .agg(F.sum("c_ab").alias("c_v"))
+    )
+    scored = (
+        pc.where(F.col("c_ab") >= min_support)
+        .join(deg.withColumnRenamed("v", "src").withColumnRenamed("c_v", "c_a"), "src")
+        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("c_v", "c_b"), "dst")
+        .withColumn(
+            "lift_ppm",
+            F.expr(
+                f"CAST(CAST(c_ab AS DECIMAL(38,0)) * {int(total)}"
+                " * 1000000 DIV (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"
+            ),
+        )
+        .select("src", "dst", "c_ab", "lift_ppm")
+    )
+    return scored.orderBy(
+        F.col("lift_ppm").desc(), F.col("src"), F.col("dst")
+    ).limit(top_k)
+
+
+def coarsen(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertex_col: str = "vertex",
+    label_col: str = "label",
+    keep_self_loops: bool = False,
+) -> DataFrame:
+    """Graph summarization: collapse vertices to their labels (canonical
+    entity ids from connected_components, attribute groups, community
+    ids) and emit the supergraph (label_a <= label_b, n_edges) — the
+    entity-level view a KG exposes after canonicalization, and the input
+    to multilevel partitioning. Edges whose endpoints share a label
+    become self-loops: dropped by default (they are the intra-entity
+    mass), kept as (l, l) rows when keep_self_loops=True.
+
+    Scale shape: two hash joins on the vertex key (the label map is
+    usually much smaller than the edge list and broadcasts), one
+    canonicalizing least/greatest projection, one algebraic count.
+    Callers must pass a TOTAL label map (connected_components emits one):
+    an endpoint missing from the map raises executor-side via an
+    assert_true guard on the left-joined label — never a silent edge
+    drop (inner join) or a fabricated singleton supernode (coalesce
+    fallback); a NULL label in the map itself trips the same guard."""
+    lab = labels.select(
+        F.col(vertex_col).alias("_v"), F.col(label_col).alias("_l")
+    )
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .join(lab.withColumnRenamed("_v", "_s").withColumnRenamed("_l", "_ls"), "_s", "left")
+        .join(lab.withColumnRenamed("_v", "_d").withColumnRenamed("_l", "_ld"), "_d", "left")
+        .select(
+            F.when(
+                F.assert_true(
+                    F.col("_ls").isNotNull() & F.col("_ld").isNotNull(),
+                    F.lit("coarsen: edge endpoint missing from the label map"),
+                ).isNull(),
+                F.least("_ls", "_ld"),
+            ).alias("label_a"),
+            F.greatest("_ls", "_ld").alias("label_b"),
+        )
+    )
+    if not keep_self_loops:
+        e = e.where(F.col("label_a") != F.col("label_b"))
+    return e.groupBy("label_a", "label_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )

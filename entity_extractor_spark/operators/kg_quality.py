@@ -227,3 +227,50 @@ def match_path(
             for j in range(i + 1, len(cols)):
                 out = out.where(F.col(cols[i]) != F.col(cols[j]))
     return out
+
+
+def triple_evidence(
+    obs: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    source_col: str = "source",
+    ts_col: str = "ts",
+    k: int = 2,
+) -> DataFrame:
+    """Provenance rollup from observation-level triples to evidence-scored
+    KG facts: per distinct (subj, pred, obj) — support (observation
+    count), n_sources (distinct provenances), first_seen / last_seen, and
+    confidence_ppm = support * 10^6 div (support + k), the saturating
+    integer score (k=2: 1 obs -> 333333, 2 -> 500000, 10 -> 833333) that
+    downstream pruning thresholds without ever re-counting observations.
+    The reference keeps one row per triple and OVERWRITES on re-ingest
+    (artifact edge upsert, `artifact_ingestor_service.py`) — losing
+    exactly the support/provenance signal that separates a fact asserted
+    by 40 documents from one asserted by a parse glitch.
+
+    Scale shape: ONE grouped aggregation; count/min/max are algebraic
+    (map-side combinable, hub triples collapse before the shuffle);
+    the exact distinct-source count is the only two-phase member
+    (profile_columns-priced). Timestamps pass through as strings —
+    callers cast dates/timestamps to the string form they want compared
+    (the raw-DATE pandas-compare lesson)."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    return (
+        obs.groupBy(
+            F.col(subj).alias("subj"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("support"),
+            F.countDistinct(source_col).cast("bigint").alias("n_sources"),
+            F.min(F.col(ts_col).cast("string")).alias("first_seen"),
+            F.max(F.col(ts_col).cast("string")).alias("last_seen"),
+        )
+        .withColumn(
+            "confidence_ppm",
+            F.expr(f"support * 1000000 DIV (support + {int(k)})"),
+        )
+    )
