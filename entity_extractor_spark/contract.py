@@ -6328,6 +6328,110 @@ def graph_coarsen_brands(spark, sf_dir):
     return G.coarsen(edges, labels)
 
 
+# -------------------------------------------- modularity / vocab coverage --
+
+@query(
+    "graph_modularity",
+    """WITH e AS (
+         SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         WHERE a.l_partkey < b.l_partkey AND a.l_orderkey % 3 = 0),
+       le AS (
+         SELECT pa.p_brand AS ls, pb.p_brand AS ld
+         FROM e JOIN part pa ON pa.p_partkey = e.s
+                JOIN part pb ON pb.p_partkey = e.t),
+       mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM le),
+       deg AS (SELECT l, CAST(count(*) AS BIGINT) AS a_l
+               FROM (SELECT ls AS l FROM le UNION ALL SELECT ld FROM le)
+               GROUP BY l),
+       intra AS (SELECT ls AS l, CAST(count(*) AS BIGINT) AS e_l
+                 FROM le WHERE ls = ld GROUP BY 1),
+       per AS (SELECT d.l, d.a_l, COALESCE(i.e_l, 0) AS e_l
+               FROM deg d LEFT JOIN intra i USING (l)),
+       agg AS (SELECT mm.m,
+                      CAST(count(*) AS BIGINT) AS n_communities,
+                      sum(4 * CAST(mm.m AS HUGEINT) * e_l
+                          - CAST(a_l AS HUGEINT) * a_l) AS n
+               FROM per CROSS JOIN mm GROUP BY mm.m)
+       SELECT m AS m_edges, n_communities,
+              CAST((n * 1000000
+                    - ((((n * 1000000) % (4 * CAST(m AS HUGEINT) * m))
+                        + (4 * CAST(m AS HUGEINT) * m))
+                       % (4 * CAST(m AS HUGEINT) * m)))
+                   // (4 * CAST(m AS HUGEINT) * m) AS BIGINT) AS q_ppm
+       FROM agg""",
+)
+def graph_modularity(spark, sf_dir):
+    """Labeling quality score (graph.modularity): Newman Q of the brand
+    labeling over the parts-co-ordered graph, on the ppm grid via the
+    single-floor rational form sum(4*m*e_l - a_l^2)*10^6 / (4m^2) with a
+    sign-safe remainder-subtract floor (Q < 0 here: brands
+    anti-correlate with co-ordering, which is itself the finding) —
+    DECIMAL(38,0)/HUGEINT products, no windows, no iteration."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 3 == 0)
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    labels = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("vertex"), F.col("p_brand").alias("label")
+    )
+    return G.modularity(edges, labels)
+
+
+@query(
+    "text_vocab_coverage",
+    """WITH tf AS (
+         SELECT grp, term, CAST(count(*) AS BIGINT) AS f
+         FROM (SELECT lang AS grp,
+                      unnest(string_split(lower(text), ' ')) AS term
+               FROM documents)
+         WHERE regexp_matches(term, '^[a-z]+$') GROUP BY 1, 2),
+       fh AS (SELECT grp, f, CAST(count(*) AS BIGINT) AS n_terms
+              FROM tf GROUP BY 1, 2),
+       cum AS (
+         SELECT grp, f, n_terms, f * n_terms AS mass,
+                CAST(sum(f * n_terms) OVER (PARTITION BY grp ORDER BY f DESC)
+                     AS BIGINT) AS cum_mass,
+                CAST(sum(n_terms) OVER (PARTITION BY grp ORDER BY f DESC)
+                     AS BIGINT) AS cum_terms,
+                CAST(sum(f * n_terms) OVER (PARTITION BY grp) AS BIGINT)
+                  AS total
+         FROM fh),
+       x AS (SELECT cum.*, v.target_pct,
+                    (total * v.target_pct + 99) // 100 AS t
+             FROM cum, (VALUES (50), (90), (99)) v(target_pct))
+       SELECT grp AS lang, CAST(target_pct AS BIGINT) AS target_pct,
+              CAST(cum_terms - n_terms
+                   + ((t - (cum_mass - mass)) + f - 1) // f AS BIGINT)
+                AS vocab_size,
+              CAST(cum_mass - mass
+                   + ((t - (cum_mass - mass)) + f - 1) // f * f AS BIGINT)
+                AS covered_tokens,
+              total AS total_tokens
+       FROM x
+       WHERE cum_mass >= t AND cum_mass - mass < t""",
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary sizing curve (text_quality.vocab_coverage): per
+    language, the exact number of frequency-ranked vocabulary terms
+    needed to cover 50/90/99% of token mass — computed entirely on the
+    per-group FREQUENCY HISTOGRAM (no term-level sort anywhere; the
+    boundary frequency class is entered partially with ceil-division
+    integer arithmetic), windows partitioned by group only."""
+    from .operators.text_quality import vocab_coverage
+
+    return vocab_coverage(
+        _t(spark, sf_dir, "documents"), "text", "lang", (50, 90, 99)
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -1383,3 +1383,96 @@ def coarsen(
     return e.groupBy("label_a", "label_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_edges")
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertex_col: str = "vertex",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a vertex labeling over an undirected simple
+    graph — the quality score that turns label_propagation from "it
+    produced labels" into "the labels are better than chance". Q =
+    sum_l (e_l/m - (a_l/(2m))^2) where m = |edges|, e_l = intra-community
+    edges, a_l = degree mass of community l. Returned on the ppm integer
+    grid via the single-floor rational form
+        q_ppm = floor( sum_l (4*m*e_l - a_l^2) * 10^6 / (4*m^2) )
+    with the floor computed sign-safely as (n - ((n % d) + d) % d) / d —
+    Q is legitimately negative for anti-community labelings, and
+    truncating DIV (Spark) vs floor // (DuckDB) disagree on negatives
+    (the gap_fill lesson). All products run in DECIMAL(38,0): a_l <= 2m
+    so a_l^2 reaches 4*10^24 at web scale.
+
+    Output: one row (m_edges, n_communities, q_ppm). Scale shape: one
+    degree agg + two label joins (broadcastable map, assert-guarded
+    total like coarsen) + one per-community algebraic agg + one global
+    algebraic fold — no windows, no driver iteration. Input edges must
+    be canonical (src < dst, distinct); self-loops rejected loudly."""
+    lab = labels.select(
+        F.col(vertex_col).alias("_v"), F.col(label_col).alias("_l")
+    )
+    e = edges.select(
+        F.when(
+            F.assert_true(
+                F.col(src) != F.col(dst),
+                F.lit("modularity: self-loop in canonical edge input"),
+            ).isNull(),
+            F.col(src),
+        ).alias("_s"),
+        F.col(dst).alias("_d"),
+    )
+    le = (
+        e.join(lab.withColumnRenamed("_v", "_s").withColumnRenamed("_l", "_ls"), "_s", "left")
+        .join(lab.withColumnRenamed("_v", "_d").withColumnRenamed("_l", "_ld"), "_d", "left")
+        .select(
+            F.when(
+                F.assert_true(
+                    F.col("_ls").isNotNull() & F.col("_ld").isNotNull(),
+                    F.lit("modularity: edge endpoint missing from the label map"),
+                ).isNull(),
+                F.col("_ls"),
+            ).alias("_ls"),
+            "_ld",
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg_mass = (
+        le.select(F.col("_ls").alias("_l"))
+        .unionAll(le.select(F.col("_ld").alias("_l")))
+        .groupBy("_l")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a_l"))
+    )
+    intra = (
+        le.where(F.col("_ls") == F.col("_ld"))
+        .groupBy(F.col("_ls").alias("_l"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_l"))
+    )
+    m = le.count()
+    if m == 0:
+        return le.sparkSession.createDataFrame(
+            [], "m_edges bigint, n_communities bigint, q_ppm bigint"
+        )
+    per = deg_mass.join(intra, "_l", "left").withColumn(
+        "e_l", F.coalesce("e_l", F.lit(0).cast("bigint"))
+    )
+    num = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum(
+            F.expr(
+                f"4 * CAST({m} AS DECIMAL(38,0)) * e_l"
+                " - CAST(a_l AS DECIMAL(38,0)) * a_l"
+            )
+        ).alias("_n"),
+    )
+    d = 4 * m * m
+    return num.select(
+        F.lit(m).cast("bigint").alias("m_edges"),
+        "n_communities",
+        F.expr(
+            f"CAST((_n * 1000000 - ((((_n * 1000000) % {d}) + {d}) % {d}))"
+            f" DIV {d} AS BIGINT)"
+        ).alias("q_ppm"),
+    )

@@ -539,3 +539,73 @@ def inverted_index(
         )
     )
     return stats.join(posts, "term")
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str,
+    group_col: str,
+    targets: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Vocabulary sizing: per group (language/source), the number of
+    distinct terms a frequency-ranked vocabulary needs to cover X% of
+    token mass, and the mass actually covered at that size — the curve a
+    tokenizer/vocab budget is read off before training (bpe.bpe_train's
+    sibling question: "how big must the vocab be here?").
+
+    Exact, with NO term-level sort: terms collapse to the per-group
+    FREQUENCY HISTOGRAM (freq -> n_terms, mass), cumulative mass/terms
+    run over that tiny table (window partitioned BY GROUP, never
+    global), and the boundary frequency class is entered partially with
+    pure integer arithmetic — terms_needed = ceil((target_mass -
+    prev_cum)/f) of its (freq DESC, term ASC)-ordered terms. A 10^9-token
+    group with 10^6 distinct terms and ~10^3 distinct frequencies sorts
+    10^3 rows. Output (group, target_pct, vocab_size, covered_tokens,
+    total_tokens)."""
+    from pyspark.sql import Window
+
+    if not targets or any(t < 1 or t > 100 for t in targets):
+        raise ValueError("targets must be percentages in [1, 100]")
+    tf = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+        )
+        .where(F.col("term").rlike("^[a-z]+$"))
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    fh = tf.groupBy("grp", "f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms")
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("f").desc())
+    cum = (
+        fh.withColumn("mass", F.expr("f * n_terms"))
+        .withColumn("cum_mass", F.sum("mass").over(w))
+        .withColumn("cum_terms", F.sum("n_terms").over(w))
+        .withColumn("total", F.sum("mass").over(Window.partitionBy("grp")))
+    )
+    return (
+        cum.withColumn(
+            "target_pct", F.explode(F.array(*[F.lit(int(t)) for t in targets]))
+        )
+        # target token mass t = ceil(total * pct / 100); the boundary
+        # frequency class is the first (in freq DESC order) whose
+        # cumulative mass reaches it
+        .withColumn("t", F.expr("(total * target_pct + 99) div 100"))
+        .where(
+            (F.col("cum_mass") >= F.col("t"))
+            & (F.col("cum_mass") - F.col("mass") < F.col("t"))
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("target_pct").cast("bigint").alias("target_pct"),
+            F.expr(
+                "cum_terms - n_terms + ((t - (cum_mass - mass)) + f - 1) div f"
+            ).alias("vocab_size"),
+            F.expr(
+                "cum_mass - mass + ((t - (cum_mass - mass)) + f - 1) div f * f"
+            ).alias("covered_tokens"),
+            F.col("total").alias("total_tokens"),
+        )
+    )

@@ -100,3 +100,66 @@ def test_coarsen_self_loops_and_missing_label(spark):
     partial = labels.where(F.col("vertex") != 4)
     with pytest.raises(Exception, match="label map|assert"):
         G.coarsen(edges, partial).collect()
+
+
+def test_modularity_two_cliques_bridge(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "src int, dst int",
+    )
+    labels = spark.createDataFrame(
+        [(v, "A" if v <= 3 else "B") for v in range(1, 7)],
+        "vertex int, label string",
+    )
+    r = G.modularity(edges, labels).collect()[0]
+    # Q = 2*(3/7 - (7/14)^2) = 5/14 -> floor(357142.857) ppm
+    assert (r.m_edges, r.n_communities, r.q_ppm) == (7, 2, 357142)
+
+
+def test_modularity_negative_floor(spark):
+    # path 1-2-3-4, labels {1},{2},{3,4}: Q = -2/36 -> floor(-55555.55)
+    # = -55556; a truncating division would report -55555
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src int, dst int"
+    )
+    labels = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C"), (4, "C")], "vertex int, label string"
+    )
+    r = G.modularity(edges, labels).collect()[0]
+    assert (r.m_edges, r.n_communities, r.q_ppm) == (3, 3, -55556)
+
+
+def test_modularity_guards(spark):
+    import pytest as _pt
+
+    labels = spark.createDataFrame([(1, "A"), (2, "A")], "vertex int, label string")
+    loop = spark.createDataFrame([(1, 1)], "src int, dst int")
+    with _pt.raises(Exception, match="self-loop|assert"):
+        G.modularity(loop, labels).collect()
+    edges = spark.createDataFrame([(1, 3)], "src int, dst int")
+    with _pt.raises(Exception, match="label map|assert"):
+        G.modularity(edges, labels).collect()
+    empty = spark.createDataFrame([], "src int, dst int")
+    assert G.modularity(empty, labels).count() == 0
+
+
+def test_vocab_coverage_hand_case(spark):
+    from entity_extractor_spark.operators.text_quality import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b 9", "g"), (2, "a a b c d", "g")],
+        "doc_id int, text string, lang string",
+    )
+    rows = {
+        r.target_pct: r
+        for r in vocab_coverage(docs, "text", "lang", (50, 90, 99)).collect()
+    }
+    # freqs: a=5, b=3, c=1, d=1 (total 10; '9' filtered)
+    assert (rows[50].vocab_size, rows[50].covered_tokens) == (1, 5)
+    assert (rows[90].vocab_size, rows[90].covered_tokens) == (3, 9)
+    assert (rows[99].vocab_size, rows[99].covered_tokens) == (4, 10)
+    assert rows[50].total_tokens == 10
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        vocab_coverage(docs, "text", "lang", (0, 50))
