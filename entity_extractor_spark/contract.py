@@ -6432,6 +6432,71 @@ def text_vocab_coverage(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------------- hard negatives --
+
+@query(
+    "kg_hard_negatives",
+    """WITH planes AS MATERIALIZED (
+         SELECT b, j, d,
+                CASE WHEN strpos('0123456789abcdef',
+                            substr(md5(CASE WHEN b = 0 THEN j || ':' || d
+                                            ELSE 'b' || b || ':' || j || ':' || d END), 1, 1)) - 1 < 8
+                     THEN -1.0 ELSE 1.0 END AS sgn
+         FROM (SELECT unnest(generate_series(0, 1)) AS b)
+         CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS j)
+         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)),
+       vecs AS MATERIALIZED (
+         SELECT vec_id, label, d, CAST(embedding[d + 1] AS DOUBLE) AS v
+         FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)),
+       bits AS (
+         SELECT vec_id, b, j,
+                CASE WHEN ROUND(sum(v * sgn), 5) > 0 THEN '1' ELSE '0' END AS bit
+         FROM vecs JOIN planes USING (d) GROUP BY vec_id, b, j),
+       sigs AS MATERIALIZED (
+         SELECT vec_id, b, string_agg(bit, '' ORDER BY j) AS bkt
+         FROM bits GROUP BY vec_id, b),
+       lab AS (SELECT vec_id, label FROM embeddings),
+       cand AS MATERIALIZED (
+         SELECT DISTINCT s1.vec_id AS anchor, s2.vec_id AS negative
+         FROM sigs s1 JOIN sigs s2 ON s1.b = s2.b AND s1.bkt = s2.bkt
+         JOIN lab l1 ON l1.vec_id = s1.vec_id
+         JOIN lab l2 ON l2.vec_id = s2.vec_id
+         WHERE s1.vec_id != s2.vec_id AND l1.label != l2.label),
+       m AS (SELECT max(abs(v)) AS ma FROM vecs),
+       codes AS MATERIALIZED (
+         SELECT vec_id, d,
+                CAST(FLOOR(v * 127.0 / (SELECT ma FROM m) + 0.5) AS BIGINT) AS q
+         FROM vecs),
+       s AS (
+         SELECT c.anchor, c.negative, CAST(sum(ca.q * cc.q) AS BIGINT) AS qscore
+         FROM cand c
+         JOIN codes ca ON ca.vec_id = c.anchor
+         JOIN codes cc ON cc.vec_id = c.negative AND cc.d = ca.d
+         GROUP BY 1, 2)
+       SELECT anchor, negative, qscore, CAST(rnk AS BIGINT) AS rank
+       FROM (SELECT anchor, negative, qscore,
+                    row_number() OVER (PARTITION BY anchor
+                                       ORDER BY qscore DESC, negative) AS rnk
+             FROM s)
+       WHERE rnk <= 3""",
+)
+def kg_hard_negatives(spark, sf_dir):
+    """ANN-mined hard negatives (kg_training.hard_negatives): per anchor
+    vector, the top-3 most-similar DIFFERENT-label vectors from two
+    independent 6-bit hyperplane-LSH bucket self-joins, ranked by the
+    exact int8 integer dot — the DPR/ANCE-style mining step that upgrades
+    kg_contrastive_pairs' random corruptions with boundary-carrying
+    negatives. Never an all-pairs join: candidates are hash equi-joins on
+    (band, bucket); quantize-first doctrine makes every ranking
+    comparison order-free integer arithmetic, replayed bit-for-bit by
+    the oracle (md5 planes, ROUND(proj,5) sign, floor-half-up codes)."""
+    from .operators.kg_training import hard_negatives
+
+    return hard_negatives(
+        _t(spark, sf_dir, "embeddings"), dims=64, bits=6, bands=2, k=3
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -260,3 +260,101 @@ def sampled_adjacency(
             ).alias("neighbors_csv"),
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    bits: int = 6,
+    bands: int = 2,
+    k: int = 3,
+    max_abs: float | None = None,
+) -> DataFrame:
+    """ANN-mined hard negatives for contrastive training: per anchor, the
+    top-k most-similar vectors that do NOT share its label (canonical
+    entity id) — the quality upgrade over negative_sample's random
+    corruptions. A model trained on random negatives learns to separate
+    obviously-unrelated pairs; hard negatives carry the gradient signal
+    near the decision boundary (the standard dense-retrieval recipe,
+    e.g. DPR/ANCE-style mining).
+
+    Scale shape — never an all-pairs join: candidates come from `bands`
+    independent hyperplane-LSH bucket self-joins (hash equi-join on
+    (band, bucket); per-bucket mass is corpus/2^bits per band), ranked
+    by the int8 integer dot over quantize_embeddings codes (bandwidth-
+    compressed, engine-exact — the quantized_topk doctrine: quantize to
+    ints FIRST, then every downstream comparison is order-free integer
+    arithmetic), top-k per anchor via a window partitioned by anchor.
+    Recall is probabilistic like every LSH path here (multi-band recovers
+    it; measured in bench's recall report for the query-side twin).
+
+    Output: (anchor, negative, qscore, rank), rank 1..k by
+    (qscore DESC, negative ASC). Anchors whose buckets contain only
+    same-label vectors are absent — the signal to widen bands/bits."""
+    from .similarity import (
+        corpus_max_abs,
+        hyperplane_signature,
+        quantize_embeddings,
+    )
+
+    if bands < 1 or bits < 1 or k < 1:
+        raise ValueError("bands, bits and k must be >= 1")
+    ma = corpus_max_abs(embeddings, vec_col) if max_abs is None else float(max_abs)
+    base = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(label_col).alias("_lab"),
+    )
+    sigs = None
+    for b in range(bands):
+        s = base.select(
+            "_id",
+            "_lab",
+            F.lit(b).alias("_b"),
+            hyperplane_signature(F.col("_v"), dims, bits, band=b).alias("_bkt"),
+        )
+        sigs = s if sigs is None else sigs.unionAll(s)
+    cand = (
+        sigs.alias("a")
+        .join(sigs.alias("c"), ["_b", "_bkt"])
+        .where(
+            (F.col("a._id") != F.col("c._id"))
+            & (F.col("a._lab") != F.col("c._lab"))
+        )
+        .select(
+            F.col("a._id").alias("anchor"), F.col("c._id").alias("negative")
+        )
+        .distinct()
+    )
+    coded = quantize_embeddings(embeddings, id_col, vec_col, max_abs=ma)
+    scored = (
+        cand.join(
+            coded.select(F.col(id_col).alias("anchor"), F.col("qvec").alias("_qa")),
+            "anchor",
+        )
+        .join(
+            coded.select(
+                F.col(id_col).alias("negative"), F.col("qvec").alias("_qc")
+            ),
+            "negative",
+        )
+        .select(
+            "anchor",
+            "negative",
+            F.aggregate(
+                F.zip_with("_qa", "_qc", lambda a, c: (a * c).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qscore"),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.col("qscore").desc(), F.col("negative")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )

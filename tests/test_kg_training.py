@@ -141,3 +141,41 @@ def test_sampled_adjacency_validates(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         sampled_adjacency(df, fanout=0)
+
+
+def test_hard_negatives_properties(spark):
+    import math
+
+    import pytest as _pt
+
+    from entity_extractor_spark.operators.kg_training import hard_negatives
+
+    rng = __import__("random").Random(7)
+    dims = 8
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dims)], i % 3)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>, label int"
+    )
+    out = hard_negatives(df, dims=dims, bits=2, bands=2, k=4).collect()
+    assert out, "small corpus with 4 buckets must produce candidates"
+    # replicate quantization driver-side from the FLOAT32 values Spark saw
+    f32 = {i: [float(__import__("numpy").float32(x)) for x in v] for i, v, _ in rows}
+    ma = max(abs(x) for v in f32.values() for x in v)
+    q = {i: [math.floor(x * 127.0 / ma + 0.5) for x in v] for i, v in f32.items()}
+    lab = {i: l for i, _, l in rows}
+    per_anchor: dict[int, list] = {}
+    for r in out:
+        assert lab[r.anchor] != lab[r.negative]
+        assert r.qscore == sum(a * b for a, b in zip(q[r.anchor], q[r.negative]))
+        per_anchor.setdefault(r.anchor, []).append((r.rank, r.qscore, r.negative))
+    for a, lst in per_anchor.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+        scores = [s for _, s, _ in lst]
+        assert scores == sorted(scores, reverse=True)
+        assert len(lst) <= 4
+    with _pt.raises(ValueError):
+        hard_negatives(df, dims=dims, k=0)
