@@ -582,9 +582,93 @@ def dedup_exact(spark, sf_dir):
     return D.exact_duplicates(d, "doc_id", "text")
 
 
+# the 16-slot minhash coefficient table, generated from dedupe._mh_const —
+# the SAME source the Spark side reads, so the two engines share one family
+_MH_CONSTS = D.minhash_consts_sql(16)
+
+# the per-slot hash, evaluated in HUGEINT (the 60-bit a times 48-bit x
+# product is ~2^108 — DuckDB BIGINT would overflow loudly, and a narrower
+# coefficient would never wrap the modulus: see minhash_signatures)
+_MH_HV_SQL = (
+    "CAST((CAST(a AS HUGEINT) * x + b) % 2305843009213693951 AS BIGINT)"
+)
+
+# Shared near-dup evaluation corpus for the dedup/calibration gates: every
+# 10th document plus two deterministic corruptions of it — a LIGHT variant
+# ('qq ' prepended: one extra bigram shingle, J ~ n/(n+2)) and a HEAVY
+# variant (first half of the text: J ~ 0.5). The raw documents table has NO
+# true near-duplicates (500/500 distinct shingle sets at sf0.01), so gates
+# running LSH over it alone return empty sets — two engines agreeing on
+# nothing (the k_core vacuity lesson). Gold class = the base doc id
+# (doc_id % 10^6); both engines rebuild the corpus from the same
+# expressions, so every gate value-checks corruption, hashing, banding and
+# the downstream decision end to end, over pairs that actually exist.
+
+def _neardup_docs(spark, sf_dir) -> DataFrame:
+    d0 = (
+        _t(spark, sf_dir, "documents")
+        .where("doc_id % 10 = 0")
+        .select("doc_id", "text", "lang", "n_chars")
+    )
+    return (
+        d0.select("doc_id", "text", "lang")
+        .unionByName(
+            d0.select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.lit("qq "), F.col("text")).alias("text"),
+                "lang",
+            )
+        )
+        .unionByName(
+            d0.select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.expr("substring(text, 1, CAST(n_chars DIV 2 AS INT))").alias(
+                    "text"
+                ),
+                "lang",
+            )
+        )
+    )
+
+
+_NEARDUP_SQL = """
+    WITH base AS (
+         SELECT doc_id, text, lang, n_chars
+         FROM documents WHERE doc_id % 10 = 0),
+       aug AS MATERIALIZED (
+         SELECT doc_id, text, lang FROM base
+         UNION ALL
+         SELECT doc_id + 1000000, 'qq ' || text, lang FROM base
+         UNION ALL
+         SELECT doc_id + 2000000,
+                substr(text, 1, CAST(n_chars // 2 AS INT)), lang
+         FROM base)
+"""
+
+# minhash signatures over `aug` — the dedupe.py scheme (48-bit md5 shingle
+# hashes, md5-derived 60-bit coefficients, HUGEINT mod 2^61-1)
+_NEARDUP_SIG_SQL = _NEARDUP_SQL + f""",
+       sh AS (
+         SELECT doc_id, unnest(list_distinct(
+                  list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                                 i -> toks[i] || ' ' || toks[i + 1]))) AS shingle
+         FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM aug)
+       ), hx AS (
+         SELECT doc_id, shingle,
+                CAST(('0x' || substr(md5(shingle), 1, 12)) AS BIGINT) AS x
+         FROM sh
+       ), sig AS MATERIALIZED (
+         SELECT doc_id, hash_id,
+                min({_MH_HV_SQL}) AS minhash
+         FROM hx CROSS JOIN {_MH_CONSTS}
+         GROUP BY doc_id, hash_id
+       )"""
+
+
 @query(
     "dedup_minhash",
-    """WITH sh AS (
+    f"""WITH sh AS (
          SELECT doc_id, unnest(list_distinct(
                   list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
                                  i -> toks[i] || ' ' || toks[i + 1]))) AS shingle
@@ -596,8 +680,8 @@ def dedup_exact(spark, sf_dir):
          FROM sh
        )
        SELECT doc_id, hash_id,
-              min(((hash_id * 2 + 3) * x + (hash_id * 5 + 7)) % 2305843009213693951) AS minhash
-       FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS hash_id)
+              min({_MH_HV_SQL}) AS minhash
+       FROM hx CROSS JOIN {_MH_CONSTS}
        GROUP BY doc_id, hash_id""",
 )
 def dedup_minhash(spark, sf_dir):
@@ -606,32 +690,6 @@ def dedup_minhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").where("doc_id % 10 = 0")
     return D.minhash_signatures(d, "doc_id", "text", num_hashes=16, shingle_n=2)
 
-
-def _minhash_sig_sql(where: str) -> str:
-    """The minhash-signature CTE block over `documents WHERE {where}` —
-    shared by the batch LSH pair oracle and the incremental new-vs-index
-    oracle (one definition of the hashing scheme on the DuckDB side)."""
-    return f"""
-    WITH sh AS (
-         SELECT doc_id, unnest(list_distinct(
-                  list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
-                                 i -> toks[i] || ' ' || toks[i + 1]))) AS shingle
-         FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-               FROM documents WHERE {where})
-       ), hx AS (
-         SELECT doc_id, shingle,
-                CAST(('0x' || substr(md5(shingle), 1, 12)) AS BIGINT) AS x
-         FROM sh
-       ), sig AS (
-         SELECT doc_id, hash_id,
-                min(((hash_id * 2 + 3) * x + (hash_id * 5 + 7)) % 2305843009213693951) AS minhash
-         FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS hash_id)
-         GROUP BY doc_id, hash_id
-       )
-"""
-
-
-_MINHASH_SIG_SQL = _minhash_sig_sql("doc_id % 10 = 0")
 
 # the LSH banding CTE over `sig` — ONE oracle-side definition of the
 # banding scheme (band = hash_id // 4, bucket = md5 of the ordered
@@ -644,15 +702,20 @@ _LSH_BUCKETS_SQL = """buckets AS (
 
 @query(
     "dedup_minhash_lsh_pairs",
-    _MINHASH_SIG_SQL + """,
+    _NEARDUP_SIG_SQL + """,
        """ + _LSH_BUCKETS_SQL + """
        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
        FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
        WHERE a.doc_id < b.doc_id""",
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").where("doc_id % 10 = 0")
-    sig = D.minhash_signatures(d, "doc_id", "text", num_hashes=16, shingle_n=2)
+    """LSH candidate pairs (4 bands x 4 slots) over the near-dup corpus —
+    light variants pair with their base at ~(n/(n+2))^4 per band, heavy
+    variants at ~J^4 ~ 6% per band, unrelated docs effectively never: the
+    S-curve the banding exists for, checked over pairs that exist."""
+    sig = D.minhash_signatures(
+        _neardup_docs(spark, sf_dir), "doc_id", "text", num_hashes=16, shingle_n=2
+    )
     return D.lsh_candidate_pairs(sig, band_size=4)
 
 
@@ -683,12 +746,13 @@ def dedup_simhash(spark, sf_dir):
 
 @query(
     "dedup_ngram_jaccard",
-    """WITH s AS (
+    _NEARDUP_SQL + """,
+       s AS (
          SELECT doc_id, lang, list_distinct(
                   list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
                                  i -> toks[i] || ' ' || toks[i + 1])) AS sh
          FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
-               FROM documents WHERE doc_id % 20 = 0)
+               FROM aug WHERE doc_id % 20 = 0)
        )
        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
               ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -698,7 +762,11 @@ def dedup_simhash(spark, sf_dir):
                    / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.2""",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").where("doc_id % 20 = 0")
+    """Exact within-block Jaccard over the near-dup corpus (variant ids
+    are base + k*10^6, so doc_id % 20 = 0 keeps every 2nd base doc AND
+    its variants): light pairs land at J ~ n/(n+2), heavy at ~0.5 — real
+    values above the 0.2 floor, not an empty intersection of engines."""
+    d = _neardup_docs(spark, sf_dir).where("doc_id % 20 = 0")
     return D.ngram_jaccard_pairs(d, "doc_id", "text", "lang", shingle_n=2, threshold=0.2)
 
 
@@ -2212,7 +2280,7 @@ def sample_stratified_det(spark, sf_dir):
 
 @query(
     "dedup_lsh_canonical",
-    _MINHASH_SIG_SQL + """,
+    _NEARDUP_SIG_SQL + """,
        """ + _LSH_BUCKETS_SQL + """,
        prs AS (
          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -2238,14 +2306,17 @@ def sample_stratified_det(spark, sf_dir):
        SELECT d.doc_id,
               CAST(COALESCE(c.component, lpad(CAST(d.doc_id AS VARCHAR), 20, '0')) AS BIGINT) AS keeper,
               CAST(COALESCE(c.component, lpad(CAST(d.doc_id AS VARCHAR), 20, '0')) AS BIGINT) <> d.doc_id AS is_dup
-       FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+       FROM (SELECT doc_id FROM aug) d
        LEFT JOIN closure c ON c.vertex = lpad(CAST(d.doc_id AS VARCHAR), 20, '0')""",
 )
 def dedup_lsh_canonical(spark, sf_dir):
-    """End-to-end dedup decision: MinHash -> LSH candidate pairs ->
-    connected components -> canonical keeper per doc (dup chains collapse
-    transitively). The composite a 100 TB dedup pipeline actually ships."""
-    d = _t(spark, sf_dir, "documents").where("doc_id % 10 = 0")
+    """End-to-end dedup decision over the near-dup corpus: MinHash -> LSH
+    candidate pairs -> connected components -> canonical keeper per doc
+    (a base doc, its light variant, and — when banding catches the J~0.5
+    pair — its heavy variant collapse transitively to the base id). The
+    composite a 100 TB dedup pipeline actually ships, checked over
+    clusters that exist."""
+    d = _neardup_docs(spark, sf_dir)
     sig = D.minhash_signatures(d, "doc_id", "text", num_hashes=16, shingle_n=2)
     pairs = D.lsh_candidate_pairs(sig, band_size=4)
     return D.dedup_canonical(pairs, d, "doc_id")
@@ -2943,29 +3014,31 @@ def sample_fixed_k(spark, sf_dir):
 
 @query(
     "dedup_incremental_lsh",
-    _minhash_sig_sql("doc_id % 10 = 0") + """,
+    _NEARDUP_SIG_SQL + """,
        """ + _LSH_BUCKETS_SQL + """
        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS index_id
        FROM buckets n JOIN buckets o ON n.band = o.band AND n.bucket = o.bucket
-       WHERE n.doc_id % 20 = 10 AND o.doc_id % 20 = 0""",
+       WHERE n.doc_id >= 1000000 AND o.doc_id < 1000000""",
 )
 def dedup_incremental_lsh(spark, sf_dir):
     """Incremental near-dedup (dedupe.incremental_lsh_matches): the NEW
-    ingest batch (doc_id%20==10) dedups against the PERSISTED LSH index of
-    the existing corpus (doc_id%20==0, built by dedupe.lsh_bucket_table)
-    — only the new batch is shingled/hashed; the old corpus contributes
-    its (band, bucket) index rows to one equi-join. The oracle computes
-    both sides' buckets from scratch and joins across the same split —
-    identical pairs, opposite amount of recomputation."""
-    d = _t(spark, sf_dir, "documents").where("doc_id % 10 = 0")
-    index = D.lsh_bucket_table(d.where("doc_id % 20 = 0"), "doc_id", "text")
-    new = d.where("doc_id % 20 = 10")
+    ingest batch (the corrupted variants, doc_id >= 10^6 in the near-dup
+    corpus — a re-crawl delivering mangled copies) dedups against the
+    PERSISTED LSH index of the original corpus (doc_id < 10^6, built by
+    dedupe.lsh_bucket_table) — only the new batch is shingled/hashed; the
+    old corpus contributes its (band, bucket) index rows to one
+    equi-join, and the light variants reliably hit their originals. The
+    oracle computes both sides' buckets from scratch and joins across the
+    same split — identical pairs, opposite amount of recomputation."""
+    d = _neardup_docs(spark, sf_dir)
+    index = D.lsh_bucket_table(d.where("doc_id < 1000000"), "doc_id", "text")
+    new = d.where("doc_id >= 1000000")
     return D.incremental_lsh_matches(new, index, "doc_id", "text")
 
 
 @query(
     "curate_split_leakage",
-    _minhash_sig_sql("doc_id % 10 = 0") + f""",
+    _NEARDUP_SIG_SQL + f""",
        """ + _LSH_BUCKETS_SQL + f""",
        p AS (
          SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
@@ -2987,13 +3060,16 @@ def curate_split_leakage(spark, sf_dir):
     """Train/eval leakage audit (contamination.cross_split_leakage): LSH
     near-dup pairs whose endpoints landed in DIFFERENT splits of
     assign_splits' 90/5/5 assignment — the internal-corpus counterpart of
-    benchmark decontamination. Composes three value-checked operators
-    (minhash LSH pairing, split assignment, the leakage join); the oracle
-    replays the full composition."""
+    benchmark decontamination. Over the near-dup corpus the leak is
+    guaranteed structurally: splits hash doc_id, variants carry different
+    ids than their base, so ~1 - (0.9^2+0.05^2+0.05^2) of true near-dup
+    pairs straddle a split boundary. Composes three value-checked
+    operators (minhash LSH pairing, split assignment, the leakage join);
+    the oracle replays the full composition."""
     from .operators import sampling as SAMP
     from .operators.contamination import cross_split_leakage
 
-    d = _t(spark, sf_dir, "documents").where("doc_id % 10 = 0")
+    d = _neardup_docs(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(D.minhash_signatures(d, "doc_id", "text"))
     labels = SAMP.assign_splits(
         d, "doc_id", {"train": 0.9, "valid": 0.05, "test": 0.05}, salt="split0"
@@ -3003,13 +3079,15 @@ def curate_split_leakage(spark, sf_dir):
 
 @query(
     "stream_dedup_replay",
-    _minhash_sig_sql("doc_id % 10 = 0") + """,
+    _NEARDUP_SIG_SQL + """,
        """ + _LSH_BUCKETS_SQL + """,
        p0 AS (
          SELECT DISTINCT lpad(CAST(a.doc_id AS VARCHAR), 20, '0') AS a,
                          lpad(CAST(b.doc_id AS VARCHAR), 20, '0') AS b
          FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-         WHERE a.doc_id < b.doc_id AND a.doc_id % 20 = 0 AND b.doc_id % 20 = 0
+         WHERE a.doc_id < b.doc_id
+           AND (a.doc_id < 1000000 OR a.doc_id >= 2000000)
+           AND (b.doc_id < 1000000 OR b.doc_id >= 2000000)
        ),
        e0 AS (SELECT a, b FROM p0 UNION SELECT b, a FROM p0
               UNION SELECT a, a FROM p0 UNION SELECT b, b FROM p0),
@@ -3017,7 +3095,9 @@ def curate_split_leakage(spark, sf_dir):
          SELECT DISTINCT lpad(CAST(a.doc_id AS VARCHAR), 20, '0') AS a,
                          lpad(CAST(b.doc_id AS VARCHAR), 20, '0') AS b
          FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-         WHERE a.doc_id < b.doc_id AND a.doc_id % 20 = 10 AND b.doc_id % 20 = 10
+         WHERE a.doc_id < b.doc_id
+           AND a.doc_id >= 1000000 AND a.doc_id < 2000000
+           AND b.doc_id >= 1000000 AND b.doc_id < 2000000
        ),
        e1 AS (SELECT a, b FROM p1 UNION SELECT b, a FROM p1
               UNION SELECT a, a FROM p1 UNION SELECT b, b FROM p1),
@@ -3036,13 +3116,15 @@ def curate_split_leakage(spark, sf_dir):
        dec0 AS (
          SELECT d.doc_id,
                 CAST(COALESCE(c.component, lpad(CAST(d.doc_id AS VARCHAR), 20, '0')) AS BIGINT) AS keeper
-         FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
+         FROM (SELECT doc_id FROM aug
+               WHERE doc_id < 1000000 OR doc_id >= 2000000) d
          LEFT JOIN closure0 c ON c.vertex = lpad(CAST(d.doc_id AS VARCHAR), 20, '0')
        ),
        dec1w AS (
          SELECT d.doc_id,
                 CAST(COALESCE(c.component, lpad(CAST(d.doc_id AS VARCHAR), 20, '0')) AS BIGINT) AS keeper
-         FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 10) d
+         FROM (SELECT doc_id FROM aug
+               WHERE doc_id >= 1000000 AND doc_id < 2000000) d
          LEFT JOIN closure1 c ON c.vertex = lpad(CAST(d.doc_id AS VARCHAR), 20, '0')
        ),
        prior AS (
@@ -3063,21 +3145,28 @@ def curate_split_leakage(spark, sf_dir):
 )
 def stream_dedup_replay(spark, sf_dir):
     """Streaming dedup gate replayed deterministically (streaming/dedup.py
-    dedup_batch): the corpus slice arrives as two micro-batches
-    (doc_id%20==0 then %20==10); each batch canonicalizes within itself
-    (LSH pairs -> CC -> min-id keeper) and its surviving keepers re-point
-    to the smallest colliding doc in the accumulated kept-docs index. The
-    oracle unrolls both batches — per-batch recursive transitive closures
-    plus the cross-batch keeper join — so the sequential stateful
-    semantics are value-checked, not just rows-counted."""
+    dedup_batch) over the near-dup corpus: batch 0 delivers the originals
+    plus their heavy variants (within-batch near-dup pairs), batch 1 the
+    light variants (almost every one re-points CROSS-batch to its
+    original in the accumulated kept-docs index) — both stateful paths
+    carry real collisions. Each batch canonicalizes within itself (LSH
+    pairs -> CC -> min-id keeper) and its surviving keepers re-point to
+    the smallest colliding doc in the index. The oracle unrolls both
+    batches — per-batch recursive transitive closures plus the
+    cross-batch keeper join — so the sequential stateful semantics are
+    value-checked, not just rows-counted."""
     import tempfile
 
     from .streaming.dedup import dedup_batch, read_decisions
 
     out = tempfile.mkdtemp(prefix="stream_dedup_")
-    d = _t(spark, sf_dir, "documents").where("doc_id % 10 = 0").select("doc_id", "text")
-    dedup_batch(spark, d.where("doc_id % 20 = 0"), 0, out)
-    dedup_batch(spark, d.where("doc_id % 20 = 10"), 1, out)
+    d = _neardup_docs(spark, sf_dir).select("doc_id", "text")
+    dedup_batch(
+        spark, d.where("doc_id < 1000000 OR doc_id >= 2000000"), 0, out
+    )
+    dedup_batch(
+        spark, d.where("doc_id >= 1000000 AND doc_id < 2000000"), 1, out
+    )
     return read_decisions(spark, out)
 
 
@@ -5188,7 +5277,7 @@ _KEEPER_BUCKET_SQL = _SPLIT_BUCKET_SQL.replace("doc_id", "keeper")
 
 @query(
     "curate_safe_splits",
-    _MINHASH_SIG_SQL + """,
+    _NEARDUP_SIG_SQL + """,
        """ + _LSH_BUCKETS_SQL + f""",
        prs AS (
          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -5215,7 +5304,7 @@ _KEEPER_BUCKET_SQL = _SPLIT_BUCKET_SQL.replace("doc_id", "keeper")
          SELECT d.doc_id,
                 CAST(COALESCE(c.component,
                               lpad(CAST(d.doc_id AS VARCHAR), 20, '0')) AS BIGINT) AS keeper
-         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         FROM (SELECT doc_id FROM aug) d
          LEFT JOIN closure c ON c.vertex = lpad(CAST(d.doc_id AS VARCHAR), 20, '0'))
        SELECT doc_id, keeper,
               CASE WHEN {_KEEPER_BUCKET_SQL} < 50000 THEN 'test'
@@ -5232,10 +5321,12 @@ def curate_safe_splits(spark, sf_dir):
     the train/eval boundary. Singletons key on themselves and split
     exactly as sample_assign_splits would. The oracle replays the full
     composition: banded MinHash pairing, recursive-CTE closure, keeper
-    arithmetic, bucket CASE."""
+    arithmetic, bucket CASE. Over the near-dup corpus the components are
+    real (base + variants), so the keeper-keyed co-assignment is
+    exercised on multi-member clusters, not just singletons."""
     from .operators import sampling as SAMP
 
-    d = _t(spark, sf_dir, "documents").where("doc_id % 10 = 0")
+    d = _neardup_docs(spark, sf_dir)
     sig = D.minhash_signatures(d, "doc_id", "text", num_hashes=16, shingle_n=2)
     pairs = D.lsh_candidate_pairs(sig, band_size=4)
     return SAMP.leakage_safe_splits(
@@ -6495,6 +6586,164 @@ def kg_hard_negatives(spark, sf_dir):
     return hard_negatives(
         _t(spark, sf_dir, "embeddings"), dims=64, bits=6, bands=2, k=3
     )
+
+
+# ------------------------------------------------- matcher calibration (ER) --
+
+# band-2 rebanding of the near-dup corpus signatures: 8 bands of 2 slots
+# widen the candidate set to include genuinely dissimilar pairs — the
+# negatives a calibration curve needs
+_ER_SWEEP_SQL = _NEARDUP_SIG_SQL + """, buckets AS (
+         SELECT doc_id, CAST(hash_id // 2 AS INT) AS band,
+                md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_id)) AS bucket
+         FROM sig GROUP BY doc_id, CAST(hash_id // 2 AS INT)
+       ), cand AS (
+         SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id
+       ), scored AS (
+         SELECT c.doc1, c.doc2, g.lang,
+                CAST(sum(CASE WHEN s1.minhash = s2.minhash THEN 1 ELSE 0 END)
+                     AS BIGINT) AS score,
+                CASE WHEN c.doc1 % 1000000 = c.doc2 % 1000000 THEN 1 ELSE 0 END AS gold
+         FROM cand c
+         JOIN sig s1 ON s1.doc_id = c.doc1
+         JOIN sig s2 ON s2.doc_id = c.doc2 AND s2.hash_id = s1.hash_id
+         JOIN aug g ON g.doc_id = c.doc1
+         GROUP BY 1, 2, 3, 5
+       ), hist AS (
+         SELECT lang, score, CAST(sum(gold) AS BIGINT) AS pos,
+                CAST(count(*) - sum(gold) AS BIGINT) AS neg
+         FROM scored GROUP BY lang, score
+       ), stats AS (
+         SELECT lang, score,
+                CAST(sum(pos) OVER (PARTITION BY lang ORDER BY score DESC) AS BIGINT) AS tp,
+                CAST(sum(neg) OVER (PARTITION BY lang ORDER BY score DESC) AS BIGINT) AS fp,
+                CAST(sum(pos) OVER (PARTITION BY lang) AS BIGINT) AS p
+         FROM hist)
+       SELECT lang, score AS threshold, tp, fp, p - tp AS fn,
+              CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+              CASE WHEN p > 0 THEN CAST(tp * 1000000 // p AS BIGINT) END AS recall_ppm,
+              CASE WHEN p > 0 THEN CAST(2 * tp * 1000000 // (tp + fp + p) AS BIGINT) END AS f1_ppm
+       FROM stats"""
+
+
+@query("er_threshold_sweep", _ER_SWEEP_SQL)
+def er_threshold_sweep(spark, sf_dir):
+    """Matcher calibration (er_metrics.threshold_sweep): per-language
+    precision/recall/F1 curve of the minhash-agreement matcher (0..16
+    agreeing slots) over LSH candidate pairs from the corrupted-variant
+    corpus — the operating-point report that turns "LSH found pairs"
+    into "accept agreement >= t and get measured precision/recall".
+    band_size=2 widens the candidate set so the curve sees true
+    negatives; gold = same base document. The big table collapses to the
+    per-(lang, score) histogram first; windows run group-partitioned
+    over that tiny table (vocab_coverage doctrine). Reference contrast:
+    linking there is one unscored equality rule
+    (global_node_repository.py upsert-by-normalized-name) — nothing to
+    calibrate; this is the measured version."""
+    from .operators.er_metrics import threshold_sweep
+
+    aug = _neardup_docs(spark, sf_dir)
+    sig = D.minhash_signatures(aug, "doc_id", "text", num_hashes=16, shingle_n=2)
+    pairs = D.lsh_candidate_pairs(sig, band_size=2)
+    scored = (
+        D.minhash_agreement(sig, pairs, num_hashes=16)
+        .select("doc1", "doc2", F.col("agree").alias("score"))
+        .withColumn(
+            "gold",
+            (F.col("doc1") % 1_000_000 == F.col("doc2") % 1_000_000).cast("int"),
+        )
+        .join(
+            aug.select(F.col("doc_id").alias("doc1"), "lang"),
+            "doc1",
+        )
+    )
+    return threshold_sweep(scored, "lang", "score", "gold")
+
+
+@query(
+    "er_blocking_quality",
+    _NEARDUP_SQL + """,
+       items AS MATERIALIZED (
+         SELECT s.strategy,
+                CASE s.strategy
+                     WHEN 'lang' THEN lang
+                     WHEN 'len100' THEN CAST(length(text) // 100 AS VARCHAR)
+                     WHEN 'prefix16' THEN substr(text, 1, 16)
+                     ELSE CASE WHEN doc_id % 7 = 3 THEN NULL ELSE lang END
+                END AS blk,
+                CAST(doc_id % 1000000 AS VARCHAR) AS gold
+         FROM aug
+         CROSS JOIN (SELECT unnest(['lang', 'len100', 'prefix16', 'lang_gap']) AS strategy) s),
+       cells AS MATERIALIZED (
+         SELECT strategy, blk, gold, count(*) AS c
+         FROM items GROUP BY 1, 2, 3),
+       agg AS (
+         SELECT strategy,
+                CAST(sum(c) AS BIGINT) AS n_items,
+                CAST(sum(CASE WHEN blk IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS n_blocked,
+                CAST(sum(CASE WHEN blk IS NOT NULL THEN c * (c - 1) // 2 ELSE 0 END) AS BIGINT) AS covered_pairs
+         FROM cells GROUP BY strategy),
+       cand AS (
+         SELECT strategy, CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+         FROM (SELECT strategy, blk, sum(c) AS n FROM cells
+               WHERE blk IS NOT NULL GROUP BY 1, 2)
+         GROUP BY strategy),
+       gld AS (
+         SELECT strategy, CAST(sum(n * (n - 1) // 2) AS BIGINT) AS gold_pairs
+         FROM (SELECT strategy, gold, sum(c) AS n FROM cells GROUP BY 1, 2)
+         GROUP BY strategy)
+       SELECT a.strategy, a.n_items, a.n_blocked,
+              COALESCE(c.candidate_pairs, 0) AS candidate_pairs,
+              g.gold_pairs, a.covered_pairs,
+              CASE WHEN a.n_items > 1 THEN
+                CAST(((a.n_items * (a.n_items - 1) // 2) - COALESCE(c.candidate_pairs, 0))
+                     * 1000000 // (a.n_items * (a.n_items - 1) // 2) AS BIGINT)
+              END AS reduction_ppm,
+              CASE WHEN g.gold_pairs > 0 THEN
+                CAST(a.covered_pairs * 1000000 // g.gold_pairs AS BIGINT)
+              END AS completeness_ppm
+       FROM agg a
+       LEFT JOIN cand c ON c.strategy = a.strategy
+       LEFT JOIN gld g ON g.strategy = a.strategy""",
+)
+def er_blocking_quality(spark, sf_dir):
+    """Blocking-scheme report card (er_metrics.blocking_quality): four
+    candidate-generation strategies graded in ONE pass over the
+    corrupted-variant corpus without materializing any pair — 'lang'
+    (coarse: full completeness, terrible reduction), 'len100' (length
+    bucket: the heavy variant halves the text and escapes its block),
+    'prefix16' (first 16 chars: the light variant's prepended token
+    escapes), and 'lang_gap' (key extraction failed for doc_id%7==3:
+    NULL block = UNBLOCKED item, its gold pairs count as missed — never
+    a fabricated mega-block). Gold class = base doc id. Every count is a
+    C(n,2) over group sizes (pair_metrics identity, DECIMAL(38,0)
+    internally); the reduction-vs-completeness tension across the four
+    rows IS the blocking design tradeoff at 100 TB."""
+    from .operators.er_metrics import blocking_quality
+
+    aug = _neardup_docs(spark, sf_dir)
+    gold = F.col("doc_id") % 1_000_000
+    stacked = None
+    for name, blk in [
+        ("lang", F.col("lang")),
+        ("len100", F.expr("CAST(length(text) DIV 100 AS STRING)")),
+        ("prefix16", F.expr("substring(text, 1, 16)")),
+        (
+            "lang_gap",
+            F.when(F.col("doc_id") % 7 == 3, F.lit(None)).otherwise(
+                F.col("lang")
+            ),
+        ),
+    ]:
+        s = aug.select(
+            F.lit(name).alias("strategy"),
+            blk.alias("blk"),
+            gold.cast("string").alias("gold"),
+        )
+        stacked = s if stacked is None else stacked.unionByName(s)
+    return blocking_quality(stacked, "strategy", "blk", "gold")
 
 
 # --------------------------------------------------------- driver ordering --

@@ -16,10 +16,31 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _MERSENNE = (1 << 61) - 1
+
+
+def _mh_const(kind: str, i: int) -> int:
+    """60-bit md5-derived minhash coefficient (odd/nonzero for 'a' so no
+    slot degenerates to a constant map). Derived, not chosen: any engine
+    (or auditor) can rebuild the family from the seed strings."""
+    v = int(hashlib.md5(f"mh:{kind}:{i}".encode()).hexdigest()[:15], 16)
+    return (v | 1) if kind == "a" else v
+
+
+def minhash_consts_sql(num_hashes: int = 16) -> str:
+    """The (hash_id, a, b) coefficient table as a SQL VALUES clause —
+    ONE source of truth for the oracle side (interpolated into the DuckDB
+    replays), generated from the same _mh_const the Spark side uses."""
+    rows = ", ".join(
+        f"({i}, {_mh_const('a', i)}, {_mh_const('b', i)})"
+        for i in range(num_hashes)
+    )
+    return f"(VALUES {rows}) consts(hash_id, a, b)"
 
 
 def _shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
@@ -57,19 +78,48 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 2
 ) -> DataFrame:
-    """(doc_id, hash_id, minhash) — h_i(x) = (a_i*x + b_i) mod (2^61-1) over
-    60-bit shingle hashes; a_i=2i+3, b_i=5i+7 (odd multipliers, fixed so the
-    oracle can replay them)."""
+    """(doc_id, hash_id, minhash) — h_i(x) = (a_i*x + b_i) mod (2^61-1)
+    over 48-bit shingle hashes, with 60-bit md5-derived coefficients
+    (_mh_const) and the product taken in DECIMAL(38,0) so the modulus
+    actually WRAPS.
+
+    Why the wide coefficients matter: the family originally used tiny
+    a_i = 2i+3 — then a_i*x + b_i < 2^54 never reaches the 2^61-1
+    modulus, every h_i is MONOTONE in x, and all slots pick the same
+    argmin shingle. The 16 "permutations" were one permutation: slot
+    agreement between two docs was 16 or 0 (never in between, exposed by
+    er_threshold_sweep's degenerate one-point curve), and LSH banding
+    had no amplification — a J=0.1 pair became a candidate with
+    probability 0.1 instead of ~band_count * J^band_size, i.e. ~250x
+    the false-candidate volume at corpus scale. With 60-bit a_i the map
+    wraps ~2^47 times across the x range, the slots are pairwise
+    independent, and banding recovers its S-curve. Coefficients are
+    md5-derived (not hand-picked), exported to the DuckDB oracles via
+    minhash_consts_sql — one source of truth for both engines; DECIMAL
+    (38,0) on the Spark side matches HUGEINT on DuckDB's (a 2^108
+    product overflows BIGINT on both)."""
     sh = _shingles(df.select(F.col(id_col).alias("doc_id"), text_col), text_col, shingle_n)
     sh = sh.withColumn("x", _hash48(F.col("shingle")))
+    a_arr = F.array(
+        *[
+            F.lit(_mh_const("a", i)).cast("decimal(38,0)")
+            for i in range(num_hashes)
+        ]
+    )
+    b_arr = F.array(*[F.lit(_mh_const("b", i)) for i in range(num_hashes)])
     hashed = sh.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_id"),
         "x",
     ).withColumn(
         "hv",
-        ((F.col("hash_id") * 2 + 3) * F.col("x") + (F.col("hash_id") * 5 + 7))
-        % F.lit(_MERSENNE),
+        (
+            (
+                F.element_at(a_arr, F.col("hash_id") + 1) * F.col("x")
+                + F.element_at(b_arr, F.col("hash_id") + 1)
+            )
+            % F.lit(_MERSENNE)
+        ).cast("long"),
     )
     return hashed.groupBy("doc_id", "hash_id").agg(F.min("hv").alias("minhash"))
 
@@ -521,5 +571,48 @@ def set_similarity_join(
             "inter",
             "uni",
             F.expr(f"inter * {denom} DIV uni").alias("jac_ppm"),
+        )
+    )
+
+
+def minhash_agreement(
+    signatures: DataFrame, pairs: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """Score candidate pairs by minhash slot agreement — (doc1, doc2,
+    agree, est_jaccard_ppm) where agree counts equal slots and
+    est_jaccard_ppm = agree * 10^6 div num_hashes is the standard
+    unbiased Jaccard estimate on the ppm grid (exact integer arithmetic,
+    engine-portable). This is the cheap verify step between LSH candidate
+    generation and an exact-Jaccard or edit-distance confirm: signatures
+    are num_hashes BIGINTs per doc regardless of document size, so
+    scoring a pair costs O(num_hashes) instead of re-reading two
+    documents. Feed the scores to er_metrics.threshold_sweep to pick the
+    accept threshold at a measured precision.
+
+    Scale shape: two hash equi-joins on the pair endpoints (each a
+    signature fetch) + one algebraic agg keyed by the pair; candidates
+    from LSH are ~linear in corpus size, so this never materializes
+    anything quadratic. Requires the slot-independent signature family
+    (see minhash_signatures): with correlated slots the agreement
+    collapses to {0, num_hashes} and estimates nothing."""
+    s1 = signatures.select(
+        F.col("doc_id").alias("doc1"), "hash_id", F.col("minhash").alias("_m1")
+    )
+    s2 = signatures.select(
+        F.col("doc_id").alias("doc2"), "hash_id", F.col("minhash").alias("_m2")
+    )
+    return (
+        pairs.select("doc1", "doc2")
+        .join(s1, "doc1")
+        .join(s2, ["doc2", "hash_id"])
+        .groupBy("doc1", "doc2")
+        .agg(
+            F.sum(F.when(F.col("_m1") == F.col("_m2"), 1).otherwise(0))
+            .cast("long")
+            .alias("agree")
+        )
+        .withColumn(
+            "est_jaccard_ppm",
+            F.expr(f"agree * 1000000 DIV {int(num_hashes)}"),
         )
     )

@@ -32,7 +32,7 @@ measurable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _PPM = 1_000_000
@@ -98,4 +98,225 @@ def pair_metrics(df: DataFrame, pred_col: str, gold_col: str) -> DataFrame:
             F.col("pred_pairs") + F.col("gold_pairs") > 0,
             F.expr(f"2 * tp_pairs * {_PPM} DIV (pred_pairs + gold_pairs)"),
         ).alias("f1_ppm"),
+    )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    gold_col: str,
+) -> DataFrame:
+    """Per-group precision/recall curve over an integer score grid — the
+    calibration step between candidate generation and a match decision:
+    "at which minhash-agreement / similarity threshold does this matcher
+    hit the precision we need, and what recall does that buy?". One row
+    per (group, distinct observed score), reading as "accept every
+    candidate scoring >= threshold":
+
+        (group, threshold, tp, fp, fn,
+         precision_ppm, recall_ppm, f1_ppm)
+
+    tp/fp are cumulative from the highest score down; fn = group
+    positives - tp. Rates are parts-per-million by floor division —
+    bit-exact on any engine; recall/f1 are NULL for a group with zero
+    gold positives (never a fake 0: that group cannot grade a matcher).
+    f1 uses the pair identity 2tp/(2tp+fp+fn) = 2tp/(tp+fp+P).
+
+    The sweep is grouped (per language / per source / per blocking
+    strategy) because one global threshold is exactly what miscalibrates
+    a heterogeneous corpus — short-text groups saturate minhash
+    agreement long before long-text groups.
+
+    Scale shape (the vocab_coverage doctrine): the scored-candidate
+    table collapses to the per-(group, score) histogram FIRST — one
+    map-side-combinable aggregation over the big table; every cumulative
+    runs over that tiny histogram (score grids are enumerable: 0..16
+    minhash slots, 0..64 hamming bits, a ppm grid) with group-partitioned
+    windows only. Cumulative products run in DECIMAL(38,0) so 10^12
+    candidate pairs cannot overflow the ppm numerator; counts come back
+    as BIGINT (an ANSI overflow there is a loud error, never a wrap).
+
+    Inputs are validated executor-side: a NULL score and a gold outside
+    {0, 1} each raise (a NULL gold is exactly the unlabeled-candidate
+    bug an evaluation must not silently absorb). Reference contrast: the
+    reference links on one hard-coded equality rule
+    (global_node_repository.py upsert-by-normalized-name) — there is no
+    threshold to pick because there is no score; this operator is what
+    makes a scored matcher (minhash, simhash, levenshtein, cosine)
+    deployable with a measured operating point."""
+    ok = (
+        F.col("_score").isNotNull()
+        & F.col("_gold").isin(0, 1)
+    )
+    hist = (
+        df.select(
+            F.col(group_col).alias("_grp"),
+            F.col(score_col).alias("_score"),
+            F.col(gold_col).alias("_gold"),
+        )
+        .select(
+            "_grp",
+            F.when(
+                F.assert_true(
+                    ok,
+                    F.lit(
+                        "threshold_sweep: score must be non-NULL and gold in {0, 1}"
+                    ),
+                ).isNull(),
+                F.col("_score"),
+            ).alias("_score"),
+            "_gold",
+        )
+        .groupBy("_grp", "_score")
+        .agg(
+            F.sum("_gold").cast("long").alias("_pos"),
+            (F.count(F.lit(1)) - F.sum("_gold")).cast("long").alias("_neg"),
+        )
+    )
+    w = Window.partitionBy("_grp").orderBy(F.col("_score").desc())
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    whole = Window.partitionBy("_grp")
+    stats = hist.select(
+        "_grp",
+        "_score",
+        F.sum("_pos").over(cum).alias("_tp"),
+        F.sum("_neg").over(cum).alias("_fp"),
+        F.sum("_pos").over(whole).alias("_p"),
+    )
+    rate = lambda num, den: F.expr(  # noqa: E731
+        f"CAST(CAST({num} AS DECIMAL(38,0)) * {_PPM} DIV ({den}) AS BIGINT)"
+    )
+    return stats.select(
+        F.col("_grp").alias(group_col),
+        F.col("_score").alias("threshold"),
+        F.col("_tp").cast("long").alias("tp"),
+        F.col("_fp").cast("long").alias("fp"),
+        (F.col("_p") - F.col("_tp")).cast("long").alias("fn"),
+        rate("_tp", "_tp + _fp").alias("precision_ppm"),
+        F.when(F.col("_p") > 0, rate("_tp", "_p")).alias("recall_ppm"),
+        F.when(
+            F.col("_p") > 0, rate("2 * _tp", "_tp + _fp + _p")
+        ).alias("f1_ppm"),
+    )
+
+
+def blocking_quality(
+    df: DataFrame,
+    strategy_col: str,
+    block_col: str,
+    gold_col: str,
+) -> DataFrame:
+    """Grade candidate-generation (blocking) schemes BEFORE materializing
+    a single pair — one row per strategy:
+
+        (strategy, n_items, n_blocked, candidate_pairs, gold_pairs,
+         covered_pairs, reduction_ppm, completeness_ppm)
+
+    reduction_ppm    = 1 - candidate_pairs / C(n_items, 2): how much of
+                       the all-pairs quadratic the scheme prunes (the
+                       reason blocking exists at 100 TB);
+    completeness_ppm = covered_pairs / gold_pairs: the fraction of true
+                       duplicate pairs the scheme still co-blocks (the
+                       recall ceiling any downstream matcher inherits).
+    The tension between the two IS the blocking design problem; this
+    measures both sides in one pass so schemes can be compared on a grid
+    (coarser key -> completeness up, reduction down).
+
+    Input: one row per (strategy, item) with the item's block key under
+    that strategy and its gold class. A NULL block means UNBLOCKED —
+    the item generates no candidates (its gold pairs count as missed),
+    which is the honest semantics; grouping NULLs into one mega-block
+    would instead fabricate the largest candidate bucket in the corpus.
+    A NULL gold raises executor-side (an unlabeled item can't be graded).
+    Multi-block schemes (LSH: one item, many buckets) must be reduced to
+    one block per item first or graded post-hoc with pair_metrics on the
+    deduplicated pair set — summing C(n,2) across a non-partition
+    overcounts, so this operator's contract is one block per item.
+
+    Scale shape: the pair_metrics identity, widened with a strategy
+    dimension — cells = groupBy(strategy, block, gold).count() is the
+    only pass over the data (map-side combine); candidate/gold marginals
+    and the final fold are re-aggs of that tiny cell table,
+    localCheckpoint'd once for its four consumers. Every C(n,2) and ppm
+    product runs in DECIMAL(38,0) (a 10^12-item corpus has ~5*10^23
+    all-pairs — past BIGINT); output counts cast back to BIGINT, where
+    ANSI overflow is a loud error, never a wrap. No joins, no windows."""
+    c2 = lambda n: F.expr(  # noqa: E731
+        f"CAST({n} AS DECIMAL(38,0)) * ({n} - 1) DIV 2"
+    )
+    cells = (
+        df.select(
+            F.col(strategy_col).alias("_s"),
+            F.col(block_col).alias("_b"),
+            F.when(
+                F.assert_true(
+                    F.col(gold_col).isNotNull(),
+                    F.lit("blocking_quality: gold class must be non-NULL"),
+                ).isNull(),
+                F.col(gold_col),
+            ).alias("_g"),
+        )
+        .groupBy("_s", "_b", "_g")
+        .count()
+        .localCheckpoint()
+    )
+    blocked = cells.where(F.col("_b").isNotNull())
+    kinds = (
+        blocked.select(
+            F.col("_s"), F.lit("cov").alias("kind"), c2("count").alias("v")
+        )
+        .unionByName(
+            blocked.groupBy("_s", "_b")
+            .agg(F.sum("count").alias("n"))
+            .select("_s", F.lit("cand").alias("kind"), c2("n").alias("v"))
+        )
+        .unionByName(
+            cells.groupBy("_s", "_g")
+            .agg(F.sum("count").alias("n"))
+            .select("_s", F.lit("gold").alias("kind"), c2("n").alias("v"))
+        )
+        .unionByName(
+            cells.select(
+                "_s",
+                F.lit("n").alias("kind"),
+                F.col("count").cast("decimal(38,0)").alias("v"),
+            )
+        )
+        .unionByName(
+            blocked.select(
+                "_s",
+                F.lit("nb").alias("kind"),
+                F.col("count").cast("decimal(38,0)").alias("v"),
+            )
+        )
+    )
+    tot = lambda kind: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("kind") == kind, F.col("v"))),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    one = kinds.groupBy("_s").agg(
+        tot("n").alias("_n"),
+        tot("nb").alias("_nb"),
+        tot("cand").alias("_cand"),
+        tot("gold").alias("_gold"),
+        tot("cov").alias("_cov"),
+    )
+    rate = lambda num, den: F.expr(  # noqa: E731
+        f"CAST(({num}) * {_PPM} DIV ({den}) AS BIGINT)"
+    )
+    return one.select(
+        F.col("_s").alias(strategy_col),
+        F.col("_n").cast("long").alias("n_items"),
+        F.col("_nb").cast("long").alias("n_blocked"),
+        F.col("_cand").cast("long").alias("candidate_pairs"),
+        F.col("_gold").cast("long").alias("gold_pairs"),
+        F.col("_cov").cast("long").alias("covered_pairs"),
+        F.when(
+            F.col("_n") > 1,
+            rate("(_n * (_n - 1) DIV 2) - _cand", "_n * (_n - 1) DIV 2"),
+        ).alias("reduction_ppm"),
+        F.when(F.col("_gold") > 0, rate("_cov", "_gold")).alias(
+            "completeness_ppm"
+        ),
     )

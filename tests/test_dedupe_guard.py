@@ -120,3 +120,100 @@ def test_fuzzy_match_validates(spark):
     df = spark.createDataFrame([(1, "x", "g")], "id long, nm string, grp string")
     with pytest.raises(ValueError):
         fuzzy_match_pairs(df, "id", "nm", "grp", -1)
+
+
+# ------------------------------------------------ minhash slot independence --
+
+def test_minhash_slots_are_independent_permutations(spark):
+    """Regression for the degenerate-family bug: with narrow coefficients
+    (a_i = 2i+3) the hash a_i*x + b_i never wraps mod 2^61-1, every slot
+    is monotone in x, and all 16 slots pick the same argmin shingle — so
+    two docs agreed on 16/16 slots or 0/16, never in between, and LSH
+    banding had no amplification. This pair is constructed so B's
+    shingles are a superset of A's AND the globally-minimal-x shingle is
+    shared: the monotone family scores it 16/16; an honest family must
+    agree on ~J*16 slots. The expected signature is replayed in pure
+    Python from the same md5-derived constants — a full cross-
+    implementation value check, not just a bound."""
+    import hashlib
+
+    A = "red fox jumps over the lazy dog near the old barn"
+    B = A + " while three silver crows watch from a broken fence rail"
+
+    P = (1 << 61) - 1
+
+    def shingle_xs(text):
+        t = text.strip().lower().split()
+        sh = {f"{t[i]} {t[i + 1]}" for i in range(len(t) - 1)}
+        return {int(hashlib.md5(s.encode()).hexdigest()[:12], 16) for s in sh}
+
+    def expected_sig(xs):
+        out = {}
+        for i in range(16):
+            a = int(hashlib.md5(f"mh:a:{i}".encode()).hexdigest()[:15], 16) | 1
+            b = int(hashlib.md5(f"mh:b:{i}".encode()).hexdigest()[:15], 16)
+            out[i] = min((a * x + b) % P for x in xs)
+        return out
+
+    xa, xb = shingle_xs(A), shingle_xs(B)
+    assert xa < xb and min(xb) in xa, "test premise: shared global argmin"
+
+    df = spark.createDataFrame([(1, A), (2, B)], "doc_id int, text string")
+    got = {
+        (r.doc_id, r.hash_id): r.minhash
+        for r in D.minhash_signatures(df, "doc_id", "text").collect()
+    }
+    ea, eb = expected_sig(xa), expected_sig(xb)
+    for i in range(16):
+        assert got[(1, i)] == ea[i]
+        assert got[(2, i)] == eb[i]
+    agree = sum(1 for i in range(16) if ea[i] == eb[i])
+    # J = 0.5 exactly (10 of 20 shingles shared); a monotone family gives
+    # 16, a degenerate constant family 0 — independence shows up as the
+    # strictly-intermediate deterministic value
+    assert 0 < agree < 16
+    assert agree == 10
+
+
+def test_minhash_agreement_matches_python_replay(spark):
+    """minhash_agreement must reproduce, per pair, the slot-agreement
+    count of the pure-Python signature replay, and its est_jaccard_ppm
+    must be the exact ppm floor division."""
+    import hashlib
+
+    texts = {
+        1: "red fox jumps over the lazy dog near the old barn",
+        2: "red fox jumps over the lazy dog near the old barn while "
+           "three silver crows watch from a broken fence rail",
+        3: "completely different words entirely here nothing shared at all",
+    }
+    P = (1 << 61) - 1
+
+    def sig(text):
+        t = text.strip().lower().split()
+        xs = {
+            int(hashlib.md5(f"{t[i]} {t[i+1]}".encode()).hexdigest()[:12], 16)
+            for i in range(len(t) - 1)
+        }
+        out = {}
+        for i in range(16):
+            a = int(hashlib.md5(f"mh:a:{i}".encode()).hexdigest()[:15], 16) | 1
+            b = int(hashlib.md5(f"mh:b:{i}".encode()).hexdigest()[:15], 16)
+            out[i] = min((a * x + b) % P for x in xs)
+        return out
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    sigs = D.minhash_signatures(df, "doc_id", "text")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "doc1 int, doc2 int"
+    )
+    got = {
+        (r.doc1, r.doc2): (r.agree, r.est_jaccard_ppm)
+        for r in D.minhash_agreement(sigs, pairs).collect()
+    }
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    for (a, b), (agree, est) in got.items():
+        sa, sb = sig(texts[a]), sig(texts[b])
+        exp = sum(1 for i in range(16) if sa[i] == sb[i])
+        assert agree == exp
+        assert est == exp * 1_000_000 // 16

@@ -48,3 +48,155 @@ def test_matches_brute_enumeration(spark):
     assert r["precision_ppm"] == tp * 1_000_000 // pp
     assert r["recall_ppm"] == tp * 1_000_000 // gp
     assert r["f1_ppm"] == 2 * tp * 1_000_000 // (pp + gp)
+
+
+# --------------------------------------------------------- threshold_sweep --
+
+def _brute_sweep(rows):
+    """rows = (group, score, gold); per group and distinct score t:
+    accept score >= t, count tp/fp/fn."""
+    out = {}
+    groups = {}
+    for g, s, y in rows:
+        groups.setdefault(g, []).append((s, y))
+    for g, items in groups.items():
+        p = sum(y for _, y in items)
+        for t in sorted({s for s, _ in items}, reverse=True):
+            acc = [(s, y) for s, y in items if s >= t]
+            tp = sum(y for _, y in acc)
+            fp = len(acc) - tp
+            out[(g, t)] = (tp, fp, p - tp, p)
+    return out
+
+
+def test_threshold_sweep_brute(spark):
+    import random
+
+    from entity_extractor_spark.operators.er_metrics import threshold_sweep
+
+    rng = random.Random(3)
+    rows = [
+        (f"g{i % 3}", rng.randint(0, 8), rng.randint(0, 1)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "lang string, score int, gold int")
+    got = threshold_sweep(df, "lang", "score", "gold").collect()
+    exp = _brute_sweep(rows)
+    assert len(got) == len(exp)
+    for r in got:
+        tp, fp, fn, p = exp[(r.lang, r.threshold)]
+        assert (r.tp, r.fp, r.fn) == (tp, fp, fn)
+        assert r.precision_ppm == tp * 1_000_000 // (tp + fp)
+        assert r.recall_ppm == tp * 1_000_000 // p
+        assert r.f1_ppm == 2 * tp * 1_000_000 // (tp + fp + p)
+
+
+def test_threshold_sweep_zero_positive_group_null_rates(spark):
+    from entity_extractor_spark.operators.er_metrics import threshold_sweep
+
+    df = spark.createDataFrame(
+        [("a", 5, 0), ("a", 3, 0), ("b", 2, 1)],
+        "lang string, score int, gold int",
+    )
+    rows = {
+        (r.lang, r.threshold): r
+        for r in threshold_sweep(df, "lang", "score", "gold").collect()
+    }
+    r = rows[("a", 3)]
+    assert (r.tp, r.fp, r.fn) == (0, 2, 0)
+    assert r.precision_ppm == 0
+    assert r.recall_ppm is None and r.f1_ppm is None
+    assert rows[("b", 2)].recall_ppm == 1_000_000
+
+
+def test_threshold_sweep_rejects_bad_gold_and_null_score(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.er_metrics import threshold_sweep
+
+    for rows in ([("a", 1, 2)], [("a", None, 1)], [("a", 1, None)]):
+        df = spark.createDataFrame(rows, "lang string, score int, gold int")
+        with pytest.raises(Exception, match="threshold_sweep"):
+            threshold_sweep(df, "lang", "score", "gold").collect()
+
+
+# -------------------------------------------------------- blocking_quality --
+
+def _brute_blocking(rows):
+    """rows = (strategy, block, gold) one per item."""
+    out = {}
+    strat = {}
+    for s, b, g in rows:
+        strat.setdefault(s, []).append((b, g))
+    for s, items in strat.items():
+        n = len(items)
+        pairs = list(combinations(items, 2))
+        cand = sum(
+            1 for a, b in pairs if a[0] is not None and a[0] == b[0]
+        )
+        gold = sum(1 for a, b in pairs if a[1] == b[1])
+        cov = sum(
+            1
+            for a, b in pairs
+            if a[0] is not None and a[0] == b[0] and a[1] == b[1]
+        )
+        nb = sum(1 for b, _ in items if b is not None)
+        out[s] = (n, nb, cand, gold, cov)
+    return out
+
+
+def test_blocking_quality_brute(spark):
+    import random
+
+    from entity_extractor_spark.operators.er_metrics import blocking_quality
+
+    rng = random.Random(11)
+    rows = []
+    for s in ("first3", "lang", "none"):
+        for i in range(120):
+            blk = (
+                None
+                if s == "none" and i % 7 == 0
+                else f"{s}:{rng.randint(0, 9 if s == 'first3' else 3)}"
+            )
+            rows.append((s, blk, f"c{rng.randint(0, 29)}"))
+    df = spark.createDataFrame(rows, "strategy string, blk string, gold string")
+    got = {r.strategy: r for r in blocking_quality(df, "strategy", "blk", "gold").collect()}
+    exp = _brute_blocking(rows)
+    assert set(got) == set(exp)
+    for s, (n, nb, cand, gold, cov) in exp.items():
+        r = got[s]
+        assert (
+            r.n_items, r.n_blocked, r.candidate_pairs, r.gold_pairs, r.covered_pairs
+        ) == (n, nb, cand, gold, cov)
+        tot = n * (n - 1) // 2
+        assert r.reduction_ppm == (tot - cand) * 1_000_000 // tot
+        if gold:
+            assert r.completeness_ppm == cov * 1_000_000 // gold
+
+
+def test_blocking_quality_null_block_is_unblocked_not_a_mega_block(spark):
+    from entity_extractor_spark.operators.er_metrics import blocking_quality
+
+    # two unblocked items sharing a gold class must NOT count as covered
+    df = spark.createDataFrame(
+        [("s", None, "g"), ("s", None, "g"), ("s", "b1", "g")],
+        "strategy string, blk string, gold string",
+    )
+    r = blocking_quality(df, "strategy", "blk", "gold").head()
+    assert r.n_items == 3 and r.n_blocked == 1
+    assert r.candidate_pairs == 0 and r.covered_pairs == 0
+    assert r.gold_pairs == 3
+    assert r.completeness_ppm == 0
+    assert r.reduction_ppm == 1_000_000
+
+
+def test_blocking_quality_rejects_null_gold(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.er_metrics import blocking_quality
+
+    df = spark.createDataFrame(
+        [("s", "b", None)], "strategy string, blk string, gold string"
+    )
+    with pytest.raises(Exception, match="blocking_quality"):
+        blocking_quality(df, "strategy", "blk", "gold").collect()
