@@ -6746,6 +6746,102 @@ def er_blocking_quality(spark, sf_dir):
     return blocking_quality(stacked, "strategy", "blk", "gold")
 
 
+# ------------------------------------- substring dedup / LM quality filter --
+
+@query(
+    "text_duplicated_ngrams",
+    _NEARDUP_SQL + r""",
+       cells AS MATERIALIZED (
+         SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+         FROM (
+           SELECT doc_id,
+                  unnest(list_transform(
+                    generate_series(1, greatest(len(toks) - 2, 0)),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                  )) AS gram
+           FROM (SELECT doc_id,
+                        string_split_regex(trim(lower(text)), '\s+') AS toks
+                 FROM aug))
+         GROUP BY doc_id, gram),
+       marg AS (
+         SELECT gram, min(doc_id) <> max(doc_id) AS dup
+         FROM cells GROUP BY gram)
+       SELECT c.doc_id,
+              CAST(sum(c.cnt) AS BIGINT) AS ngrams_total,
+              CAST(sum(CASE WHEN m.dup THEN c.cnt ELSE 0 END) AS BIGINT)
+                AS ngrams_dup,
+              CAST(sum(CASE WHEN m.dup THEN c.cnt ELSE 0 END) * 1000000
+                   // sum(c.cnt) AS BIGINT) AS dup_ppm
+       FROM cells c JOIN marg m USING (gram)
+       GROUP BY c.doc_id""",
+)
+def text_duplicated_ngrams(spark, sf_dir):
+    """Substring-level duplication report (text_quality.duplicated_ngrams,
+    Lee et al. 2022 shape): per doc, the fraction of its token 3-gram
+    positions that also occur in some OTHER document — the signal
+    document-level MinHash misses (a doc whose second half is verbatim
+    boilerplate) and within-doc repetition_signals can't see. Gated over
+    the corrupted-variant corpus where half-prefix and prefixed variants
+    guarantee real cross-doc duplicated mass next to organic phrasing
+    overlap; the corpus collapses to the (doc, gram) histogram first and
+    the gram marginal is min!=max (algebraic, never a countDistinct)."""
+    d = _neardup_docs(spark, sf_dir)
+    return TQ.duplicated_ngrams(d, "doc_id", "text", n=3)
+
+
+_LM_BIGRAMS = (
+    "unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),"
+    " i -> toks[i] || ' ' || toks[i + 1]))"
+)
+
+@query(
+    "text_lm_score",
+    rf"""WITH tr AS MATERIALIZED (
+         SELECT bg, CAST(count(*) AS BIGINT) AS c_bg
+         FROM (
+           SELECT {_LM_BIGRAMS} AS bg
+           FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+                 FROM documents WHERE doc_id % 3 = 0))
+         GROUP BY bg),
+       pfx AS MATERIALIZED (
+         SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c_bg) AS BIGINT) AS c_w1
+         FROM tr GROUP BY 1),
+       v AS (SELECT count(*) + 1 AS v FROM pfx),
+       sc AS MATERIALIZED (
+         SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS cnt
+         FROM (
+           SELECT doc_id, {_LM_BIGRAMS} AS bg
+           FROM (SELECT doc_id,
+                        string_split_regex(trim(lower(text)), '\s+') AS toks
+                 FROM documents WHERE doc_id % 3 <> 0))
+         GROUP BY doc_id, bg),
+       cond AS (
+         SELECT s.doc_id, s.cnt,
+                CAST((COALESCE(t.c_bg, 0) + 1) * 1000000
+                     // (COALESCE(p.c_w1, 0) + (SELECT v FROM v))
+                     AS BIGINT) AS cond_ppm
+         FROM sc s
+         LEFT JOIN tr t USING (bg)
+         LEFT JOIN pfx p ON p.w1 = string_split(s.bg, ' ')[1])
+       SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+              CAST(sum(cnt * cond_ppm) // sum(cnt) AS BIGINT) AS lm_score_ppm
+       FROM cond GROUP BY doc_id""",
+)
+def text_lm_score(spark, sf_dir):
+    """Reference-fitted bigram-LM fluency score (text_quality.
+    lm_bigram_score) — the deterministic integer form of the CCNet/Gopher
+    perplexity filter: fit the Laplace-smoothed bigram table on a trusted
+    third of the corpus, score the disjoint other two thirds (real
+    train/score split, so genuinely unseen bigrams and unseen prefixes
+    both carry mass through the smoothing path). Every conditional is
+    (c_bg+1)*10^6 div (c_w1+V) on the exact ppm grid — no log(), no
+    float perplexity, engine/order-invariant by construction."""
+    d = _t(spark, sf_dir, "documents")
+    return TQ.lm_bigram_score(
+        d.where("doc_id % 3 = 0"), d.where("doc_id % 3 <> 0"), "doc_id", "text"
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -609,3 +609,176 @@ def vocab_coverage(
             F.col("total").alias("total_tokens"),
         )
     )
+
+
+def duplicated_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Substring-level duplication report — per doc, what fraction of its
+    token n-gram POSITIONS also occur in some OTHER document:
+
+        (doc_id, ngrams_total, ngrams_dup, dup_ppm)
+
+    This is the signal behind exact-substring training-data dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    document-level MinHash keeps a doc whose second half is a verbatim
+    boilerplate block, and WITHIN-doc repetition_signals can't see it —
+    only a corpus-wide position-weighted n-gram view catches partially
+    copied text. dup_ppm = ngrams_dup * 10^6 div ngrams_total feeds a
+    curation threshold directly (drop or trim docs above X% duplicated
+    mass). Cross-doc only by design: a gram repeated 50x inside ONE doc
+    counts 0 here (that is repetition_signals' job), so the two signals
+    are orthogonal and composable.
+
+    Docs with fewer than n tokens have no n-grams and are absent by
+    design — they cannot carry duplicated substring mass.
+
+    Scale shape: grams are built by zipping n shifted slices of the token
+    array (the pair_counts/contamination pattern); the corpus collapses to
+    the (doc, gram) histogram FIRST (one map-side-combinable agg — the
+    only pass over full text); the gram marginal needs only min_doc !=
+    max_doc (two algebraic aggs, never a countDistinct Expand), and the
+    flag joins back to the histogram on the gram key. Histogram
+    localCheckpoint'd once for its two consumers. Per-doc totals are
+    BIGINT; the ppm product runs in DECIMAL(38,0) (a 10^12-token doc
+    bound is absurd, but overflow must be impossible, not unlikely)."""
+    if n < 1:
+        raise ValueError("duplicated_ngrams: n must be >= 1")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    width = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, width) for i in range(n)])
+    grams = F.when(
+        width >= 1,
+        F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+        ),
+    )
+    cells = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    marg = cells.groupBy("gram").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("_dup")
+    )
+    return (
+        cells.join(marg, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("ngrams_total"),
+            F.sum(F.when(F.col("_dup"), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("ngrams_dup"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr(
+                "CAST(CAST(ngrams_dup AS DECIMAL(38,0)) * 1000000"
+                " DIV ngrams_total AS BIGINT)"
+            ),
+        )
+    )
+
+
+
+def _bigram_cells(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, bg, cnt) bigram histogram — ONE map-side-combinable agg
+    over the shifted-slice zip; the only pass over full text either side
+    of lm_bigram_score makes."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    width = F.size(toks) - 1
+    zipped = F.arrays_zip(F.slice(toks, 1, width), F.slice(toks, 2, width))
+    bigrams = F.when(
+        width >= 1,
+        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"])),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def lm_bigram_score(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Reference-fitted bigram language-model fluency score — the
+    deterministic integer-arithmetic form of the CCNet/Gopher
+    "perplexity filter" stage: fit an n-gram LM on a TRUSTED reference
+    corpus (train_df: the Wikipedia-shaped subset), score every candidate
+    document (score_df) by how typical its phrasing is of that reference:
+
+        (doc_id, n_bigrams, lm_score_ppm)
+
+    Per bigram the Laplace-smoothed conditional probability on the exact
+    ppm grid:
+
+        cond_ppm(w1 w2) = (c(w1 w2) + 1) * 10^6 div (c(w1 ·) + V)
+
+    where c(w1 ·) = reference occurrences of w1 as a bigram prefix (the
+    MLE denominator) and V = distinct reference prefixes + 1 (the +1 is
+    the unseen-prefix event). Smoothing is what makes the train/score
+    split work: a candidate bigram the reference never saw scores
+    10^6 div (c(w1·)+V) — small, never zero/undefined — and gibberish
+    with a wholly unknown prefix scores 10^6 div V, the floor. The doc
+    score is the count-weighted floor-mean of its bigrams' cond_ppm:
+    reference-like phrasing scores high, out-of-domain or garbled text
+    scores low. Threshold via group_percentiles, not a magic constant.
+    (A held-in MLE without smoothing is exactly wrong here: unique
+    gibberish gets conditional probability 1 — c(w1 w2) = c(w1 ·) = 1 —
+    and outscores real prose, inverting the filter.)
+
+    Every op is floor division on BIGINT/DECIMAL(38,0): the score is
+    engine/partitioning/order-invariant — no log(), no float perplexity.
+    Docs with < 2 tokens have no bigrams and are absent by design.
+
+    Scale shape: both corpora collapse to (doc, bigram) histograms first;
+    the reference table and its prefix marginal are re-aggs of its
+    histogram; the candidate histogram left-joins the bigram table (bg
+    key) and the prefix marginal (w1 key) — unseen events stay as NULLs
+    folded by COALESCE, never an inner-join drop; the per-doc fold is
+    algebraic. V is a scalar collected driver-side (one count job — the
+    pagerank scalar doctrine: never a 1-row crossJoin/BNLJ). The weighted
+    sum runs in DECIMAL(38,0) so overflow is impossible, not unlikely."""
+    bg_tab = (
+        _bigram_cells(train_df, id_col, text_col)
+        .groupBy("bg")
+        .agg(F.sum("cnt").cast("long").alias("c_bg"))
+        .localCheckpoint()
+    )
+    prefix = (
+        bg_tab.select(F.split(F.col("bg"), " ", 2).getItem(0).alias("w1"), "c_bg")
+        .groupBy("w1")
+        .agg(F.sum("c_bg").cast("long").alias("c_w1"))
+        .localCheckpoint()
+    )
+    v = prefix.count() + 1
+    cells = _bigram_cells(score_df, id_col, text_col).withColumn(
+        "w1", F.split(F.col("bg"), " ", 2).getItem(0)
+    )
+    scored = (
+        cells.join(bg_tab, "bg", "left")
+        .join(prefix, "w1", "left")
+        .withColumn(
+            "cond_ppm",
+            # the numerator runs in DECIMAL(38,0): a 10^12-occurrence
+            # bigram ("of the" at 100 TB) * 10^6 brushes BIGINT's edge;
+            # the quotient is <= 10^6 by construction so the cast back
+            # is safe
+            F.expr(
+                f"CAST(CAST(COALESCE(c_bg, 0) + 1 AS DECIMAL(38,0)) * 1000000"
+                f" DIV (COALESCE(c_w1, 0) + {int(v)}) AS BIGINT)"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.expr(
+            "CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cond_ppm)"
+            " DIV sum(cnt) AS BIGINT)"
+        ).alias("lm_score_ppm"),
+    )

@@ -115,3 +115,160 @@ def test_inverted_index_replay_and_cap(spark):
     assert out["alpha"][0] == 20 and out["alpha"][2] == 5
     assert out["gamma"][0] == 10 and out["gamma"][2] == 5
     assert out["beta"][0] == 20
+
+
+# ------------------------------------------- duplicated n-grams (substring) --
+
+def _brute_dup_ngrams(rows, n):
+    """pure-Python replay: per-doc positional n-grams, cross-doc dup flag."""
+    grams = {}  # doc -> list of gram strings (with multiplicity)
+    for d, text in rows:
+        t = text.strip().lower().split()
+        grams[d] = [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+    owners = {}
+    for d, gs in grams.items():
+        for g in gs:
+            owners.setdefault(g, set()).add(d)
+    out = {}
+    for d, gs in grams.items():
+        if not gs:
+            continue
+        dup = sum(1 for g in gs if len(owners[g]) > 1)
+        out[d] = (len(gs), dup, dup * 1_000_000 // len(gs))
+    return out
+
+
+def test_duplicated_ngrams_brute(spark):
+    """Random overlapping corpus vs the pure-Python replay — totals, dup
+    counts, and the ppm floor all exact; short docs absent."""
+    import random
+
+    from entity_extractor_spark.operators.text_quality import duplicated_ngrams
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 9))))
+        for d in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.ngrams_total, r.ngrams_dup, r.dup_ppm)
+        for r in duplicated_ngrams(df, "doc_id", "text", n=3).collect()
+    }
+    assert got == _brute_dup_ngrams(rows, 3)
+
+
+def test_duplicated_ngrams_cross_doc_only(spark):
+    """A gram repeated 5x inside ONE doc but appearing nowhere else is NOT
+    duplicated mass (that's repetition_signals' job); the same gram in two
+    docs flags every position in both."""
+    from entity_extractor_spark.operators.text_quality import duplicated_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c a b c a b c"),  # self-repeating only
+            (2, "x y z q r s"),
+            (3, "x y z t u v"),  # shares exactly 'x y z' with 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.ngrams_total, r.ngrams_dup)
+        for r in duplicated_ngrams(df, "doc_id", "text", n=3).collect()
+    }
+    assert got[1] == (13, 0)
+    assert got[2] == (4, 1) and got[3] == (4, 1)
+
+
+def test_duplicated_ngrams_rejects_bad_n(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.text_quality import duplicated_ngrams
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        duplicated_ngrams(df, "doc_id", "text", n=0)
+
+
+# --------------------------------------------------- bigram LM quality score --
+
+def _brute_lm(train_rows, score_rows):
+    from collections import Counter
+
+    def bigrams(text):
+        t = text.strip().lower().split()
+        return [" ".join(t[i : i + 2]) for i in range(len(t) - 1)]
+
+    c_bg = Counter(g for _, tx in train_rows for g in bigrams(tx))
+    c_w1 = Counter()
+    for g, c in c_bg.items():
+        c_w1[g.split(" ")[0]] += c
+    v = len(c_w1) + 1
+    out = {}
+    for d, tx in score_rows:
+        gs = bigrams(tx)
+        if not gs:
+            continue
+        total = sum(
+            (c_bg.get(g, 0) + 1) * 1_000_000 // (c_w1.get(g.split(" ")[0], 0) + v)
+            for g in gs
+        )
+        out[d] = (len(gs), total // len(gs))
+    return out
+
+
+def test_lm_bigram_score_brute(spark):
+    """Random train/score corpora vs a pure-Python Laplace replay — all
+    three smoothing branches (seen bigram, unseen bigram w/ known prefix,
+    unknown prefix) carry mass; weighted floor-mean exact."""
+    import random
+
+    from entity_extractor_spark.operators.text_quality import lm_bigram_score
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(8)]
+    mk = lambda d, lo, hi: (  # noqa: E731
+        d,
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(lo, hi))),
+    )
+    train = [mk(d, 2, 12) for d in range(30)]
+    score = [mk(d, 0, 10) for d in range(100, 140)] + [
+        (990, "zz qq zz"),  # wholly unknown prefixes -> uniform floor
+        (991, train[0][1]),  # pure reference phrasing
+    ]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_score_ppm)
+        for r in lm_bigram_score(tdf, sdf, "doc_id", "text").collect()
+    }
+    assert got == _brute_lm(train, score)
+
+
+def test_lm_bigram_score_orders_fluency(spark):
+    """The filter property: reference-like text outscores mixed text,
+    which outscores gibberish with unknown words."""
+    from entity_extractor_spark.operators.text_quality import lm_bigram_score
+
+    train = spark.createDataFrame(
+        [
+            (101, "the cat sat on the mat"),
+            (102, "the cat sat on a hat"),
+            (103, "the dog sat on the mat"),
+        ],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ate a fish"),
+            (3, "zq vrk plm wxt qqj"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.lm_score_ppm
+        for r in lm_bigram_score(train, score, "doc_id", "text").collect()
+    }
+    assert got[1] > got[2] > got[3]
