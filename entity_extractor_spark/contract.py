@@ -6842,6 +6842,103 @@ def text_lm_score(spark, sf_dir):
     )
 
 
+@query(
+    "graph_strongly_connected",
+    """WITH RECURSIVE e AS (
+         SELECT c_custkey AS src, c_custkey // 10 AS dst
+         FROM customer WHERE c_custkey >= 10
+         UNION
+         SELECT c_custkey // 100, c_custkey
+         FROM customer WHERE c_custkey >= 100 AND c_custkey % 7 = 3),
+       r AS (
+         SELECT src, dst FROM e
+         UNION
+         SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+       verts AS (
+         SELECT DISTINCT v FROM (
+           SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),
+       mut AS (
+         SELECT a.src AS u, min(a.dst) AS mn
+         FROM r a JOIN r b ON a.src = b.dst AND a.dst = b.src
+         GROUP BY a.src)
+       SELECT v.v AS vertex, CAST(COALESCE(m.mn, v.v) AS BIGINT) AS scc
+       FROM verts v LEFT JOIN mut m ON m.u = v.v""",
+)
+def graph_strongly_connected(spark, sf_dir):
+    """Strongly connected components (graph.strongly_connected) over the
+    digit-shift customer forest with deterministic back edges: every
+    custkey points at custkey DIV 10 (child -> parent), and for
+    custkey % 7 = 3 the grandparent points BACK down (DIV 100 -> c),
+    closing 3-cycles that MERGE wherever two cycles share a parent link
+    — the cyclic same_as/subclass tangle a canonicalizer must collapse
+    before any hierarchy rollup. The operator is Orzan-style coloring
+    (forward min-label fixpoint -> roots -> backward confirmation ->
+    peel; the closure is never materialized); the oracle is deliberately
+    the opposite formulation — full recursive closure + mutual-pair min
+    — so a missed merge, an unconfirmed straggler, or an over-eager
+    color assignment all hash-mismatch. Tree-only vertices come out as
+    singletons (scc = self), cycle members share the min id."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    fwd = c.where("c_custkey >= 10").select(
+        F.col("c_custkey").alias("src"),
+        F.expr("c_custkey DIV 10").alias("dst"),
+    )
+    back = c.where("c_custkey >= 100 AND c_custkey % 7 = 3").select(
+        F.expr("c_custkey DIV 100").alias("src"),
+        F.col("c_custkey").alias("dst"),
+    )
+    return G.strongly_connected(fwd.unionByName(back))
+
+
+@query(
+    "layout_compaction_plan",
+    """WITH f AS (
+         SELECT o_orderpriority AS pt,
+                'f' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS file,
+                CAST(floor(o_totalprice * 100) AS BIGINT)
+                  * CASE WHEN o_orderkey % 97 = 0 THEN 100 ELSE 1 END AS bytes
+         FROM orders),
+       c AS (
+         SELECT pt, file, bytes,
+                sum(bytes) OVER (PARTITION BY pt ORDER BY file
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+         FROM f),
+       g AS (SELECT pt, file, bytes,
+                    (cum - bytes) // 500000000 AS grp FROM c)
+       SELECT pt, file, bytes, CAST(grp AS BIGINT) AS grp,
+              CAST(sum(bytes) OVER (PARTITION BY pt, grp) AS BIGINT)
+                AS grp_bytes,
+              CAST(count(*) OVER (PARTITION BY pt, grp) AS BIGINT)
+                AS grp_files
+       FROM g""",
+)
+def layout_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner (layout.compaction_plan): a synthetic
+    per-order file listing (5 priority partitions; bytes = totalprice
+    cents, with every 97th file inflated 100x past the target so the
+    oversized-file pass-through branch carries real mass) packed into
+    ~500 MB output groups by contiguous name-order first-fit — the
+    deterministic planning half of Iceberg/Delta rewrite_data_files.
+    One exchange on the partition key feeds the cumsum, the group id,
+    and the per-group totals; the oracle replays the identical window
+    arithmetic."""
+    from .operators import layout as L
+
+    files = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pt"),
+        F.expr("concat('f', lpad(CAST(o_orderkey AS STRING), 10, '0'))").alias(
+            "file"
+        ),
+        F.expr(
+            "CAST(floor(o_totalprice * 100) AS BIGINT)"
+            " * CASE WHEN o_orderkey % 97 = 0 THEN 100 ELSE 1 END"
+        ).alias("bytes"),
+    )
+    return L.compaction_plan(
+        files, "file", "bytes", 500_000_000, partition_col="pt"
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

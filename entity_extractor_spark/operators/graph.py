@@ -1476,3 +1476,159 @@ def modularity(
             f" DIV {d} AS BIGINT)"
         ).alias("q_ppm"),
     )
+
+
+def strongly_connected(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+    max_inner: int = 40,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph — (vertex, scc)
+    where scc is the min vertex id in the vertex's SCC. The directed
+    sibling of connected_components: CC over a triple table answers
+    "related at all?"; SCC answers "mutually derivable?" — cyclic
+    same_as/subclass tangles that must collapse to ONE canonical entity
+    before a hierarchy rollup (a cycle in an is-a graph otherwise makes
+    transitive_closure's "every ancestor" answer include the whole
+    cycle for each member), and feedback loops in dependency KGs.
+
+    Orzan-style coloring, fully relational — the closure is NEVER
+    materialized (mutual-reachability via transitive_closure squares
+    each SCC and is the oracle's job, not the operator's):
+
+      per outer round, over the still-unassigned subgraph:
+      1. forward min-label fixpoint: color(v) = min id over v's ancestors
+         (incl. v) — hash-min propagation along edge direction, the CC
+         inner loop's directed form; every vertex of one SCC ends with
+         the same color (same ancestor set);
+      2. roots: color(v) == v (no smaller vertex reaches v);
+      3. backward confirmation fixpoint WITHIN color classes: v is
+         confirmed iff v can reach its root through vertices of its own
+         color — confirmed set of root r IS SCC(r) (r reaches v by
+         color, v reaches r by confirmation);
+      4. peel: assign scc = color to confirmed vertices, drop them and
+         their incident edges, repeat.
+
+    Each round peels at least the root SCC of every current color class
+    (>= 1 SCC per class per round), so rounds scale with the nesting
+    depth of SCCs along paths, not with |V| — log-ish on real KG graphs.
+    Both fixpoints are one equi-join + one algebraic min/distinct per
+    step with localCheckpoint-bounded lineage and (count, hash-sum)
+    fingerprint convergence (metadata only, no subtract join). All
+    shuffles key on vertex id. Unassigned vertices after max_rounds
+    raise loudly — a partial SCC labeling silently corrupts every
+    downstream canonicalization.
+
+    Self-loops are dropped (a vertex is trivially in its own SCC);
+    isolated vertices don't appear in an edge list — union them in as
+    singletons downstream if needed."""
+    e_all = (
+        _clean_edges(edges, src, dst)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(df: DataFrame, *cols: str) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64(*cols).cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    assigned = None
+    e = e_all
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        if verts.isEmpty():
+            break
+        # 1. forward min-label fixpoint (directed hash-min)
+        color = verts.select("v", F.col("v").alias("color")).localCheckpoint(
+            eager=True
+        )
+        fp = fingerprint(color, "v", "color")
+        for _i in range(max_inner):
+            pushed = (
+                e.join(color, e["src"] == color["v"])
+                .select(F.col("dst").alias("v"), "color")
+            )
+            color = (
+                color.union(pushed)
+                .groupBy("v")
+                .agg(F.min("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            nfp = fingerprint(color, "v", "color")
+            if nfp == fp:
+                break
+            fp = nfp
+        else:
+            raise RuntimeError(
+                "strongly_connected: forward coloring did not converge in "
+                f"{max_inner} inner rounds — raise max_inner"
+            )
+        # 2+3. backward confirmation within color classes: restrict edges
+        # to same-color endpoints, walk backward from the roots
+        ce = (
+            e.join(color.select(F.col("v").alias("src"), F.col("color").alias("_cs")), "src")
+            .join(color.select(F.col("v").alias("dst"), F.col("color").alias("_cd")), "dst")
+            .where(F.col("_cs") == F.col("_cd"))
+            .select("src", "dst", F.col("_cs").alias("color"))
+            .localCheckpoint(eager=True)
+        )
+        conf = (
+            color.where(F.col("v") == F.col("color"))
+            .select("v", "color")
+            .localCheckpoint(eager=True)
+        )
+        fp = fingerprint(conf, "v", "color")
+        for _i in range(max_inner):
+            back = (
+                ce.join(conf, ce["dst"] == conf["v"])
+                .select(F.col("src").alias("v"), ce["color"])
+            )
+            conf = (
+                conf.union(back).distinct().localCheckpoint(eager=True)
+            )
+            nfp = fingerprint(conf, "v", "color")
+            if nfp == fp:
+                break
+            fp = nfp
+        else:
+            raise RuntimeError(
+                "strongly_connected: backward confirmation did not converge "
+                f"in {max_inner} inner rounds — raise max_inner"
+            )
+        # 4. peel
+        batch = conf.select("v", F.col("color").alias("scc"))
+        assigned = (
+            batch if assigned is None else assigned.union(batch)
+        ).localCheckpoint(eager=True)
+        verts = verts.join(batch.select("v"), "v", "left_anti").localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(batch.select(F.col("v").alias("src")), "src", "left_anti")
+            .join(batch.select(F.col("v").alias("dst")), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    if not verts.isEmpty():
+        raise RuntimeError(
+            f"strongly_connected: {verts.count()} vertices unassigned after "
+            f"{max_rounds} rounds — raise max_rounds"
+        )
+    if assigned is None:  # no edges at all -> no vertices, empty result
+        return e_all.select(
+            F.col("src").alias("vertex"), F.col("dst").alias("scc")
+        )
+    return assigned.select(F.col("v").alias("vertex"), "scc")

@@ -124,3 +124,82 @@ def layout_report(
         .withColumn("x_span", F.col("x_max") - F.col("x_min"))
         .withColumn("y_span", F.col("y_max") - F.col("y_min"))
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    file_col: str,
+    bytes_col: str,
+    target_bytes: int,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Small-file compaction assignment — the planning half of Iceberg/
+    Delta `rewrite_data_files` / `OPTIMIZE`: given the file listing of a
+    table (or one snapshot's manifests), assign every file to an output
+    group of ~target_bytes so a rewrite job can merge each group into
+    one right-sized file:
+
+        ([partition,] file, bytes, grp, grp_bytes, grp_files)
+
+    The small-files problem is the tax every streaming/per-batch
+    committer pays (thousands of batch_* dirs -> thousands of tiny
+    parquet footers; at 100 TB the NameNode/manifest pressure and
+    per-file open cost dominate the scan): the fix is a periodic
+    compaction, and the fix's FIRST step is this deterministic plan.
+
+    Packing is contiguous first-fit in file-name order: cumulative bytes
+    within the partition, grp = (cum - bytes) div target — a file whose
+    cumsum crosses the boundary starts in the group it began in, so
+    groups slightly overshoot target_bytes rather than splitting a file
+    (files are atomic units). Name-ordered packing is deliberate over
+    best-fit bin packing: it is deterministic, one-pass, preserves any
+    existing name-correlated sort locality (zorder/date-named files stay
+    clustered), and at worst wastes one file per group boundary —
+    bounded, and irrelevant next to the per-file fixed costs being
+    eliminated. A file >= target_bytes is never split: it overshoots
+    its group (alone in it when it lands on a group boundary) and the
+    next file's start offset skips the groups its span covered — so
+    already-compact files cost at most sharing one group with the
+    small-file tail that preceded them.
+
+    Scale shape: ONE exchange on the partition key; the cumsum, group
+    id, and per-group totals all run in windows over that same exchange
+    (partition-local — never a global window: with partition_col=None a
+    single-partition cumsum is the honest cost of planning one
+    unpartitioned table and is flagged in the caller's plan audit).
+    Byte sums run in BIGINT (an exabyte is 10^18 — inside range; ANSI
+    overflow is loud, never a wrap). Negative/NULL sizes raise
+    executor-side: a listing glitch must not silently skew packing."""
+    if target_bytes <= 0:
+        raise ValueError("compaction_plan: target_bytes must be > 0")
+    from pyspark.sql import Window
+
+    part = [partition_col] if partition_col else []
+    ok = F.col("bytes").isNotNull() & (F.col("bytes") >= 0)
+    d = files.select(
+        *part,
+        F.col(file_col).alias("file"),
+        F.when(
+            F.assert_true(
+                ok, F.lit("compaction_plan: bytes must be non-NULL and >= 0")
+            ).isNull(),
+            F.col(bytes_col),
+        ).cast("long").alias("bytes"),
+    )
+    w = (
+        Window.partitionBy(*part)
+        .orderBy("file")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = d.withColumn("_cum", F.sum("bytes").over(w)).withColumn(
+        "grp", F.expr(f"(_cum - bytes) DIV {int(target_bytes)}")
+    )
+    wg = Window.partitionBy(*part, "grp")
+    return planned.select(
+        *part,
+        "file",
+        "bytes",
+        "grp",
+        F.sum("bytes").over(wg).cast("long").alias("grp_bytes"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("grp_files"),
+    )

@@ -929,3 +929,123 @@ def test_harmonic_centrality_validates(spark):
 
     with _pt.raises(ValueError):
         harmonic_centrality(None, None, rounds=0)
+
+
+# -------------------------------------------------------------------- SCC --
+
+def _tarjan_scc(edges):
+    """Iterative Tarjan: vertex -> min id of its SCC."""
+    adj: dict = {}
+    verts = set()
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        verts.add(u)
+        verts.add(v)
+    idx: dict = {}
+    low: dict = {}
+    onstk: set = set()
+    stk: list = []
+    out: dict = {}
+    counter = [0]
+    for root in sorted(verts):
+        if root in idx:
+            continue
+        work = [(root, 0)]
+        while work:
+            u, pi = work[-1]
+            if pi == 0:
+                idx[u] = low[u] = counter[0]
+                counter[0] += 1
+                stk.append(u)
+                onstk.add(u)
+            recurse = False
+            nbrs = adj.get(u, [])
+            for j in range(pi, len(nbrs)):
+                w = nbrs[j]
+                if w not in idx:
+                    work[-1] = (u, j + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in onstk:
+                    low[u] = min(low[u], idx[w])
+            if recurse:
+                continue
+            if low[u] == idx[u]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == u:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                p = work[-1][0]
+                low[p] = min(low[p], low[u])
+    return out
+
+
+def test_strongly_connected_known_answer(spark):
+    """Two 3-cycles bridged by a one-way edge stay SEPARATE SCCs; adding
+    the reverse bridge merges them — the mutual-reachability definition,
+    not mere weak connectivity."""
+    from entity_extractor_spark.operators.graph import strongly_connected
+
+    ring1 = [(1, 2), (2, 3), (3, 1)]
+    ring2 = [(10, 11), (11, 12), (12, 10)]
+    one_way = ring1 + ring2 + [(3, 10)]
+    df = spark.createDataFrame(one_way, "src long, dst long")
+    got = {r.vertex: r.scc for r in strongly_connected(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+    both_ways = one_way + [(12, 2)]
+    df2 = spark.createDataFrame(both_ways, "src long, dst long")
+    got2 = {r.vertex: r.scc for r in strongly_connected(df2).collect()}
+    assert got2 == {v: 1 for v in (1, 2, 3, 10, 11, 12)}
+
+
+def test_strongly_connected_random_vs_tarjan(spark):
+    """Random directed multigraphs vs an iterative Tarjan replay —
+    cycles, DAG fringes, nested/overlapping rings all exact."""
+    rng = random.Random(17)
+    from entity_extractor_spark.operators.graph import strongly_connected
+
+    for _ in range(3):
+        n = 50
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randrange(30, 120))
+            }
+        )
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.vertex: r.scc
+            for r in strongly_connected(df, max_rounds=60).collect()
+        }
+        assert got == _tarjan_scc(edges)
+
+
+def test_strongly_connected_unconverged_raises(spark):
+    """A graph that cannot finish peeling within max_rounds raises loudly
+    instead of returning a partial (silently corrupting) labeling."""
+    from entity_extractor_spark.operators.graph import strongly_connected
+
+    # chain of nested cycles: each outer round peels one, so 4 SCCs
+    # cannot finish in 2 rounds
+    edges = []
+    for k in range(4):
+        a, b = 2 * k + 1, 2 * k + 2
+        edges += [(a, b), (b, a)]
+        if k:
+            edges.append((2 * k - 1, a))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(Exception, match="unassigned|converge"):
+        strongly_connected(df, max_rounds=2)
+    got = {r.vertex: r.scc for r in strongly_connected(df, max_rounds=8).collect()}
+    assert got == _tarjan_scc(edges)

@@ -77,3 +77,65 @@ def test_zvalue_integer_type_wide_range_no_wraparound(spark):
             x * 65536 // 100_001, y * 65536 // 100_001
         )
         assert got[(x, y)][0] >= 0 and got[(x, y)][1] >= 0
+
+
+# ------------------------------------------------------- compaction planner --
+
+def test_compaction_plan_brute(spark):
+    """Random listings vs a pure-Python contiguous first-fit replay —
+    group ids, totals, and counts exact; oversized files pass through
+    alone; name order (not input order) drives packing."""
+    import random
+
+    from entity_extractor_spark.operators.layout import compaction_plan
+
+    rng = random.Random(23)
+    rows = [
+        (f"p{i % 3}", f"f{rng.randrange(10**6):07d}", rng.randrange(0, 400))
+        for i in range(200)
+    ] + [("p0", "f0000000", 5000)]  # oversized, boundary-aligned (sorts first)
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "pt string, file string, bytes long")
+    got = {
+        (r.pt, r.file): (r.grp, r.grp_bytes, r.grp_files)
+        for r in compaction_plan(df, "file", "bytes", 1000, "pt").collect()
+    }
+    want = {}
+    byp: dict = {}
+    for pt, fn, b in rows:
+        byp.setdefault(pt, []).append((fn, b))
+    for pt, fs in byp.items():
+        cum = 0
+        groups: dict = {}
+        for fn, b in sorted(fs):
+            grp = cum // 1000
+            cum += b
+            groups.setdefault(grp, []).append((fn, b))
+        for grp, members in groups.items():
+            tot = sum(b for _, b in members)
+            for fn, b in members:
+                want[(pt, fn)] = (grp, tot, len(members))
+    assert got == want
+    # the oversized file opens its partition at an aligned boundary, so it
+    # sits alone in group 0, and the next file's group skips its 5-target
+    # span — the never-split / overshoot contract
+    g, gb, gf = got[("p0", "f0000000")]
+    assert (g, gb, gf) == (0, 5000, 1)
+    next_grp = min(
+        grp for (pt, fn), (grp, _, _) in got.items()
+        if pt == "p0" and fn != "f0000000"
+    )
+    assert next_grp == 5
+
+
+def test_compaction_plan_validates(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.layout import compaction_plan
+
+    df = spark.createDataFrame([("a", 1)], "file string, bytes long")
+    with pytest.raises(ValueError):
+        compaction_plan(df, "file", "bytes", 0)
+    bad = spark.createDataFrame([("a", -5)], "file string, bytes long")
+    with pytest.raises(Exception, match="Exception|bytes"):
+        compaction_plan(bad, "file", "bytes", 100).collect()
