@@ -6939,6 +6939,151 @@ def layout_compaction_plan(spark, sf_dir):
     )
 
 
+def _lsh_curve_oracle_sql() -> str:
+    """The banding S-curve replay, generated from the SAME
+    dedupe.lsh_curve_exprs/_pow_chain helpers the Spark operator uses —
+    one source of truth for the floor-ppm power chains ('//' here,
+    'DIV' there). Histogram = minhash agreement (0..16 slots) of band-2
+    LSH candidates over the near-dup corpus; est ppm = agree * 62500."""
+    branches = []
+    for b, r, jr, rep in D.lsh_curve_exprs(16, 62_500, "//"):
+        q = D._pow_chain("1000000 - _jr", "1000000 - _jr", b, "//")
+        branches.append(
+            f"""SELECT CAST({b} AS BIGINT) AS bands,
+                CAST({r} AS BIGINT) AS rows_per_band,
+                CAST({rep} AS BIGINT) AS jac_bucket_ppm, n_pairs,
+                CAST(1000000 - ({q}) AS BIGINT) AS p_collision_ppm,
+                CAST(CAST(n_pairs AS HUGEINT) * (1000000 - ({q}))
+                     // 1000000 AS BIGINT) AS expected_candidate_pairs
+         FROM (SELECT bucket, n_pairs, {jr} AS _jr FROM hist)"""
+        )
+    union = "\n       UNION ALL\n       ".join(branches)
+    return (
+        _NEARDUP_SIG_SQL
+        + """, buckets AS (
+         SELECT doc_id, CAST(hash_id // 2 AS INT) AS band,
+                md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_id)) AS bucket
+         FROM sig GROUP BY doc_id, CAST(hash_id // 2 AS INT)
+       ), cand AS (
+         SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id
+       ), agree AS (
+         SELECT c.doc1, c.doc2,
+                CAST(sum(CASE WHEN s1.minhash = s2.minhash THEN 1 ELSE 0 END)
+                     AS BIGINT) AS agree
+         FROM cand c
+         JOIN sig s1 ON s1.doc_id = c.doc1
+         JOIN sig s2 ON s2.doc_id = c.doc2 AND s2.hash_id = s1.hash_id
+         GROUP BY 1, 2
+       ), hist AS (
+         SELECT (agree * 1000000 // 16) // 62500 AS bucket,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM agree GROUP BY 1)
+       """
+        + union
+    )
+
+
+@query("dedup_lsh_curve", _lsh_curve_oracle_sql())
+def dedup_lsh_curve(spark, sf_dir):
+    """LSH banding design report (dedupe.lsh_curve): the 1-(1-J^r)^b
+    S-curve for every (bands x rows) split of the 16-slot signature,
+    evaluated on the OBSERVED similarity distribution of real candidate
+    pairs (minhash-agreement estimates over band-2 candidates from the
+    corrupted-variant corpus) — which factorization catches the near-dup
+    mass while starving the noise, with expected candidate yields per
+    bucket. All floor-ppm power chains come from ONE Python generator on
+    both engines; the only thing minhash slot independence buys (a
+    correlated family has no S-curve at all) made measurable. The pair
+    table collapses to the per-bucket histogram first; the curve is
+    literal arithmetic over that tiny table — no join, no window."""
+    aug = _neardup_docs(spark, sf_dir)
+    sig = D.minhash_signatures(aug, "doc_id", "text", num_hashes=16, shingle_n=2)
+    pairs = D.lsh_candidate_pairs(sig, band_size=2)
+    scored = D.minhash_agreement(sig, pairs, num_hashes=16)
+    return D.lsh_curve(scored, "est_jaccard_ppm", num_hashes=16, bucket_ppm=62_500)
+
+
+@query(
+    "stats_winsorize",
+    """WITH r AS (
+         SELECT event_type AS grp, event_id AS id,
+                CAST(floor(value * 100) AS BIGINT) AS value
+         FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       n AS (SELECT grp, count(*) AS n FROM r GROUP BY grp),
+       ranked AS (
+         SELECT grp, value,
+                row_number() OVER (PARTITION BY grp ORDER BY value) AS rk
+         FROM r),
+       lo AS (
+         SELECT ranked.grp, value AS lo FROM ranked JOIN n USING (grp)
+         WHERE rk = greatest((5 * n + 99) // 100, 1)),
+       hi AS (
+         SELECT ranked.grp, value AS hi FROM ranked JOIN n USING (grp)
+         WHERE rk = greatest((95 * n + 99) // 100, 1))
+       SELECT r.grp AS event_type, r.id AS event_id, r.value, lo, hi,
+              least(greatest(r.value, lo), hi) AS clamped,
+              least(greatest(r.value, lo), hi) <> r.value AS was_clamped
+       FROM r JOIN lo USING (grp) JOIN hi USING (grp)""",
+)
+def stats_winsorize(spark, sf_dir):
+    """Percentile-fence clamping (stats.winsorize): event values (exact
+    cents) winsorized to their event-type's [p5, p95] — ~10% of rows
+    clamp, so both fences and the untouched middle all carry mass.
+    Fences are exact type-1 ranks over the DISTINCT-value-collapsed
+    table and broadcast back; raw rows scan once and never shuffle.
+    The oracle is the naive row_number formulation (fine at oracle
+    scale, the exact shape the operator avoids shipping at 100 TB)."""
+    from .operators.stats import winsorize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    return winsorize(ev, "event_type", "event_id", "cents", 5, 95)
+
+
+@query(
+    "link_prior",
+    """WITH obs AS (
+         SELECT string_split(lower(p_name), ' ')[1] AS mention,
+                p_brand AS entity
+         FROM part),
+       pairs AS (
+         SELECT mention, entity, CAST(count(*) AS BIGINT) AS cnt
+         FROM obs GROUP BY mention, entity)
+       SELECT mention, entity, cnt,
+              CAST(sum(cnt) OVER (PARTITION BY mention) AS BIGINT)
+                AS mention_total,
+              CAST(cnt * 1000000
+                   // sum(cnt) OVER (PARTITION BY mention) AS BIGINT)
+                AS prior_ppm,
+              CAST(row_number() OVER (PARTITION BY mention
+                                      ORDER BY cnt DESC, entity) AS BIGINT)
+                AS rank
+       FROM pairs""",
+)
+def link_prior(spark, sf_dir):
+    """Commonness prior P(entity | mention) (disambiguate.link_prior,
+    Milne-Witten shape): each part's leading name word is an ambiguous
+    surface form observed against its manufacturer — ~90 mentions x up to 25
+    candidate brands each, so every mention carries a real multi-
+    candidate distribution and the deterministic (cnt DESC, entity ASC)
+    rank-1 is a meaningful argmax. The prior is the measured-popularity
+    head of the linking cascade's no-key-matched path and the rank-1
+    share is the route-to-context-model signal. One pair-keyed count +
+    one mention-partitioned window over the collapsed pair table."""
+    from .operators.disambiguate import link_prior as _lp
+
+    obs = _t(spark, sf_dir, "part").select(
+        F.split(F.lower(F.col("p_name")), " ").getItem(0).alias("mention"),
+        F.col("p_brand").alias("entity"),
+    )
+    return _lp(obs, "mention", "entity")
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -616,3 +616,116 @@ def minhash_agreement(
             F.expr(f"agree * 1000000 DIV {int(num_hashes)}"),
         )
     )
+
+
+def _pow_chain(start: str, mult: str, k: int, div_op: str) -> str:
+    """Unrolled integer-ppm power chain: start * mult^(k-1) with a floor
+    division back to the ppm grid after every multiply — the ONE
+    generator both the Spark expressions and the DuckDB oracle replays
+    use (div_op = 'DIV' for Spark SQL, '//' for DuckDB), so the lossy
+    floor sequence is bit-identical by construction on both engines."""
+    e = start
+    for _ in range(k - 1):
+        e = f"(({e}) * ({mult})) {div_op} 1000000"
+    return e
+
+
+def lsh_factorizations(num_hashes: int) -> list[tuple[int, int]]:
+    """All (bands, rows_per_band) splits of a signature: b * r == n."""
+    return [
+        (b, num_hashes // b) for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+
+
+def lsh_curve_exprs(
+    num_hashes: int, bucket_ppm: int, div_op: str
+) -> list[tuple[int, int, str, str]]:
+    """Per factorization (bands, rows, jr_sql, rep_sql) over a histogram
+    row exposing `bucket`: rep = bucket midpoint in ppm, jr = rep^rows on
+    the floor-ppm grid. Shared by lsh_curve (Spark) and the contract
+    oracle (DuckDB) — one source of truth for the arithmetic."""
+    # an exact-duplicate pair (J = 10^6) lands in the top bucket whose
+    # midpoint would overshoot the grid — cap the representative at 10^6
+    rep = f"least(bucket * {bucket_ppm} + {bucket_ppm // 2}, 1000000)"
+    return [
+        (b, r, _pow_chain(rep, rep, r, div_op), rep)
+        for b, r in lsh_factorizations(num_hashes)
+    ]
+
+
+def lsh_curve(
+    pairs: DataFrame,
+    jac_col: str,
+    num_hashes: int = 16,
+    bucket_ppm: int = 50_000,
+) -> DataFrame:
+    """The banding design report for a minhash signature: for every way
+    to split num_hashes slots into (bands x rows_per_band) and every
+    observed-similarity bucket, the probability that a pair at that
+    similarity becomes an LSH candidate, and how many of THESE pairs
+    would:
+
+        (bands, rows_per_band, jac_bucket_ppm, n_pairs,
+         p_collision_ppm, expected_candidate_pairs)
+
+    p = 1 - (1 - J^r)^b is the textbook S-curve (MMDS ch.3) — but
+    evaluated on the caller's OWN pair-similarity distribution, not in
+    the abstract: feed it the exact Jaccards of labeled/sampled pairs
+    (set_similarity_join output, or an audit sample) and read off which
+    factorization catches the near-dup mass while starving the noise.
+    This is the design-time companion to er_metrics.threshold_sweep
+    (which calibrates AFTER candidates exist) and the reason
+    minhash_signatures' slot independence matters: a correlated family
+    has no S-curve to tune (p degrades to J itself regardless of
+    banding).
+
+    All arithmetic is unrolled floor-ppm integer chains (J^r and
+    (1-J^r)^b as repeated multiply-then-div-10^6), generated by the SAME
+    helper the DuckDB oracle interpolates — engine-exact by construction,
+    no float pow. Scale shape: pairs collapse to the per-bucket histogram
+    first (one map-side-combinable agg); the curve itself is
+    |factorizations| x |buckets| rows of literal arithmetic over that
+    tiny table (a UNION ALL of codegen'd projections, no join, no
+    window). expected counts run in DECIMAL(38,0): 10^12 pairs x ppm
+    overflows BIGINT."""
+    if num_hashes < 1 or bucket_ppm < 2 or 1_000_000 % bucket_ppm:
+        raise ValueError(
+            "lsh_curve: num_hashes >= 1 and bucket_ppm must divide 10^6"
+        )
+    hist = (
+        pairs.select(
+            F.expr(f"CAST({jac_col} DIV {int(bucket_ppm)} AS BIGINT)").alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .localCheckpoint()
+    )
+    out = None
+    for b, r, jr, rep in lsh_curve_exprs(num_hashes, bucket_ppm, "DIV"):
+        q = _pow_chain("1000000 - _jr", "1000000 - _jr", b, "DIV")
+        branch = (
+            hist.withColumn("_jr", F.expr(jr))
+            .select(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.expr(rep).cast("long").alias("jac_bucket_ppm"),
+                "n_pairs",
+                F.expr(f"CAST(1000000 - ({q}) AS BIGINT)").alias(
+                    "p_collision_ppm"
+                ),
+                "_jr",
+            )
+            .withColumn(
+                "expected_candidate_pairs",
+                F.expr(
+                    "CAST(CAST(n_pairs AS DECIMAL(38,0)) * p_collision_ppm"
+                    " DIV 1000000 AS BIGINT)"
+                ),
+            )
+            .drop("_jr")
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

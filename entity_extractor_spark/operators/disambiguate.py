@@ -84,3 +84,59 @@ def best_candidate(
             F.round("cos", 6).alias("score"),
         )
     )
+
+
+def link_prior(
+    observations: DataFrame,
+    mention_col: str,
+    entity_col: str,
+) -> DataFrame:
+    """Commonness prior P(entity | mention) from observed link history —
+    the Milne-Witten prior every production entity linker consults
+    before any context model runs ("jaguar" -> the car 70%, the cat 25%,
+    the OS 5%):
+
+        (mention, entity, cnt, mention_total, prior_ppm, rank)
+
+    prior_ppm = cnt * 10^6 div mention_total (exact integer floor);
+    rank is row_number over (cnt DESC, entity ASC) — entity is unique
+    within a mention so the order is total and tie-free: rank 1 is THE
+    argmax candidate on any engine/partitioning.
+    The prior is what turns the linking cascade's "no key matched" path
+    from uniform-over-candidates into measured-popularity-first, and the
+    rank-1 share doubles as an ambiguity score (a mention whose top
+    entity holds < ~70% needs the cosine context model; one at 10^6
+    needs nothing).
+
+    Scale shape: ONE (mention, entity)-keyed algebraic count over the
+    observation log (map-side combine collapses hot mentions), the
+    mention marginal is a window-sum over the collapsed pair table (tiny
+    relative to the log: |distinct pairs|, not |observations|), and the
+    rank runs over the same mention-partitioned exchange — one shuffle
+    total. NULL mentions/entities are excluded (an unlinked observation
+    teaches the prior nothing). Counts cast to BIGINT; the ppm product
+    runs in DECIMAL(38,0) — a 10^12-observation mention must widen, not
+    wrap."""
+    pairs = (
+        observations.where(
+            F.col(mention_col).isNotNull() & F.col(entity_col).isNotNull()
+        )
+        .groupBy(
+            F.col(mention_col).alias("mention"),
+            F.col(entity_col).alias("entity"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("mention")
+    wr = w.orderBy(F.col("cnt").desc(), F.col("entity").asc())
+    return pairs.select(
+        "mention",
+        "entity",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("mention_total"),
+        F.expr(
+            "CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000"
+            " DIV sum(cnt) OVER (PARTITION BY mention) AS BIGINT)"
+        ).alias("prior_ppm"),
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )

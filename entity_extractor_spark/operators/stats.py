@@ -248,3 +248,78 @@ def half_life_decayed(
         cents = (F.col("_v").cast("decimal(18,2)") * 100).cast("long")
         aggs.append(F.sum(cents * w).alias("decayed_value_cents_ppm"))
     return base.groupBy("key").agg(*aggs)
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    lo_pct: int = 1,
+    hi_pct: int = 99,
+) -> DataFrame:
+    """Per-group percentile-fence clamping — the feature-normalization
+    step that tames heavy tails before a model or a fixed-point score
+    sees them (a 10^9-cent order in a cents feature, a 10^6-token doc in
+    a length feature):
+
+        (group, id, value, lo, hi, clamped, was_clamped)
+
+    lo/hi are EXACT type-1 percentiles (value at rank ceil(p*n/100) —
+    pure integer rank arithmetic, the group_percentiles definition;
+    never percentile_approx, whose double interpolation is neither exact
+    nor cross-engine stable), so the fences are a deterministic function
+    of the data and the same row clamps identically on any engine,
+    partitioning, or retry. clamped = least(greatest(value, lo), hi);
+    was_clamped marks the touched rows so the clamp RATE is auditable
+    (a fence that touches 30% of a group is a data bug, not a tail).
+
+    Scale shape: fences come from the DISTINCT-value-collapsed table
+    (one algebraic count + one window over the collapsed rows — a
+    10^9-row group with 10^4 distinct values sorts 10^4 rows); the
+    (group, lo, hi) fence table is tiny and broadcast-joins back onto
+    the raw rows, which are scanned once and never shuffled. NULL
+    groups/values are excluded from both fence estimation and output
+    (a NULL feature is the imputation stage's job, not the clamp's)."""
+    if not (0 <= lo_pct <= hi_pct <= 100):
+        raise ValueError("winsorize: need 0 <= lo_pct <= hi_pct <= 100")
+    rows = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).alias("value"),
+    )
+    counts = rows.groupBy("grp", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("grp").orderBy("value")
+    cum = counts.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("grp"))
+    )
+    def fence(p: int, name: str) -> DataFrame:
+        return (
+            # greatest(..., 1): p = 0 means "clamp at the min" (rank 1),
+            # not an empty fence that would inner-join the group away
+            cum.withColumn(
+                "t", F.expr(f"greatest(({int(p)} * n + 99) div 100, 1)")
+            )
+            .where(
+                (F.col("cum") >= F.col("t"))
+                & (F.col("cum") - F.col("cnt") < F.col("t"))
+            )
+            .select("grp", F.col("value").alias(name))
+        )
+
+    fences = fence(lo_pct, "lo").join(fence(hi_pct, "hi"), "grp")
+    return (
+        rows.join(F.broadcast(fences), "grp")
+        .withColumn("clamped", F.expr("least(greatest(value, lo), hi)"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("id").alias(id_col),
+            "value",
+            "lo",
+            "hi",
+            "clamped",
+            (F.col("clamped") != F.col("value")).alias("was_clamped"),
+        )
+    )

@@ -217,3 +217,59 @@ def test_minhash_agreement_matches_python_replay(spark):
         exp = sum(1 for i in range(16) if sa[i] == sb[i])
         assert agree == exp
         assert est == exp * 1_000_000 // 16
+
+
+# ------------------------------------------------------ LSH banding S-curve --
+
+def test_lsh_curve_matches_python_replay(spark):
+    """Every (bands, rows) split of 16 slots vs a pure-Python floor-ppm
+    replay — including the capped top bucket (J = 10^6 pairs) and the
+    expected-candidate floor products."""
+    from entity_extractor_spark.operators.dedupe import (
+        lsh_curve,
+        lsh_factorizations,
+    )
+
+    jacs = [0, 49_999, 50_000, 123_456, 500_000, 876_543, 999_999, 1_000_000]
+    rows = [(i, j) for i, j in enumerate(jacs * 3)]
+    df = spark.createDataFrame(rows, "pid long, jac long")
+    bp = 50_000
+    got = {
+        (r.bands, r.rows_per_band, r.jac_bucket_ppm): (
+            r.n_pairs,
+            r.p_collision_ppm,
+            r.expected_candidate_pairs,
+        )
+        for r in lsh_curve(df, "jac", num_hashes=16, bucket_ppm=bp).collect()
+    }
+
+    def powp(x, k):
+        acc = x
+        for _ in range(k - 1):
+            acc = acc * x // 1_000_000
+        return acc
+
+    from collections import Counter
+
+    hist = Counter(j // bp for _, j in rows)
+    want = {}
+    for b, r in lsh_factorizations(16):
+        for bucket, n in hist.items():
+            rep = min(bucket * bp + bp // 2, 1_000_000)
+            p = 1_000_000 - powp(1_000_000 - powp(rep, r), b)
+            want[(b, r, rep)] = (n, p, n * p // 1_000_000)
+    assert got == want
+    # the exact-dup bucket is capped at the grid top and always collides
+    assert got[(4, 4, 1_000_000)][1] == 1_000_000
+
+
+def test_lsh_curve_validates(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.dedupe import lsh_curve
+
+    df = spark.createDataFrame([(1, 5)], "pid long, jac long")
+    with pytest.raises(ValueError):
+        lsh_curve(df, "jac", num_hashes=0)
+    with pytest.raises(ValueError):
+        lsh_curve(df, "jac", bucket_ppm=333_333)  # does not divide 10^6

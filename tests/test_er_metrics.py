@@ -200,3 +200,44 @@ def test_blocking_quality_rejects_null_gold(spark):
     )
     with pytest.raises(Exception, match="blocking_quality"):
         blocking_quality(df, "strategy", "blk", "gold").collect()
+
+
+# ------------------------------------------------------- commonness prior --
+
+def test_link_prior_brute(spark):
+    """Random observation log vs a pure-Python replay — counts, totals,
+    floor ppm, and the tie-free (cnt DESC, entity ASC) ranks all exact;
+    NULL mentions/entities excluded."""
+    import random
+    from collections import Counter
+
+    from entity_extractor_spark.operators.disambiguate import link_prior
+
+    rng = random.Random(41)
+    rows = [
+        (rng.choice(["jaguar", "python", "mercury", None]),
+         rng.choice(["car", "cat", "os", "snake", "lang", None]))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "m string, e string")
+    got = {
+        (r.mention, r.entity): (r.cnt, r.mention_total, r.prior_ppm, r.rank)
+        for r in link_prior(df, "m", "e").collect()
+    }
+    c = Counter((m, e) for m, e in rows if m is not None and e is not None)
+    totals = Counter()
+    for (m, _e), n in c.items():
+        totals[m] += n
+    want = {}
+    by_m: dict = {}
+    for (m, e), n in c.items():
+        by_m.setdefault(m, []).append((e, n))
+    for m, es in by_m.items():
+        ordered = sorted(es, key=lambda t: (-t[1], t[0]))
+        for rk, (e, n) in enumerate(ordered, 1):
+            want[(m, e)] = (n, totals[m], n * 1_000_000 // totals[m], rk)
+    assert got == want
+    # rank-1 rows exist for every mention and ppm shares sum <= 1e6
+    for m in by_m:
+        shares = [v[2] for (mm, _), v in got.items() if mm == m]
+        assert sum(shares) <= 1_000_000

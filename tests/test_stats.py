@@ -177,3 +177,59 @@ def test_half_life_decayed_validates_and_handles_empty(spark):
     # the decayed columns unconditionally)
     assert empty.columns == ["key", "n", "decayed_count_ppm", "decayed_value_cents_ppm"]
     assert empty.count() == 0
+
+
+# ---------------------------------------------------------------- winsorize --
+
+def test_winsorize_brute(spark):
+    """Random heavy-tailed groups vs a pure-Python type-1 fence replay —
+    fences, clamped values, and flags exact; duplicates and a singleton
+    group included."""
+    import math
+    import random
+
+    from entity_extractor_spark.operators.stats import winsorize
+
+    rng = random.Random(31)
+    rows = [
+        (f"g{i % 3}", i, rng.choice([rng.randrange(100), rng.randrange(10**6)]))
+        for i in range(300)
+    ] + [("solo", 9001, 42)]
+    df = spark.createDataFrame(rows, "grp string, id long, v long")
+    got = {
+        r.id: (r.lo, r.hi, r.clamped, r.was_clamped)
+        for r in winsorize(df, "grp", "id", "v", 5, 95).collect()
+    }
+    by_g: dict = {}
+    for g, i, v in rows:
+        by_g.setdefault(g, []).append(v)
+    fences = {}
+    for g, vs in by_g.items():
+        s = sorted(vs)
+        t = lambda p: s[max(math.ceil(p * len(s) / 100), 1) - 1]  # noqa: E731
+        fences[g] = (t(5), t(95))
+    want = {}
+    for g, i, v in rows:
+        lo, hi = fences[g]
+        c = min(max(v, lo), hi)
+        want[i] = (lo, hi, c, c != v)
+    assert got == want
+    assert any(f for *_, f in got.values()) and not all(
+        f for *_, f in got.values()
+    )
+
+
+def test_winsorize_p0_p100_and_validation(spark):
+    """p0/p100 degrade to min/max (nothing clamps); bad bounds raise."""
+    import pytest
+
+    from entity_extractor_spark.operators.stats import winsorize
+
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate([5, 1, 9, 7])],
+        "grp string, id long, v long",
+    )
+    out = winsorize(df, "grp", "id", "v", 0, 100).collect()
+    assert all(r.lo == 1 and r.hi == 9 and not r.was_clamped for r in out)
+    with pytest.raises(ValueError):
+        winsorize(df, "grp", "id", "v", 50, 40)
