@@ -7084,6 +7084,59 @@ def link_prior(spark, sf_dir):
     return _lp(obs, "mention", "entity")
 
 
+@query(
+    "er_bcubed",
+    """WITH it AS (
+         SELECT doc_id, doc_id % 50 AS g,
+                CASE WHEN doc_id % 7 = 0 THEN 1000 + doc_id
+                     WHEN doc_id % 11 = 0 THEN 2000 + (doc_id % 25)
+                     ELSE doc_id % 50 END AS p
+         FROM documents),
+       cells AS (SELECT p, g, CAST(count(*) AS BIGINT) AS c
+                 FROM it GROUP BY p, g),
+       np AS (SELECT p, CAST(sum(c) AS BIGINT) AS np FROM cells GROUP BY p),
+       ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM cells GROUP BY g),
+       s AS (
+         SELECT CAST(sum(c) AS BIGINT) AS n_items,
+                sum(CAST(c AS HUGEINT) * c * 1000000 // np) AS sp,
+                sum(CAST(c AS HUGEINT) * c * 1000000 // ng) AS sg
+         FROM cells JOIN np USING (p) JOIN ng USING (g)),
+       pr AS (
+         SELECT n_items,
+                CAST(sp // n_items AS BIGINT) AS precision_ppm,
+                CAST(sg // n_items AS BIGINT) AS recall_ppm
+         FROM s)
+       SELECT n_items, precision_ppm, recall_ppm,
+              CASE WHEN precision_ppm + recall_ppm > 0
+                   THEN CAST(2 * precision_ppm * recall_ppm
+                             // (precision_ppm + recall_ppm) AS BIGINT)
+              END AS f1_ppm
+       FROM pr""",
+)
+def er_bcubed(spark, sf_dir):
+    """B-cubed clustering quality (er_metrics.bcubed_metrics): the
+    item-averaged ER audit that pairwise F1 cannot replace — pairs grow
+    quadratically in cluster size, so one wrong mega-merge swamps a
+    thousand correct small clusters; B-cubed weighs every item equally.
+    Gold = 50 synthetic identity classes over documents; pred re-labels
+    every 7th doc a singleton (over-SPLIT mass) and every remaining 11th
+    doc into one of 25 merged super-clusters (over-MERGE mass), so both
+    error modes and the correct middle all contribute. One contingency-
+    cell pass, marginals re-agg the cell table, cell^2 products in
+    DECIMAL(38,0)/HUGEINT."""
+    from .operators.er_metrics import bcubed_metrics
+
+    it = _t(spark, sf_dir, "documents").select(
+        F.expr("doc_id % 50").alias("g"),
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN 1000 + doc_id"
+            " WHEN doc_id % 11 = 0 THEN 2000 + (doc_id % 25)"
+            " ELSE doc_id % 50 END"
+        ).alias("p"),
+    )
+    return bcubed_metrics(it, "p", "g")
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -320,3 +320,85 @@ def blocking_quality(
             "completeness_ppm"
         ),
     )
+
+
+def bcubed_metrics(df: DataFrame, pred_col: str, gold_col: str) -> DataFrame:
+    """One row: (n_items, precision_ppm, recall_ppm, f1_ppm) — B-cubed
+    (Bagga-Baldwin) item-averaged clustering quality for `pred_col`
+    scored against `gold_col`, the cluster-level complement of
+    pair_metrics: pairwise F1 is dominated by the largest clusters
+    (pairs grow quadratically in cluster size — one merged mega-cluster
+    swamps a thousand correct small ones), while B-cubed weights every
+    ITEM equally, which is what an entity-resolution audit over a
+    power-law entity distribution actually needs.
+
+    Per item i: precision_i = |C(i) & G(i)| / |C(i)|,
+                recall_i    = |C(i) & G(i)| / |G(i)|,
+    averaged over items. On the (pred, gold) contingency cells this is
+
+        P = (1/N) * sum_cells cell^2 * 10^6 div |pred cluster|
+        R = (1/N) * sum_cells cell^2 * 10^6 div |gold class|
+
+    — every item in a cell shares the same ratio, so the per-item sum
+    collapses to a per-cell one. Floor division applies per cell and the
+    item-average floor once more (floors-of-floors, stated: the result
+    is a deterministic lower bound within N/10^6 of the rational value —
+    the property that matters is engine/partitioning exactness, and both
+    engines run the identical floor sequence). F1 is the harmonic mean
+    of the two ppm values, NULL if either is NULL. NULL labels raise
+    executor-side: an unlabeled item cannot be graded, and silently
+    dropping it would inflate both averages.
+
+    Scale shape: identical to pair_metrics — cells = groupBy(pred,
+    gold).count() is the only pass over the data; both marginals re-agg
+    the cell table (localCheckpoint'd once); cell^2 * 10^6 runs in
+    DECIMAL(38,0) (a 10^12-item cell squares to 10^24)."""
+    ok = F.col("_p").isNotNull() & F.col("_g").isNotNull()
+    cells = (
+        df.select(
+            F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g")
+        )
+        .select(
+            F.when(
+                F.assert_true(
+                    ok, F.lit("bcubed_metrics: labels must be non-NULL")
+                ).isNull(),
+                F.col("_p"),
+            ).alias("_p"),
+            "_g",
+        )
+        .groupBy("_p", "_g")
+        .count()
+        .localCheckpoint()
+    )
+    psz = cells.groupBy("_p").agg(F.sum("count").alias("_np"))
+    gsz = cells.groupBy("_g").agg(F.sum("count").alias("_ng"))
+    contrib = lambda sz: F.expr(  # noqa: E731
+        f"CAST(count AS DECIMAL(38,0)) * count * {_PPM} DIV {sz}"
+    )
+    one = (
+        cells.join(psz, "_p")
+        .join(gsz, "_g")
+        .agg(
+            F.sum("count").cast("long").alias("n_items"),
+            F.sum(contrib("_np")).alias("_sp"),
+            F.sum(contrib("_ng")).alias("_sg"),
+        )
+    )
+    avg = lambda s: F.expr(  # noqa: E731
+        f"CAST({s} DIV n_items AS BIGINT)"
+    )
+    return one.select(
+        "n_items",
+        avg("_sp").alias("precision_ppm"),
+        avg("_sg").alias("recall_ppm"),
+    ).withColumn(
+        "f1_ppm",
+        F.when(
+            F.col("precision_ppm") + F.col("recall_ppm") > 0,
+            F.expr(
+                f"2 * precision_ppm * recall_ppm"
+                f" DIV (precision_ppm + recall_ppm)"
+            ),
+        ),
+    )

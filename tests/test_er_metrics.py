@@ -241,3 +241,77 @@ def test_link_prior_brute(spark):
     for m in by_m:
         shares = [v[2] for (mm, _), v in got.items() if mm == m]
         assert sum(shares) <= 1_000_000
+
+
+# ----------------------------------------------------------------- B-cubed --
+
+def _brute_bcubed(rows):
+    from collections import Counter
+
+    cells = Counter(rows)
+    np_, ng_ = Counter(), Counter()
+    for (p, g), c in cells.items():
+        np_[p] += c
+        ng_[g] += c
+    n = sum(cells.values())
+    sp = sum(c * c * 1_000_000 // np_[p] for (p, g), c in cells.items())
+    sg = sum(c * c * 1_000_000 // ng_[g] for (p, g), c in cells.items())
+    prec, rec = sp // n, sg // n
+    f1 = (
+        2 * prec * rec // (prec + rec) if prec + rec > 0 else None
+    )
+    return (n, prec, rec, f1)
+
+
+def test_bcubed_brute(spark):
+    """Random clusterings vs the pure-Python contingency replay —
+    floors-of-floors sequence exact; perfect clustering scores 10^6."""
+    import random
+
+    from entity_extractor_spark.operators.er_metrics import bcubed_metrics
+
+    rng = random.Random(53)
+    rows = [(f"p{rng.randrange(8)}", f"g{rng.randrange(6)}") for _ in range(300)]
+    df = spark.createDataFrame(rows, "p string, g string")
+    r = bcubed_metrics(df, "p", "g").collect()[0]
+    assert (r.n_items, r.precision_ppm, r.recall_ppm, r.f1_ppm) == _brute_bcubed(
+        rows
+    )
+
+    perfect = [(g, g) for g in "aabbbcccc"]
+    dfp = spark.createDataFrame(perfect, "p string, g string")
+    rp = bcubed_metrics(dfp, "p", "g").collect()[0]
+    assert (rp.precision_ppm, rp.recall_ppm, rp.f1_ppm) == (
+        1_000_000,
+        1_000_000,
+        1_000_000,
+    )
+
+
+def test_bcubed_item_weighting_vs_pairwise(spark):
+    """The reason B-cubed exists: one mega-merge of two big classes hurts
+    it far less than pairwise precision, because pairs are quadratic in
+    cluster size while items are linear. Asserted directionally against
+    pair_metrics on the same labeling."""
+    from entity_extractor_spark.operators.er_metrics import (
+        bcubed_metrics,
+        pair_metrics,
+    )
+
+    rows = [("m", f"g{i % 2}") for i in range(40)] + [
+        (f"p{i}", f"s{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "p string, g string")
+    b = bcubed_metrics(df, "p", "g").collect()[0]
+    pw = pair_metrics(df, "p", "g").collect()[0]
+    assert b.precision_ppm > pw.precision_ppm
+
+
+def test_bcubed_rejects_null_labels(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.er_metrics import bcubed_metrics
+
+    df = spark.createDataFrame([("a", None), ("a", "g")], "p string, g string")
+    with pytest.raises(Exception, match="Exception|non-NULL"):
+        bcubed_metrics(df, "p", "g").collect()
