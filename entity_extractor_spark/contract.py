@@ -7088,9 +7088,9 @@ def link_prior(spark, sf_dir):
     "er_bcubed",
     """WITH it AS (
          SELECT doc_id, doc_id % 50 AS g,
-                CASE WHEN doc_id % 7 = 0 THEN 1000 + doc_id
-                     WHEN doc_id % 11 = 0 THEN 2000 + (doc_id % 25)
-                     ELSE doc_id % 50 END AS p
+                CASE WHEN doc_id % 7 = 0 THEN 'solo_' || doc_id
+                     WHEN doc_id % 11 = 0 THEN 'merge_' || (doc_id % 25)
+                     ELSE 'k_' || (doc_id % 50) END AS p
          FROM documents),
        cells AS (SELECT p, g, CAST(count(*) AS BIGINT) AS c
                  FROM it GROUP BY p, g),
@@ -7128,10 +7128,14 @@ def er_bcubed(spark, sf_dir):
 
     it = _t(spark, sf_dir, "documents").select(
         F.expr("doc_id % 50").alias("g"),
+        # pred labels live in three DISJOINT prefixed namespaces so the
+        # over-split singletons can never collide into the over-merge
+        # clusters (1000+doc_id overlapped 2000+(doc_id%25) for doc_ids
+        # 1001-1022 and silently absorbed 4 "singletons")
         F.expr(
-            "CASE WHEN doc_id % 7 = 0 THEN 1000 + doc_id"
-            " WHEN doc_id % 11 = 0 THEN 2000 + (doc_id % 25)"
-            " ELSE doc_id % 50 END"
+            "CASE WHEN doc_id % 7 = 0 THEN concat('solo_', doc_id)"
+            " WHEN doc_id % 11 = 0 THEN concat('merge_', doc_id % 25)"
+            " ELSE concat('k_', doc_id % 50) END"
         ).alias("p"),
     )
     return bcubed_metrics(it, "p", "g")

@@ -175,7 +175,10 @@ def compaction_plan(
     from pyspark.sql import Window
 
     part = [partition_col] if partition_col else []
-    ok = F.col("bytes").isNotNull() & (F.col("bytes") >= 0)
+    # guard the CALLER'S column (pre-alias): hardcoding "bytes" here would
+    # break any other bytes_col name and, worse, silently validate an
+    # unrelated input column that happens to be named "bytes"
+    ok = F.col(bytes_col).isNotNull() & (F.col(bytes_col) >= 0)
     d = files.select(
         *part,
         F.col(file_col).alias("file"),

@@ -292,8 +292,13 @@ def winsorize(
     )
     counts = rows.groupBy("grp", "value").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("grp").orderBy("value")
-    cum = counts.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "n", F.sum("cnt").over(Window.partitionBy("grp"))
+    # localCheckpoint: both fences derive from this one collapsed+windowed
+    # table — without it each fence() re-runs the scan, the shuffle, and
+    # both window passes (the repo's shared-intermediate doctrine)
+    cum = (
+        counts.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy("grp")))
+        .localCheckpoint()
     )
     def fence(p: int, name: str) -> DataFrame:
         return (

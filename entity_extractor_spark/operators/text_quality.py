@@ -644,7 +644,11 @@ def duplicated_ngrams(
     bound is absurd, but overflow must be impossible, not unlikely)."""
     if n < 1:
         raise ValueError("duplicated_ngrams: n must be >= 1")
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # empty/whitespace-only text must yield ZERO tokens, not [""]: under
+    # n=1 that phantom token would make two blank docs flag each other as
+    # 100%-duplicated — NULL out the array so such docs stay absent
+    base = F.trim(F.lower(F.col(text_col)))
+    toks = F.when(base != "", F.split(base, r"\s+"))
     width = F.size(toks) - (n - 1)
     zipped = F.arrays_zip(*[F.slice(toks, i + 1, width) for i in range(n)])
     grams = F.when(

@@ -272,3 +272,20 @@ def test_lm_bigram_score_orders_fluency(spark):
         for r in lm_bigram_score(train, score, "doc_id", "text").collect()
     }
     assert got[1] > got[2] > got[3]
+
+
+def test_duplicated_ngrams_blank_docs_absent_under_n1(spark):
+    """Regression: split('') yields [''] — under n=1 that phantom token
+    made two blank docs flag each other 100%-duplicated. Blank/whitespace
+    docs must be absent at EVERY n; real n=1 token overlap still counts."""
+    from entity_extractor_spark.operators.text_quality import duplicated_ngrams
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "alpha beta"), (4, "beta gamma"), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.ngrams_total, r.ngrams_dup)
+        for r in duplicated_ngrams(df, "doc_id", "text", n=1).collect()
+    }
+    assert got == {3: (2, 1), 4: (2, 1)}
