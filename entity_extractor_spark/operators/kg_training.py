@@ -358,3 +358,54 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
     )
+
+
+def mention_contexts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keywords: list[str],
+    k: int = 4,
+) -> DataFrame:
+    """Token-window training-sample export around gazetteer hits — the
+    table an NER/EL model is fine-tuned on ("given k tokens either side,
+    is this surface form entity X?"), and the corpus the cosine
+    disambiguator's context vectors come from:
+
+        (doc_id, pos, keyword, left_ctx, right_ctx)
+
+    One row per OCCURRENCE (pos = 0-based token index, so repeated hits
+    in one doc each carry their own window); contexts are space-joined
+    token strings truncated at document edges (sorted-CSV doctrine:
+    strings compare exactly cross-engine where array cells do not).
+
+    Scale shape: tokenize -> posexplode -> ONE broadcast-literal isin
+    filter (the gazetteer here is the keyword list; for 10^4+ keywords
+    use detect_mentions' broadcast-join/Aho-Corasick paths to find hits
+    and join windows back) -> two codegen'd array slices around the hit.
+    No join, no window, no shuffle at all — a pure narrow map over the
+    scan, embarrassingly parallel at any corpus size. k and the keyword
+    list are validated driver-side; empty/whitespace docs tokenize to
+    zero tokens (never a phantom '')."""
+    if k < 1 or not keywords:
+        raise ValueError("mention_contexts: k >= 1 and non-empty keywords")
+    base = F.trim(F.lower(F.col(text_col)))
+    toks = F.when(base != "", F.split(base, r"\s+"))
+    hits = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_t")
+    ).select(
+        "doc_id", "_t", F.posexplode("_t").alias("pos", "keyword")
+    ).where(F.col("keyword").isin([str(w) for w in keywords]))
+    left_start = F.expr(f"greatest(pos - {int(k)}, 0) + 1")
+    left_len = F.expr(f"pos - greatest(pos - {int(k)}, 0)")
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "keyword",
+        F.array_join(F.slice("_t", left_start, left_len), " ").alias(
+            "left_ctx"
+        ),
+        F.array_join(F.slice("_t", F.col("pos") + 2, F.lit(int(k))), " ").alias(
+            "right_ctx"
+        ),
+    )

@@ -179,3 +179,50 @@ def test_hard_negatives_properties(spark):
         assert len(lst) <= 4
     with _pt.raises(ValueError):
         hard_negatives(df, dims=dims, k=0)
+
+
+# -------------------------------------------------------- mention contexts --
+
+def test_mention_contexts_brute(spark):
+    """Random corpora vs a pure-Python window replay — every occurrence
+    (including repeats in one doc), edge truncation, and blank docs."""
+    import random
+
+    from entity_extractor_spark.operators.kg_training import mention_contexts
+
+    rng = random.Random(61)
+    vocab = ["join", "scan", "row", "x", "y", "z"]
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12))))
+        for d in range(40)
+    ] + [(90, ""), (91, "   "), (92, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kws = ["join", "row"]
+    got = {
+        (r.doc_id, r.pos): (r.keyword, r.left_ctx, r.right_ctx)
+        for r in mention_contexts(df, "doc_id", "text", kws, k=3).collect()
+    }
+    want = {}
+    for d, tx in rows:
+        toks = tx.strip().lower().split() if tx else []
+        for i, t in enumerate(toks):
+            if t in kws:
+                want[(d, i)] = (
+                    t,
+                    " ".join(toks[max(i - 3, 0) : i]),
+                    " ".join(toks[i + 1 : i + 4]),
+                )
+    assert got == want
+    assert want, "test premise: at least one hit"
+
+
+def test_mention_contexts_validates(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.kg_training import mention_contexts
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        mention_contexts(df, "doc_id", "text", [], k=4)
+    with pytest.raises(ValueError):
+        mention_contexts(df, "doc_id", "text", ["a"], k=0)
