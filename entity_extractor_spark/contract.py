@@ -7180,6 +7180,49 @@ def kg_mention_contexts(spark, sf_dir):
     )
 
 
+@query(
+    "layout_table_gc_plan",
+    """WITH disk AS (
+         SELECT DISTINCT 'data/f' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0')
+                  AS file
+         FROM orders WHERE o_orderkey % 13 <> 0),
+       ref AS (
+         SELECT DISTINCT file FROM (
+           SELECT 'data/f' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0')
+                    AS file
+           FROM orders WHERE o_orderkey % 17 <> 0
+           UNION ALL
+           SELECT 'data/f' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0')
+           FROM orders WHERE o_orderkey % 5 = 0))
+       SELECT file, 'orphan' AS status FROM disk
+       WHERE file NOT IN (SELECT file FROM ref)
+       UNION ALL
+       SELECT file, 'missing' AS status FROM ref
+       WHERE file NOT IN (SELECT file FROM disk)""",
+)
+def layout_table_gc_plan(spark, sf_dir):
+    """Filesystem-vs-manifest reconciliation (layout.table_gc_plan, the
+    Iceberg remove_orphan_files audit + the missing-file corruption
+    alarm): listing and manifest are synthesized from orders with
+    deliberate disjoint dropout slices — every 13th file exists only in
+    the manifest (missing -> page a human) and every 17th only on disk
+    (orphan -> age-filter then delete), with every 5th file referenced
+    TWICE so the multi-snapshot-dedup path carries mass; healthy files
+    are not emitted. Two path-keyed hash anti-joins over deduplicated
+    sides."""
+    from .operators.layout import table_gc_plan
+
+    fname = F.expr(
+        "concat('data/f', lpad(CAST(o_orderkey AS STRING), 10, '0'))"
+    ).alias("file")
+    o = _t(spark, sf_dir, "orders")
+    disk = o.where("o_orderkey % 13 <> 0").select(fname)
+    ref = o.where("o_orderkey % 17 <> 0").select(fname).unionByName(
+        o.where("o_orderkey % 5 = 0").select(fname)
+    )
+    return table_gc_plan(disk, ref)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -206,3 +206,53 @@ def compaction_plan(
         F.sum("bytes").over(wg).cast("long").alias("grp_bytes"),
         F.count(F.lit(1)).over(wg).cast("long").alias("grp_files"),
     )
+
+
+def table_gc_plan(
+    listing: DataFrame,
+    manifest: DataFrame,
+    file_col: str = "file",
+) -> DataFrame:
+    """Filesystem-vs-manifest reconciliation — the audit half of Iceberg
+    `remove_orphan_files` and the corruption alarm no committer should
+    run without:
+
+        (file, status)   status in {'orphan', 'missing'}
+
+    orphan  = on disk but referenced by no manifest entry (the debris of
+              killed writers and dead snapshots — delete CANDIDATES, to
+              be age-filtered by the caller before any delete: a file
+              written by an in-flight commit is also unreferenced until
+              its manifest lands, which is exactly why this operator
+              only REPORTS);
+    missing = referenced by the manifest but absent from the listing —
+              never a cleanup item: it means readers are about to throw
+              FileNotFound, the one state that must page a human.
+    Files in both inputs are healthy and not emitted.
+
+    Scale shape: two hash anti-joins on the file path (each side
+    deduplicated first — a manifest may legally reference a file from
+    multiple snapshots), unioned. File listings are ~10^6-10^8 rows at
+    100 TB — small relative to data, and the anti-joins shuffle only
+    paths. NULL paths raise executor-side (a NULL in either feed is a
+    broken lister/manifest reader, not a reconcilable file)."""
+    def side(df: DataFrame, status: str) -> DataFrame:
+        ok = F.col(file_col).isNotNull()
+        return df.select(
+            F.when(
+                F.assert_true(
+                    ok, F.lit(f"table_gc_plan: NULL path in {status} input")
+                ).isNull(),
+                F.col(file_col),
+            ).alias("file")
+        ).distinct()
+
+    disk = side(listing, "listing")
+    ref = side(manifest, "manifest")
+    orphans = disk.join(ref, "file", "left_anti").select(
+        "file", F.lit("orphan").alias("status")
+    )
+    missing = ref.join(disk, "file", "left_anti").select(
+        "file", F.lit("missing").alias("status")
+    )
+    return orphans.unionByName(missing)

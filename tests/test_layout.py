@@ -139,3 +139,36 @@ def test_compaction_plan_validates(spark):
     bad = spark.createDataFrame([("a", -5)], "file string, bytes long")
     with pytest.raises(Exception, match="Exception|bytes"):
         compaction_plan(bad, "file", "bytes", 100).collect()
+
+
+# ----------------------------------------------------------------- gc plan --
+
+def test_table_gc_plan_brute(spark):
+    """Set-algebra replay: orphans = disk - ref, missing = ref - disk,
+    healthy absent; duplicate manifest references deduped."""
+    from entity_extractor_spark.operators.layout import table_gc_plan
+
+    disk = spark.createDataFrame(
+        [(f,) for f in ["a", "b", "c", "d"]], "file string"
+    )
+    ref = spark.createDataFrame(
+        [(f,) for f in ["b", "c", "c", "e", "f"]], "file string"
+    )
+    got = {(r.file, r.status) for r in table_gc_plan(disk, ref).collect()}
+    assert got == {
+        ("a", "orphan"),
+        ("d", "orphan"),
+        ("e", "missing"),
+        ("f", "missing"),
+    }
+
+
+def test_table_gc_plan_rejects_null_paths(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.layout import table_gc_plan
+
+    disk = spark.createDataFrame([("a",), (None,)], "file string")
+    ref = spark.createDataFrame([("a",)], "file string")
+    with pytest.raises(Exception, match="Exception|NULL path"):
+        table_gc_plan(disk, ref).collect()
