@@ -7223,6 +7223,64 @@ def layout_table_gc_plan(spark, sf_dir):
     return table_gc_plan(disk, ref)
 
 
+@query(
+    "stats_knee_point",
+    """WITH counts AS (
+         SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS x,
+                count(*) AS nr
+         FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+         GROUP BY 1, 2),
+       cdf AS (
+         SELECT g, x,
+                CAST(sum(nr) OVER (PARTITION BY g ORDER BY x) * 1000000
+                     // sum(nr) OVER (PARTITION BY g) AS BIGINT) AS y
+         FROM counts),
+       ends AS (
+         SELECT g, min(x) AS x1, arg_min(y, x) AS y1,
+                max(x) AS x2, arg_max(y, x) AS y2
+         FROM cdf GROUP BY g),
+       cr AS (
+         SELECT c.g, c.x, c.y, e.x1, e.x2,
+                abs(CAST(e.x2 - e.x1 AS HUGEINT) * (c.y - e.y1)
+                    - CAST(e.y2 - e.y1 AS HUGEINT) * (c.x - e.x1)) AS cro
+         FROM cdf c JOIN ends e USING (g)),
+       best AS (
+         SELECT g, x, y, cro, x1, x2,
+                row_number() OVER (PARTITION BY g
+                                   ORDER BY cro DESC, x ASC) AS rk
+         FROM cr)
+       SELECT g AS event_type, x AS knee_x, y AS knee_y,
+              CAST(cro AS BIGINT) AS cross_abs, x1 AS x_lo, x2 AS x_hi
+       FROM best WHERE rk = 1""",
+)
+def stats_knee_point(spark, sf_dir):
+    """Automatic operating-point detection (stats.knee_point, the Kneedle
+    criterion in exact integer geometry): the knee of each event-type's
+    value CDF — the point farthest from the endpoint chord by
+    |cross product|, no sqrt, no floats, ties broken (|cross| DESC,
+    x ASC). This is the picker for every calibration curve the engine
+    emits (threshold sweeps, LSH S-curves, coverage curves); gated over
+    percentile_rank's exact CDF so the composed pipeline curve -> knee
+    is what's value-checked. The oracle formulates the argmax as a
+    row_number window; the operator is an algebraic struct-max."""
+    from .operators.stats import knee_point, percentile_rank
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    cdf = percentile_rank(ev, "event_type", "cents")
+    out = knee_point(cdf, "event_type", "cents", "pct_ppm")
+    return out.select(
+        "event_type",
+        "knee_x",
+        "knee_y",
+        F.col("cross_abs").cast("long").alias("cross_abs"),
+        "x_lo",
+        "x_hi",
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

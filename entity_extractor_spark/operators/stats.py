@@ -328,3 +328,89 @@ def winsorize(
             (F.col("clamped") != F.col("value")).alias("was_clamped"),
         )
     )
+
+
+def knee_point(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Deterministic knee/elbow detection per group — the point of a
+    monotone-ish curve farthest from the chord between its endpoints
+    (the Kneedle criterion reduced to exact integer geometry): the
+    automatic operating-point picker for the calibration outputs this
+    engine produces (er_threshold_sweep's precision/recall curves,
+    lsh_curve's S-curves, vocab_coverage's size/coverage trade-off,
+    histogram CDFs):
+
+        (group, knee_x, knee_y, cross_abs, x_lo, x_hi)
+
+    For endpoints (x1,y1)-(x2,y2) (min-x / max-x points) each point's
+    distance to the chord is |cross| / |chord| with
+    cross = (x2-x1)(y-y1) - (y2-y1)(x-x1); the chord length is constant
+    within a group, so argmax|cross| IS argmax distance — computed in
+    pure integers, no sqrt, no floats. Ties break (|cross| DESC, x ASC):
+    a deterministic single row per group on any engine/partitioning.
+    Endpoints themselves have cross = 0, so a 1-2 point group returns
+    its min-x point with cross_abs 0 — degenerate, not an error (the
+    caller can see it in cross_abs).
+
+    Scale shape: inputs are CURVES — already collapsed to per-group
+    (x, y) points (dozens to thousands of rows), never raw data; one
+    algebraic struct-min/max per group for the endpoints, a broadcast
+    join back, one algebraic struct-max for the argmax: no windows, no
+    shuffle beyond the group key. Cross products run in DECIMAL(38,0)
+    — two 10^12-scale coordinates multiply past BIGINT. NULL x/y raise
+    executor-side (a curve with holes is an upstream bug)."""
+    ok = F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    pts = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+    ).select(
+        "_g",
+        F.when(
+            F.assert_true(
+                ok, F.lit("knee_point: curve points must be non-NULL")
+            ).isNull(),
+            F.col("_x"),
+        ).alias("_x"),
+        "_y",
+    )
+    ends = pts.groupBy("_g").agg(
+        F.min(F.struct("_x", "_y")).alias("_lo"),
+        F.max(F.struct("_x", "_y")).alias("_hi"),
+    ).select(
+        "_g",
+        F.col("_lo._x").alias("_x1"),
+        F.col("_lo._y").alias("_y1"),
+        F.col("_hi._x").alias("_x2"),
+        F.col("_hi._y").alias("_y2"),
+    )
+    crossed = pts.join(F.broadcast(ends), "_g").withColumn(
+        "_cross",
+        F.expr(
+            "abs(CAST(_x2 - _x1 AS DECIMAL(38,0)) * (_y - _y1)"
+            " - CAST(_y2 - _y1 AS DECIMAL(38,0)) * (_x - _x1))"
+        ),
+    )
+    best = crossed.groupBy("_g").agg(
+        F.max(
+            F.struct(
+                F.col("_cross"),
+                (-F.col("_x")).alias("_negx"),
+                F.col("_y").alias("_besty"),
+                F.col("_x1").alias("_bx1"),
+                F.col("_x2").alias("_bx2"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        F.col("_g").alias(group_col),
+        (-F.col("_b._negx")).alias("knee_x"),
+        F.col("_b._besty").alias("knee_y"),
+        F.col("_b._cross").cast("decimal(38,0)").alias("cross_abs"),
+        F.col("_b._bx1").alias("x_lo"),
+        F.col("_b._bx2").alias("x_hi"),
+    )

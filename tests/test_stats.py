@@ -233,3 +233,68 @@ def test_winsorize_p0_p100_and_validation(spark):
     assert all(r.lo == 1 and r.hi == 9 and not r.was_clamped for r in out)
     with pytest.raises(ValueError):
         winsorize(df, "grp", "id", "v", 50, 40)
+
+
+# --------------------------------------------------------------- knee point --
+
+def test_knee_point_brute(spark):
+    """Random curves vs a pure-Python max-|cross| replay — ties broken
+    (|cross| DESC, x ASC); degenerate 1-point groups return themselves
+    with cross 0."""
+    import random
+
+    from entity_extractor_spark.operators.stats import knee_point
+
+    rng = random.Random(67)
+    rows = []
+    for g in range(4):
+        xs = sorted(rng.sample(range(100), rng.randrange(2, 20)))
+        for x in xs:
+            rows.append((f"g{g}", x, rng.randrange(0, 1000)))
+    rows.append(("solo", 7, 42))
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    got = {
+        r.grp: (r.knee_x, r.knee_y, int(r.cross_abs), r.x_lo, r.x_hi)
+        for r in knee_point(df, "grp", "x", "y").collect()
+    }
+    by_g: dict = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((x, y))
+    want = {}
+    for g, pts in by_g.items():
+        x1, y1 = min(pts)
+        x2, y2 = max(pts)
+        scored = sorted(
+            (
+                (-abs((x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)), x, y)
+                for x, y in pts
+            )
+        )
+        c, x, y = scored[0]
+        want[g] = (x, y, -c, x1, x2)
+    assert got == want
+    assert got["solo"] == (7, 42, 0, 7, 7)
+
+
+def test_knee_point_finds_the_obvious_elbow(spark):
+    """An L-shaped curve's corner is its knee."""
+    from entity_extractor_spark.operators.stats import knee_point
+
+    pts = [(0, 0), (10, 900), (20, 950), (100, 1000)]
+    df = spark.createDataFrame(
+        [("L", x, y) for x, y in pts], "grp string, x long, y long"
+    )
+    r = knee_point(df, "grp", "x", "y").collect()[0]
+    assert (r.knee_x, r.knee_y) == (10, 900)
+
+
+def test_knee_point_rejects_null_points(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.stats import knee_point
+
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, None)], "grp string, x long, y long"
+    )
+    with pytest.raises(Exception, match="Exception|non-NULL"):
+        knee_point(df, "grp", "x", "y").collect()
