@@ -7281,6 +7281,57 @@ def stats_knee_point(spark, sf_dir):
     )
 
 
+@query(
+    "cdc_as_of_state",
+    """WITH ch AS (
+         SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey AS seq,
+                CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I'
+                     ELSE 'D' END AS op,
+                CAST(floor(o_totalprice * 100) AS BIGINT) AS bal
+         FROM orders WHERE o_orderdate <= DATE '1995-06-30'),
+       last AS (
+         SELECT k, ts, seq, op, bal FROM (
+           SELECT k, ts, seq, op, bal,
+                  row_number() OVER (PARTITION BY k
+                    ORDER BY ts DESC, seq DESC, op DESC, bal DESC) AS rn
+           FROM ch) WHERE rn = 1)
+       SELECT k, bal, CAST(ts AS VARCHAR) AS as_of_ts, seq AS as_of_seq
+       FROM last WHERE op != 'D'""",
+)
+def cdc_as_of_state(spark, sf_dir):
+    """Point-in-time reconstruction (cdc.as_of_state — the plain-parquet
+    TIMESTAMP AS OF read): the customer-balance table exactly as it
+    stood on 1995-06-30, rebuilt from the order-derived changelog used
+    by cdc_apply_changelog (F->U, O->I, P->D). The mid-range cutoff
+    makes every branch carry mass: later events excluded by the pushable
+    ts filter, not-yet-born keys absent, keys whose latest pre-cutoff
+    event is a delete absent, and the deciding event's (ts, seq) cited
+    per row as audit provenance. One algebraic struct-max per key after
+    the scan filter; the oracle is the row_number replay. Dates cross
+    the pandas compare as VARCHAR per repo doctrine."""
+    import datetime
+
+    from .operators.cdc import as_of_state
+
+    ch = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.expr(
+            "CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I' "
+            "ELSE 'D' END"
+        ).alias("op"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("bal"),
+    )
+    out = as_of_state(
+        ch, "k", "ts", "seq", "op", ["bal"], datetime.date(1995, 6, 30)
+    )
+    return out.select(
+        "k", "bal", F.col("as_of_ts").cast("string").alias("as_of_ts"),
+        "as_of_seq",
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -162,3 +162,73 @@ def incremental_agg(
             ).alias(c)
         )
     return joined.select(*out_cols)
+
+
+def as_of_state(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    op_col: str,
+    payload_cols: list[str],
+    as_of,
+) -> DataFrame:
+    """Point-in-time reconstruction (time travel): the table state AS OF
+    `as_of`, rebuilt from the full changelog — the read side of
+    apply_changelog and the plain-parquet equivalent of an Iceberg/Delta
+    `VERSION AS OF` / `TIMESTAMP AS OF` read. Every KG audit ("what did
+    we assert about this entity before the retraction?"), every
+    reproducible-training-run manifest ("train on the corpus exactly as
+    it stood on date X"), and every incident postmortem is this query.
+
+    Semantics: only events with ts <= as_of (inclusive) exist yet; per
+    key the latest of those by (ts, seq) decides — op I/U means the key
+    exists with that change's payload, op D means it is absent; keys
+    whose first event is after as_of are absent (not yet born). Output:
+
+        (key, *payload_cols, as_of_ts, as_of_seq)
+
+    where as_of_ts/as_of_seq identify the deciding event — the row-level
+    provenance an audit needs to cite. Ops outside {I, U, D} fail loudly
+    (same executor-side raise as apply_changelog); NULL keys are dropped
+    (same contract).
+
+    Determinism: the winner is max(struct(ts, seq, op, payloads...)) — a
+    total order even under duplicated (ts, seq), never a partition race.
+
+    Scale shape: the as_of predicate is a pushable scan filter (on a
+    ts-partitioned changelog it prunes whole partitions before any
+    shuffle), then ONE algebraic aggregation on key — map-side partials
+    collapse a hot key's history per task, so the exchange carries one
+    row per (task, live key), and no window ever ranks the raw events.
+    Reconstructing k snapshots means k such passes; for a dense snapshot
+    series use apply_changelog to roll state forward instead."""
+    if not payload_cols:
+        raise ValueError("payload_cols must be non-empty")
+    op = F.col(op_col)
+    checked_op = F.when(op.isin(*_OPS), op).otherwise(
+        F.raise_error(
+            F.concat(F.lit("as_of_state: op must be one of I/U/D, got "), op)
+        )
+    )
+    winner = (
+        changes.where(F.col(key_col).isNotNull())
+        .where(F.col(ts_col) <= F.lit(as_of))
+        .select(
+            F.col(key_col).alias("_k"),
+            F.struct(
+                F.col(ts_col).alias("_ts"),
+                F.col(seq_col).alias("_seq"),
+                checked_op.alias("_op"),
+                *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+            ).alias("_ch"),
+        )
+        .groupBy("_k")
+        .agg(F.max("_ch").alias("_ch"))
+    )
+    return winner.where(F.col("_ch._op") != "D").select(
+        F.col("_k").alias(key_col),
+        *[F.col(f"_ch._p_{c}").alias(c) for c in payload_cols],
+        F.col("_ch._ts").alias("as_of_ts"),
+        F.col("_ch._seq").alias("as_of_seq"),
+    )

@@ -145,3 +145,59 @@ def test_incremental_agg_null_keys_dropped_not_splintered(spark):
     rows = s1.collect()
     assert {r.key: (r.n, r.a) for r in rows} == {1: (2, 6)}
     assert len(rows) == 1  # no splinter NULL rows accumulating per batch
+
+
+# --------------------------------------------------------------- as-of state --
+
+_AOF_SCHEMA = "k long, ts long, seq long, op string, bal long"
+_AOF_LOG = [
+    # key 1: born at 10, updated at 20, deleted at 30
+    (1, 10, 1, "I", 100), (1, 20, 2, "U", 150), (1, 30, 3, "D", 0),
+    # key 2: born at 25 only
+    (2, 25, 4, "I", 200),
+    # key 3: same-ts tie broken by seq
+    (3, 20, 5, "I", 300), (3, 20, 6, "U", 350),
+]
+
+
+def _aof(spark, as_of):
+    from entity_extractor_spark.operators.cdc import as_of_state
+
+    df = spark.createDataFrame(_AOF_LOG, _AOF_SCHEMA)
+    out = as_of_state(df, "k", "ts", "seq", "op", ["bal"], as_of)
+    return {r.k: (r.bal, r.as_of_ts, r.as_of_seq) for r in out.collect()}
+
+
+def test_as_of_state_timeline(spark):
+    assert _aof(spark, 5) == {}                       # before anything was born
+    assert _aof(spark, 10) == {1: (100, 10, 1)}       # inclusive boundary
+    assert _aof(spark, 22) == {1: (150, 20, 2), 3: (350, 20, 6)}
+    assert _aof(spark, 99) == {2: (200, 25, 4), 3: (350, 20, 6)}  # 1 deleted
+
+
+def test_as_of_state_matches_apply_changelog_at_end_of_time(spark):
+    """Replaying the whole log as-of +inf equals folding it into an empty
+    snapshot — the two operators are two views of one semantics."""
+    from entity_extractor_spark.operators.cdc import apply_changelog, as_of_state
+
+    df = spark.createDataFrame(_AOF_LOG, _AOF_SCHEMA)
+    empty = spark.createDataFrame([], "k long, bal long")
+    via_fold = {
+        (r.k, r.bal)
+        for r in apply_changelog(empty, df, "k", "ts", "seq", "op", ["bal"]).collect()
+    }
+    via_asof = {
+        (r.k, r.bal)
+        for r in as_of_state(df, "k", "ts", "seq", "op", ["bal"], 10**9).collect()
+    }
+    assert via_fold == via_asof
+
+
+def test_as_of_state_rejects_bad_op(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.cdc import as_of_state
+
+    df = spark.createDataFrame([(1, 10, 1, "X", 5)], _AOF_SCHEMA)
+    with pytest.raises(Exception, match="Exception|I/U/D"):
+        as_of_state(df, "k", "ts", "seq", "op", ["bal"], 99).collect()
