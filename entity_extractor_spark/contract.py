@@ -7332,6 +7332,124 @@ def cdc_as_of_state(spark, sf_dir):
     )
 
 
+@query(
+    "er_u_probabilities",
+    """WITH stacked AS (
+         SELECT 'mktsegment' AS field, c_mktsegment AS v
+         FROM customer WHERE c_mktsegment IS NOT NULL
+         UNION ALL
+         SELECT 'nation', CAST(c_nationkey AS VARCHAR)
+         FROM customer WHERE c_nationkey IS NOT NULL
+         UNION ALL
+         SELECT 'suffix', substring(c_name, 16, 3)
+         FROM customer WHERE c_name IS NOT NULL),
+       hist AS (SELECT field, v, count(*) AS c FROM stacked GROUP BY 1, 2)
+       SELECT field, CAST(sum(c) AS BIGINT) AS n,
+              CASE WHEN sum(c) < 2 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(sum(CAST(c AS HUGEINT) * (c - 1)) * 1000000
+                             // (CAST(sum(c) AS HUGEINT) * (sum(c) - 1))
+                        AS BIGINT)
+              END AS u_ppm
+       FROM hist GROUP BY field""",
+)
+def er_u_probabilities(spark, sf_dir):
+    """Exact-rational u probabilities (linkage.u_probabilities): for
+    each linkage field, the chance two RANDOM customers agree on it —
+    sum c_v(c_v-1) div n(n-1) over the value histogram, floored to ppm.
+    mktsegment (5 values, u ~ 0.2), nation (25 values, u ~ 0.04), and
+    the name's 3-digit suffix (~1000 values, u ~ 0.001) span three
+    orders of magnitude: exactly the asymmetry 100*log2(m/u) centibit weights feed
+    into fs_score. ONE stacked-explode pass covers all fields (k fields
+    never k scans); products run in DECIMAL(38,0)/HUGEINT."""
+    from .operators.linkage import u_probabilities
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_nationkey").alias("nation"),
+        F.substring("c_name", 16, 3).alias("suffix"),
+    )
+    return u_probabilities(c, ["mktsegment", "nation", "suffix"])
+
+
+@query(
+    "er_fs_score",
+    """WITH c AS (
+         SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+                abs(CAST(floor(c_acctbal * 100) AS BIGINT)) AS ac,
+                c_acctbal < 0 AS neg, substring(c_name, 15, 1) AS nm1
+         FROM customer),
+       e AS (
+         SELECT k, nat, seg, ac % 20 AS blk, (ac // 100) % 10 AS b100,
+                nm1,
+                CASE WHEN neg THEN NULL ELSE (ac // 10) % 10 END AS bnul
+         FROM c),
+       p AS (
+         SELECT a.k AS a_k, b.k AS b_k,
+                CASE WHEN a.b100 = b.b100 THEN 600 ELSE -50 END AS w_b100,
+                CASE WHEN a.nm1 = b.nm1 THEN 250 ELSE -120 END AS w_nm1,
+                CASE WHEN a.bnul IS NULL OR b.bnul IS NULL THEN 0
+                     WHEN a.bnul = b.bnul THEN 400 ELSE -30 END AS w_bnul
+         FROM e a JOIN e b ON a.nat = b.nat AND a.seg = b.seg
+                          AND a.blk = b.blk AND a.k < b.k)
+       SELECT a_k, b_k, CAST(w_b100 AS BIGINT) AS w_b100,
+              CAST(w_nm1 AS BIGINT) AS w_nm1,
+              CAST(w_bnul AS BIGINT) AS w_bnul,
+              CAST(-1500 + w_b100 + w_nm1 + w_bnul AS BIGINT) AS score_cb
+       FROM p""",
+)
+def er_fs_score(spark, sf_dir):
+    """Fellegi–Sunter pair scoring (linkage.fs_score): customer
+    candidate pairs from a (nation, segment, cents%20) block, scored by
+    three centibit-weighted field comparisons — balance-hundreds digit
+    (600/-50), address-length class (250/-120), and a sometimes-missing
+    balance-tens field (negative balances are NULL, so the no-evidence
+    branch carries real pair mass alongside agree and disagree), with a
+    -1500 centibit candidate prior. Scoring is a pure narrow map over
+    the blocked equi-join (the only shuffle); weights fold into codegen
+    as literals. The oracle replays the blocking join and every CASE
+    branch."""
+    from .operators.linkage import fs_score
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("abs(CAST(floor(c_acctbal * 100) AS BIGINT))").alias("ac"),
+        (F.col("c_acctbal") < 0).alias("neg"),
+        F.substring("c_name", 15, 1).alias("nm1"),
+    )
+    e = c.select(
+        "k", "nat", "seg",
+        (F.col("ac") % 20).alias("blk"),
+        F.expr("(ac div 100) % 10").alias("b100"),
+        "nm1",
+        F.when(F.col("neg"), F.lit(None).cast("long"))
+        .otherwise(F.expr("(ac div 10) % 10"))
+        .alias("bnul"),
+    )
+    a = e.select(*[F.col(x).alias(f"a_{x}") for x in e.columns])
+    b = e.select(*[F.col(x).alias(f"b_{x}") for x in e.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_nat") == F.col("b_nat"))
+        & (F.col("a_seg") == F.col("b_seg"))
+        & (F.col("a_blk") == F.col("b_blk"))
+        & (F.col("a_k") < F.col("b_k")),
+    )
+    scored = fs_score(
+        pairs,
+        {
+            "b100": (F.col("a_b100") == F.col("b_b100"), 600, -50),
+            "nm1": (F.col("a_nm1") == F.col("b_nm1"), 250, -120),
+            "bnul": (F.col("a_bnul") == F.col("b_bnul"), 400, -30),
+        },
+        prior_cb=-1500,
+    )
+    return scored.select(
+        "a_k", "b_k", "w_b100", "w_nm1", "w_bnul", "score_cb"
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).
