@@ -7450,6 +7450,109 @@ def er_fs_score(spark, sf_dir):
     )
 
 
+_BLOOM_BUILD_SQL = """
+  dim AS (SELECT DISTINCT c_custkey AS k FROM customer
+          WHERE c_mktsegment = 'BUILDING'),
+  pos AS (
+    SELECT CAST(concat('0x', substring(md5(concat(CAST(k AS VARCHAR),
+           '|1')), 1, 12)) AS BIGINT) % 2048 AS p FROM dim
+    UNION ALL
+    SELECT CAST(concat('0x', substring(md5(concat(CAST(k AS VARCHAR),
+           '|2')), 1, 12)) AS BIGINT) % 2048 FROM dim),
+  bloom AS (
+    SELECT p // 63 AS w,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+    FROM pos GROUP BY 1)"""
+
+
+@query(
+    "prune_bloom_semijoin",
+    f"""WITH {_BLOOM_BUILD_SQL},
+  probe AS (
+    SELECT o_custkey,
+      CAST(concat('0x', substring(md5(concat(CAST(o_custkey AS VARCHAR),
+           '|1')), 1, 12)) AS BIGINT) % 2048 AS p1,
+      CAST(concat('0x', substring(md5(concat(CAST(o_custkey AS VARCHAR),
+           '|2')), 1, 12)) AS BIGINT) % 2048 AS p2
+    FROM orders),
+  flagged AS (
+    SELECT o_custkey,
+      coalesce((b1.bits >> CAST(p1 % 63 AS INT)) & 1, 0) = 1
+      AND coalesce((b2.bits >> CAST(p2 % 63 AS INT)) & 1, 0) = 1
+        AS bloom_maybe
+    FROM probe
+    LEFT JOIN bloom b1 ON b1.w = p1 // 63
+    LEFT JOIN bloom b2 ON b2.w = p2 // 63)
+  SELECT bloom_maybe, (d.k IS NOT NULL) AS is_member,
+         COUNT(*) AS cnt
+  FROM flagged f LEFT JOIN dim d ON f.o_custkey = d.k
+  GROUP BY 1, 2""",
+)
+def prune_bloom_semijoin(spark, sf_dir):
+    """Bloom semi-join pruning (bloom.py): build a 2048-bit / 2-hash
+    filter over BUILDING-segment customer keys, probe every order's
+    o_custkey, and tabulate (bloom_maybe, is_member) -> count. m is
+    deliberately undersized so ALL confusion-matrix cells carry mass at
+    both scale factors: true keeps, false positives (maybe but not a
+    member), true prunes — and the no-false-negative invariant shows as
+    the absent (is_member, NOT maybe) cell, which the oracle's identical
+    grouping would expose if either engine manufactured one. Scale
+    shape: build is one algebraic bit_or agg over the (tiny) dim;
+    probe never shuffles the fact side (k broadcast word-joins,
+    plan-gated in tests/test_bloom.py)."""
+    from .operators.bloom import bloom_build, bloom_probe
+
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bloom = bloom_build(dim, "c_custkey", 2048, 2)
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    flagged = bloom_probe(orders, "o_custkey", bloom, 2048, 2)
+    truth = dim.select(F.col("c_custkey").alias("_tk")).distinct()
+    return (
+        flagged.join(
+            F.broadcast(truth), flagged.o_custkey == F.col("_tk"), "left"
+        )
+        .groupBy(
+            "bloom_maybe", F.col("_tk").isNotNull().alias("is_member")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "prune_bloom_stats",
+    f"""WITH {_BLOOM_BUILD_SQL},
+  agg AS (
+    SELECT COUNT(*) AS n_words,
+           CAST(coalesce(sum(bit_count(bits)), 0) AS BIGINT) AS bits_set
+    FROM bloom)
+  SELECT CAST(n_words AS BIGINT) AS n_words, bits_set,
+         CAST(CAST(bits_set AS HUGEINT) * 1000000 // 2048 AS BIGINT)
+           AS saturation_ppm,
+         CAST(CAST(CAST(bits_set AS HUGEINT) * 1000000 // 2048 AS HUGEINT)
+              * (CAST(bits_set AS HUGEINT) * 1000000 // 2048)
+              // 1000000 AS BIGINT) AS est_fp_ppm
+  FROM agg""",
+)
+def prune_bloom_stats(spark, sf_dir):
+    """Filter health report (bloom.bloom_stats) for the same filter
+    prune_bloom_semijoin builds: exact integer saturation and the
+    (bits_set/m)^k false-positive estimate on the ppm grid — the number
+    an operator reads before shipping a filter to tomorrow's ingest.
+    The oracle replays the bit_count/ppm algebra in HUGEINT."""
+    from .operators.bloom import bloom_build, bloom_stats
+
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return bloom_stats(bloom_build(dim, "c_custkey", 2048, 2), 2048, 2)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).
