@@ -7553,6 +7553,479 @@ def prune_bloom_stats(spark, sf_dir):
     return bloom_stats(bloom_build(dim, "c_custkey", 2048, 2), 2048, 2)
 
 
+_HLL_M8 = 256
+_HLL_NUM = 7213 * _HLL_M8 * _HLL_M8 * _HLL_M8 * (1 << 49)
+_HLL_DEN_ALPHA = 10000 * _HLL_M8 + 10790
+
+
+@query(
+    "sketch_hll_distinct",
+    f"""WITH h AS (
+         SELECT o_orderpriority AS grp,
+                md5(concat(CAST(o_custkey AS VARCHAR), '|', 'hll')) AS hx
+         FROM orders WHERE o_custkey IS NOT NULL),
+       r AS (
+         SELECT grp,
+                CAST(concat('0x', substring(hx, 1, 2)) AS BIGINT) AS bucket,
+                max(CASE WHEN CAST(concat('0x', substring(hx, 3, 12))
+                              AS BIGINT) = 0 THEN 49
+                         ELSE 49 - length(bin(CAST(concat('0x',
+                              substring(hx, 3, 12)) AS BIGINT))) END)
+                  AS register
+         FROM h GROUP BY 1, 2),
+       e AS (
+         SELECT grp, COUNT(*) AS nb,
+                SUM(CAST(1 AS BIGINT) << CAST(49 - register AS INT))
+                  AS s_nonzero
+         FROM r GROUP BY 1),
+       x AS (
+         SELECT o_orderpriority AS grp,
+                COUNT(DISTINCT o_custkey) AS exact_distinct
+         FROM orders GROUP BY 1),
+       est AS (
+         SELECT grp, CAST(nb AS BIGINT) AS n_buckets,
+                CAST({_HLL_M8} - nb AS BIGINT) AS zero_buckets,
+                CAST(CAST({_HLL_NUM} AS HUGEINT)
+                     // (CAST({_HLL_DEN_ALPHA} AS HUGEINT)
+                         * (CAST(s_nonzero AS HUGEINT)
+                            + ({_HLL_M8} - nb)
+                              * CAST({1 << 49} AS HUGEINT)))
+                     AS BIGINT) AS est_distinct
+         FROM e)
+       SELECT est.grp, n_buckets, zero_buckets, est_distinct,
+              exact_distinct,
+              CAST(abs(est_distinct - exact_distinct) * 1000000
+                   // exact_distinct AS BIGINT) AS err_ppm
+       FROM est JOIN x ON est.grp = x.grp""",
+)
+def sketch_hll_distinct(spark, sf_dir):
+    """HLL distinct sketch (sketch.hll_registers/hll_estimate, b = 8 so
+    m = 256 and per-priority custkey counts sit in the sketch's healthy
+    n > 2.5m regime at BOTH scale factors): per order priority, the
+    register-table estimate of distinct customers NEXT TO the exact
+    count and the realized err_ppm — the error is measured and shipped
+    in the row, not asserted away (std err ~1.04/sqrt(256) = 6.5%;
+    Python-replay over 20 independent key sets: mean bias -0.4%,
+    stdev 4.6%. The five priorities share one custkey universe, hence
+    ONE correlated hash draw — their errors move together by design).
+    The oracle replays bucket extraction, bin()-based rho, register
+    max, and the exact-rational alpha quotient in HUGEINT. Scale
+    shape: build is ONE algebraic groupBy max (registers merge across
+    shards/days by max — unit-proven), estimate is one m-bounded agg;
+    the exact side here is the yardstick, not part of the operator."""
+    from .operators.sketch import hll_estimate, hll_registers
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), "o_custkey"
+    )
+    regs = hll_registers(o, ["grp"], "o_custkey", 8)
+    est = hll_estimate(regs, ["grp"], 8)
+    exact = o.groupBy("grp").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return (
+        est.join(F.broadcast(exact), "grp")
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "CAST(abs(est_distinct - exact_distinct) * 1000000"
+                " div exact_distinct AS BIGINT)"
+            ),
+        )
+        .select(
+            "grp", "n_buckets", "zero_buckets", "est_distinct",
+            "exact_distinct", "err_ppm",
+        )
+    )
+
+
+_O2O_ROUND = """
+  m{r} AS (
+    SELECT l, r, s FROM (
+      SELECT l, r, s,
+        row_number() OVER (PARTITION BY l ORDER BY s DESC, r) AS rl,
+        row_number() OVER (PARTITION BY r ORDER BY s DESC, l) AS rr
+      FROM p{p}) WHERE rl = 1 AND rr = 1),
+  p{r} AS (
+    SELECT * FROM p{p}
+    WHERE l NOT IN (SELECT l FROM m{r})
+      AND r NOT IN (SELECT r FROM m{r}))"""
+
+
+@query(
+    "er_one_to_one",
+    "WITH p0 AS (\n"
+    "    SELECT l.c_custkey AS l, r.c_custkey AS r,\n"
+    "           CAST(500 - abs(l.c_custkey - r.c_custkey) % 37 AS BIGINT)"
+    " AS s\n"
+    "    FROM customer l JOIN customer r"
+    " ON l.c_nationkey = r.c_nationkey\n"
+    "    WHERE l.c_custkey % 13 = 0 AND r.c_custkey % 11 = 0),"
+    + _O2O_ROUND.format(r=1, p=0)
+    + ","
+    + _O2O_ROUND.format(r=2, p=1)
+    + ","
+    + _O2O_ROUND.format(r=3, p=2)
+    + """
+  SELECT l AS left_key, r AS right_key, s AS score_cb,
+         CAST(1 AS INTEGER) AS match_round FROM m1
+  UNION ALL SELECT l, r, s, 2 FROM m2
+  UNION ALL SELECT l, r, s, 3 FROM m3""",
+)
+def er_one_to_one(spark, sf_dir):
+    """One-to-one assignment (linkage.one_to_one_match, 3 rounds of
+    mutual best match) over a contended candidate-pair table: customers
+    blocked by nation, left side custkey%13 = 0, right side %11 = 0,
+    score = 500 - |dl - dr| % 37 — scores collide heavily ON PURPOSE so
+    the (score DESC, partner ASC) tie-break decides real rows, and
+    contention (a left's best right prefers someone else) pushes real
+    mass into rounds 2 and 3. The oracle unrolls each round as a
+    two-window row_number replay + NOT IN pool shrink — deliberately
+    the OPPOSITE formulation of the engine's algebraic struct-min
+    argmax, so a tie-break or pool-shrink bug on either side splits
+    the hash. Scale shape per round: two map-side-combining aggs, one
+    equi-join, two hash anti-joins — no windows, no driver row loops;
+    the pool localCheckpoints so 3 rounds never replan the whole
+    chain."""
+    from .operators.linkage import one_to_one_match
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    left = c.where(F.col("c_custkey") % 13 == 0).select(
+        F.col("c_custkey").alias("lk"), F.col("c_nationkey").alias("n")
+    )
+    right = c.where(F.col("c_custkey") % 11 == 0).select(
+        F.col("c_custkey").alias("rk"), F.col("c_nationkey").alias("n")
+    )
+    pairs = (
+        left.join(right, "n")
+        .select(
+            F.col("lk").alias("left_key"), F.col("rk").alias("right_key")
+        )
+        .withColumn(
+            "score_cb",
+            F.expr("CAST(500 - abs(left_key - right_key) % 37 AS BIGINT)"),
+        )
+    )
+    return one_to_one_match(
+        pairs, "left_key", "right_key", "score_cb", rounds=3
+    )
+
+
+_DRIFT_STACK = """
+    SELECT 'status' AS field, o_orderstatus AS v FROM {src}
+    UNION ALL SELECT 'priority', o_orderpriority FROM {src}
+    UNION ALL SELECT 'price_bucket',
+      CAST(CAST(floor(o_totalprice * 100) AS BIGINT) // 10000000 AS VARCHAR)
+      FROM {src}
+    UNION ALL SELECT 'year', CAST(year(o_orderdate) AS VARCHAR) FROM {src}"""
+
+
+@query(
+    "audit_distribution_drift",
+    f"""WITH a AS (SELECT * FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+       b AS (SELECT * FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+       ha AS (SELECT field, v, COUNT(*) AS c_a
+              FROM ({_DRIFT_STACK.format(src="a")}) GROUP BY 1, 2),
+       hb AS (SELECT field, v, COUNT(*) AS c_b
+              FROM ({_DRIFT_STACK.format(src="b")}) GROUP BY 1, 2),
+       j AS (SELECT COALESCE(ha.field, hb.field) AS field,
+                    COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+             FROM ha FULL OUTER JOIN hb
+               ON ha.field = hb.field
+              AND ha.v IS NOT DISTINCT FROM hb.v),
+       t AS (SELECT field, SUM(c_a) AS n_a, SUM(c_b) AS n_b,
+                    COUNT(*) AS n_values
+             FROM j GROUP BY 1),
+       d AS (SELECT j.field,
+                    abs(c_a * 1000000 // n_a - c_b * 1000000 // n_b) AS dd,
+                    n_a, n_b, n_values
+             FROM j JOIN t ON j.field = t.field)
+       SELECT field, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+              CAST(n_values AS BIGINT) AS n_values,
+              CAST(SUM(dd) // 2 AS BIGINT) AS tvd_ppm,
+              CAST(MAX(dd) AS BIGINT) AS linf_ppm
+       FROM d GROUP BY 1, 2, 3, 4""",
+)
+def audit_distribution_drift(spark, sf_dir):
+    """Snapshot distribution drift (audit.distribution_drift): orders
+    before vs after 1998-01-01 (mid-range of the synthetic 1995-2001
+    span), four columns in ONE stacked pass spanning both extremes:
+    o_orderstatus / o_orderpriority / a floor-cents price bucket are
+    date-independent by generation, so their TVD sits near zero (~200-
+    4000 ppm — the metric must NOT manufacture drift), while the
+    derived order YEAR is fully disjoint across the cut, so its TVD is
+    exactly 10^6 and every one of its values exercises the
+    missing-on-one-side (c = 0) branch of the null-safe full-outer
+    join. The oracle replays histogram -> full-outer join -> ppm
+    deltas -> TVD/L-inf in HUGEINT. At 100 TB this is two histogram
+    scans + joins over histogram ROWS, never data rows."""
+    from .operators.audit import distribution_drift
+
+    o = _t(spark, sf_dir, "orders")
+    derived = o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "CAST(CAST(floor(o_totalprice * 100) AS BIGINT) div 10000000"
+            " AS STRING)"
+        ).alias("price_bucket"),
+        F.year("o_orderdate").cast("string").alias("year"),
+        "o_orderdate",
+    )
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    return distribution_drift(
+        derived.where(F.col("o_orderdate") < cut),
+        derived.where(F.col("o_orderdate") >= cut),
+        ["status", "priority", "price_bucket", "year"],
+    )
+
+
+@query(
+    "er_sorted_neighborhood",
+    """WITH k AS (SELECT c_custkey AS id, reverse(c_name) AS k
+                  FROM customer),
+       r AS (SELECT id, k, row_number() OVER (ORDER BY k, id) AS rn
+             FROM k),
+       d AS (SELECT unnest(generate_series(1, 3)) AS gap)
+       SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a, b.k AS key_b,
+              CAST(gap AS INTEGER) AS gap
+       FROM r a JOIN d ON true JOIN r b ON b.rn = a.rn + gap""",
+)
+def er_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (linkage.sorted_neighborhood_pairs,
+    window = 3) over customers keyed by reverse(c_name) — reversed so
+    the sort order disagrees with the physical custkey order and the
+    distributed global rank is actually exercised, not inherited. The
+    engine computes the rank with NO partitionless window (range
+    repartition + partitioned row_number + broadcast offsets — the
+    banned round-1 shape stays banned); the oracle IS the partitionless
+    global window, deliberately the opposite formulation, so any
+    off-by-one at a range-partition boundary splits the hash. Candidate
+    volume is exactly window*n - window(window+1)/2 rows — linear, the
+    property that makes this blocking safe at 10^12 records."""
+    from .operators.linkage import sorted_neighborhood_pairs
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.reverse(F.col("c_name")).alias("k")
+    )
+    return sorted_neighborhood_pairs(c, "id", "k", window=3)
+
+
+_URL_SYNTH_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://'
+           || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+           || 'd' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+           || CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                              WHEN 2 THEN ':8080' ELSE '' END
+           || '/docs/' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 5 = 0 THEN '///' ELSE '' END
+           || CASE doc_id % 3
+                WHEN 0 THEN '?utm_source=' || lang || '&b=2&a=1'
+                WHEN 1 THEN '?z=9&a=' || lang ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+    FROM documents"""
+
+
+@query(
+    "curate_url_canonical",
+    f"""WITH u AS ({_URL_SYNTH_SQL}),
+       parts AS (
+         SELECT doc_id, url,
+           lower(regexp_extract(url,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           lower(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+           regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+             AS path_raw,
+           regexp_extract(url, '\\?([^#]*)', 1) AS qraw
+         FROM u),
+       hp AS (
+         SELECT *, string_split(hostport, ':')[1] AS host0,
+           CASE WHEN contains(hostport, ':')
+                THEN string_split(hostport, ':')[2] ELSE '' END AS port
+         FROM parts),
+       norm AS (
+         SELECT doc_id, scheme,
+           CASE WHEN host0 LIKE 'www.%' THEN substring(host0, 5)
+                ELSE host0 END AS host,
+           CASE WHEN port <> ''
+                 AND NOT (scheme = 'http' AND port = '80')
+                 AND NOT (scheme = 'https' AND port = '443')
+                THEN ':' || port ELSE '' END AS portpart,
+           CASE WHEN regexp_replace(path_raw, '/+$', '') = '' THEN '/'
+                ELSE regexp_replace(path_raw, '/+$', '') END AS path,
+           array_to_string(list_sort(list_filter(
+             string_split(qraw, '&'),
+             x -> x <> '' AND x NOT LIKE 'utm_%' AND x NOT LIKE 'gclid=%'
+              AND x NOT LIKE 'fbclid=%' AND x NOT LIKE 'msclkid=%'
+              AND x NOT LIKE 'mc_eid=%')), '&') AS q
+         FROM hp)
+       SELECT doc_id,
+              scheme || '://' || host || portpart || path
+              || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical,
+              host
+       FROM norm""",
+)
+def curate_url_canonical(spark, sf_dir):
+    """URL canonicalization (functions/core.url_canonicalize +
+    url_canonical_host) — the normalization every crawl-dedup pass runs
+    before exact hashing. URLs are synthesized from the documents table
+    so every branch carries mass at both scale factors: upper/lower
+    scheme and host, www. present/absent, default port to DROP on the
+    matching scheme (http:80, https:443), the SAME port numbers kept
+    when mismatched (https:80, http:443) plus a real :8080, trailing
+    slash runs, tracking params mixed into unsorted real params, and
+    fragments. The oracle replays the whole normalization with DuckDB
+    regexp/list ops in the Java/RE2 common subset. The operator itself
+    is pure codegen'd column algebra — zero shuffles at any corpus
+    size; dedup/host-rollup downstream are plain groupBys on the
+    canonical key."""
+    from .functions.core import url_canonical_host, url_canonicalize
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(
+            F.lit("https")
+        ),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("d"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":80"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(":443"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("///")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?utm_source="), F.col("lang"), F.lit("&b=2&a=1")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("?z=9&a="), F.col("lang")),
+        )
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", url.alias("_u")).select(
+        "doc_id",
+        url_canonicalize(F.col("_u")).alias("canonical"),
+        url_canonical_host(F.col("_u")).alias("host"),
+    )
+
+
+@query(
+    "audit_k_anonymity",
+    """WITH q AS (
+         SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                (CAST(floor(c_acctbal * 100) AS BIGINT) + 100000)
+                  // 100000 AS bal_bucket
+         FROM customer),
+       g AS (SELECT nat, seg, bal_bucket, COUNT(*) AS c
+             FROM q GROUP BY 1, 2, 3)
+       SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) AS BIGINT) AS n_groups,
+              CAST(MIN(c) AS BIGINT) AS min_group_size,
+              CAST(SUM(CASE WHEN c < 8 THEN 1 ELSE 0 END) AS BIGINT)
+                AS violating_groups,
+              CAST(SUM(CASE WHEN c < 8 THEN c ELSE 0 END) AS BIGINT)
+                AS rows_at_risk,
+              CAST(CAST(SUM(CASE WHEN c < 8 THEN c ELSE 0 END) AS BIGINT)
+                   * 1000000 // CAST(SUM(c) AS BIGINT) AS BIGINT)
+                AS risk_ppm,
+              MIN(c) >= 8 AS k_holds
+       FROM g""",
+)
+def audit_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (audit.k_anonymity_report, k = 8) over the
+    quasi-identifier triple (nation, segment, account-balance bucket) —
+    the privacy gate a user-derived corpus passes before release. The
+    balance bucket is (floor(cents) + 100000) div 100000: the offset
+    keeps the dividend positive because Spark's div truncates toward
+    zero while DuckDB's // floors — they only agree on non-negative
+    integers (the same class of trap as the repo's string-date
+    lessons). ~1400 quasi-groups over 1500/15000 customers means
+    violating AND conforming groups both carry real mass at each scale
+    factor. One algebraic groupBy + one summary agg — rows touched
+    once at any scale."""
+    from .operators.audit import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "(CAST(floor(c_acctbal * 100) AS BIGINT) + 100000) div 100000"
+        ).alias("bal_bucket"),
+    )
+    return k_anonymity_report(c, ["nat", "seg", "bal_bucket"], 8)
+
+
+@query(
+    "audit_benford_digits",
+    """WITH src AS (
+         SELECT 'amount' AS field, CAST(o_totalprice AS VARCHAR) AS v
+         FROM orders
+         UNION ALL
+         SELECT 'amt_mod', CAST(o_orderkey % 1000 AS VARCHAR) FROM orders),
+       cells AS (
+         SELECT field,
+                substr(regexp_replace(v, '[^1-9]', '', 'g'), 1, 1) AS d
+         FROM src),
+       counts AS (
+         SELECT field, CAST(d AS BIGINT) AS digit, COUNT(*) AS n_obs
+         FROM cells WHERE d <> '' GROUP BY 1, 2),
+       totals AS (
+         SELECT field, CAST(COUNT(*) AS BIGINT) AS n_total,
+                CAST(SUM(CASE WHEN d <> '' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_counted
+         FROM cells GROUP BY 1),
+       exp AS (SELECT * FROM (VALUES
+            (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+            (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+            AS t(digit, exp_ppm))
+       SELECT t.field, t.n_total, t.n_counted,
+              CAST(e.digit AS BIGINT) AS digit,
+              CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+              CAST(COALESCE(c.n_obs, 0) * 1000000 // t.n_counted AS BIGINT)
+                AS obs_ppm,
+              CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+              CAST(abs(COALESCE(c.n_obs, 0) * 1000000 // t.n_counted
+                       - e.exp_ppm) AS BIGINT) AS abs_delta_ppm
+       FROM totals t CROSS JOIN exp e
+       LEFT JOIN counts c ON c.field = t.field AND c.digit = e.digit""",
+)
+def audit_benford_digits(spark, sf_dir):
+    """Benford first-significant-digit audit (audit.benford_audit) over
+    two order-derived fields — the forensic screen for fabricated or
+    unit-capped numeric feeds: `amount` (o_totalprice, a naturally
+    multiplicative quantity whose leading digits skew low) and `amt_mod`
+    (o_orderkey % 1000 — a deliberately UNIFORM counter whose histogram
+    is flat, so the audit's deviation columns carry real mass, and whose
+    zero rows at multiples of 1000 exercise the no-significant-digit
+    exclusion: n_total > n_counted). First digits are extracted
+    lexically (strip every non-1-9 character from the rendered value,
+    take the first survivor — rendering-format-proof, see operator
+    docstring), the log10 expectation table is OFFLINE ppm literals
+    summing to exactly 10^6, everything engine-side is BIGINT. Fixed 18
+    output rows (2 fields x 9 digits, absent digits present with
+    n_obs = 0). ONE stacked-explode pass over the data + a broadcast
+    digit spine — rows touched once at any scale."""
+    from .operators.audit import benford_audit
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("amount"),
+        (F.col("o_orderkey") % 1000).alias("amt_mod"),
+    )
+    return benford_audit(o, ["amount", "amt_mod"])
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -165,3 +165,79 @@ def entity_id(node_type: Column, key1: Column, key2: Column) -> Column:
         node_type,
         F.sha1(F.concat_ws("\x1f", F.coalesce(key1, F.lit("")), F.coalesce(key2, F.lit("")))),
     )
+
+
+def url_canonical_host(url: Column) -> Column:
+    """Canonical host of an http(s) URL: lowercased, `www.` prefix and
+    any `:port` stripped — the key a crawl curator groups by for
+    host-level stats, politeness and reputation scoring. Regex-based
+    (Java/RE2 common subset, the PII-scan convention) rather than
+    parse_url so any ANSI engine replays it verbatim."""
+    hostport = F.lower(
+        F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.element_at(F.split(hostport, ":"), 1)
+    return F.when(
+        host.like("www.%"), F.substring(host, 5, 1_000_000)
+    ).otherwise(host)
+
+
+def url_canonicalize(url: Column) -> Column:
+    """Canonical form of an http(s) URL — the normalization EVERY
+    crawl-dedup pass needs before exact hashing (otherwise
+    `HTTP://WWW.X.COM/a/?b=1&utm_source=feed` and `http://x.com/a?b=1`
+    count as two documents and the host stats double):
+
+      * scheme + host lowercased, `www.` stripped
+      * default ports dropped (http:80, https:443); real ports kept
+      * fragment dropped (never sent to the server)
+      * trailing path slashes trimmed; empty path -> '/'
+      * query params: empties and tracking params (utm_*, gclid,
+        fbclid, msclkid, mc_eid) dropped, the rest SORTED and
+        rejoined — param order never changes the resource
+
+    Assumes well-formed absolute http(s) URLs (a crawl frontier's
+    contract); built entirely from regexp/split/sort column ops in the
+    Java/RE2 common regex subset, so the whole normalization is
+    codegen'd, zero-shuffle, and replayable on any ANSI engine. The
+    param filter is a HOF over a handful of elements, not a hot loop.
+    """
+    scheme = F.lower(
+        F.regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    hostport = F.lower(
+        F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = url_canonical_host(url)
+    port = F.when(
+        hostport.contains(":"), F.element_at(F.split(hostport, ":"), 2)
+    ).otherwise(F.lit(""))
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == F.lit("80")))
+        & ~((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    path_raw = F.regexp_extract(
+        url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path_trim = F.regexp_replace(path_raw, "/+$", "")
+    path = F.when(path_trim == "", F.lit("/")).otherwise(path_trim)
+    query_raw = F.regexp_extract(url, "\\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query_raw, "&"),
+        lambda x: (x != "")
+        & ~x.like("utm_%")
+        & ~x.like("gclid=%")
+        & ~x.like("fbclid=%")
+        & ~x.like("msclkid=%")
+        & ~x.like("mc_eid=%"),
+    )
+    q = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )

@@ -362,3 +362,298 @@ def functional_dependencies(
             "fd_holds"
         ),
     )
+
+
+def distribution_drift(
+    a: DataFrame, b: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Per-column distribution drift between two snapshots — the
+    monitoring primitive that catches "yesterday's crawl is 40% one
+    host" or "the language mix silently shifted" BEFORE a corpus ships.
+    For each column: both snapshots' value histograms (NULL is a
+    category — a null-rate shift is drift too), frequencies on the ppm
+    grid (p = c * 10^6 div n, exact BIGINT floor), then
+
+        tvd_ppm  = sum over values of |p_a - p_b|  div 2   (total
+                   variation distance: the mass that must move to turn
+                   one distribution into the other; 0 = identical,
+                   10^6 = disjoint)
+        linf_ppm = max over values of |p_a - p_b|          (the single
+                   worst-moving value)
+
+    PSI's ln() is transcendental, so per the repo doctrine TVD/L-inf —
+    already exact integers — are the shipped metrics; both are what a
+    threshold alert actually consumes. Output: (field, n_a, n_b,
+    n_values, tvd_ppm, linf_ppm), one row per column.
+
+    Intended for CATEGORICAL or pre-bucketed columns (status, language,
+    priority, host, stats.histogram bucket ids); a 10^9-cardinality raw
+    key column gives a histogram as big as the data — bucket it first.
+
+    Scale shape: ONE stacked-explode histogram pass per snapshot for
+    ALL k columns (never k scans), map-side partials absorb hot values;
+    one (field, value) null-safe full-outer join over histogram rows
+    (bounded by distinct values, not data); one per-field agg. An EMPTY
+    snapshot raises executor-side — drift against nothing is an
+    upstream failure, not a number."""
+    if not cols:
+        raise ValueError("distribution_drift: cols must be non-empty")
+
+    def hist(df: DataFrame, cnt: str) -> DataFrame:
+        stacked = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("field"),
+                    F.col(c).cast("string").alias("v"),
+                )
+                for c in cols
+            ]
+        )
+        return (
+            df.select(F.explode(stacked).alias("fv"))
+            .select("fv.field", "fv.v")
+            .groupBy("field", "v")
+            .agg(F.count(F.lit(1)).alias(cnt))
+        )
+
+    ha = hist(a, "c_a").withColumnRenamed("field", "f_a").withColumnRenamed("v", "v_a")
+    hb = hist(b, "c_b").withColumnRenamed("field", "f_b").withColumnRenamed("v", "v_b")
+    joined = ha.join(
+        hb,
+        (F.col("f_a") == F.col("f_b")) & F.col("v_a").eqNullSafe(F.col("v_b")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("f_a"), F.col("f_b")).alias("field"),
+        F.coalesce(F.col("c_a"), F.lit(0)).alias("c_a"),
+        F.coalesce(F.col("c_b"), F.lit(0)).alias("c_b"),
+    )
+    totals = joined.groupBy("field").agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+    checked = totals.withColumn(
+        "n_a",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("n_a")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("distribution_drift: empty snapshot for field "),
+                    F.col("field"),
+                )
+            )
+        ),
+    )
+    # per-value ppm delta, then ONE algebraic per-field agg; the totals
+    # table is #columns rows — broadcast back onto histogram rows
+    delta = F.abs(
+        F.expr("CAST(c_a AS BIGINT) * 1000000 div n_a")
+        - F.expr("CAST(c_b AS BIGINT) * 1000000 div n_b")
+    )
+    return (
+        joined.join(F.broadcast(checked), "field")
+        .withColumn("_d", delta)
+        .groupBy("field")
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.first("n_values").alias("n_values"),
+            F.expr("sum(_d) div 2").alias("tvd_ppm"),
+            F.max("_d").alias("linf_ppm"),
+        )
+        .select("field", "n_a", "n_b", "n_values", "tvd_ppm", "linf_ppm")
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns — the
+    privacy gate a training corpus with user-derived metadata passes
+    BEFORE release (Sweeney 2002): a record is re-identifiable when its
+    quasi-identifier combination is shared by fewer than k records.
+    One summary row:
+
+        (n_rows, n_groups, min_group_size, violating_groups,
+         rows_at_risk, risk_ppm, k_holds)
+
+    rows_at_risk = rows living in groups smaller than k; risk_ppm =
+    their ppm share (exact BIGINT floor); k_holds = no group smaller
+    than k. NULL quasi-identifier values form groups like any other
+    value — a NULL zip code is still a fingerprint.
+
+    Scale shape: ONE algebraic groupBy count over the quasi columns
+    (map-side partials absorb hot combos) + one summary agg over group
+    rows — data rows are touched once. Pair with
+    k_anonymity_violations for the combos to suppress/generalize."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity_report: quasi_cols must be non-empty")
+    if type(k) is not int or k < 2:
+        raise ValueError("k_anonymity_report: k must be an int >= 2")
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_c"))
+    return groups.agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("_c").cast("long").alias("min_group_size"),
+        F.sum(F.when(F.col("_c") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("violating_groups"),
+        F.sum(F.when(F.col("_c") < k, F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "min_group_size",
+        "violating_groups",
+        "rows_at_risk",
+        F.expr("CAST(rows_at_risk * 1000000 div n_rows AS BIGINT)").alias(
+            "risk_ppm"
+        ),
+        (F.col("min_group_size") >= k).alias("k_holds"),
+    )
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """The remediation side of k_anonymity_report: every
+    quasi-identifier combination with fewer than k records, plus its
+    size — the exact list to suppress or generalize. Same single
+    groupBy; output is bounded by violating combos, not data."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity_violations: quasi_cols non-empty")
+    if type(k) is not int or k < 2:
+        raise ValueError("k_anonymity_violations: k must be an int >= 2")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .where(F.col("group_size") < k)
+    )
+
+
+# --------------------------------------------------------------- Benford --
+#
+# First-significant-digit law audit. Naturally-grown multiplicative
+# quantities (transaction amounts, populations, file sizes) follow
+# Benford's law: P(first digit = d) = log10(1 + 1/d). Fabricated,
+# truncated, or unit-capped numbers don't — which makes the first-digit
+# histogram a classic forensic screen for synthetic or corrupted feeds
+# entering a corpus (Nigrini's forensic-accounting test, applied here to
+# ingest monitoring). The log10 constants are transcendental, so per the
+# repo no-transcendentals doctrine they are OFFLINE literals on the ppm
+# grid (they telescope to exactly 10^6, so the expected distribution is
+# itself an exact ppm histogram); everything engine-side is BIGINT.
+
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_audit(df: DataFrame, cols: list[str]) -> DataFrame:
+    """First-significant-digit histogram vs Benford expectation, one row
+    per (column, digit 1..9) — ALL nine digits always present (a digit
+    with zero observations is signal, not a missing row):
+
+        (field, n_total, n_counted, digit, n_obs, obs_ppm, exp_ppm,
+         abs_delta_ppm)
+
+    The first significant digit is extracted lexically: render the value
+    as a string, strip every character that is not 1-9, take the first
+    survivor. That is rendering-format-proof — "1234.56", "0.0042" and
+    "4.2E-5" all yield their true leading significant digit whether the
+    engine prints decimals, integers, or scientific notation — so any
+    ANSI engine replays it verbatim. NULLs and exact zeros have no
+    significant digit: excluded from the histogram (standard Benford
+    treatment) but visible as n_total - n_counted. A field with ZERO
+    counted values raises executor-side — auditing an all-null/zero
+    column is an upstream failure, not a flat histogram.
+
+    Consumers: alert on sum(abs_delta_ppm) div 2 (TVD vs Benford) or
+    max(abs_delta_ppm) per field — both exact integers, one trivial agg
+    over the 9k output rows.
+
+    Scale shape: ONE stacked-explode pass over all k columns (never k
+    scans), one algebraic (field, digit) count whose map-side partials
+    absorb any value skew, a k-row totals table broadcast onto a 9k-row
+    literal digit spine. Data rows are touched exactly once."""
+    if not cols:
+        raise ValueError("benford_audit: cols must be non-empty")
+    stacked = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("field"),
+                F.substring(
+                    F.regexp_replace(F.col(c).cast("string"), "[^1-9]", ""),
+                    1,
+                    1,
+                ).alias("d"),
+            )
+            for c in cols
+        ]
+    )
+    cells = df.select(F.explode(stacked).alias("fd")).select(
+        "fd.field", "fd.d"
+    )
+    counts = (
+        cells.where(F.col("d") != "")
+        .groupBy("field", "d")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .withColumn("digit", F.col("d").cast("long"))
+        .drop("d")
+    )
+    totals = cells.groupBy("field").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("d") != "", 1).otherwise(0))
+        .cast("long")
+        .alias("n_counted"),
+    )
+    checked = totals.withColumn(
+        "n_counted",
+        F.when(F.col("n_counted") > 0, F.col("n_counted")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("benford_audit: no nonzero values for field "),
+                    F.col("field"),
+                )
+            )
+        ),
+    )
+    spine = checked.select(
+        "field",
+        "n_total",
+        "n_counted",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("digit"),
+                        F.lit(p).cast("long").alias("exp_ppm"),
+                    )
+                    for d, p in sorted(_BENFORD_PPM.items())
+                ]
+            )
+        ).alias("de"),
+    ).select("field", "n_total", "n_counted", "de.digit", "de.exp_ppm")
+    return (
+        spine.join(counts, ["field", "digit"], "left")
+        .withColumn("n_obs", F.coalesce("n_obs", F.lit(0)).cast("long"))
+        .withColumn(
+            "obs_ppm",
+            F.expr(f"CAST(n_obs * {_PPM} div n_counted AS BIGINT)"),
+        )
+        .select(
+            "field",
+            "n_total",
+            "n_counted",
+            "digit",
+            "n_obs",
+            "obs_ppm",
+            "exp_ppm",
+            F.abs(F.col("obs_ppm") - F.col("exp_ppm")).alias(
+                "abs_delta_ppm"
+            ),
+        )
+    )

@@ -417,3 +417,142 @@ def join_size_estimate(
             ).alias("est_join_rows"),
         )
     )
+
+
+# ------------------------------------------------------------------- HLL --
+#
+# KMV (above) is this module's default distinct sketch because its state
+# is a plain sorted hash list. HLL earns its place for a different reason:
+# its per-group state is a FIXED m-register table whose merge is a pure
+# per-bucket MAX — no windows, no row_number, no per-group ordering at
+# all. Build and merge are both single algebraic groupBy aggs, which is
+# the shape you want when the sketch is maintained INCREMENTALLY (today's
+# partition's registers max-merged into yesterday's persisted register
+# table — Flajolet et al., AofA 2007; same register algebra as Spark's
+# own approx_count_distinct, but positioned on the md5 grid so DuckDB —
+# or any ANSI engine — replays it bit-for-bit; the builtin HLL++ can
+# never hash-match across engines).
+
+_HLL_RHO_MAX = 49  # 48 payload bits => rho in [1, 49]
+
+
+def _hll_check(b_bits: int) -> int:
+    if type(b_bits) is not int or b_bits not in (8, 12, 16):
+        # hex-digit-aligned bucket widths keep the bucket substring
+        # replayable as substring(md5, 1, b/4) on every engine
+        raise ValueError("hll: b_bits must be 8, 12 or 16")
+    return b_bits // 4
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    b_bits: int = 12,
+) -> DataFrame:
+    """Sparse HLL register table per group: (group..., bucket, register)
+    — one row per NON-EMPTY bucket (register >= 1), so a small group
+    costs what it holds, not m = 2^b_bits rows. bucket = first b_bits of
+    md5(key|hll); register = max over the bucket's keys of rho(w), the
+    1-based position of the leftmost 1-bit in the NEXT 48 hash bits
+    (w = 0 => rho = 49). rho is computed as 49 - length(bin(w)) — bin()
+    prints without leading zeros on Spark and DuckDB alike, so no
+    float log2 ever runs. NULL keys are skipped (COUNT DISTINCT
+    semantics).
+
+    Scale shape: ONE algebraic groupBy max — partials collapse map-side,
+    a billion-row group ships at most m register rows per task. Merging
+    two register tables (two corpus shards, two days) is the SAME agg
+    over their union; tests prove merge(reg(A), reg(B)) == reg(A | B)
+    exactly, hence identical estimates — the no-recount incremental
+    story."""
+    hexd = _hll_check(b_bits)
+    h = F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit("hll")))
+    w = F.conv(F.substring(h, hexd + 1, 12), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            *[F.col(g) for g in group_cols],
+            F.conv(F.substring(h, 1, hexd), 16, 10)
+            .cast("long")
+            .alias("bucket"),
+            rho.alias("_rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").cast("long").alias("register"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    b_bits: int = 12,
+) -> DataFrame:
+    """Distinct-count estimate from a register table, exact integer
+    arithmetic end to end: per group
+
+        S        = sum(2^(49 - register)) + zero_buckets * 2^49
+        est_distinct = alpha_m * m^2 / (S / 2^49)
+                     = (7213*m * m^2 * 2^49) div ((10000*m + 10790) * S)
+
+    with alpha_m = 0.7213/(1 + 1.079/m) carried as the exact rational
+    7213m/(10000m + 10790) and the whole quotient in DECIMAL(38,0)
+    (peak numerator ~2^105 at m = 2^16 — inside 38 digits), so two
+    engines and any partitioning agree to the last digit. Bias regimes
+    are REPORTED, not hidden: zero_buckets > 0 with a small estimate
+    means the classic low-range underbias (linear counting's domain —
+    its ln() is transcendental, so per the repo no-transcendentals
+    doctrine the caller applies it OFFLINE from the (m, zero_buckets)
+    columns this emits); standard error ~1.04/sqrt(m) otherwise.
+
+    Output: (group..., n_buckets, zero_buckets, est_distinct). An empty
+    group (no register rows) simply has no output row — matching
+    COUNT(DISTINCT) over GROUP BY, which emits nothing for absent
+    groups."""
+    _hll_check(b_bits)
+    m = 1 << b_bits
+    pow49 = 1 << _HLL_RHO_MAX
+    alpha_num = 7213 * m
+    alpha_den = 10000 * m + 10790
+    return (
+        registers.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            # each term <= 2^48; m = 2^16 all-ones would sum to 2^64 —
+            # past BIGINT, so the sum runs in DECIMAL(38,0)
+            F.sum(
+                F.expr(
+                    "CAST(shiftleft(CAST(1 AS BIGINT),"
+                    f" {_HLL_RHO_MAX} - CAST(register AS INT))"
+                    " AS DECIMAL(38,0))"
+                )
+            ).alias("_s_nonzero"),
+        )
+        .withColumn("zero_buckets", (F.lit(m) - F.col("n_buckets")).cast("long"))
+        .withColumn(
+            "est_distinct",
+            F.expr(
+                f"CAST(CAST({alpha_num} AS DECIMAL(38,0)) * {m} * {m} * {pow49}"
+                f" div (CAST({alpha_den} AS DECIMAL(38,0))"
+                f" * (_s_nonzero + CAST(zero_buckets AS DECIMAL(38,0)) * {pow49}))"
+                " AS BIGINT)"
+            ),
+        )
+        .select(*group_cols, "n_buckets", "zero_buckets", "est_distinct")
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union two register tables into one — per-(group, bucket) MAX, the
+    whole point of HLL: yesterday's persisted registers absorb today's
+    without touching yesterday's data. Purely algebraic; commutative,
+    associative, idempotent (re-merging the same shard changes
+    nothing)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("register").cast("long").alias("register"))
+    )

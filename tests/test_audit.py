@@ -265,3 +265,191 @@ def test_functional_dependencies_rejects_empty(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+# ------------------------------------------------------------------ drift --
+
+from entity_extractor_spark.operators.audit import distribution_drift  # noqa: E402
+
+
+def test_drift_known_histogram(spark):
+    a = spark.createDataFrame([("x",), ("x",), ("y",), ("z",)], "c string")
+    b = spark.createDataFrame([("x",), ("y",), ("y",), ("y",)], "c string")
+    r = distribution_drift(a, b, ["c"]).head()
+    # p_a = x .5, y .25, z .25 ; p_b = x .25, y .75, z 0
+    assert (r.field, r.n_a, r.n_b, r.n_values) == ("c", 4, 4, 3)
+    assert r.tvd_ppm == 500_000
+    assert r.linf_ppm == 500_000
+
+
+def test_drift_identical_is_zero_and_null_is_a_category(spark):
+    a = spark.createDataFrame([("x",), (None,)], "c string")
+    same = distribution_drift(a, a, ["c"]).head()
+    assert same.tvd_ppm == 0 and same.linf_ppm == 0 and same.n_values == 2
+    b = spark.createDataFrame([("x",), ("x",)], "c string")
+    r = distribution_drift(a, b, ["c"]).head()
+    assert r.tvd_ppm == 500_000  # the null-rate shift IS drift
+
+
+def test_drift_multi_column_single_pass_and_replay(spark):
+    import random
+
+    rng = random.Random(3)
+    rows_a = [(rng.choice("abc"), rng.randrange(4)) for _ in range(500)]
+    rows_b = [(rng.choice("abcd"), rng.randrange(3)) for _ in range(300)]
+    a = spark.createDataFrame(rows_a, "s string, k int")
+    b = spark.createDataFrame(rows_b, "s string, k int")
+    got = {
+        r.field: (r.n_a, r.n_b, r.n_values, r.tvd_ppm, r.linf_ppm)
+        for r in distribution_drift(a, b, ["s", "k"]).collect()
+    }
+
+    def replay(ia, ib):
+        from collections import Counter
+
+        ca, cb = Counter(ia), Counter(ib)
+        vals = set(ca) | set(cb)
+        na, nb = len(ia), len(ib)
+        ds = [
+            abs(ca[v] * 10**6 // na - cb[v] * 10**6 // nb) for v in vals
+        ]
+        return (na, nb, len(vals), sum(ds) // 2, max(ds))
+
+    assert got["s"] == replay([r[0] for r in rows_a], [r[0] for r in rows_b])
+    assert got["k"] == replay(
+        [str(r[1]) for r in rows_a], [str(r[1]) for r in rows_b]
+    )
+
+
+def test_drift_empty_snapshot_raises(spark):
+    a = spark.createDataFrame([("x",)], "c string")
+    empty = a.where(F.col("c") == "nope")
+    with pytest.raises(Exception, match="empty snapshot|Division by zero|DIVIDE_BY_ZERO"):
+        distribution_drift(a, empty, ["c"]).collect()
+    with pytest.raises(ValueError, match="non-empty"):
+        distribution_drift(a, a, [])
+
+
+# ------------------------------------------------------------ k-anonymity --
+
+from entity_extractor_spark.operators.audit import (  # noqa: E402
+    k_anonymity_report,
+    k_anonymity_violations,
+)
+
+
+def test_k_anonymity_known(spark):
+    rows = (
+        [("us", "a")] * 5 + [("us", "b")] * 2 + [("de", "a")] * 1
+        + [(None, "a")] * 3
+    )
+    df = spark.createDataFrame(rows, "country string, seg string")
+    r = k_anonymity_report(df, ["country", "seg"], 3).head()
+    assert (r.n_rows, r.n_groups, r.min_group_size) == (11, 4, 1)
+    assert (r.violating_groups, r.rows_at_risk) == (2, 3)
+    assert r.risk_ppm == 3 * 10**6 // 11
+    assert r.k_holds is False
+    v = {
+        (x.country, x.seg): x.group_size
+        for x in k_anonymity_violations(df, ["country", "seg"], 3).collect()
+    }
+    assert v == {("us", "b"): 2, ("de", "a"): 1}
+    ok = k_anonymity_report(df, ["country", "seg"], 2).head()
+    assert ok.k_holds is False  # the singleton still violates k=2
+    assert k_anonymity_report(df, ["seg"], 2).head().k_holds is True
+
+
+def test_k_anonymity_null_is_a_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(None,), (None,), ("x",)], "zip string"
+    )
+    r = k_anonymity_report(df, ["zip"], 2).head()
+    assert r.n_groups == 2 and r.violating_groups == 1 and r.rows_at_risk == 1
+
+
+def test_k_anonymity_validation(spark):
+    df = spark.createDataFrame([("a",)], "c string")
+    with pytest.raises(ValueError, match="non-empty"):
+        k_anonymity_report(df, [], 3)
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity_report(df, ["c"], 1)
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity_violations(df, ["c"], True)
+
+
+# ----------------------------------------------------------- benford_audit --
+
+
+def test_benford_known_histogram(spark):
+    from entity_extractor_spark.operators.audit import benford_audit
+
+    # 10 ones, 5 twos, 5 nines; one NULL and one zero excluded
+    rows = [(1.5,)] * 10 + [(234.0,)] * 5 + [(0.09,)] * 5
+    rows += [(None,), (0.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_audit(df, ["v"]).collect()}
+    assert len(out) == 9  # all digits present
+    assert all(r["n_total"] == 22 and r["n_counted"] == 20 for r in out.values())
+    assert out[1]["n_obs"] == 10 and out[1]["obs_ppm"] == 500_000
+    assert out[2]["n_obs"] == 5 and out[2]["obs_ppm"] == 250_000
+    assert out[9]["n_obs"] == 5
+    assert out[3]["n_obs"] == 0 and out[3]["obs_ppm"] == 0
+    assert out[3]["abs_delta_ppm"] == 124_939  # |0 - exp|
+    assert out[1]["abs_delta_ppm"] == 500_000 - 301_030
+
+
+def test_benford_rendering_proof(spark):
+    from entity_extractor_spark.operators.audit import benford_audit
+
+    # scientific notation, negatives, sub-unit decimals, big ints all
+    # resolve to the true first significant digit
+    df = spark.createDataFrame(
+        [(4.2e-5,), (-700.0,), (1e7,), (0.0042,)], "v double"
+    )
+    out = {r["digit"]: r["n_obs"] for r in benford_audit(df, ["v"]).collect()}
+    assert out[4] == 2 and out[7] == 1 and out[1] == 1
+
+
+def test_benford_exact_law_is_flat(spark):
+    from entity_extractor_spark.operators.audit import (
+        _BENFORD_PPM,
+        benford_audit,
+    )
+
+    # a corpus drawn per the law (counts = ppm rounded to 1/1000, which
+    # sum to exactly 1000 rows) deviates by at most the rounding grain
+    rows = [
+        (float(f"{d}00"),)
+        for d, ppm in _BENFORD_PPM.items()
+        for _ in range((ppm + 500) // 1000)
+    ]
+    df = spark.createDataFrame(rows, "v double")
+    out = benford_audit(df, ["v"]).collect()
+    assert sum(r["n_obs"] for r in out) == 1000
+    assert all(r["abs_delta_ppm"] < 1000 for r in out)
+
+
+def test_benford_all_zero_field_raises(spark):
+    from entity_extractor_spark.operators.audit import benford_audit
+
+    df = spark.createDataFrame([(0,), (0,), (None,)], "v int")
+    with pytest.raises(Exception, match="benford_audit"):
+        benford_audit(df, ["v"]).collect()
+
+
+def test_benford_multi_column_single_pass(spark):
+    from entity_extractor_spark.operators.audit import benford_audit
+
+    df = spark.createDataFrame([(123, 900.5), (456, 0.08)], "a long, b double")
+    out = benford_audit(df, ["a", "b"]).collect()
+    assert len(out) == 18
+    by = {(r["field"], r["digit"]): r["n_obs"] for r in out}
+    assert by[("a", 1)] == 1 and by[("a", 4)] == 1
+    assert by[("b", 9)] == 1 and by[("b", 8)] == 1
+
+
+def test_benford_rejects_empty_cols(spark):
+    from entity_extractor_spark.operators.audit import benford_audit
+
+    with pytest.raises(ValueError):
+        benford_audit(spark.range(1), [])

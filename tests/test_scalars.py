@@ -65,3 +65,56 @@ def test_flatten_polygon_order_and_empty(spark):
     assert _one(spark, flatten_polygon(poly)) == [1, 2, 3, 4]
     empty = F.array().cast("array<struct<x:int,y:int>>")
     assert _one(spark, flatten_polygon(empty)) == []
+
+
+# ----------------------------------------------------- url canonicalize --
+
+from entity_extractor_spark.functions.core import (  # noqa: E402
+    url_canonical_host,
+    url_canonicalize,
+)
+
+
+def test_url_canonicalize_known_cases(spark):
+    cases = {
+        "HTTP://WWW.Example.COM:80/a/b/?z=2&utm_source=x&a=1#frag":
+            "http://example.com/a/b?a=1&z=2",
+        "https://x.com:8443/": "https://x.com:8443/",
+        "https://x.com": "https://x.com/",
+        "http://x.com/?utm_source=1&gclid=abc": "http://x.com/",
+        "https://www.x.com:443/p": "https://x.com/p",
+        "http://a.b.c/p/q?b=2&a=1&a=0": "http://a.b.c/p/q?a=0&a=1&b=2",
+        "https://x.com/deep///": "https://x.com/deep",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {
+        r.u: r.c
+        for r in df.select("u", url_canonicalize(F.col("u")).alias("c")).collect()
+    }
+    assert got == cases
+
+
+def test_url_canonicalize_idempotent(spark):
+    urls = [
+        "HTTP://WWW.Example.COM:80/a/b/?z=2&utm_source=x&a=1#frag",
+        "https://x.com:8443/q?k=v",
+        "http://x.com",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(url_canonicalize(F.col("u")).alias("c"))
+    twice = once.select(url_canonicalize(F.col("c")).alias("c2"), "c")
+    assert all(r.c == r.c2 for r in twice.collect())
+
+
+def test_url_canonical_host(spark):
+    cases = {
+        "HTTP://WWW.X.COM:8080/p": "x.com",
+        "https://sub.domain.org/": "sub.domain.org",
+        "http://www.only": "only",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {
+        r.u: r.h
+        for r in df.select("u", url_canonical_host(F.col("u")).alias("h")).collect()
+    }
+    assert got == cases

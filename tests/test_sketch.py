@@ -232,3 +232,94 @@ def test_join_size_estimate_validates_and_empty(spark):
     a = spark.createDataFrame([], "k long")
     row = join_size_estimate(a, "k", a, "k").collect()[0]
     assert (row.n_sampled_keys, row.sampled_pairs, row.est_join_rows) == (0, 0, 0)
+
+
+# ------------------------------------------------------------------- HLL --
+
+from entity_extractor_spark.operators.sketch import (  # noqa: E402
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _py_hll_registers(keys, b_bits):
+    hexd = b_bits // 4
+    regs: dict[int, int] = {}
+    for key in keys:
+        h = hashlib.md5(f"{key}|hll".encode()).hexdigest()
+        bucket = int(h[:hexd], 16)
+        w = int(h[hexd:hexd + 12], 16)
+        rho = 49 if w == 0 else 49 - w.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def _py_hll_estimate(regs, b_bits):
+    m = 1 << b_bits
+    s = sum(1 << (49 - r) for r in regs.values()) + (m - len(regs)) * (1 << 49)
+    return (7213 * m * m * m * (1 << 49)) // ((10000 * m + 10790) * s)
+
+
+def test_hll_registers_match_python_replay(spark):
+    keys = [f"doc-{i}" for i in range(300)]
+    df = spark.createDataFrame([("g", k) for k in keys], "grp string, k string")
+    got = {
+        r.bucket: r.register
+        for r in hll_registers(df, ["grp"], "k", 12).collect()
+    }
+    assert got == _py_hll_registers(keys, 12)
+    assert all(r >= 1 for r in got.values())  # only non-empty buckets
+
+
+def test_hll_estimate_matches_python_and_is_accurate(spark):
+    n = 20_000
+    df = spark.createDataFrame(
+        [("g", f"key-{i % n}") for i in range(n + 500)],  # dups collapse
+        "grp string, k string",
+    )
+    regs = hll_registers(df, ["grp"], "k", 12)
+    row = hll_estimate(regs, ["grp"], 12).head()
+    want = _py_hll_estimate(_py_hll_registers([f"key-{i}" for i in range(n)], 12), 12)
+    assert row.est_distinct == want
+    # standard error ~1.04/sqrt(4096) = 1.6%; allow 4 sigma
+    assert abs(row.est_distinct - n) < 0.07 * n
+    assert row.n_buckets + row.zero_buckets == 4096
+
+
+def test_hll_merge_equals_rebuild(spark):
+    a_keys = [f"a-{i}" for i in range(800)]
+    b_keys = [f"b-{i}" for i in range(600)] + a_keys[:200]  # overlap
+    df_a = spark.createDataFrame([("g", k) for k in a_keys], "grp string, k string")
+    df_b = spark.createDataFrame([("g", k) for k in b_keys], "grp string, k string")
+    merged = hll_merge(
+        hll_registers(df_a, ["grp"], "k", 12),
+        hll_registers(df_b, ["grp"], "k", 12),
+        ["grp"],
+    )
+    whole = hll_registers(df_a.union(df_b), ["grp"], "k", 12)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    est_m = hll_estimate(merged, ["grp"], 12).head().est_distinct
+    est_w = hll_estimate(whole, ["grp"], 12).head().est_distinct
+    assert est_m == est_w
+    # idempotent: re-merging a shard changes nothing
+    again = hll_merge(merged, hll_registers(df_a, ["grp"], "k", 12), ["grp"])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hll_null_keys_skipped_and_empty_group_absent(spark):
+    df = spark.createDataFrame(
+        [("g", "x"), ("g", None)], "grp string, k string"
+    )
+    regs = hll_registers(df, ["grp"], "k", 8)
+    assert regs.count() == 1  # only the non-null key
+    empty = hll_registers(df.where(F.col("k").isNull()), ["grp"], "k", 8)
+    assert hll_estimate(empty, ["grp"], 8).count() == 0
+
+
+def test_hll_validates_b_bits(spark):
+    df = spark.createDataFrame([("g", "x")], "grp string, k string")
+    with pytest.raises(ValueError, match="b_bits"):
+        hll_registers(df, ["grp"], "k", 10)
+    with pytest.raises(ValueError, match="b_bits"):
+        hll_estimate(df, ["grp"], True)
