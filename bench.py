@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     # (triangle-support recount per round — the heaviest graph shape here)
     "dedup_setsim_join",
     "graph_k_truss",
+    # round-3 additions (fourth wave): BPE tokenization with a ranked merge
+    # list — 3 literal replaces per merge fused into one codegen projection
+    # over the exploded words (the tokenizer-apply hot path)
+    "text_bpe_apply",
 ]
 
 

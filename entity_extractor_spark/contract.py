@@ -8026,6 +8026,96 @@ def audit_benford_digits(spark, sf_dir):
     return benford_audit(o, ["amount", "amt_mod"])
 
 
+_BPE_APPLY_MERGES = [("e", "r"), ("m", "er"), ("i", "n"), ("s", "t"), ("o", "w")]
+
+
+def _bpe_apply_oracle(merges: list[tuple[str, str]]) -> str:
+    """Unrolled DuckDB replay of bpe.bpe_doc_stats with a FIXED merge
+    list — deliberately the run-parity WINDOW formulation (positional
+    token table, lead(), consecutive-run parity keep, rebuild), i.e. a
+    formulation INDEPENDENT of the engine's double-space string-replace:
+    the two agreeing is the gate. Merges apply to DISTINCT words once
+    (segmentation is a function of the word), then join back to word
+    instances for the per-doc rollup."""
+    parts = [
+        """WITH wi AS (
+         SELECT doc_id, word FROM (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                    AS word
+           FROM documents)
+         WHERE word <> ''),
+       dw AS (SELECT DISTINCT word AS w FROM wi),
+       t1 AS MATERIALIZED (
+         SELECT w, CAST(i AS INT) AS pos,
+                substring(w, CAST(i AS INT), 1) AS tok
+         FROM dw, unnest(generate_series(1, length(w))) AS u(i))"""
+    ]
+    for r, (lhs, rhs) in enumerate(merges, start=1):
+        parts.append(f""",
+       p{r} AS MATERIALIZED (SELECT w, pos, tok,
+                       lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+                FROM t{r}),
+       keep{r} AS MATERIALIZED (
+         SELECT w, pos FROM (
+           SELECT w, pos,
+                  row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS rnk
+           FROM (SELECT m.w, m.pos,
+                        m.pos - row_number() OVER (PARTITION BY m.w
+                                                   ORDER BY m.pos) AS grp
+                 FROM p{r} m
+                 WHERE m.tok = '{lhs}' AND m.nxt = '{rhs}'))
+         WHERE rnk % 2 = 1),
+       t{r + 1} AS MATERIALIZED (
+         SELECT w,
+                CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS INT)
+                  AS pos,
+                tok
+         FROM (
+           SELECT p.w, p.pos,
+                  CASE WHEN k.pos IS NOT NULL THEN p.tok || p.nxt
+                       ELSE p.tok END AS tok,
+                  lag(CASE WHEN k.pos IS NOT NULL THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY p.w ORDER BY p.pos) AS prevm
+           FROM p{r} p LEFT JOIN keep{r} k ON p.w = k.w AND p.pos = k.pos)
+         WHERE COALESCE(prevm, 0) = 0)""")
+    parts.append(f""",
+       enc AS (SELECT w, CAST(count(*) AS BIGINT) AS nt
+               FROM t{len(merges) + 1} GROUP BY w),
+       s AS (SELECT wi.doc_id, length(wi.word) AS nc, e.nt
+             FROM wi JOIN enc e ON e.w = wi.word)
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(nc) AS BIGINT) AS n_chars_tokenized,
+              CAST(sum(nt) AS BIGINT) AS n_tokens,
+              CAST(sum(nt) * 1000000 // count(*) AS BIGINT)
+                AS tokens_per_word_ppm
+       FROM s GROUP BY doc_id""")
+    return "".join(parts)
+
+
+@query("text_bpe_apply", _bpe_apply_oracle(_BPE_APPLY_MERGES))
+def text_bpe_apply(spark, sf_dir):
+    """Per-document BPE tokenization report with a fixed ranked merge
+    list (bpe.bpe_doc_stats): word count, pre-merge symbol (character)
+    count, post-merge token count and the exact tokens-per-word ppm —
+    the compression report a tokenizer build ships, and the
+    corpus-serving side of text_bpe_train/text_bpe_encode (which gate
+    learning and per-word segmentation). The merge list deliberately
+    contains the two-level dependency ('e','r') -> ('m','er'): rank
+    order matters and is value-checked (applying 'm er' before 'e r'
+    exists would tokenize differently — unit-gated in test_bpe.py,
+    corpus-gated here). The whole 5-merge x 2-pass replace chain fuses
+    into ONE whole-stage-codegen projection over the exploded words;
+    the only exchange is the doc-keyed rollup. Docs with no words emit
+    no row (oov_stats convention)."""
+    from .operators.bpe import bpe_doc_stats
+
+    return bpe_doc_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", _BPE_APPLY_MERGES
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

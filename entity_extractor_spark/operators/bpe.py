@@ -12,39 +12,60 @@ encoder, exactly, with no Python in the hot path.
 
 Scale design — the whole loop runs on the WORD HISTOGRAM, not the corpus:
 one corpus scan builds (word, count) [algebraic groupBy, map-side
-combinable], and every merge round after that touches only
-sum(len(distinct words)) token rows (~10^8 at 100 TB vs 10^13 corpus
-tokens — five orders of magnitude less). Per round: one lead() window,
-one algebraic pair-count agg, a 1-row driver collect for the argmax
-(the pagerank scalar pattern — NEVER a 1-row crossJoin, which plans as
-BNLJ), and one window-rebuild — all partitioned by word, so every round
-reuses one hash exchange. localCheckpoint per round keeps the plan from
-growing with rounds.
+combinable], and every merge round after that touches only the distinct
+words (~10^8 rows at 100 TB vs 10^13 corpus tokens — five orders of
+magnitude less). A word's working symbolization is a single-space-joined
+STRING, not a positional token table, so each round is exactly
 
-Semantics (identical on Spark and the DuckDB oracle, fuzzed against a
-pure-Python reference in tests):
+    one zip-two-shifted-slices pair explode + ONE algebraic weighted
+    pair-count agg (map-side partials absorb hot pairs),
+    a 1-row driver collect for the argmax (the pagerank scalar pattern —
+    NEVER a 1-row crossJoin, which plans as BNLJ), and
+    one whole-stage-codegen literal string replace (three, counting the
+    separator encode/collapse around it).
+
+Zero windows, zero joins, zero per-word sorts per round — the earlier
+token-table formulation of this module spent ~5 word-partitioned window
+sorts per round (lead, run-grouping, run-rank, lag, renumber) over
+one-row-per-CHARACTER; at 10^9 token rows x 10^3 merge rounds those sorts
+are the bottleneck, and the string form deletes them while provably
+computing the same function (fuzzed against the same pure-Python
+reference in tests/test_bpe.py). localCheckpoint per round keeps the plan
+from growing with rounds.
+
+Semantics (identical on Spark and the DuckDB oracle, which still replays
+the run-parity window formulation — two INDEPENDENT formulations agreeing
+is the point of the contract):
   * pair counting: every adjacent occurrence, sliding ("aaa" counts
     (a,a) twice), weighted by word frequency — Sennrich's convention;
   * best pair: max count, ties by (left, right) ascending — deterministic
     on any engine with binary string ordering;
   * merge application: strict leftmost-greedy non-overlapping — i.e.
     within a run of k consecutive matches (only possible when left ==
-    right, e.g. (g,g) over "ggg"), the 1st, 3rd, ... merge. Expressed
-    relationally: match positions -> consecutive-run grouping (pos -
-    row_number) -> odd-rank parity filter -> rebuild with the merged
-    token replacing the pair and the consumed position dropped.
-No end-of-word sentinel: merges never cross word boundaries because the
-token table never had rows spanning words.
+    right, e.g. (g,g) over "ggg"), the 1st, 3rd, ... merge. Expressed as
+    ONE plain-string replace over a DOUBLE-SPACE separator encoding:
+    pad to ' tok1  tok2  ...  tokN ' and replace ' l  r ' with ' lr '.
+    Each match consumes only the FIRST of the two spaces before the
+    following token, so exactly one space — the same boundary shape as
+    the string start — is left behind and the engine's left-to-right
+    non-overlapping scan continues seamlessly into it: every canonical
+    leftmost-greedy merge is taken in a single pass. (A naive
+    single-space replace of ' l r ' is NOT canonical: its match eats
+    the next token's leading boundary, so over ' a a a a a ' with rule
+    (a,a) it merges tokens (1,2),(4,5) instead of (1,2),(3,4) —
+    regression-pinned in tests/test_bpe.py alongside a randomized
+    equivalence proof against the Python reference.) Symbols never
+    contain spaces, so the padded pattern only matches at true symbol
+    boundaries; decoding is collapse-double-spaces + trim.
+No end-of-word sentinel: merges never cross word boundaries because each
+word is its own symbol string.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-def _w() -> Window:
-    # built lazily: Window specs need an active session
-    return Window.partitionBy("w").orderBy("pos")
 
 
 def word_histogram(docs: DataFrame, text_col: str) -> DataFrame:
@@ -61,62 +82,46 @@ def word_histogram(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def char_tokens(words: DataFrame) -> DataFrame:
-    """Seed token table (w, cnt, pos, tok): one row per character,
-    positional substring so the oracle's generate_series replay is
-    symbol-for-symbol identical."""
-    return words.select(
-        "w",
-        "cnt",
-        F.explode(F.expr("sequence(1, length(w))")).alias("pos"),
-    ).select(
-        "w",
-        "cnt",
-        F.col("pos").cast("int").alias("pos"),
-        F.expr("substring(w, pos, 1)").alias("tok"),
+def char_split(word: Column) -> Column:
+    """Seed symbolization: the word's characters joined by single spaces
+    ('bana' -> 'b a n a'). regexp_replace('(.)', '$1 ') + trim — pure
+    string ops any ANSI engine replays (DuckDB: same regex with the 'g'
+    flag and \\1)."""
+    return F.trim(F.regexp_replace(word, "(.)", "$1 "))
+
+
+def apply_merge(sym: Column, left: str, right: str) -> Column:
+    """Merge every (left, right) adjacency in a space-joined symbol
+    string with canonical leftmost-greedy semantics, in ONE pass:
+    re-encode with double-space separators, literal-replace
+    ' l  r ' -> ' lr ' (each match leaves one boundary space behind —
+    see module docstring), collapse separators, trim. Plain codegen'd
+    string ops, no regex, no windows."""
+    padded = F.concat(
+        F.lit(" "),
+        F.replace(sym, F.lit(" "), F.lit("  ")),
+        F.lit(" "),
     )
+    merged = F.replace(
+        padded, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+    )
+    return F.trim(F.replace(merged, F.lit("  "), F.lit(" ")))
 
 
-def _pair_counts(tokens: DataFrame) -> DataFrame:
-    t = tokens.withColumn("nxt", F.lead("tok").over(_w()))
+def _pair_counts(work: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the (sym, cnt) working table —
+    the zip-two-shifted-slices construction (cheapest HOF form, see
+    text_quality.pair_counts), then ONE algebraic agg."""
+    toks = F.split(F.col("sym"), " ")
+    width = F.size(toks) - 1
+    zipped = F.arrays_zip(F.slice(toks, 1, width), F.slice(toks, 2, width))
     return (
-        t.where(F.col("nxt").isNotNull())
-        .groupBy(F.col("tok").alias("lhs"), F.col("nxt").alias("rhs"))
-        .agg(F.sum("cnt").alias("pair_count"))
-    )
-
-
-def merge_round(tokens: DataFrame, lhs: str, rhs: str) -> DataFrame:
-    """Apply ONE merge (lhs, rhs) -> lhs||rhs with strict leftmost-greedy
-    semantics (module docstring), returning the renumbered token table."""
-    t = tokens.withColumn("nxt", F.lead("tok").over(_w()))
-    matches = t.where((F.col("tok") == lhs) & (F.col("nxt") == rhs)).select(
-        "w", "pos"
-    )
-    keep = (
-        matches.withColumn("grp", F.col("pos") - F.row_number().over(_w()))
-        .withColumn(
-            "rnk",
-            F.row_number().over(Window.partitionBy("w", "grp").orderBy("pos")),
+        work.where(F.size(toks) >= 2)
+        .select("cnt", F.explode(zipped).alias("pr"))
+        .groupBy(
+            F.col("pr")["0"].alias("lhs"), F.col("pr")["1"].alias("rhs")
         )
-        .where(F.col("rnk") % 2 == 1)
-        .select("w", "pos", F.lit(1).alias("m"))
-    )
-    j = t.join(keep, ["w", "pos"], "left").withColumn(
-        "m", F.coalesce("m", F.lit(0))
-    )
-    j = j.withColumn("prevm", F.coalesce(F.lag("m").over(_w()), F.lit(0)))
-    return (
-        j.where(F.col("prevm") == 0)
-        .select(
-            "w",
-            "cnt",
-            "pos",
-            F.when(F.col("m") == 1, F.concat("tok", "nxt"))
-            .otherwise(F.col("tok"))
-            .alias("tok"),
-        )
-        .withColumn("pos", F.row_number().over(_w()).cast("int"))
+        .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
     )
 
 
@@ -125,18 +130,22 @@ def bpe_train(
 ) -> tuple[DataFrame, list[tuple[str, str, int]]]:
     """Train `rounds` BPE merges over the corpus. Returns (merges_df,
     merges_list) where merges_df is (round, lhs, rhs, pair_count) and the
-    list drives bpe_apply / encode without a second collect. Stops early
-    (fewer rows than `rounds`) when no pair is left to merge."""
-    if rounds < 1:
-        raise ValueError("rounds must be >= 1")
+    list drives bpe_apply / encode without a second collect. Round r's
+    counts see the corpus as rewritten by rounds 1..r-1 — the defining
+    property of BPE vs a one-shot pair ranking. Stops early (fewer rows
+    than `rounds`) when no pair is left to merge."""
+    if type(rounds) is not int or rounds < 1:
+        raise ValueError("rounds must be an int >= 1")
     spark = docs.sparkSession
-    tokens = char_tokens(word_histogram(docs, text_col)).localCheckpoint(
-        eager=True
+    work = (
+        word_histogram(docs, text_col)
+        .select(char_split(F.col("w")).alias("sym"), "cnt")
+        .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str, int]] = []
-    for r in range(1, rounds + 1):
+    for _ in range(rounds):
         best = (
-            _pair_counts(tokens)
+            _pair_counts(work)
             .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
             .limit(1)
             .collect()
@@ -145,7 +154,9 @@ def bpe_train(
             break
         lhs, rhs, c = best[0].lhs, best[0].rhs, best[0].pair_count
         merges.append((lhs, rhs, c))
-        tokens = merge_round(tokens, lhs, rhs).localCheckpoint(eager=True)
+        work = work.select(
+            apply_merge(F.col("sym"), lhs, rhs).alias("sym"), "cnt"
+        ).localCheckpoint(eager=True)
     mdf = spark.createDataFrame(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "round bigint, lhs string, rhs string, pair_count bigint",
@@ -157,21 +168,76 @@ def bpe_apply(
     words: DataFrame, merges: list[tuple[str, str, int] | tuple[str, str]]
 ) -> DataFrame:
     """Segment every word with the learned merges, in learned order —
-    BPE inference over the (word, cnt) histogram. Output (w, cnt, toks):
+    BPE inference over the (w, cnt) histogram. Output (w, cnt, toks):
     final tokens joined by ' ' in position order (sorted-CSV doctrine:
     one deterministic row per word, replayable as string_agg ORDER BY).
     At serving time the encoded histogram joins back to the corpus by
-    word — the corpus itself is never re-segmented row by row."""
-    tokens = char_tokens(words)
-    for i, m in enumerate(merges):
-        tokens = merge_round(tokens, m[0], m[1])
-        # bound lineage the same way training does, but only every few
-        # rounds: apply has no per-round action forcing evaluation
-        if (i + 1) % 4 == 0:
-            tokens = tokens.localCheckpoint(eager=True)
-    return tokens.groupBy("w", "cnt").agg(
-        F.array_join(
-            F.expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
-            " ",
-        ).alias("toks")
+    word — the corpus itself is never re-segmented row by row.
+
+    The whole merge chain is 3 literal replaces per merge (separator
+    encode, canonical merge, separator collapse) fused into ONE
+    whole-stage-codegen projection — no windows, no joins, no lineage
+    growth (no checkpoints needed at all)."""
+    sym = char_split(F.col("w"))
+    for m in merges:
+        sym = apply_merge(sym, m[0], m[1])
+    return words.select("w", "cnt", sym.alias("toks"))
+
+
+def bpe_doc_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str, int] | tuple[str, str]],
+) -> DataFrame:
+    """Tokenize a corpus document-by-document with a learned merge list
+    and report the compression it buys. Per document:
+
+        (id, n_words, n_chars_tokenized, n_tokens, tokens_per_word_ppm)
+
+    n_tokens counts post-merge symbols across the doc's words;
+    n_chars_tokenized counts pre-merge symbols (characters), so
+    n_tokens / n_chars is the sequence-length saving of the merge list.
+    tokens_per_word_ppm = n_tokens * 10^6 div n_words (exact BIGINT).
+    Tokenization here is RAW whitespace words (\\s+, no alphabetic
+    filter — the oov_stats convention): a tokenizer budget report must
+    count every word the model will actually see, not just the clean
+    ones the trainer learned from. Docs with no words emit no row (0/0
+    undefined).
+
+    Scale: the merge chain is 3 literal replaces per merge in ONE
+    codegen projection over the exploded words; the only exchange is
+    the doc-keyed algebraic rollup."""
+    if not merges or not all(len(m) >= 2 and m[0] and m[1] for m in merges):
+        raise ValueError(
+            "bpe_doc_stats: merges must be non-empty (left, right[, n]) tuples"
+        )
+    words = df.select(
+        F.col(id_col).alias(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    ).where(F.col("word") != "")
+    sym = char_split(F.col("word"))
+    n_chars = F.size(F.split(sym, " "))
+    for m in merges:
+        sym = apply_merge(sym, m[0], m[1])
+    n_toks = F.size(F.split(sym, " "))
+    return (
+        words.select(id_col, n_chars.alias("_nc"), n_toks.alias("_nt"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("_nc").cast("long").alias("n_chars_tokenized"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_chars_tokenized",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 div n_words").alias(
+                "tokens_per_word_ppm"
+            ),
+        )
     )

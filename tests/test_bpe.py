@@ -97,3 +97,134 @@ def test_rejects_bad_rounds(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+# ------------------------------------------- string-replace merge engine --
+
+
+def test_apply_merge_equals_canonical_on_randomized_sequences(spark):
+    """The padded two-pass replace = canonical LTR non-overlapping
+    merging, on sequences of MULTI-char symbols (the regime the
+    histogram fuzz above can't reach directly: symbols like 'ab'
+    adjacent to bare 'a'/'b' are exactly where a naive unpadded replace
+    would corrupt)."""
+    from pyspark.sql import functions as F
+
+    from entity_extractor_spark.operators.bpe import apply_merge
+
+    def merge_word(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    rng = random.Random(11)
+    symbols = ["a", "b", "c", "ab", "ba", "aa"]
+    rules = [("a", "b"), ("a", "a"), ("ab", "a"), ("b", "ba"), ("c", "c")]
+    seqs = [
+        [rng.choice(symbols) for _ in range(rng.randint(1, 12))]
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, " ".join(s)) for i, s in enumerate(seqs)], "i long, sym string"
+    )
+    for l, r in rules:
+        got = {
+            row["i"]: row["out"]
+            for row in df.select(
+                "i", apply_merge(F.col("sym"), l, r).alias("out")
+            ).collect()
+        }
+        for i, s in enumerate(seqs):
+            assert got[i] == " ".join(merge_word(s, l, r)), (l, r, s)
+
+
+def test_apply_merge_boundary_consumption_regressions(spark):
+    """The two shapes a naive single-space ' l r ' replace gets wrong —
+    each match eats the next token's leading boundary: the alternating
+    chain (misses every other merge in one pass) and, fatally, the
+    same-symbol run, where a second pass CANNOT repair the damage
+    ('a a a a a' under (a,a) must merge tokens (1,2),(3,4), never
+    (1,2),(4,5)). The double-space encoding takes both canonically in
+    one pass."""
+    from pyspark.sql import functions as F
+
+    from entity_extractor_spark.operators.bpe import apply_merge
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "a a a a a")], "i long, sym string"
+    )
+    alt = df.where("i = 1").select(
+        apply_merge(F.col("sym"), "a", "b").alias("s")
+    ).head()["s"]
+    assert alt == "ab ab ab ab"
+    run = df.where("i = 2").select(
+        apply_merge(F.col("sym"), "a", "a").alias("s")
+    ).head()["s"]
+    assert run == "aa aa a"
+
+
+# ----------------------------------------------------------- bpe_doc_stats --
+
+
+def test_doc_stats_counts_and_ratio(spark):
+    from entity_extractor_spark.operators.bpe import bpe_doc_stats
+
+    df = spark.createDataFrame(
+        [(1, "thether"), (2, "er er THE")], "doc_id long, text string"
+    )
+    merges = [("t", "h"), ("th", "e"), ("e", "r")]
+    out = {
+        r["doc_id"]: r
+        for r in bpe_doc_stats(df, "doc_id", "text", merges).collect()
+    }
+    # doc 1: one word 'thether': t h e t h e r -> th e th e r ->
+    # the the r (e,r never adjacent) => 3 tokens over 7 chars
+    assert out[1]["n_words"] == 1
+    assert out[1]["n_chars_tokenized"] == 7
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["tokens_per_word_ppm"] == 3_000_000
+    # doc 2: 'er' 'er' 'the' -> one token each
+    assert out[2]["n_words"] == 3
+    assert out[2]["n_chars_tokenized"] == 7
+    assert out[2]["n_tokens"] == 3
+    assert out[2]["tokens_per_word_ppm"] == 1_000_000
+
+
+def test_doc_stats_rank_order_matters(spark):
+    from entity_extractor_spark.operators.bpe import bpe_doc_stats
+
+    df = spark.createDataFrame([(1, "the")], "doc_id long, text string")
+    good = bpe_doc_stats(df, "doc_id", "text", [("t", "h"), ("th", "e")]).head()
+    assert good["n_tokens"] == 1  # t h e -> th e -> the
+    swapped = bpe_doc_stats(
+        df, "doc_id", "text", [("th", "e"), ("t", "h")]
+    ).head()
+    assert swapped["n_tokens"] == 2  # 'th e' rule fires before 'th' exists
+
+
+def test_doc_stats_empty_doc_emits_no_row(spark):
+    from entity_extractor_spark.operators.bpe import bpe_doc_stats
+
+    df = spark.createDataFrame(
+        [(1, "hi"), (2, "   ")], "doc_id long, text string"
+    )
+    out = bpe_doc_stats(df, "doc_id", "text", [("h", "i")]).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_doc_stats_rejects_bad_merges(spark):
+    from entity_extractor_spark.operators.bpe import bpe_doc_stats
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    for bad in ([], [("a", "")]):
+        try:
+            bpe_doc_stats(df, "doc_id", "text", bad)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
