@@ -256,3 +256,65 @@ def table_gc_plan(
         "file", F.lit("missing").alias("status")
     )
     return orphans.unionByName(missing)
+
+
+# -------------------------------------------------------------- zone maps --
+
+
+def zone_map(df: DataFrame, file_col: str, value_col: str) -> DataFrame:
+    """Per-file zone map over one column: (file_id, n_rows, n_nulls,
+    vmin, vmax) — exactly what a parquet footer / Iceberg manifest entry
+    stores, materialized as a TABLE so pruning can be *estimated and
+    audited* without touching the data again (layout_report gives the
+    two-column bbox flavor for Z-order; this is the single-column
+    planner-facing flavor). min/max ignore NULLs (parquet stats
+    semantics): an all-null file reports vmin = vmax = NULL with its
+    null count. ONE algebraic file-grouped agg — data touched once; the
+    output is file-count-sized, i.e. metadata-sized."""
+    return df.groupBy(F.col(file_col).alias("file_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col(value_col).isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nulls"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+
+
+def zone_map_prune(zm: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Which files does the range predicate `value BETWEEN lo AND hi`
+    have to scan? The min/max footer test every lakehouse planner runs,
+    as an auditable operator: kept = [vmin, vmax] intersects [lo, hi]
+    (NOT (vmax < lo OR vmin > hi)); an all-null file (vmin IS NULL) is
+    skipped because a range predicate never matches NULL. Output: the
+    zone map plus `kept` and `rows_scan_upper` (n_rows for kept files,
+    0 otherwise — an UPPER bound, since the footer cannot see which
+    rows inside a kept file match; boundary files carry the gap between
+    bound and truth).
+
+    This is the measurement half of the layout family: write_partitioned
+    / write_zordered claim better pruning — sum(rows_scan_upper) over
+    this table, before vs after re-layout, is the number that proves it
+    (the same arithmetic Delta/Iceberg `files_scanned` metrics report).
+    Pure metadata arithmetic over file-count-sized input: zero data
+    rows touched, zero shuffles beyond the zone map's own agg."""
+    for name, v in (("lo", lo), ("hi", hi)):
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise ValueError(f"zone_map_prune: {name} must be an int")
+    if lo > hi:
+        raise ValueError("zone_map_prune: lo must be <= hi")
+    kept = (
+        F.col("vmin").isNotNull()
+        & ~((F.col("vmax") < lo) | (F.col("vmin") > hi))
+    )
+    return zm.select(
+        "file_id",
+        "n_rows",
+        "n_nulls",
+        "vmin",
+        "vmax",
+        kept.alias("kept"),
+        F.when(kept, F.col("n_rows")).otherwise(F.lit(0))
+        .cast("long")
+        .alias("rows_scan_upper"),
+    )

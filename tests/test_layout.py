@@ -172,3 +172,59 @@ def test_table_gc_plan_rejects_null_paths(spark):
     ref = spark.createDataFrame([("a",)], "file string")
     with pytest.raises(Exception, match="Exception|NULL path"):
         table_gc_plan(disk, ref).collect()
+
+
+# --------------------------------------------------------------- zone maps --
+
+
+def test_zone_map_and_prune_branches(spark):
+    from entity_extractor_spark.operators.layout import zone_map, zone_map_prune
+
+    rows = (
+        [("f1", v) for v in (10, 20, 30)]          # fully below lo -> skip
+        + [("f2", v) for v in (40, 60)]            # straddles lo -> kept
+        + [("f3", v) for v in (70, 80)]            # fully inside -> kept
+        + [("f4", v) for v in (95, 120)]           # straddles hi -> kept
+        + [("f5", v) for v in (150, 160)]          # fully above hi -> skip
+        + [("f6", None), ("f6", None)]             # all-null file -> skip
+        + [("f7", 75), ("f7", None)]               # kept, partial nulls
+    )
+    df = spark.createDataFrame(rows, "file_id string, v long")
+    zm = zone_map(df, "file_id", "v")
+    by = {r["file_id"]: r for r in zm.collect()}
+    assert by["f1"]["vmin"] == 10 and by["f1"]["vmax"] == 30
+    assert by["f6"]["vmin"] is None and by["f6"]["n_nulls"] == 2
+    assert by["f7"]["n_rows"] == 2 and by["f7"]["n_nulls"] == 1
+
+    out = {r["file_id"]: r for r in zone_map_prune(zm, 50, 100).collect()}
+    assert {f for f, r in out.items() if r["kept"]} == {"f2", "f3", "f4", "f7"}
+    assert out["f1"]["rows_scan_upper"] == 0
+    assert out["f6"]["kept"] is False  # range predicate never matches NULL
+    # upper bound counts whole kept files, including non-matching rows
+    assert out["f2"]["rows_scan_upper"] == 2
+    assert sum(r["rows_scan_upper"] for r in out.values()) == 8
+
+
+def test_zone_map_prune_boundary_inclusive(spark):
+    from entity_extractor_spark.operators.layout import zone_map, zone_map_prune
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 200)], "file_id string, v long"
+    )
+    out = {
+        r["file_id"]: r["kept"]
+        for r in zone_map_prune(zone_map(df, "file_id", "v"), 100, 100).collect()
+    }
+    # BETWEEN is inclusive: vmax == lo keeps the file
+    assert out["a"] is True and out["b"] is False
+
+
+def test_zone_map_prune_validation(spark):
+    from entity_extractor_spark.operators.layout import zone_map, zone_map_prune
+
+    df = spark.createDataFrame([("a", 1)], "file_id string, v long")
+    zm = zone_map(df, "file_id", "v")
+    with pytest.raises(ValueError):
+        zone_map_prune(zm, 5, 4)
+    with pytest.raises(ValueError):
+        zone_map_prune(zm, True, 4)
