@@ -8174,6 +8174,133 @@ def layout_zone_map_prune(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_containment",
+    """WITH base AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 10000000, substr(text, 1, 120)
+         FROM documents WHERE doc_id % 7 = 0
+         UNION ALL
+         SELECT doc_id + 20000000, text
+         FROM documents WHERE doc_id % 13 = 0),
+       d AS (
+         SELECT doc_id, (doc_id % 10000000) % 250 AS grp,
+                string_split_regex(trim(lower(text)), '\\s+') AS parts
+         FROM base WHERE trim(lower(text)) <> ''),
+       sh AS (
+         SELECT doc_id, grp,
+                unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(len(parts) - 1, 1)),
+                  i -> COALESCE(parts[i] || ' ' || parts[i + 1], parts[i]))))
+                  AS shingle
+         FROM d),
+       sz AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS n
+              FROM sh GROUP BY 1, 2),
+       p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                    a.n AS n_sh1, b.n AS n_sh2
+             FROM sz a JOIN sz b ON a.grp = b.grp AND a.doc_id < b.doc_id),
+       iv AS (SELECT s1.doc_id AS doc1, s2.doc_id AS doc2,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM sh s1 JOIN sh s2
+                ON s1.grp = s2.grp AND s1.doc_id < s2.doc_id
+               AND s1.shingle = s2.shingle
+              GROUP BY 1, 2)
+       SELECT doc1, doc2, n_sh1, n_sh2,
+              COALESCE(c, 0) AS inter,
+              COALESCE(c, 0) * 1000000 // n_sh1 AS cont1_ppm,
+              COALESCE(c, 0) * 1000000 // n_sh2 AS cont2_ppm
+       FROM p LEFT JOIN iv USING (doc1, doc2)
+       WHERE greatest(COALESCE(c, 0) * 1000000 // n_sh1,
+                      COALESCE(c, 0) * 1000000 // n_sh2) >= 300000""",
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric shingle containment (dedupe.containment_pairs) — the
+    excerpt/boilerplate-wrap detector symmetric Jaccard misses: every
+    7th document contributes a 120-char prefix EXCERPT (containment of
+    the excerpt in its source ~10^6 while Jaccard is low — exactly the
+    pair a Jaccard threshold lets through), every 13th an exact copy
+    (both containments 10^6), and docs collide into grp = base_id % 250
+    blocking groups so unrelated same-group pairs carry mass on both
+    sides of the 300,000-ppm keep threshold (the corpus' small template
+    vocabulary gives unrelated pairs real partial overlap). All exact
+    BIGINT ppm arithmetic. The oracle computes the SAME pairs by the
+    opposite formulation — per-shingle equi-join + count vs Spark's
+    array_intersect on pair rows — so a containment computed on the
+    wrong denominator or a dropped boundary pair hash-mismatches.
+    Scale shape: group-blocked self-join (guard raises past
+    max_group_size; LSH buckets are the production blocking key),
+    shingle sets never shuffle separately."""
+    from .operators.dedupe import containment_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = (
+        d.unionByName(
+            d.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.substring("text", 1, 120).alias("text"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+            )
+        )
+        .withColumn("grp", (F.col("doc_id") % 10_000_000) % 250)
+    )
+    return containment_pairs(
+        aug, "doc_id", "text", "grp", threshold_ppm=300_000
+    )
+
+
+@query(
+    "curate_dataset_digest",
+    """WITH rep AS (
+         SELECT lang,
+                concat_ws(chr(31),
+                  COALESCE(CAST(doc_id AS VARCHAR),
+                           chr(0) || 'NULL' || chr(0)),
+                  COALESCE(lang, chr(0) || 'NULL' || chr(0)),
+                  COALESCE(CAST(n_chars AS VARCHAR),
+                           chr(0) || 'NULL' || chr(0)),
+                  COALESCE(text, chr(0) || 'NULL' || chr(0))) AS r
+         FROM documents),
+       h AS (
+         SELECT lang,
+                CAST(('0x' || substr(md5(r), 1, 12)) AS BIGINT) AS h1,
+                CAST(('0x' || substr(md5(r), 13, 12)) AS BIGINT) AS h2
+         FROM rep)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CAST(h1 AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+                AS digest1,
+              CAST(sum(CAST(h2 AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+                AS digest2
+       FROM h GROUP BY lang""",
+)
+def curate_dataset_digest(spark, sf_dir):
+    """Order/partition-invariant corpus content digest per language
+    (snapshot.dataset_digest over (doc_id, lang, n_chars, text)) — the
+    manifest line a reproducible training run pins ("this exact
+    multiset of rows") and the O(1)-space cross-environment equality
+    check after a migration/re-layout (snapshot_diff says WHAT changed;
+    this says WHETHER). Each row canonicalizes to a \\x1f-joined string
+    with a NULL sentinel no rendered value can collide with, hashes to
+    two independent 48-bit md5 slices, and the digest is each slice's
+    multiset SUM in DECIMAL(38,0) folded mod 2^61-1 — commutative, so
+    bit-identical on any row order, partitioning, or engine; duplicate
+    rows change it (multiset semantics). ONE algebraic agg, map-side
+    partials, output is group-count-sized. The very property the gate
+    checks IS the operator's contract: DuckDB scans the parquet in
+    whatever order it likes and must land on the same two digests."""
+    from .operators.snapshot import dataset_digest
+
+    return dataset_digest(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "lang", "n_chars", "text"],
+        ["lang"],
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

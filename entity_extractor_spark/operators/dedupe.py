@@ -729,3 +729,100 @@ def lsh_curve(
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    shingle_n: int = 2,
+    threshold_ppm: int = 0,
+    max_group_size: int | None = 10_000,
+) -> DataFrame:
+    """Pairwise ASYMMETRIC shingle containment within blocking groups —
+    the other half of Broder's resemblance paper that symmetric Jaccard
+    cannot express: an excerpt, a quoted passage, or a boilerplate-
+    wrapped copy has LOW Jaccard against its source (the union is
+    dominated by the bigger doc) but containment ~1 of the smaller doc
+    in the larger. That asymmetry is exactly what a curation pass needs
+    to kill quote-inclusion and template-wrapped duplicates that
+    ngram_jaccard_pairs' threshold lets through.
+
+    Output per (doc1 < doc2) pair in a group:
+        (doc1, doc2, n_sh1, n_sh2, inter,
+         cont1_ppm = inter * 10^6 div n_sh1,   # doc1 inside doc2
+         cont2_ppm = inter * 10^6 div n_sh2)   # doc2 inside doc1
+    kept when max(cont1_ppm, cont2_ppm) >= threshold_ppm. All exact
+    BIGINT arithmetic on the ppm grid (no round(double) — bit-stable on
+    any engine). Docs with zero shingles (empty/whitespace text) have
+    no containment defined and are excluded before pairing.
+
+    Same scale discipline as ngram_jaccard_pairs: the self-join is
+    quadratic WITHIN a group, so groups above max_group_size fail
+    loudly executor-side (block on LSH buckets from lsh_candidate_pairs
+    at corpus scale); the intersection is array arithmetic on the
+    already-joined pair rows — the shingle sets never shuffle
+    separately."""
+    if type(threshold_ppm) is not int or not (0 <= threshold_ppm <= 1_000_000):
+        raise ValueError(
+            "containment_pairs: threshold_ppm must be an int in [0, 10^6]"
+        )
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if shingle_n == 1:
+        sh = F.array_distinct(toks)
+    else:
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))
+                ),
+                lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " "),
+            )
+        )
+    s = (
+        df.where(F.trim(F.lower(F.col(text_col))) != "")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).alias("grp"),
+            sh.alias("sh"),
+        )
+        .where(F.size("sh") >= 1)
+    )
+    if max_group_size is not None:
+        sizes = s.groupBy("grp").agg(F.count(F.lit(1)).alias("_gsz"))
+        guard = F.assert_true(
+            F.col("_gsz") <= F.lit(max_group_size),
+            F.concat(
+                F.lit("containment_pairs: blocking group "),
+                F.col("grp").cast("string"),
+                F.lit(
+                    f" exceeds max_group_size={max_group_size}; the within-"
+                    "group self-join would go quadratic — block on LSH "
+                    "buckets (lsh_candidate_pairs) or raise the limit "
+                    "explicitly"
+                ),
+            ),
+        )
+        s = s.join(sizes, "grp").where(guard.isNull()).drop("_gsz")
+    a = s.select(F.col("doc_id").alias("doc1"), "grp", F.col("sh").alias("sh1"))
+    b = s.select(F.col("doc_id").alias("doc2"), "grp", F.col("sh").alias("sh2"))
+    pairs = a.join(b, "grp").where(F.col("doc1") < F.col("doc2"))
+    out = pairs.select(
+        "doc1",
+        "doc2",
+        F.size("sh1").cast("long").alias("n_sh1"),
+        F.size("sh2").cast("long").alias("n_sh2"),
+        F.size(F.array_intersect("sh1", "sh2")).cast("long").alias("inter"),
+    ).select(
+        "doc1",
+        "doc2",
+        "n_sh1",
+        "n_sh2",
+        "inter",
+        F.expr("inter * 1000000 div n_sh1").alias("cont1_ppm"),
+        F.expr("inter * 1000000 div n_sh2").alias("cont2_ppm"),
+    )
+    return out.where(
+        F.greatest("cont1_ppm", "cont2_ppm") >= F.lit(threshold_ppm)
+    )

@@ -60,3 +60,62 @@ def snapshot_diff(
         j.select(*key_list, change.alias("change"))
         .where(F.col("change").isNotNull())
     )
+
+
+_MOD_P = (1 << 61) - 1  # Mersenne prime, the repo's modular-hash modulus
+
+
+def dataset_digest(
+    df: DataFrame, cols: list[str], group_cols: list[str] | None = None
+) -> DataFrame:
+    """Order- and partition-invariant content digest of a dataset (per
+    group, or one row for the whole table): the manifest line a
+    reproducible training run pins — "this exact multiset of rows" —
+    and the cheapest cross-environment equality check after a
+    migration, engine swap, or re-layout (snapshot_diff says WHAT
+    changed; this says WHETHER, in O(1) manifest space).
+
+        (group..., n_rows, digest1, digest2)
+
+    Each row canonicalizes to a '\\x1f'-joined string of the named
+    columns (NULL as a sentinel distinct from any rendered value, so
+    NULL != '' != '<NULL>' collisions are impossible unless the data
+    literally contains the sentinel), hashes to two INDEPENDENT 48-bit
+    integers (md5 hex slices 1-12 and 13-24 — the bloom/minhash
+    convention), and the digest is the multiset SUM of each, carried in
+    DECIMAL(38,0) (exact to ~10^23 rows) and folded mod 2^61-1 into
+    BIGINT. Sum is commutative/associative => identical on any
+    partitioning, any row order, any engine; duplicates count
+    (multiset semantics — a doubled row is a real corpus change).
+    Two independent 48-bit sums make an accidental collision ~2^-96
+    per comparison.
+
+    Scale shape: ONE algebraic aggregation, map-side partials, no
+    shuffle beyond the group agg; output is group-count-sized. Column
+    list is explicit because a digest must name its schema — silently
+    hashing whatever columns happen to exist makes two different
+    schemas incomparable without failing."""
+    if not cols:
+        raise ValueError("dataset_digest: cols must be non-empty")
+    rep = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
+            for c in cols
+        ],
+    )
+    h = F.md5(rep)
+    hashed = df.select(
+        *[F.col(g) for g in (group_cols or [])],
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(h, 13, 12), 16, 10).cast("long").alias("_h2"),
+    )
+    return hashed.groupBy(*[F.col(g) for g in (group_cols or [])]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr(
+            f"CAST(sum(CAST(_h1 AS DECIMAL(38,0))) % {_MOD_P} AS BIGINT)"
+        ).alias("digest1"),
+        F.expr(
+            f"CAST(sum(CAST(_h2 AS DECIMAL(38,0))) % {_MOD_P} AS BIGINT)"
+        ).alias("digest2"),
+    )
