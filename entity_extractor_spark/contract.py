@@ -7824,8 +7824,8 @@ _URL_SYNTH_SQL = """
            || CASE WHEN doc_id % 5 = 0 THEN '///' ELSE '' END
            || CASE doc_id % 3
                 WHEN 0 THEN '?utm_source=' || lang || '&b=2&a=1'
-                WHEN 1 THEN '?z=9&a=' || lang ELSE '' END
-           || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+                WHEN 1 THEN '?z=9&utmost=3&a=' || lang ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN '#frag?fx=1' ELSE '' END AS url
     FROM documents"""
 
 
@@ -7841,7 +7841,7 @@ _URL_SYNTH_SQL = """
            regexp_extract(url,
                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
              AS path_raw,
-           regexp_extract(url, '\\?([^#]*)', 1) AS qraw
+           regexp_extract(string_split(url, '#')[1], '\\?(.*)', 1) AS qraw
          FROM u),
        hp AS (
          SELECT *, string_split(hostport, ':')[1] AS host0,
@@ -7860,9 +7860,11 @@ _URL_SYNTH_SQL = """
                 ELSE regexp_replace(path_raw, '/+$', '') END AS path,
            array_to_string(list_sort(list_filter(
              string_split(qraw, '&'),
-             x -> x <> '' AND x NOT LIKE 'utm_%' AND x NOT LIKE 'gclid=%'
-              AND x NOT LIKE 'fbclid=%' AND x NOT LIKE 'msclkid=%'
-              AND x NOT LIKE 'mc_eid=%')), '&') AS q
+             x -> x <> '' AND NOT starts_with(x, 'utm_')
+              AND NOT starts_with(x, 'gclid=')
+              AND NOT starts_with(x, 'fbclid=')
+              AND NOT starts_with(x, 'msclkid=')
+              AND NOT starts_with(x, 'mc_eid='))), '&') AS q
          FROM hp)
        SELECT doc_id,
               scheme || '://' || host || portpart || path
@@ -7909,10 +7911,12 @@ def curate_url_canonical(spark, sf_dir):
         )
         .when(
             F.col("doc_id") % 3 == 1,
-            F.concat(F.lit("?z=9&a="), F.col("lang")),
+            F.concat(F.lit("?z=9&utmost=3&a="), F.col("lang")),
         )
         .otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag?fx=1")).otherwise(
+            F.lit("")
+        ),
     )
     return d.select("doc_id", url.alias("_u")).select(
         "doc_id",
@@ -8138,7 +8142,8 @@ def text_bpe_apply(spark, sf_dir):
                AND NOT (vmax < 12000000 OR vmin > 21000000)) AS kept,
               CASE WHEN vmin IS NOT NULL
                         AND NOT (vmax < 12000000 OR vmin > 21000000)
-                   THEN n_rows ELSE CAST(0 AS BIGINT) END AS rows_scan_upper
+                   THEN n_rows - n_nulls
+                   ELSE CAST(0 AS BIGINT) END AS rows_scan_upper
        FROM zm""",
 )
 def layout_zone_map_prune(spark, sf_dir):
@@ -8187,13 +8192,14 @@ def layout_zone_map_prune(spark, sf_dir):
        d AS (
          SELECT doc_id, (doc_id % 10000000) % 250 AS grp,
                 string_split_regex(trim(lower(text)), '\\s+') AS parts
-         FROM base WHERE trim(lower(text)) <> ''),
+         FROM base
+         WHERE trim(lower(text)) <> ''
+           AND len(string_split_regex(trim(lower(text)), '\\s+')) >= 2),
        sh AS (
          SELECT doc_id, grp,
                 unnest(list_distinct(list_transform(
-                  generate_series(1, greatest(len(parts) - 1, 1)),
-                  i -> COALESCE(parts[i] || ' ' || parts[i + 1], parts[i]))))
-                  AS shingle
+                  generate_series(1, len(parts) - 1),
+                  i -> parts[i] || ' ' || parts[i + 1]))) AS shingle
          FROM d),
        sz AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS n
               FROM sh GROUP BY 1, 2),

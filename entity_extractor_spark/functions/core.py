@@ -222,15 +222,20 @@ def url_canonicalize(url: Column) -> Column:
     )
     path_trim = F.regexp_replace(path_raw, "/+$", "")
     path = F.when(path_trim == "", F.lit("/")).otherwise(path_trim)
-    query_raw = F.regexp_extract(url, "\\?([^#]*)", 1)
+    # the query must come from the PRE-fragment prefix: a '?' inside the
+    # fragment ('/p#sec?x=1') is fragment content, not a query string
+    pre_frag = F.split(url, "#", 2).getItem(0)
+    query_raw = F.regexp_extract(pre_frag, "\\?(.*)", 1)
+    # literal prefix tests, NOT LIKE: '_' is the LIKE single-char
+    # wildcard, so like('utm_%') would also drop 'utmost=', 'utmx=' ...
     kept = F.filter(
         F.split(query_raw, "&"),
         lambda x: (x != "")
-        & ~x.like("utm_%")
-        & ~x.like("gclid=%")
-        & ~x.like("fbclid=%")
-        & ~x.like("msclkid=%")
-        & ~x.like("mc_eid=%"),
+        & ~x.startswith("utm_")
+        & ~x.startswith("gclid=")
+        & ~x.startswith("fbclid=")
+        & ~x.startswith("msclkid=")
+        & ~x.startswith("mc_eid="),
     )
     q = F.array_join(F.array_sort(kept), "&")
     return F.concat(

@@ -427,23 +427,40 @@ def distribution_drift(
         F.coalesce(F.col("c_a"), F.lit(0)).alias("c_a"),
         F.coalesce(F.col("c_b"), F.lit(0)).alias("c_b"),
     )
-    totals = joined.groupBy("field").agg(
+    raw_totals = joined.groupBy("field").agg(
         F.sum("c_a").cast("long").alias("n_a"),
         F.sum("c_b").cast("long").alias("n_b"),
         F.count(F.lit(1)).cast("long").alias("n_values"),
     )
-    checked = totals.withColumn(
-        "n_a",
-        F.when(
-            (F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("n_a")
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("distribution_drift: empty snapshot for field "),
-                    F.col("field"),
+    # Drive the output from a LITERAL field spine (one row per requested
+    # column, exists even when BOTH snapshots are empty) so the
+    # empty-snapshot guard is always reachable: a guard living only on
+    # histogram-derived rows silently vanishes exactly when the feed
+    # died entirely — the worst drift incident reporting "no drift".
+    spine = a.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in cols])).alias("field")
+    )
+    checked = (
+        spine.join(raw_totals, "field", "left")
+        .select(
+            "field",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+            F.coalesce("n_values", F.lit(0)).cast("long").alias("n_values"),
+        )
+        .withColumn(
+            "n_a",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("n_a")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("distribution_drift: empty snapshot for field "),
+                        F.col("field"),
+                    )
                 )
-            )
-        ),
+            ),
+        )
     )
     # per-value ppm delta, then ONE algebraic per-field agg; the totals
     # table is #columns rows — broadcast back onto histogram rows
@@ -451,18 +468,19 @@ def distribution_drift(
         F.expr("CAST(c_a AS BIGINT) * 1000000 div n_a")
         - F.expr("CAST(c_b AS BIGINT) * 1000000 div n_b")
     )
-    return (
-        joined.join(F.broadcast(checked), "field")
+    deltas = (
+        joined.join(F.broadcast(raw_totals), "field")
         .withColumn("_d", delta)
         .groupBy("field")
         .agg(
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
-            F.first("n_values").alias("n_values"),
             F.expr("sum(_d) div 2").alias("tvd_ppm"),
             F.max("_d").alias("linf_ppm"),
         )
-        .select("field", "n_a", "n_b", "n_values", "tvd_ppm", "linf_ppm")
+    )
+    # checked (the guarded spine) is the OUTER side: its raise_error
+    # must evaluate even if the delta side is runtime-empty
+    return checked.join(deltas, "field", "left").select(
+        "field", "n_a", "n_b", "n_values", "tvd_ppm", "linf_ppm"
     )
 
 

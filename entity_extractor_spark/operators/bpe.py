@@ -164,6 +164,33 @@ def bpe_train(
     return mdf, merges
 
 
+_APPLY_CHUNK = 48  # merges fused per projection before a lineage cut
+
+
+def _chunked_apply(
+    df: DataFrame,
+    sym_col: str,
+    merges: list[tuple[str, str, int] | tuple[str, str]],
+) -> DataFrame:
+    """Apply a ranked merge list to `sym_col`, fusing _APPLY_CHUNK
+    merges (3 literal replaces each) into one codegen projection and
+    cutting the plan with a lazy localCheckpoint between chunks. A
+    merge list is 10^3-10^5 rules in a real tokenizer; folding ALL of
+    them into one Column nests ~3 * len(merges) expression nodes —
+    Catalyst recursion and codegen method-size limits both give out
+    long before 10^5. Lists at or under one chunk (every in-repo use)
+    keep the single-projection plan with zero checkpoints."""
+    keep = [c for c in df.columns if c != sym_col]
+    for start in range(0, len(merges), _APPLY_CHUNK):
+        sym = F.col(sym_col)
+        for m in merges[start : start + _APPLY_CHUNK]:
+            sym = apply_merge(sym, m[0], m[1])
+        df = df.select(*keep, sym.alias(sym_col))
+        if start + _APPLY_CHUNK < len(merges):
+            df = df.localCheckpoint(eager=False)
+    return df
+
+
 def bpe_apply(
     words: DataFrame, merges: list[tuple[str, str, int] | tuple[str, str]]
 ) -> DataFrame:
@@ -174,14 +201,15 @@ def bpe_apply(
     At serving time the encoded histogram joins back to the corpus by
     word — the corpus itself is never re-segmented row by row.
 
-    The whole merge chain is 3 literal replaces per merge (separator
-    encode, canonical merge, separator collapse) fused into ONE
-    whole-stage-codegen projection — no windows, no joins, no lineage
-    growth (no checkpoints needed at all)."""
-    sym = char_split(F.col("w"))
-    for m in merges:
-        sym = apply_merge(sym, m[0], m[1])
-    return words.select("w", "cnt", sym.alias("toks"))
+    The merge chain is 3 literal replaces per merge fused into codegen
+    projections of _APPLY_CHUNK merges each, with a lazy lineage cut
+    between chunks (one projection, no checkpoints, for lists up to one
+    chunk — see _chunked_apply for why unbounded fusion breaks at
+    tokenizer-sized merge lists)."""
+    seeded = words.select(
+        "w", "cnt", char_split(F.col("w")).alias("toks")
+    )
+    return _chunked_apply(seeded, "toks", list(merges))
 
 
 def bpe_doc_stats(
@@ -205,8 +233,10 @@ def bpe_doc_stats(
     ones the trainer learned from. Docs with no words emit no row (0/0
     undefined).
 
-    Scale: the merge chain is 3 literal replaces per merge in ONE
-    codegen projection over the exploded words; the only exchange is
+    Scale: the merge chain is 3 literal replaces per merge fused into
+    codegen projections of _APPLY_CHUNK merges each over the exploded
+    words (single projection for lists up to one chunk; lazy lineage
+    cut between chunks — see _chunked_apply); the only exchange is
     the doc-keyed algebraic rollup."""
     if not merges or not all(len(m) >= 2 and m[0] and m[1] for m in merges):
         raise ValueError(
@@ -218,13 +248,19 @@ def bpe_doc_stats(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         ).alias("word"),
     ).where(F.col("word") != "")
-    sym = char_split(F.col("word"))
-    n_chars = F.size(F.split(sym, " "))
-    for m in merges:
-        sym = apply_merge(sym, m[0], m[1])
-    n_toks = F.size(F.split(sym, " "))
+    sym0 = char_split(F.col("word"))
+    seeded = words.select(
+        id_col,
+        F.size(F.split(sym0, " ")).alias("_nc"),
+        sym0.alias("_sym"),
+    )
+    applied = _chunked_apply(seeded, "_sym", list(merges))
     return (
-        words.select(id_col, n_chars.alias("_nc"), n_toks.alias("_nt"))
+        applied.select(
+            id_col,
+            "_nc",
+            F.size(F.split(F.col("_sym"), " ")).alias("_nt"),
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),

@@ -755,8 +755,13 @@ def containment_pairs(
          cont2_ppm = inter * 10^6 div n_sh2)   # doc2 inside doc1
     kept when max(cont1_ppm, cont2_ppm) >= threshold_ppm. All exact
     BIGINT arithmetic on the ppm grid (no round(double) — bit-stable on
-    any engine). Docs with zero shingles (empty/whitespace text) have
-    no containment defined and are excluded before pairing.
+    any engine). Docs with FEWER than shingle_n tokens (including
+    empty/whitespace text) are below the metric's resolution — they
+    have no true n-shingle, and the whole-text fallback shingle the
+    Jaccard sibling uses would score a one-word excerpt 0 against its
+    source, silently passing the very duplicate class this operator
+    exists to catch — so they are EXCLUDED before pairing; run a
+    shingle_n=1 (token-containment) pass to cover sub-n docs.
 
     Same scale discipline as ngram_jaccard_pairs: the self-join is
     quadratic WITHIN a group, so groups above max_group_size fail
@@ -782,6 +787,7 @@ def containment_pairs(
         )
     s = (
         df.where(F.trim(F.lower(F.col(text_col))) != "")
+        .where(F.size(toks) >= shingle_n)
         .select(
             F.col(id_col).alias("doc_id"),
             F.col(group_col).alias("grp"),

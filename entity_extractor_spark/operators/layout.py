@@ -287,9 +287,11 @@ def zone_map_prune(zm: DataFrame, lo: int, hi: int) -> DataFrame:
     as an auditable operator: kept = [vmin, vmax] intersects [lo, hi]
     (NOT (vmax < lo OR vmin > hi)); an all-null file (vmin IS NULL) is
     skipped because a range predicate never matches NULL. Output: the
-    zone map plus `kept` and `rows_scan_upper` (n_rows for kept files,
-    0 otherwise — an UPPER bound, since the footer cannot see which
-    rows inside a kept file match; boundary files carry the gap between
+    zone map plus `kept` and `rows_scan_upper` (n_rows - n_nulls for
+    kept files, 0 otherwise — an UPPER bound, since the footer cannot
+    see which NON-null rows inside a kept file match, but the NULL rows
+    it CAN see provably never match a range predicate, so they never
+    inflate the bound; boundary files carry the remaining gap between
     bound and truth).
 
     This is the measurement half of the layout family: write_partitioned
@@ -314,7 +316,8 @@ def zone_map_prune(zm: DataFrame, lo: int, hi: int) -> DataFrame:
         "vmin",
         "vmax",
         kept.alias("kept"),
-        F.when(kept, F.col("n_rows")).otherwise(F.lit(0))
+        F.when(kept, F.col("n_rows") - F.col("n_nulls"))
+        .otherwise(F.lit(0))
         .cast("long")
         .alias("rows_scan_upper"),
     )

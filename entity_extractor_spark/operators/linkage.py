@@ -225,6 +225,12 @@ def one_to_one_match(
         F.col(right_col).alias("_r"),
         checked.alias("_s"),
     )
+    # Duplicate candidate pairs (the same (l, r) surfacing from several
+    # LSH bands or blocking keys) collapse to their best score up front:
+    # otherwise every surviving duplicate row — including lower-scored
+    # ones — passes the mutual-best join and the output stops being
+    # one-to-one. One algebraic agg; unique pairs are untouched.
+    pool = pool.groupBy("_l", "_r").agg(F.max("_s").alias("_s"))
     matched = None
     for rnd in range(1, rounds + 1):
         pool = pool.localCheckpoint(eager=True)

@@ -517,6 +517,25 @@ def hll_estimate(
     pow49 = 1 << _HLL_RHO_MAX
     alpha_num = 7213 * m
     alpha_den = 10000 * m + 10790
+    # fail loudly on a register table built with a DIFFERENT b_bits: a
+    # bucket >= m (or an out-of-range rho) would otherwise drive
+    # zero_buckets negative and emit garbage estimates with no error
+    guard = F.assert_true(
+        (F.col("bucket") >= 0)
+        & (F.col("bucket") < m)
+        & (F.col("register") >= 1)
+        & (F.col("register") <= _HLL_RHO_MAX),
+        F.concat_ws(
+            " ",
+            F.lit(f"hll_estimate: register row outside b_bits={b_bits} grid"),
+            F.lit("(bucket"),
+            F.col("bucket").cast("string"),
+            F.lit(", register"),
+            F.col("register").cast("string"),
+            F.lit(") — was the table built with a different b_bits?"),
+        ),
+    )
+    registers = registers.where(guard.isNull())
     return (
         registers.groupBy(*group_cols)
         .agg(

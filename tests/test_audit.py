@@ -453,3 +453,13 @@ def test_benford_rejects_empty_cols(spark):
 
     with pytest.raises(ValueError):
         benford_audit(spark.range(1), [])
+
+
+def test_drift_both_snapshots_empty_raises(spark):
+    """The worst drift incident — the feed died entirely — must raise,
+    not report an empty (no-drift) result."""
+    from entity_extractor_spark.operators.audit import distribution_drift
+
+    empty = spark.createDataFrame([], "c string")
+    with pytest.raises(Exception, match="distribution_drift"):
+        distribution_drift(empty, empty, ["c"]).collect()

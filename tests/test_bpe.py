@@ -228,3 +228,29 @@ def test_doc_stats_rejects_bad_merges(spark):
             raise AssertionError("expected ValueError")
         except ValueError:
             pass
+
+
+def test_apply_chunking_matches_single_projection(spark):
+    """A merge list longer than _APPLY_CHUNK must produce the same
+    segmentation as canonical sequential application (the chunk
+    boundary with its lazy checkpoint must be invisible)."""
+    from entity_extractor_spark.operators import bpe as B
+
+    # 60 merges: the first two do real work on 'aaab' ('a a a b' ->
+    # 'aa a b' -> 'aa ab'), the rest are no-op filler pairs that still
+    # push the list across the chunk boundary
+    merges = [("a", "a"), ("a", "b")] + [
+        (f"q{i}", f"q{i}") for i in range(58)
+    ]
+    words = spark.createDataFrame(
+        [("aaab", 3), ("ab", 1)], "w string, cnt long"
+    )
+    got = {r["w"]: r["toks"] for r in B.bpe_apply(words, merges).collect()}
+    assert got == {"aaab": "aa ab", "ab": "ab"}
+    stats = B.bpe_doc_stats(
+        spark.createDataFrame([(1, "aaab ab")], "doc_id long, text string"),
+        "doc_id", "text", merges,
+    ).head()
+    assert stats["n_words"] == 2
+    assert stats["n_chars_tokenized"] == 6
+    assert stats["n_tokens"] == 3  # 'aa ab' + 'ab'

@@ -71,3 +71,20 @@ def test_containment_group_size_guard(spark):
         ).collect()
     ok = containment_pairs(df, "doc_id", "text", "grp", max_group_size=None)
     assert ok.count() == 28  # 8 choose 2
+
+
+def test_containment_sub_n_docs_excluded(spark):
+    """A doc with fewer tokens than shingle_n is below the metric's
+    resolution: excluded, never a silent zero-containment false
+    negative (use shingle_n=1 to cover short docs)."""
+    from entity_extractor_spark.operators.dedupe import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", "g"), (2, "alpha", "g")],
+        "doc_id long, text string, grp string",
+    )
+    assert containment_pairs(df, "doc_id", "text", "grp").collect() == []
+    uni = containment_pairs(
+        df, "doc_id", "text", "grp", shingle_n=1
+    ).collect()
+    assert len(uni) == 1 and uni[0]["cont2_ppm"] == 1_000_000

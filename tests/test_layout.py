@@ -200,9 +200,11 @@ def test_zone_map_and_prune_branches(spark):
     assert {f for f, r in out.items() if r["kept"]} == {"f2", "f3", "f4", "f7"}
     assert out["f1"]["rows_scan_upper"] == 0
     assert out["f6"]["kept"] is False  # range predicate never matches NULL
-    # upper bound counts whole kept files, including non-matching rows
+    # upper bound counts kept files' NON-null rows (nulls provably never
+    # match a range predicate, so they never inflate the bound)
     assert out["f2"]["rows_scan_upper"] == 2
-    assert sum(r["rows_scan_upper"] for r in out.values()) == 8
+    assert out["f7"]["rows_scan_upper"] == 1  # 2 rows, 1 null
+    assert sum(r["rows_scan_upper"] for r in out.values()) == 7
 
 
 def test_zone_map_prune_boundary_inclusive(spark):

@@ -245,17 +245,37 @@ def test_snb_partitioning_invariant_and_range_counts(spark):
 
 
 def test_snb_no_partitionless_window(spark):
+    """Every Window node in the EXECUTED plan must carry a non-empty
+    partitionSpec — the same JVM-side check tools/plan_audit.py runs
+    (a string scan of the formatted plan cannot see this: formatted
+    plans never print 'PartitionBy', and a plan-wide substring test is
+    satisfied by unrelated occurrences of the key name)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from plan_audit import _walk
+
     df = spark.createDataFrame([(i, str(i)) for i in range(50)], "id long, k string")
     out = sorted_neighborhood_pairs(df, "id", "k", window=2, num_ranges=4)
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
-    )
-    for line in plan.splitlines():
-        if "Window" in line and "PartitionBy" not in line:
-            # plan_audit's actual detector runs on executed plans; this
-            # is the cheap inline guard: any Window node must be keyed
-            assert "_pid" in plan
-    assert "row_number" in plan
+    out.collect()
+    windows, partitionless = [], []
+
+    def visit(node, name):
+        if "Window" in name:
+            windows.append(name)
+            if node.partitionSpec().isEmpty():
+                partitionless.append(name)
+
+    _walk(out._jdf.queryExecution().executedPlan(), visit)
+    assert windows, "expected the SNB window in the executed plan"
+    assert not partitionless
 
 
 def test_snb_validation_and_null_key(spark):
@@ -267,3 +287,20 @@ def test_snb_validation_and_null_key(spark):
     nul = spark.createDataFrame([(1, None), (2, "b")], "id long, k string")
     with pytest.raises(Exception, match="NULL blocking key"):
         sorted_neighborhood_pairs(nul, "id", "k").collect()
+
+
+def test_one_to_one_duplicate_pairs_collapse(spark):
+    """The same (l, r) pair surfacing multiple times (multi-band LSH /
+    multiple blocking keys), possibly with different scores, must yield
+    exactly ONE matched row carrying the best score — duplicates used
+    to pass the mutual-best join and break the one-to-one guarantee."""
+    from entity_extractor_spark.operators.linkage import one_to_one_match
+
+    df = spark.createDataFrame(
+        [("l1", "r1", 10), ("l1", "r1", 10), ("l1", "r1", 7),
+         ("l2", "r2", 5)],
+        "l string, r string, s int",
+    )
+    out = one_to_one_match(df, "l", "r", "s").collect()
+    got = sorted((r["l"], r["r"], r["s"], r["match_round"]) for r in out)
+    assert got == [("l1", "r1", 10, 1), ("l2", "r2", 5, 1)]

@@ -323,3 +323,21 @@ def test_hll_validates_b_bits(spark):
         hll_registers(df, ["grp"], "k", 10)
     with pytest.raises(ValueError, match="b_bits"):
         hll_estimate(df, ["grp"], True)
+
+
+def test_hll_estimate_rejects_mismatched_b_bits(spark):
+    """A register table built at b=16 fed to an estimate at b=8 must
+    raise, not silently drive zero_buckets negative."""
+    import pytest
+
+    from entity_extractor_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, f"k{i}") for i in range(5000)], "grp int, k string"
+    )
+    regs16 = hll_registers(df, ["grp"], "k", 16)
+    with pytest.raises(Exception, match="hll_estimate"):
+        hll_estimate(regs16, ["grp"], 8).collect()
