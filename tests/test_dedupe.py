@@ -1,4 +1,9 @@
+"""containment_pairs gates (asymmetric Broder containment) and the
+Mersenne split-multiply fold vs the DECIMAL minhash formulation."""
 
+from __future__ import annotations
+
+from pyspark.sql import functions as F
 
 # --------------------------------------------------------- containment_pairs --
 
@@ -88,3 +93,32 @@ def test_containment_sub_n_docs_excluded(spark):
         df, "doc_id", "text", "grp", shingle_n=1
     ).collect()
     assert len(uni) == 1 and uni[0]["cont2_ppm"] == 1_000_000
+
+
+def test_mersenne_fold_equals_decimal_formulation(spark):
+    """_mersenne_axb (pure-BIGINT split-multiply fold) must be
+    bit-identical to the DECIMAL(38,0) (a*x + b) % p the DuckDB oracles
+    replay, across random 48-bit x and every real coefficient pair."""
+    from entity_extractor_spark.operators.dedupe import (
+        _MERSENNE,
+        _mersenne_axb,
+        _mh_const,
+    )
+
+    df = spark.range(200_000).select(
+        (F.xxhash64("id").bitwiseAND(F.lit((1 << 48) - 1))).alias("x")
+    )
+    for i in range(16):
+        a, b = _mh_const("a", i), _mh_const("b", i)
+        dec = (
+            (F.lit(a).cast("decimal(38,0)") * F.col("x") + F.lit(b))
+            % F.lit(_MERSENNE)
+        ).cast("long")
+        fold = _mersenne_axb(
+            F.col("x"),
+            F.lit(a >> 31),
+            F.lit(a & ((1 << 31) - 1)),
+            F.lit(b),
+        )
+        bad = df.where(dec != fold).count()
+        assert bad == 0, f"hash {i}: {bad} mismatches"
