@@ -8307,6 +8307,117 @@ def curate_dataset_digest(spark, sf_dir):
     )
 
 
+@query(
+    "sketch_hll_sliding",
+    f"""WITH base AS (
+         SELECT (year(o_orderdate) - 1992) * 12 + month(o_orderdate)
+                  AS idx,
+                o_custkey AS ck
+         FROM orders WHERE o_custkey IS NOT NULL),
+       h AS (
+         SELECT idx,
+                md5(concat(CAST(ck AS VARCHAR), '|', 'hll')) AS hx
+         FROM base),
+       r AS (
+         SELECT idx,
+                CAST(concat('0x', substring(hx, 1, 2)) AS BIGINT) AS bucket,
+                max(CASE WHEN CAST(concat('0x', substring(hx, 3, 12))
+                              AS BIGINT) = 0 THEN 49
+                         ELSE 49 - length(bin(CAST(concat('0x',
+                              substring(hx, 3, 12)) AS BIGINT))) END)
+                  AS register
+         FROM h GROUP BY 1, 2),
+       ends AS (SELECT DISTINCT idx AS win_end FROM base),
+       m AS (
+         SELECT t.win_end, r.bucket, max(r.register) AS register
+         FROM r, unnest(generate_series(r.idx, r.idx + 2)) AS t(win_end)
+         WHERE t.win_end IN (SELECT win_end FROM ends)
+         GROUP BY 1, 2),
+       e AS (
+         SELECT win_end, COUNT(*) AS nb,
+                SUM(CAST(1 AS BIGINT) << CAST(49 - register AS INT))
+                  AS s_nonzero
+         FROM m GROUP BY 1),
+       x AS (
+         SELECT w.win_end, COUNT(DISTINCT d.ck) AS exact_distinct
+         FROM ends w
+         JOIN (SELECT DISTINCT idx, ck FROM base) d
+           ON d.idx BETWEEN w.win_end - 2 AND w.win_end
+         GROUP BY 1),
+       est AS (
+         SELECT win_end, CAST(nb AS BIGINT) AS n_buckets,
+                CAST({_HLL_M8} - nb AS BIGINT) AS zero_buckets,
+                CAST(CAST({_HLL_NUM} AS HUGEINT)
+                     // (CAST({_HLL_DEN_ALPHA} AS HUGEINT)
+                         * (CAST(s_nonzero AS HUGEINT)
+                            + ({_HLL_M8} - nb)
+                              * CAST({1 << 49} AS HUGEINT)))
+                     AS BIGINT) AS est_distinct
+         FROM e)
+       SELECT CAST(est.win_end AS BIGINT) AS win_end, n_buckets,
+              zero_buckets, est_distinct, exact_distinct,
+              CAST(abs(est_distinct - exact_distinct) * 1000000
+                   // exact_distinct AS BIGINT) AS err_ppm
+       FROM est JOIN x ON est.win_end = x.win_end""",
+)
+def sketch_hll_sliding(spark, sf_dir):
+    """Sliding-window distinct customers via HLL register max-merge
+    (sketch.hll_registers + hll_sliding + hll_estimate, b = 8, trailing
+    3 months over order months) — the flagship reason registers beat
+    counts as persisted state: sliding distincts cannot be SUMMED from
+    per-month counts (customers overlap across months), but register
+    tables MERGE, so 'distinct buyers over the trailing quarter,
+    monthly' is a k-bounded metadata merge instead of re-scanning the
+    raw orders per window. ~84 month-end windows at both SFs, the first
+    two partial (head windows merge what exists — that branch carries
+    mass), exact count and realized err_ppm shipped next to every
+    estimate. The oracle replays bucket/rho/register max, the
+    generate_series window explode, and the exact-rational alpha
+    quotient in HUGEINT. Scale shape: raw data touched ONCE (monthly
+    register build, one algebraic max agg); the sliding stage is pure
+    register arithmetic — k-bounded explode over m-bounded tables, one
+    (win_end, bucket) max; the exact side is the yardstick, not part
+    of the operator."""
+    from .operators.sketch import hll_estimate, hll_registers, hll_sliding
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "(year(o_orderdate) - 1992) * 12 + month(o_orderdate)"
+        ).alias("idx"),
+        "o_custkey",
+    )
+    regs = hll_registers(o, ["idx"], "o_custkey", 8)
+    est = hll_estimate(hll_sliding(regs, "idx", 3), ["win_end"], 8)
+    exact = (
+        o.where(F.col("o_custkey").isNotNull())
+        .select("idx", F.col("o_custkey").alias("ck"))
+        .distinct()
+        .select(
+            F.explode(
+                F.sequence(F.col("idx"), F.col("idx") + 2)
+            ).alias("win_end"),
+            "ck",
+        )
+        .join(
+            F.broadcast(o.select(F.col("idx").alias("win_end")).distinct()),
+            "win_end",
+        )
+        .groupBy("win_end")
+        .agg(F.countDistinct("ck").cast("long").alias("exact_distinct"))
+    )
+    return est.join(exact, "win_end").select(
+        F.col("win_end").cast("long").alias("win_end"),
+        "n_buckets",
+        "zero_buckets",
+        "est_distinct",
+        "exact_distinct",
+        F.expr(
+            "CAST(abs(est_distinct - exact_distinct) * 1000000"
+            " div exact_distinct AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -575,3 +575,36 @@ def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
         .groupBy(*group_cols, "bucket")
         .agg(F.max("register").cast("long").alias("register"))
     )
+
+
+def hll_sliding(registers: DataFrame, idx_col: str, k: int) -> DataFrame:
+    """Trailing-k-bucket merged register table, one window per OBSERVED
+    bucket index: window w = buckets [w-k+1, w] (partial at the head —
+    fewer than k buckets exist, the merge covers what does). This is
+    the flagship reason HLL registers beat distinct COUNTS as persisted
+    state: sliding-window distincts cannot be summed from per-bucket
+    counts (users overlap across days), but register tables max-merge —
+    so 'distinct users over the trailing 90 days, daily' is k
+    bucket-table merges instead of 90 re-scans of the raw data.
+
+    Scale shape: one explode of each register row into the <= k windows
+    it serves (k-bounded fan-out over m-bounded register tables — pure
+    metadata arithmetic, the raw data is never touched), a broadcast
+    semi-join against the observed window ends (drops phantom windows
+    past the last bucket), ONE algebraic (win_end, bucket) max. Feed
+    the result straight to hll_estimate(group_cols=['win_end'])."""
+    if type(k) is not int or k < 1:
+        raise ValueError("hll_sliding: k must be an int >= 1")
+    ends = registers.select(F.col(idx_col).alias("win_end")).distinct()
+    exploded = registers.select(
+        F.explode(
+            F.sequence(F.col(idx_col), F.col(idx_col) + (k - 1))
+        ).alias("win_end"),
+        "bucket",
+        "register",
+    )
+    return (
+        exploded.join(F.broadcast(ends), "win_end")
+        .groupBy("win_end", "bucket")
+        .agg(F.max("register").cast("long").alias("register"))
+    )

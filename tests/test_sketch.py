@@ -341,3 +341,40 @@ def test_hll_estimate_rejects_mismatched_b_bits(spark):
     regs16 = hll_registers(df, ["grp"], "k", 16)
     with pytest.raises(Exception, match="hll_estimate"):
         hll_estimate(regs16, ["grp"], 8).collect()
+
+
+def test_hll_sliding_equals_rebuild_per_window(spark):
+    """The trailing-k merge of per-bucket registers must equal registers
+    built from scratch on each window's raw rows — estimates then agree
+    exactly; head windows are partial by design; k=1 is the identity."""
+    import pytest
+
+    from entity_extractor_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+        hll_sliding,
+    )
+
+    rows = [(m, f"u{(m * 37 + j) % 900}") for m in range(1, 13) for j in range(400)]
+    df = spark.createDataFrame(rows, "idx int, user string")
+    regs = hll_registers(df, ["idx"], "user", 8)
+    slid = hll_estimate(hll_sliding(regs, "idx", 3), ["win_end"], 8)
+    got = {r["win_end"]: r["est_distinct"] for r in slid.collect()}
+    assert set(got) == set(range(1, 13))
+    for w in range(1, 13):
+        lo = max(1, w - 2)
+        win = df.where(f"idx BETWEEN {lo} AND {w}")
+        want = hll_estimate(
+            hll_registers(win.select(F.lit(0).alias("g"), "user"), ["g"], "user", 8),
+            ["g"],
+            8,
+        ).head()["est_distinct"]
+        assert got[w] == want, w
+    ident = hll_estimate(hll_sliding(regs, "idx", 1), ["win_end"], 8)
+    base = hll_estimate(regs, ["idx"], 8)
+    assert sorted((r["win_end"], r["est_distinct"]) for r in ident.collect()) == \
+        sorted((r["idx"], r["est_distinct"]) for r in base.collect())
+    with pytest.raises(ValueError):
+        hll_sliding(regs, "idx", 0)
+    with pytest.raises(ValueError):
+        hll_sliding(regs, "idx", True)
