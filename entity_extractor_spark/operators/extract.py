@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 
 from ..functions.core import cas_trim_or_null, display_name, entity_id, norm_name
 
+# ~2M 60-byte keys ~ 120 MB broadcast — comfortably inside executor/driver
+# budgets; past this the anti-join falls back to a shuffle (AQE may still
+# pick broadcast while the actual build side stays small).
+EXISTING_KEYS_BROADCAST_MAX = 2_000_000
+
 HEADER_RE = (
     r"^(.*?)(?: \(P/N ([^)]*)\))?(?: \(UPC ([^)]*)\))?"
     r" manufactured by ([^,]*), ([^,]*), ([^,]*)$"
@@ -109,9 +114,16 @@ def winner_docs(headers: DataFrame, chem_counts: DataFrame, existing_material_ke
         "mat_key", F.concat_ws("\x1f", norm_name(F.col("display_name")), F.col("manufacturer_name"))
     )
     if existing_material_keys is not None:
-        valid = valid.join(
-            F.broadcast(existing_material_keys.select("mat_key")), "mat_key", "left_anti"
-        )
+        # The accumulated key set grows monotonically under streaming
+        # re-ingest (every batch adds materials), so an UNCONDITIONAL
+        # broadcast would eventually hit the driver/broadcast ceiling and
+        # fail every later batch. Probe the size once (the graph.py /
+        # mentions.py adaptive-cutoff convention) and fall back to a plain
+        # shuffled anti-join — AQE still broadcasts it while it is small.
+        keys = existing_material_keys.select("mat_key")
+        if keys.count() <= EXISTING_KEYS_BROADCAST_MAX:
+            keys = F.broadcast(keys)
+        valid = valid.join(keys, "mat_key", "left_anti")
     w = Window.partitionBy("mat_key").orderBy("doc_id")
     return valid.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
 

@@ -119,11 +119,16 @@ def run_pipeline(
     chems = X.parse_chemicals(spans, headers).persist()
     existing_keys = None
     if existing_nodes is not None and "manufacturer_name" in existing_nodes.columns:
-        # re-ingest MERGE: prior materials make their identity keys occupied
+        # re-ingest MERGE: prior materials make their identity keys occupied.
+        # The key MUST be built with the same norm_name the winner side uses
+        # (extract.winner_docs) — an inlined copy here would silently desync
+        # the two sides of the MERGE identity if F1 ever changes.
+        from ..functions.core import norm_name
+
         existing_keys = existing_nodes.where(F.col("node_type") == "MATERIAL").select(
             F.concat_ws(
                 "\x1f",
-                F.regexp_replace(F.lower(F.col("name")), " ", ""),
+                norm_name(F.col("name")),
                 F.col("manufacturer_name"),
             ).alias("mat_key")
         )
@@ -245,9 +250,23 @@ def run_pipeline(
     # Materialize the doc cache once, fully parallel, before any stage runs:
     # two concurrent first jobs would otherwise race to compute the same
     # cached partitions (block-lock waits + duplicated shuffle reads).
-    # Skipped on a fully-resumed run — every active stage then loads from
-    # its committed parquet table and the corpus is never scanned.
-    if not (resume and all(log.is_done(s) for s in active)):
+    # Only the stages that actually SCAN the corpus gate this — mentions
+    # (direct), winners and observations (via the spans/headers/chems
+    # chains); a partial resume where only post-corpus stages remain
+    # (clustered/edges/nodes/triples read committed stage parquet) must not
+    # re-scan and re-cache 100 TB of input for nothing.
+    # Fold replay order contract: every first-wins / last-wins fold orders
+    # by doc_id in the column's NATIVE order — numeric for numeric ids,
+    # plain string order for string ids ('doc-10' < 'doc-9'). That order is
+    # deterministic and identical on every engine (the DuckDB and Python
+    # oracles replay the same comparison), which is the property the
+    # contract needs; corpora that want numeric replay order for string
+    # ids must zero-pad ('doc-%08d' — the corpus convention).
+    _doc_scanners = ("mentions", "winners", "observations")
+    if not (
+        resume
+        and all(log.is_done(s) for s in active if s in _doc_scanners)
+    ):
         docs.count()
 
     done: set[str] = set()

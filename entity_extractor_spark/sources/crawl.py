@@ -40,22 +40,55 @@ class CrawlPage:
 
 class CrawlState:
     """Persisted crawl cursor (reference: folder_upload.next_page_link +
-    running count, models/folder_upload.py). One JSON file per crawl."""
+    running count, models/folder_upload.py).
 
-    def __init__(self, state_dir: str):
+    Append-only design: each page commit writes ONE small segment file
+    (`_crawl_seg_<page>.json`, atomic tmp+rename) holding just that page's
+    identities — O(page_size) per commit, so a 10^6-file crawl does O(n)
+    total state I/O instead of the O(n^2) a rewrite-the-whole-done-list
+    design costs (the last commits of a big crawl would each re-serialize
+    ~100 MB of JSON). Reads union the baseline `_crawl_state.json` (also
+    the legacy single-file format — old cursors resume unchanged) with all
+    segments; every `compact_every` segments the union is folded into a
+    new baseline FIRST (atomic rename) and the covered segments deleted
+    AFTER — a crash between the two leaves identities present in both,
+    which the set union makes idempotent, never a loss window."""
+
+    def __init__(self, state_dir: str, compact_every: int = 256):
         os.makedirs(state_dir, exist_ok=True)
+        self.dir = state_dir
         self.path = os.path.join(state_dir, "_crawl_state.json")
+        self.compact_every = compact_every
+
+    def _segment_names(self) -> list[str]:
+        return sorted(
+            f
+            for f in os.listdir(self.dir)
+            if f.startswith("_crawl_seg_") and f.endswith(".json")
+        )
 
     def _read(self) -> dict:
-        if not os.path.exists(self.path):
-            return {"done": [], "files_crawled": 0, "pages_committed": 0}
-        with open(self.path) as f:
-            rec = json.load(f)
-        rec.setdefault("pages_committed", 0)
-        return rec
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                rec = json.load(f)
+            rec.setdefault("pages_committed", 0)
+            done = set(rec["done"])
+            pages = int(rec["pages_committed"])
+        else:
+            done, pages = set(), 0
+        for name in self._segment_names():
+            with open(os.path.join(self.dir, name)) as f:
+                seg = json.load(f)
+            done |= set(seg["identities"])
+            pages = max(pages, int(seg["page"]) + 1)
+        # running count = distinct FILES ever crawled (identity is
+        # relpath|mtime|size, so a modified file re-crawls under a new
+        # identity but is still one file)
+        files = len({i.rsplit("|", 2)[0] for i in done})
+        return {"done": done, "files_crawled": files, "pages_committed": pages}
 
     def done_identities(self) -> set[str]:
-        return set(self._read()["done"])
+        return self._read()["done"]
 
     def files_crawled(self) -> int:
         return int(self._read()["files_crawled"])
@@ -64,17 +97,31 @@ class CrawlState:
         return int(self._read()["pages_committed"])
 
     def commit_page(self, page: CrawlPage) -> None:
+        name = f"_crawl_seg_{page.index:010d}.json"
+        tmp = os.path.join(self.dir, name + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"page": page.index, "identities": sorted(page.identities)}, f)
+        os.replace(tmp, os.path.join(self.dir, name))
+        if len(self._segment_names()) >= self.compact_every:
+            self._compact()
+
+    def _compact(self) -> None:
+        segs = self._segment_names()  # snapshot BEFORE writing the baseline
         rec = self._read()
-        rec["done"] = sorted(set(rec["done"]) | set(page.identities))
-        # running count = distinct FILES ever crawled (identity is
-        # relpath|mtime|size, so a modified file re-crawls under a new
-        # identity but is still one file)
-        rec["files_crawled"] = len({i.rsplit("|", 2)[0] for i in rec["done"]})
-        rec["pages_committed"] = max(int(rec["pages_committed"]), page.index + 1)
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(rec, f, indent=1)
-        os.replace(tmp, self.path)
+            json.dump(
+                {
+                    "done": sorted(rec["done"]),
+                    "files_crawled": rec["files_crawled"],
+                    "pages_committed": rec["pages_committed"],
+                },
+                f,
+                indent=1,
+            )
+        os.replace(tmp, self.path)  # new baseline is visible atomically...
+        for name in segs:  # ...only THEN drop the segments it covers
+            os.remove(os.path.join(self.dir, name))
 
 
 def _identity(root: str, path: str) -> str:

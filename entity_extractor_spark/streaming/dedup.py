@@ -162,8 +162,21 @@ def dedup_stream(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # A doc_id without a trailing numeric suffix would extract to ''
+        # -> NULL -> the row silently vanishes from BOTH the kept set and
+        # the dup decisions (NULL never equals the keeper). Ids outside the
+        # corpus convention must fail the batch loudly, not lose data.
+        num = F.regexp_extract("doc_id", r"(\d+)$", 1)
+        checked = F.when(num != "", num.cast("bigint")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("stream dedup: doc_id has no numeric suffix: "),
+                    F.col("doc_id"),
+                )
+            )
+        )
         docs = batch_df.select(
-            F.regexp_extract("doc_id", r"(\d+)$", 1).cast("bigint").alias("doc_id"),
+            checked.alias("doc_id"),
             F.array_join(
                 F.transform(
                     F.filter(F.col("spans"), lambda s: s["kind"] == "text"),

@@ -139,3 +139,57 @@ def test_files_crawled_counts_files_not_identities(tmp_path):
     assert state.files_crawled() == 2
     state.commit_page(CrawlPage(2, ["/in/c"], ["c|1|5"]))
     assert state.files_crawled() == 3
+
+
+def test_segmented_state_compacts_and_stays_equivalent(spark, tmp_path):
+    """commit_page appends O(page)-sized segment files (never rewrites the
+    full done list); compaction folds them into the baseline atomically
+    and the cursor's view is identical before and after."""
+    root, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    _write_files(spark, root, range(10))
+    state = CrawlState(state_dir, compact_every=3)
+    pages = list(list_pages(root, state, page_size=2))
+    assert len(pages) == 5
+    for i, page in enumerate(pages[:2]):
+        state.commit_page(page)
+    segs = [f for f in os.listdir(state_dir) if f.startswith("_crawl_seg_")]
+    assert len(segs) == 2  # append-only, no baseline yet
+    assert not os.path.exists(os.path.join(state_dir, "_crawl_state.json"))
+    before = state.done_identities()
+    state.commit_page(pages[2])  # hits compact_every=3
+    segs = [f for f in os.listdir(state_dir) if f.startswith("_crawl_seg_")]
+    assert segs == []  # folded into the baseline
+    assert os.path.exists(os.path.join(state_dir, "_crawl_state.json"))
+    after = state.done_identities()
+    assert before < after and len(after) == 6
+    assert state.pages_committed() == 3
+    assert state.files_crawled() == 6
+    # remaining pages resume exactly where the cursor says
+    rest = list(list_pages(root, state, page_size=2))
+    assert [p.index for p in rest] == [3, 4]
+
+
+def test_legacy_single_file_state_resumes(spark, tmp_path):
+    """A cursor written by the old rewrite-everything format resumes
+    unchanged under the segmented reader."""
+    import json
+
+    root, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    _write_files(spark, root, range(4))
+    state = CrawlState(state_dir)
+    all_pages = list(list_pages(root, state, page_size=2))
+    legacy = {
+        "done": sorted(all_pages[0].identities),
+        "files_crawled": 2,
+        "pages_committed": 1,
+    }
+    os.makedirs(state_dir, exist_ok=True)
+    with open(os.path.join(state_dir, "_crawl_state.json"), "w") as f:
+        json.dump(legacy, f)
+    state = CrawlState(state_dir)
+    assert state.done_identities() == set(all_pages[0].identities)
+    assert state.pages_committed() == 1
+    rest = list(list_pages(root, state, page_size=2))
+    assert [p.index for p in rest] == [1]
+    state.commit_page(rest[0])
+    assert state.files_crawled() == 4
