@@ -8418,6 +8418,106 @@ def sketch_hll_sliding(spark, sf_dir):
     )
 
 
+@query(
+    "kg_entity_summary",
+    """WITH t AS (SELECT 'O' || CAST(l_orderkey AS VARCHAR) AS subj,
+                 'containsPart' AS pred,
+                 CAST(l_partkey AS VARCHAR) AS obj FROM lineitem
+       UNION
+       SELECT 'O' || CAST(o_orderkey AS VARCHAR), 'placedBy',
+              CAST(o_custkey AS VARCHAR) FROM orders),
+       d AS (SELECT pred, obj, CAST(count(*) AS BIGINT) AS fact_df
+             FROM t GROUP BY 1, 2),
+       s AS (SELECT t.subj, t.pred, t.obj, d.fact_df,
+                    row_number() OVER (PARTITION BY t.subj, t.pred
+                                       ORDER BY d.fact_df, t.obj) AS pr
+             FROM t JOIN d ON d.pred = t.pred AND d.obj = t.obj),
+       r AS (SELECT subj, pred, obj, fact_df,
+                    CAST(row_number() OVER (PARTITION BY subj
+                        ORDER BY fact_df, pred, obj) AS BIGINT) AS fact_rank
+             FROM s WHERE pr <= 2)
+       SELECT subj, pred, obj, fact_df, fact_rank FROM r
+       WHERE fact_rank <= 3""",
+)
+def kg_entity_summary(spark, sf_dir):
+    """Top-3 most distinctive facts per order entity
+    (kg_quality.summarize_entities, RELIN/FACES-style): salience =
+    global rarity of the (pred, obj) fact (BIGINT subject count), with
+    at most 2 facts per predicate so containsPart can't monopolize the
+    card — the entity-page export the reference renders by dumping ALL
+    edges (chemical detail endpoint). One fact-keyed count joined back
+    on (pred, obj), then two bounded subject-keyed windows; every score
+    and tiebreak is an integer or plain ASCII string, so the summary is
+    a pure function of the graph on every engine."""
+    from .operators.kg_quality import summarize_entities
+
+    return summarize_entities(
+        _order_kg_triples(spark, sf_dir, dirty=False), k=3, per_pred=2
+    )
+
+
+@query(
+    "kg_rule_mining",
+    """WITH f AS (
+         SELECT DISTINCT 'O' || CAST(l_orderkey AS VARCHAR) AS subj,
+                'orderedPart' AS pred, CAST(l_partkey AS VARCHAR) AS obj
+         FROM lineitem
+         UNION ALL
+         SELECT DISTINCT 'O' || CAST(l_orderkey AS VARCHAR), 'bulkPart',
+                CAST(l_partkey AS VARCHAR)
+         FROM lineitem WHERE l_quantity > 25
+         UNION ALL
+         SELECT DISTINCT CAST(l_partkey AS VARCHAR), 'containedIn',
+                'O' || CAST(l_orderkey AS VARCHAR)
+         FROM lineitem WHERE l_orderkey % 3 = 0),
+       n AS (SELECT pred AS body_pred, CAST(count(*) AS BIGINT) AS body_n
+             FROM f GROUP BY 1),
+       fwd AS (SELECT b.pred AS body_pred, h.pred AS head_pred,
+                      'fwd' AS direction, CAST(count(*) AS BIGINT) AS support
+               FROM f b JOIN f h ON h.subj = b.subj AND h.obj = b.obj
+                                AND h.pred <> b.pred
+               GROUP BY 1, 2),
+       inv AS (SELECT b.pred AS body_pred, h.pred AS head_pred,
+                      'inv' AS direction, CAST(count(*) AS BIGINT) AS support
+               FROM f b JOIN f h ON h.subj = b.obj AND h.obj = b.subj
+               GROUP BY 1, 2),
+       u AS (SELECT * FROM fwd UNION ALL SELECT * FROM inv)
+       SELECT u.body_pred, u.head_pred, u.direction, n.body_n, u.support,
+              CAST(u.support * 1000000 // n.body_n AS BIGINT) AS conf_ppm
+       FROM u JOIN n ON n.body_pred = u.body_pred
+       WHERE u.support >= 5""",
+)
+def kg_rule_mining(spark, sf_dir):
+    """AMIE-lite length-1 rule mining (kg_quality.mine_rules) over a
+    3-predicate order-KG built so every rule family carries mass:
+    bulkPart (qty > 25 slice) => orderedPart holds at confidence 10^6,
+    the reverse at the slice fraction; containedIn is the REVERSED
+    orderedPart on the %3 order slice, so the 'inv' direction finds the
+    exact inverse-predicate pair at 10^6 / ~1/3 confidences. Both
+    directions are one self-equi-join on the entity-pair key (per-pair
+    fan-out bounded by the schema-sized predicate vocabulary), totals
+    and counts algebraic, confidence on the exact ppm grid."""
+    from .operators.kg_quality import mine_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    subj = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
+    obj = F.col("l_partkey").cast("string")
+    triples = (
+        li.select(subj.alias("subj"), F.lit("orderedPart").alias("pred"), obj.alias("obj"))
+        .unionAll(
+            li.where(F.col("l_quantity") > 25).select(
+                subj.alias("subj"), F.lit("bulkPart").alias("pred"), obj.alias("obj")
+            )
+        )
+        .unionAll(
+            li.where(F.col("l_orderkey") % 3 == 0).select(
+                obj.alias("subj"), F.lit("containedIn").alias("pred"), subj.alias("obj")
+            )
+        )
+    )
+    return mine_rules(triples, min_support=5)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

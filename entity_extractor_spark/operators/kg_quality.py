@@ -274,3 +274,133 @@ def triple_evidence(
             F.expr(f"support * 1000000 DIV (support + {int(k)})"),
         )
     )
+
+
+def summarize_entities(
+    triples: DataFrame,
+    k: int,
+    per_pred: int | None = None,
+) -> DataFrame:
+    """Entity summarization: the k most DISTINCTIVE facts per subject,
+    RELIN/FACES-style — a fact's salience is the global rarity of its
+    (pred, obj) value (fact_df = how many subjects assert it; rarer =
+    more informative), and `per_pred` caps how many facts one predicate
+    may contribute so a hub predicate cannot monopolize the summary
+    (FACES' diversity constraint). The reference renders every entity
+    page by dumping ALL edges (chemical detail endpoint,
+    chemical_service.py get path); at KG scale an entity card needs the
+    top-k informative facts, not ten thousand containsPart rows.
+
+    Output: (subj, pred, obj, fact_df, fact_rank) with rank 1..k per subject,
+    ordered by (fact_df ASC, pred, obj) — a fixed total order over the
+    deduped fact set, so the summary is a pure function of the graph
+    (engine-exact: BIGINT df + plain string tiebreaks).
+
+    Scale shape: dedupe + ONE (pred, obj) distinct-subject count joined
+    back on (pred, obj) (popular facts collapse map-side in the count;
+    the join key is the fact, so hub SUBJECTS don't skew it), then two
+    subject-keyed windows — partitioned by (subj, pred) for the
+    diversity cap, by subj for the final top-k. Both are bounded-output
+    windows over the deduped facts; neither is ever global.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if per_pred is not None and per_pred < 1:
+        raise ValueError("per_pred must be >= 1 or None")
+    from pyspark.sql import Window
+
+    facts = triples.select("subj", "pred", "obj").distinct()
+    df_ = facts.groupBy("pred", "obj").agg(
+        F.count(F.lit(1)).cast("bigint").alias("fact_df")
+    )
+    scored = facts.join(df_, ["pred", "obj"])
+    if per_pred is not None:
+        wp = Window.partitionBy("subj", "pred").orderBy(
+            F.col("fact_df").asc(), F.col("obj").asc()
+        )
+        scored = (
+            scored.withColumn("_pr", F.row_number().over(wp))
+            .where(F.col("_pr") <= per_pred)
+            .drop("_pr")
+        )
+    ws = Window.partitionBy("subj").orderBy(
+        F.col("fact_df").asc(), F.col("pred").asc(), F.col("obj").asc()
+    )
+    return (
+        scored.withColumn("fact_rank", F.row_number().over(ws).cast("bigint"))
+        .where(F.col("fact_rank") <= k)
+        .select("subj", "pred", "obj", "fact_df", "fact_rank")
+    )
+
+
+def mine_rules(triples: DataFrame, min_support: int = 1) -> DataFrame:
+    """AMIE-lite rule mining over the closed triple set: for every
+    ordered predicate pair, the support and confidence of the two
+    length-1 Horn rules body(x,y) => head(x,y) ('fwd' — implication /
+    subsumption, body != head) and body(x,y) => head(y,x) ('inv' —
+    inverse predicate; body == head allowed, which is exactly symmetry
+    detection). confidence_ppm = support * 10^6 div |body| on the exact
+    integer grid — AMIE's std confidence under the closed-world counts
+    this table has. This is the ontology-enrichment pass a reference-fed
+    KG never gets (its predicate vocabulary is hard-coded,
+    relationship_service.py): mined inverse/implication rules drive
+    redundancy pruning and link-prediction candidates downstream.
+
+    Output: (body_pred, head_pred, direction, body_n, support,
+    conf_ppm), support >= min_support.
+
+    Scale shape: facts are deduped once; both rule directions are ONE
+    self-equi-join each on the ENTITY-PAIR key ((subj,obj) resp. the
+    swapped pair) — never a cross join over predicates; per-pair
+    fan-out is bounded by the predicate vocabulary (schema-sized), so
+    hub entities don't quadratically blow up the join. Counts and the
+    per-predicate totals are algebraic, and the final (body, head)
+    aggregate is schema-sized — the whole plan shrinks monotonically.
+    """
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    facts = triples.select("subj", "pred", "obj").distinct()
+    body_n = facts.groupBy(F.col("pred").alias("body_pred")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("body_n")
+    )
+    b = facts.select(
+        F.col("pred").alias("body_pred"),
+        F.col("subj").alias("x"),
+        F.col("obj").alias("y"),
+    )
+    h_fwd = facts.select(
+        F.col("pred").alias("head_pred"),
+        F.col("subj").alias("x"),
+        F.col("obj").alias("y"),
+    )
+    h_inv = facts.select(
+        F.col("pred").alias("head_pred"),
+        F.col("obj").alias("x"),
+        F.col("subj").alias("y"),
+    )
+    fwd = (
+        b.join(h_fwd, ["x", "y"])
+        .where(F.col("body_pred") != F.col("head_pred"))
+        .groupBy("body_pred", "head_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .withColumn("direction", F.lit("fwd"))
+    )
+    inv = (
+        b.join(h_inv, ["x", "y"])
+        .groupBy("body_pred", "head_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .withColumn("direction", F.lit("inv"))
+    )
+    return (
+        fwd.unionAll(inv)
+        .where(F.col("support") >= min_support)
+        .join(body_n, "body_pred")
+        .select(
+            "body_pred",
+            "head_pred",
+            "direction",
+            "body_n",
+            "support",
+            F.expr("support * 1000000 DIV body_n").alias("conf_ppm"),
+        )
+    )

@@ -145,3 +145,115 @@ def test_validate_triples_null_pred_and_subj_are_flagged(spark):
     ).collect()}
     assert ("O1", None, "unknown_pred") in out
     assert (None, "placedBy", "subj_format") in out
+
+
+# ----------------------------------------------------- entity summarization --
+
+SUMMARY_SCHEMA = "subj string, pred string, obj string"
+
+
+def test_summarize_entities_rarity_rank_and_per_pred_cap(spark):
+    from entity_extractor_spark.operators.kg_quality import summarize_entities
+
+    t = spark.createDataFrame(
+        [
+            # (p, common) asserted by 3 subjects -> fact_df = 3
+            ("A", "p", "common"), ("B", "p", "common"), ("C", "p", "common"),
+            # A-only facts -> fact_df = 1
+            ("A", "p", "rare1"), ("A", "p", "rare2"), ("A", "q", "x"),
+            ("A", "p", "rare1"),  # duplicate row: fact_df must stay 1
+        ],
+        SUMMARY_SCHEMA,
+    )
+    out = {
+        (r.subj, r.fact_rank): (r.pred, r.obj, r.fact_df)
+        for r in summarize_entities(t, k=2, per_pred=1).collect()
+        if r.subj == "A"
+    }
+    # per_pred=1 keeps only p's rarest fact (rare1 < rare2 lexically),
+    # so rank 2 goes to (q, x) and (p, common) never makes the card.
+    assert out == {("A", 1): ("p", "rare1", 1), ("A", 2): ("q", "x", 1)}
+
+
+def test_summarize_entities_no_cap_orders_by_df_then_pred_obj(spark):
+    from entity_extractor_spark.operators.kg_quality import summarize_entities
+
+    t = spark.createDataFrame(
+        [("A", "p", "common"), ("B", "p", "common"), ("C", "p", "common"),
+         ("A", "p", "rare1"), ("A", "p", "rare2"), ("A", "q", "x")],
+        SUMMARY_SCHEMA,
+    )
+    got = [
+        (r.pred, r.obj, r.fact_df)
+        for r in sorted(
+            summarize_entities(t, k=4).collect(),
+            key=lambda r: (r.subj, r.fact_rank),
+        )
+        if r.subj == "A"
+    ]
+    assert got == [
+        ("p", "rare1", 1), ("p", "rare2", 1), ("q", "x", 1),
+        ("p", "common", 3),
+    ]
+
+
+def test_summarize_entities_validates(spark):
+    from entity_extractor_spark.operators.kg_quality import summarize_entities
+
+    with pytest.raises(ValueError):
+        summarize_entities(None, k=0)
+    with pytest.raises(ValueError):
+        summarize_entities(None, k=3, per_pred=0)
+
+
+# ------------------------------------------------------------- rule mining --
+
+
+def _rule_fixture(spark):
+    rows = [
+        # p: 3 pairs
+        ("a", "p", "b"), ("c", "p", "d"), ("e", "p", "f"),
+        ("a", "p", "b"),  # duplicate: must not inflate any count
+        # q: subset of p (1 pair)
+        ("a", "q", "b"),
+        # r: inverse of p on 2 pairs
+        ("b", "r", "a"), ("d", "r", "c"),
+        # s: symmetric predicate
+        ("m", "s", "n"), ("n", "s", "m"),
+    ]
+    return spark.createDataFrame(rows, SUMMARY_SCHEMA)
+
+
+def test_mine_rules_known_answers(spark):
+    from entity_extractor_spark.operators.kg_quality import mine_rules
+
+    got = {
+        (r.body_pred, r.head_pred, r.direction): (r.body_n, r.support, r.conf_ppm)
+        for r in mine_rules(_rule_fixture(spark)).collect()
+    }
+    assert got == {
+        ("q", "p", "fwd"): (1, 1, 1_000_000),   # q => p always holds
+        ("p", "q", "fwd"): (3, 1, 333_333),     # p => q on 1/3 pairs
+        ("p", "r", "inv"): (3, 2, 666_666),     # p(x,y) => r(y,x) on 2/3
+        ("r", "p", "inv"): (2, 2, 1_000_000),   # r is exactly inverse-p
+        ("q", "r", "inv"): (1, 1, 1_000_000),
+        ("r", "q", "inv"): (2, 1, 500_000),
+        ("s", "s", "inv"): (2, 2, 1_000_000),   # symmetry detection
+    }
+
+
+def test_mine_rules_min_support_filters(spark):
+    from entity_extractor_spark.operators.kg_quality import mine_rules
+
+    got = {
+        (r.body_pred, r.head_pred, r.direction)
+        for r in mine_rules(_rule_fixture(spark), min_support=2).collect()
+    }
+    assert got == {("p", "r", "inv"), ("r", "p", "inv"), ("s", "s", "inv")}
+
+
+def test_mine_rules_validates(spark):
+    from entity_extractor_spark.operators.kg_quality import mine_rules
+
+    with pytest.raises(ValueError):
+        mine_rules(None, min_support=0)
