@@ -8499,10 +8499,19 @@ def kg_rule_mining(spark, sf_dir):
     and counts algebraic, confidence on the exact ppm grid."""
     from .operators.kg_quality import mine_rules
 
+    return mine_rules(_rule_kg_triples(spark, sf_dir), min_support=5)
+
+
+def _rule_kg_triples(spark, sf_dir):
+    """3-predicate order KG shared by the rule-mining / rule-application
+    gates: orderedPart (every lineitem), bulkPart (the qty > 25 slice of
+    it) and containedIn (orderedPart REVERSED on the orderkey % 3 == 0
+    slice) — built so implication, inverse and symmetry rules all carry
+    mass and rule application has real holes to fill."""
     li = _t(spark, sf_dir, "lineitem")
     subj = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
     obj = F.col("l_partkey").cast("string")
-    triples = (
+    return (
         li.select(subj.alias("subj"), F.lit("orderedPart").alias("pred"), obj.alias("obj"))
         .unionAll(
             li.where(F.col("l_quantity") > 25).select(
@@ -8515,7 +8524,187 @@ def kg_rule_mining(spark, sf_dir):
             )
         )
     )
-    return mine_rules(triples, min_support=5)
+
+
+_RULE_KG_SQL = """
+         SELECT DISTINCT 'O' || CAST(l_orderkey AS VARCHAR) AS subj,
+                'orderedPart' AS pred, CAST(l_partkey AS VARCHAR) AS obj
+         FROM lineitem
+         UNION ALL
+         SELECT DISTINCT 'O' || CAST(l_orderkey AS VARCHAR), 'bulkPart',
+                CAST(l_partkey AS VARCHAR)
+         FROM lineitem WHERE l_quantity > 25
+         UNION ALL
+         SELECT DISTINCT CAST(l_partkey AS VARCHAR), 'containedIn',
+                'O' || CAST(l_orderkey AS VARCHAR)
+         FROM lineitem WHERE l_orderkey % 3 = 0"""
+
+
+@query(
+    "kg_rule_inference",
+    f"""WITH f AS ({_RULE_KG_SQL}),
+       n AS (SELECT pred AS body_pred, CAST(count(*) AS BIGINT) AS body_n
+             FROM f GROUP BY 1),
+       fwd AS (SELECT b.pred AS body_pred, h.pred AS head_pred,
+                      'fwd' AS direction, CAST(count(*) AS BIGINT) AS support
+               FROM f b JOIN f h ON h.subj = b.subj AND h.obj = b.obj
+                                AND h.pred <> b.pred
+               GROUP BY 1, 2),
+       inv AS (SELECT b.pred AS body_pred, h.pred AS head_pred,
+                      'inv' AS direction, CAST(count(*) AS BIGINT) AS support
+               FROM f b JOIN f h ON h.subj = b.obj AND h.obj = b.subj
+               GROUP BY 1, 2),
+       u AS (SELECT * FROM fwd UNION ALL SELECT * FROM inv),
+       rules AS (SELECT u.body_pred, u.head_pred, u.direction,
+                        CAST(u.support * 1000000 // n.body_n AS BIGINT) AS conf_ppm
+                 FROM u JOIN n ON n.body_pred = u.body_pred
+                 WHERE u.support >= 5),
+       fired AS (SELECT * FROM rules WHERE conf_ppm >= 400000),
+       cand AS (SELECT CASE WHEN r.direction = 'fwd' THEN f.subj ELSE f.obj END AS subj,
+                       r.head_pred AS pred,
+                       CASE WHEN r.direction = 'fwd' THEN f.obj ELSE f.subj END AS obj,
+                       r.body_pred AS rule_body, r.direction AS rule_direction,
+                       r.conf_ppm
+                FROM f JOIN fired r ON r.body_pred = f.pred),
+       best AS (SELECT subj, pred, obj, rule_body, rule_direction, conf_ppm,
+                       row_number() OVER (PARTITION BY subj, pred, obj
+                           ORDER BY conf_ppm DESC, rule_body DESC,
+                                    rule_direction DESC) AS rn
+                FROM cand)
+       SELECT b.subj, b.pred, b.obj, b.rule_body, b.rule_direction, b.conf_ppm
+       FROM best b
+       WHERE b.rn = 1 AND NOT EXISTS (
+           SELECT 1 FROM f
+           WHERE f.subj = b.subj AND f.pred = b.pred AND f.obj = b.obj)""",
+)
+def kg_rule_inference(spark, sf_dir):
+    """KG completion by applying the mined rules (kg_quality.infer_edges
+    over mine_rules' output, conf >= 0.4): the >= 400k ppm rules include
+    orderedPart => bulkPart (~the qty > 25 fraction) and
+    containedIn => inverse bulkPart, so application backfills tens of
+    thousands of genuinely missing bulkPart triples while the two exact
+    10^6 rules fire and infer nothing new (everything they derive is
+    anti-joined away) — both the productive and the saturated rule
+    paths carry mass. Provenance argmax is a lexicographic struct-max
+    on (conf_ppm, rule_body, rule_direction), replayed in SQL as a
+    DESC/DESC/DESC row_number; broadcast rule join + one algebraic agg
+    + one anti-join, no fact self-join."""
+    from .operators.kg_quality import infer_edges, mine_rules
+
+    triples = _rule_kg_triples(spark, sf_dir)
+    rules = mine_rules(triples, min_support=5)
+    return infer_edges(triples, rules, min_conf_ppm=400_000)
+
+
+@query(
+    "kg_type_entailment",
+    """WITH RECURSIVE
+       t AS (SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS subj,
+                    'placedBy' AS pred,
+                    'C' || CAST(o_custkey AS VARCHAR) AS obj
+             FROM orders WHERE o_orderkey % 5 = 0
+             UNION ALL
+             SELECT 'C' || CAST(c_custkey AS VARCHAR), 'custNation',
+                    'N' || CAST(c_nationkey AS VARCHAR) FROM customer
+             UNION ALL
+             SELECT 'S' || CAST(s_suppkey AS VARCHAR), 'suppNation',
+                    'N' || CAST(s_nationkey AS VARCHAR) FROM supplier),
+       a AS (SELECT 'C' || CAST(c_custkey AS VARCHAR) AS entity,
+                    'PremiumBuyer' AS cls
+             FROM customer WHERE c_mktsegment = 'BUILDING'
+             UNION ALL
+             SELECT 'N' || CAST(n_nationkey AS VARCHAR), 'Nation' FROM nation),
+       sc(sub, sup) AS (
+           VALUES ('PremiumBuyer', 'Customer'), ('Customer', 'Buyer'),
+                  ('Buyer', 'Agent'), ('Supplier', 'Seller'),
+                  ('Seller', 'Agent'), ('Order', 'Artifact'),
+                  ('Nation', 'Place')),
+       dm(pred, cls) AS (
+           VALUES ('placedBy', 'Order'), ('custNation', 'Customer'),
+                  ('suppNation', 'Supplier')),
+       rg(pred, cls) AS (
+           VALUES ('placedBy', 'Customer'), ('custNation', 'Nation'),
+                  ('suppNation', 'Nation')),
+       closure(sub, sup) AS (
+           SELECT sub, sup FROM sc
+           UNION
+           SELECT c.sub, s.sup FROM closure c JOIN sc s ON s.sub = c.sup),
+       base AS (SELECT entity, cls, 'asserted' AS basis FROM a
+                UNION ALL
+                SELECT t.subj, dm.cls, 'domain' FROM t JOIN dm ON dm.pred = t.pred
+                UNION ALL
+                SELECT t.obj, rg.cls, 'range' FROM t JOIN rg ON rg.pred = t.pred),
+       lifted AS (SELECT b.entity, c.sup AS cls, 'subclass' AS basis
+                  FROM base b JOIN closure c ON c.sub = b.cls)
+       SELECT entity, cls, min(basis) AS basis
+       FROM (SELECT * FROM base UNION ALL SELECT * FROM lifted)
+       GROUP BY 1, 2""",
+)
+def kg_type_entailment(spark, sf_dir):
+    """RDFS-lite entailment (kg_quality.entail_types) over a 3-predicate
+    TPC-H instance graph: placedBy on the orderkey % 5 order slice plus
+    custNation/suppNation, asserted types for BUILDING customers
+    (PremiumBuyer) and all nations, and a depth-3 subclass DAG
+    (PremiumBuyer < Customer < Buyer < Agent; Supplier < Seller < Agent;
+    Order < Artifact; Nation < Place) so rdfs2/rdfs3/rdfs9 all fire and
+    the multi-hop lift is exercised. basis = min(contributing
+    derivations) — 'asserted' < 'domain' < 'range' < 'subclass' is
+    exactly evidence priority on plain ASCII. Oracle replays the
+    path-doubled Spark closure with a recursive CTE."""
+    from .operators.kg_quality import entail_types
+
+    def _e(prefix, col):
+        return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    triples = (
+        orders.select(
+            _e("O", "o_orderkey").alias("subj"),
+            F.lit("placedBy").alias("pred"),
+            _e("C", "o_custkey").alias("obj"),
+        )
+        .unionAll(
+            cust.select(
+                _e("C", "c_custkey").alias("subj"),
+                F.lit("custNation").alias("pred"),
+                _e("N", "c_nationkey").alias("obj"),
+            )
+        )
+        .unionAll(
+            supp.select(
+                _e("S", "s_suppkey").alias("subj"),
+                F.lit("suppNation").alias("pred"),
+                _e("N", "s_nationkey").alias("obj"),
+            )
+        )
+    )
+    asserted = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        _e("C", "c_custkey").alias("entity"), F.lit("PremiumBuyer").alias("cls")
+    ).unionAll(
+        nation.select(
+            _e("N", "n_nationkey").alias("entity"), F.lit("Nation").alias("cls")
+        )
+    )
+    subclass = spark.createDataFrame(
+        [("PremiumBuyer", "Customer"), ("Customer", "Buyer"),
+         ("Buyer", "Agent"), ("Supplier", "Seller"), ("Seller", "Agent"),
+         ("Order", "Artifact"), ("Nation", "Place")],
+        "sub string, sup string",
+    )
+    domains = spark.createDataFrame(
+        [("placedBy", "Order"), ("custNation", "Customer"),
+         ("suppNation", "Supplier")],
+        "pred string, cls string",
+    )
+    ranges = spark.createDataFrame(
+        [("placedBy", "Customer"), ("custNation", "Nation"),
+         ("suppNation", "Nation")],
+        "pred string, cls string",
+    )
+    return entail_types(triples, asserted, subclass, domains, ranges)
 
 
 # --------------------------------------------------------- driver ordering --

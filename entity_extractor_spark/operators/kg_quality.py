@@ -404,3 +404,161 @@ def mine_rules(triples: DataFrame, min_support: int = 1) -> DataFrame:
             F.expr("support * 1000000 DIV body_n").alias("conf_ppm"),
         )
     )
+
+
+def infer_edges(
+    triples: DataFrame,
+    rules: DataFrame,
+    min_conf_ppm: int = 500_000,
+) -> DataFrame:
+    """KG completion by rule application: fire every mined rule at or
+    above `min_conf_ppm` (rows shaped like `mine_rules` output) against
+    the closed triple set and materialize the head triples that are NOT
+    already asserted, each carrying full provenance — which rule
+    produced it and at what confidence. This is the enrichment pass
+    AMIE-style systems run after mining: the reference's KG only ever
+    contains what the extractor wrote (chemical_service.py upsert
+    path); rule application is how a web-scale KG fills the holes its
+    crawl missed (e.g. a mined inverse predicate backfills the reverse
+    direction for every one-way edge).
+
+    When several rules derive the same (subj, pred, obj), the single
+    best derivation wins: lexicographically greatest
+    (conf_ppm, rule_body, rule_direction) struct — an argmax on pure
+    BIGINT/ASCII fields, so provenance is engine-exact.
+
+    Output: (subj, pred, obj, rule_body, rule_direction, conf_ppm),
+    one row per NEW triple.
+
+    Scale shape: the rule table is schema-sized (≤ |preds|² rows) and
+    broadcast; candidates are one fact × rule broadcast join keyed on
+    body_pred (fan-out per fact = rules matching its predicate, bounded
+    by the predicate vocabulary). The argmax is one algebraic
+    struct-max agg on the candidate key, and novelty is one LEFT ANTI
+    join against the deduped fact set on the triple key. No self-join
+    of the fact table, no window.
+    """
+    if min_conf_ppm < 0 or min_conf_ppm > 1_000_000:
+        raise ValueError("min_conf_ppm must be in [0, 1000000]")
+    fired = F.broadcast(
+        rules.where(F.col("conf_ppm") >= min_conf_ppm).select(
+            F.col("body_pred"),
+            F.col("head_pred"),
+            F.col("direction"),
+            F.col("conf_ppm"),
+        )
+    )
+    facts = triples.select("subj", "pred", "obj").distinct()
+    cand = facts.join(fired, facts["pred"] == fired["body_pred"]).select(
+        F.when(F.col("direction") == "fwd", F.col("subj"))
+        .otherwise(F.col("obj"))
+        .alias("c_subj"),
+        F.col("head_pred").alias("c_pred"),
+        F.when(F.col("direction") == "fwd", F.col("obj"))
+        .otherwise(F.col("subj"))
+        .alias("c_obj"),
+        "body_pred",
+        "direction",
+        "conf_ppm",
+    )
+    best = (
+        cand.groupBy(
+            F.col("c_subj").alias("subj"),
+            F.col("c_pred").alias("pred"),
+            F.col("c_obj").alias("obj"),
+        )
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("conf_ppm"),
+                    F.col("body_pred").alias("rule_body"),
+                    F.col("direction").alias("rule_direction"),
+                )
+            ).alias("_w")
+        )
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("_w.rule_body").alias("rule_body"),
+            F.col("_w.rule_direction").alias("rule_direction"),
+            F.col("_w.conf_ppm").alias("conf_ppm"),
+        )
+    )
+    return best.join(facts, ["subj", "pred", "obj"], "left_anti")
+
+
+def entail_types(
+    triples: DataFrame,
+    asserted: DataFrame,
+    subclass: DataFrame,
+    domains: DataFrame,
+    ranges: DataFrame,
+) -> DataFrame:
+    """RDFS-lite type entailment: materialize every (entity, class) the
+    schema implies — rdfs2 (predicate domain types the subject), rdfs3
+    (range types the object), rdfs9 (types propagate up the subClassOf
+    closure) — from asserted types plus the instance edges. The
+    reference has no ontology at all (node labels are whatever the
+    extractor wrote); a web-scale KG answers "all Agents" only if
+    domain/range/subclass entailment is materialized relationally, not
+    walked per node.
+
+    Inputs: `asserted` (entity, cls); `subclass` (sub, sup) direct
+    edges, schema-sized DAG; `domains`/`ranges` (pred, cls). Output:
+    (entity, cls, basis) — distinct entailed types, basis = the
+    alphabetically first of the contributing derivations ('asserted' <
+    'domain' < 'range' < 'subclass'), which is exactly the
+    most-direct-evidence priority and a plain min() on ASCII, so
+    provenance is engine-exact.
+
+    Scale shape: domain/range typing is two broadcast joins of the
+    fact table against schema-sized dictionaries; the subclass closure
+    is graph.transitive_closure on a schema-sized edge set (log-depth
+    path doubling, trivial here); the subclass lift is one broadcast
+    join of base types x closure; the final dedupe is one algebraic
+    min-groupBy on (entity, cls). Nothing shuffles on more than the
+    entity key.
+    """
+    for name, frame in (
+        ("asserted", asserted), ("subclass", subclass),
+        ("domains", domains), ("ranges", ranges),
+    ):
+        if frame is None:
+            raise ValueError(f"{name} frame is required (may be empty)")
+    from .graph import transitive_closure
+
+    base = (
+        asserted.select(
+            F.col("entity"), F.col("cls"), F.lit("asserted").alias("basis")
+        )
+        .unionAll(
+            triples.join(
+                F.broadcast(domains.select("pred", "cls")), "pred"
+            ).select(
+                F.col("subj").alias("entity"), "cls",
+                F.lit("domain").alias("basis"),
+            )
+        )
+        .unionAll(
+            triples.join(
+                F.broadcast(ranges.select("pred", "cls")), "pred"
+            ).select(
+                F.col("obj").alias("entity"), "cls",
+                F.lit("range").alias("basis"),
+            )
+        )
+    )
+    closure = transitive_closure(
+        subclass.select(F.col("sub").alias("src"), F.col("sup").alias("dst"))
+    ).select(F.col("src").alias("sub"), F.col("dst").alias("sup"))
+    lifted = base.join(
+        F.broadcast(closure), base["cls"] == closure["sub"]
+    ).select(
+        "entity", F.col("sup").alias("cls"), F.lit("subclass").alias("basis")
+    )
+    return (
+        base.unionAll(lifted)
+        .groupBy("entity", "cls")
+        .agg(F.min("basis").alias("basis"))
+    )

@@ -257,3 +257,101 @@ def test_mine_rules_validates(spark):
 
     with pytest.raises(ValueError):
         mine_rules(None, min_support=0)
+
+
+# --------------------------------------------------------- rule application --
+
+
+def test_infer_edges_fires_rules_and_skips_existing(spark):
+    from entity_extractor_spark.operators.kg_quality import infer_edges
+
+    facts = spark.createDataFrame(
+        [("a", "p", "b"), ("c", "p", "d"), ("b", "r", "a"),
+         ("a", "p", "b")],  # duplicate row must not matter
+        SUMMARY_SCHEMA,
+    )
+    rules = spark.createDataFrame(
+        [("p", "r", "inv", 500_000), ("p", "q", "fwd", 700_000),
+         ("r", "p", "inv", 1_000_000), ("p", "w", "fwd", 100_000)],
+        "body_pred string, head_pred string, direction string, conf_ppm bigint",
+    )
+    got = {
+        (r.subj, r.pred, r.obj): (r.rule_body, r.rule_direction, r.conf_ppm)
+        for r in infer_edges(facts, rules, min_conf_ppm=500_000).collect()
+    }
+    # r(b,a) and p(a,b) already exist -> anti-joined away; the 100k-ppm
+    # rule is below threshold so no w triples appear.
+    assert got == {
+        ("a", "q", "b"): ("p", "fwd", 700_000),
+        ("c", "q", "d"): ("p", "fwd", 700_000),
+        ("d", "r", "c"): ("p", "inv", 500_000),
+    }
+
+
+def test_infer_edges_provenance_argmax_tiebreak(spark):
+    from entity_extractor_spark.operators.kg_quality import infer_edges
+
+    facts = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "w", "b")], SUMMARY_SCHEMA
+    )
+    rules = spark.createDataFrame(
+        [("p", "z", "fwd", 600_000), ("w", "z", "fwd", 600_000),
+         ("p", "y", "fwd", 900_000), ("w", "y", "fwd", 300_000)],
+        "body_pred string, head_pred string, direction string, conf_ppm bigint",
+    )
+    got = {
+        (r.subj, r.pred, r.obj): (r.rule_body, r.conf_ppm)
+        for r in infer_edges(facts, rules, min_conf_ppm=0).collect()
+    }
+    # equal confidence -> lexicographically greatest rule_body wins ('w');
+    # unequal -> the higher-confidence derivation wins regardless of body.
+    assert got == {
+        ("a", "z", "b"): ("w", 600_000),
+        ("a", "y", "b"): ("p", 900_000),
+    }
+
+
+def test_infer_edges_validates(spark):
+    from entity_extractor_spark.operators.kg_quality import infer_edges
+
+    with pytest.raises(ValueError):
+        infer_edges(None, None, min_conf_ppm=-1)
+    with pytest.raises(ValueError):
+        infer_edges(None, None, min_conf_ppm=1_000_001)
+
+
+# --------------------------------------------------------- type entailment --
+
+
+def test_entail_types_rdfs_rules_and_basis_priority(spark):
+    from entity_extractor_spark.operators.kg_quality import entail_types
+
+    triples = spark.createDataFrame(
+        [("e1", "p", "e2"), ("e3", "p", "e1")], SUMMARY_SCHEMA
+    )
+    asserted = spark.createDataFrame([("e1", "B")], "entity string, cls string")
+    subclass = spark.createDataFrame(
+        [("A", "B"), ("B", "C")], "sub string, sup string"
+    )
+    domains = spark.createDataFrame([("p", "A")], "pred string, cls string")
+    ranges = spark.createDataFrame([("p", "X")], "pred string, cls string")
+    got = {
+        (r.entity, r.cls): r.basis
+        for r in entail_types(triples, asserted, subclass, domains, ranges).collect()
+    }
+    # e1 reaches B both asserted and via subclass-of-A: 'asserted' wins;
+    # C arrives only through the 2-hop closure lift.
+    assert got == {
+        ("e1", "A"): "domain", ("e1", "B"): "asserted",
+        ("e1", "C"): "subclass", ("e1", "X"): "range",
+        ("e2", "X"): "range",
+        ("e3", "A"): "domain", ("e3", "B"): "subclass",
+        ("e3", "C"): "subclass",
+    }
+
+
+def test_entail_types_validates(spark):
+    from entity_extractor_spark.operators.kg_quality import entail_types
+
+    with pytest.raises(ValueError):
+        entail_types(None, None, None, None, None)
