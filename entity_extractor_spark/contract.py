@@ -8707,6 +8707,105 @@ def kg_type_entailment(spark, sf_dir):
     return entail_types(triples, asserted, subclass, domains, ranges)
 
 
+# ----------------------------------------------------------- truth discovery --
+
+_TRUTH_CLAIMS_SQL = """
+         SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS source,
+                CAST(l_partkey AS BIGINT) AS claim_key,
+                CAST(l_returnflag AS VARCHAR) AS claim_value
+         FROM lineitem"""
+
+# two unrolled rounds of the fixed-point loop (truth.py docstring): trust
+# ppm -> per-claim belief -> per-key-normalized confidence -> mean trust.
+_TRUTH_ROUNDS_SQL = f"""
+       c AS ({_TRUTH_CLAIMS_SQL}),
+       t0 AS (SELECT source, CAST(500000 AS BIGINT) AS trust_ppm
+              FROM (SELECT DISTINCT source FROM c)),
+       b1 AS (SELECT claim_key, claim_value,
+                     CAST(sum(trust_ppm) AS BIGINT) AS belief
+              FROM c JOIN t0 USING (source) GROUP BY 1, 2),
+       n1 AS (SELECT claim_key, CAST(sum(belief) AS BIGINT) AS tot
+              FROM b1 GROUP BY 1),
+       conf1 AS (SELECT claim_key, claim_value,
+                        belief * 1000000 // tot AS conf_ppm
+                 FROM b1 JOIN n1 USING (claim_key)),
+       t1 AS (SELECT source,
+                     CAST(sum(conf_ppm) // count(*) AS BIGINT) AS trust_ppm,
+                     CAST(count(*) AS BIGINT) AS n_claims
+              FROM c JOIN conf1 USING (claim_key, claim_value)
+              GROUP BY source),
+       b2 AS (SELECT claim_key, claim_value,
+                     CAST(sum(trust_ppm) AS BIGINT) AS belief
+              FROM c JOIN t1 USING (source) GROUP BY 1, 2),
+       n2 AS (SELECT claim_key, CAST(sum(belief) AS BIGINT) AS tot
+              FROM b2 GROUP BY 1),
+       conf2 AS (SELECT claim_key, claim_value,
+                        belief * 1000000 // tot AS conf_ppm
+                 FROM b2 JOIN n2 USING (claim_key)),
+       t2 AS (SELECT source,
+                     CAST(sum(conf_ppm) // count(*) AS BIGINT) AS trust_ppm,
+                     CAST(count(*) AS BIGINT) AS n_claims
+              FROM c JOIN conf2 USING (claim_key, claim_value)
+              GROUP BY source)"""
+
+
+@query(
+    "kg_truth_discovery",
+    f"""WITH {_TRUTH_ROUNDS_SQL},
+       ns AS (SELECT claim_key, claim_value,
+                     CAST(count(*) AS BIGINT) AS n_sources
+              FROM c GROUP BY 1, 2),
+       win AS (SELECT claim_key, claim_value, conf_ppm,
+                      row_number() OVER (PARTITION BY claim_key
+                          ORDER BY conf_ppm DESC, claim_value ASC) AS rn
+               FROM conf2)
+       SELECT w.claim_key, w.claim_value, w.conf_ppm, ns.n_sources
+       FROM win w JOIN ns USING (claim_key, claim_value)
+       WHERE w.rn = 1""",
+)
+def kg_truth_discovery(spark, sf_dir):
+    """Truth discovery (truth.truth_discovery, 2 fixed-point rounds):
+    suppliers claim each part's return flag (lineitem rows collide per part
+    with conflicting flags — the multi-source fact-conflict shape the
+    reference resolves by lattice precedence); iterative source-
+    reliability voting resolves each part to its most-believed flag with
+    a ppm confidence and the asserting-source count. Pure BIGINT fixed
+    point — bit-identical cross-engine; trust table is per-source =>
+    broadcast; belief/total sums are algebraic (map-side skew
+    absorption)."""
+    from .operators.truth import truth_discovery
+
+    li = _t(spark, sf_dir, "lineitem")
+    claims = li.select(
+        F.col("l_suppkey").cast("long").alias("source"),
+        F.col("l_partkey").cast("long").alias("claim_key"),
+        F.col("l_returnflag").alias("claim_value"),
+    )
+    return truth_discovery(claims, rounds=2)
+
+
+@query(
+    "kg_source_trust",
+    f"""WITH {_TRUTH_ROUNDS_SQL}
+       SELECT source, trust_ppm, n_claims FROM t2""",
+)
+def kg_source_trust(spark, sf_dir):
+    """Per-source reliability (truth.source_trust, same 2-round loop):
+    each supplier's converged trust ppm and claim count — the data-driven
+    prior for ingest scorecards / lattice precedence. Same claims table
+    and arithmetic as kg_truth_discovery, reported per SOURCE instead of
+    per fact key."""
+    from .operators.truth import source_trust
+
+    li = _t(spark, sf_dir, "lineitem")
+    claims = li.select(
+        F.col("l_suppkey").cast("long").alias("source"),
+        F.col("l_partkey").cast("long").alias("claim_key"),
+        F.col("l_returnflag").alias("claim_value"),
+    )
+    return source_trust(claims, rounds=2)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).
