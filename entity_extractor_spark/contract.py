@@ -8806,6 +8806,152 @@ def kg_source_trust(spark, sf_dir):
     return source_trust(claims, rounds=2)
 
 
+# ------------------------------------------------------------ owl-lite pack --
+
+_ONTO_KG_SQL = """
+         SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS subj,
+                'follows' AS pred,
+                'O' || CAST(o_orderkey // 2 AS VARCHAR) AS obj
+         FROM orders WHERE o_orderkey > 1
+         UNION ALL
+         SELECT 'O' || CAST(o_orderkey AS VARCHAR), 'placedBy',
+                'C' || CAST(o_custkey AS VARCHAR)
+         FROM orders WHERE o_orderkey % 5 = 0
+         UNION ALL
+         SELECT 'C' || CAST(c_custkey AS VARCHAR), 'adjacentTo',
+                'N' || CAST(c_nationkey AS VARCHAR)
+         FROM customer"""
+
+
+def _onto_kg_triples(spark, sf_dir):
+    """Ontology-pack KG: a deep 'follows' chain (every order points at
+    order k//2 — ~log2(N) ancestor depth), a 'placedBy' slice for the
+    inverseOf rule, and customer->nation 'adjacentTo' for symmetry."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    okey = F.concat(F.lit("O"), F.col("o_orderkey").cast("string"))
+    return (
+        o.where(F.col("o_orderkey") > 1)
+        .select(
+            okey.alias("subj"),
+            F.lit("follows").alias("pred"),
+            F.concat(
+                F.lit("O"), F.expr("o_orderkey div 2").cast("string")
+            ).alias("obj"),
+        )
+        .unionAll(
+            o.where(F.col("o_orderkey") % 5 == 0).select(
+                okey.alias("subj"),
+                F.lit("placedBy").alias("pred"),
+                F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("obj"),
+            )
+        )
+        .unionAll(
+            c.select(
+                F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("subj"),
+                F.lit("adjacentTo").alias("pred"),
+                F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("obj"),
+            )
+        )
+    )
+
+
+@query(
+    "kg_property_closure",
+    f"""WITH RECURSIVE base AS ({_ONTO_KG_SQL}),
+       f AS (SELECT subj AS src, obj AS dst FROM base WHERE pred = 'follows'),
+       tc(src, dst) AS (
+           SELECT src, dst FROM f
+           UNION
+           SELECT f.src, tc.dst FROM f JOIN tc ON tc.src = f.dst),
+       tagged AS (
+           SELECT subj, pred, obj, 'asserted' AS basis FROM base
+           UNION ALL
+           SELECT obj, pred, subj, 'symmetric' FROM base WHERE pred = 'adjacentTo'
+           UNION ALL
+           SELECT obj, 'hasOrder', subj, 'inverse' FROM base WHERE pred = 'placedBy'
+           UNION ALL
+           SELECT src, 'follows', dst, 'transitive' FROM tc)
+       SELECT subj, pred, obj, min(basis) AS basis
+       FROM tagged WHERE subj <> obj
+       GROUP BY subj, pred, obj""",
+)
+def kg_property_closure(spark, sf_dir):
+    """OWL-lite property entailment (kg_quality.property_closure):
+    owl:TransitiveProperty 'follows' (every order -> order k//2, a dense
+    ~log2(N)-deep ancestor chain: 179k closure rows at sf0.01, 2.29M at
+    sf0.1 — path doubling pays ~14 doubling rounds where per-level
+    iteration would pay ~14 too, but each round is ONE equi-join +
+    algebraic min-groupBy), owl:inverseOf placedBy/hasOrder, and
+    owl:SymmetricProperty 'adjacentTo'. basis = min contributing
+    derivation on ASCII ('asserted' < 'inverse' < 'symmetric' <
+    'transitive'), engine-exact; oracle replays transitivity as a
+    recursive CTE and the dedupe as the same min()."""
+    from .operators.kg_quality import property_closure
+
+    return property_closure(
+        _onto_kg_triples(spark, sf_dir),
+        symmetric=("adjacentTo",),
+        inverse_of=(("placedBy", "hasOrder"),),
+        transitive=("follows",),
+    )
+
+
+@query(
+    "kg_functional_audit",
+    """WITH t AS (
+         SELECT 'P' || CAST(l_partkey AS VARCHAR) AS subj,
+                'returnFlag' AS pred,
+                CAST(l_returnflag AS VARCHAR) AS obj
+         FROM lineitem
+         UNION ALL
+         SELECT 'O' || CAST(o_orderkey AS VARCHAR), 'placedBy',
+                'C' || CAST(o_custkey AS VARCHAR)
+         FROM orders),
+       fv AS (SELECT pred, subj AS entity, 'subj' AS side,
+                     CAST(count(DISTINCT obj) AS BIGINT) AS n_values,
+                     min(obj) AS v_min, max(obj) AS v_max
+              FROM t WHERE pred = 'returnFlag'
+              GROUP BY pred, subj HAVING count(DISTINCT obj) > 1),
+       ifv AS (SELECT pred, obj AS entity, 'obj' AS side,
+                      CAST(count(DISTINCT subj) AS BIGINT) AS n_values,
+                      min(subj) AS v_min, max(subj) AS v_max
+               FROM t WHERE pred = 'placedBy'
+               GROUP BY pred, obj HAVING count(DISTINCT subj) > 1)
+       SELECT * FROM fv UNION ALL SELECT * FROM ifv""",
+)
+def kg_functional_audit(spark, sf_dir):
+    """owl:FunctionalProperty / owl:InverseFunctionalProperty audit
+    (kg_quality.functional_violations): 'returnFlag' declared functional
+    over parts (lineitem asserts conflicting flags per part — real
+    violation mass), 'placedBy' declared inverse-functional over orders
+    (customers with several orders violate it — the CAS-collision shape
+    the reference's match-by-CAS cascade assumes away). One algebraic
+    count-distinct/min/max groupBy per direction, no joins; offenders
+    feed truth.truth_discovery for adjudication."""
+    from .operators.kg_quality import functional_violations
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    t = (
+        li.select(
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("subj"),
+            F.lit("returnFlag").alias("pred"),
+            F.col("l_returnflag").alias("obj"),
+        )
+        .unionAll(
+            o.select(
+                F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("subj"),
+                F.lit("placedBy").alias("pred"),
+                F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("obj"),
+            )
+        )
+    )
+    return functional_violations(
+        t, functional=("returnFlag",), inverse_functional=("placedBy",)
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

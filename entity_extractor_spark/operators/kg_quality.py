@@ -562,3 +562,167 @@ def entail_types(
         .groupBy("entity", "cls")
         .agg(F.min("basis").alias("basis"))
     )
+
+
+def property_closure(
+    triples: DataFrame,
+    symmetric: tuple[str, ...] = (),
+    inverse_of: tuple[tuple[str, str], ...] = (),
+    transitive: tuple[str, ...] = (),
+    max_rounds: int = 20,
+) -> DataFrame:
+    """OWL-lite property entailment: materialize the triples implied by
+    owl:SymmetricProperty, owl:inverseOf and owl:TransitiveProperty
+    declarations. The reference stores edges exactly as extracted
+    (global_edge_repository.py add_edge) and can answer "X relatesTo Y"
+    only in the stored direction; a queryable web-scale KG materializes
+    the entailed closure relationally instead of walking per node.
+
+    Rule application order (finite, and exact for the sane declaration
+    combinations — see below):
+      1. symmetric + inverseOf derivations over the asserted triples;
+      2. per-predicate transitive closure (graph.transitive_closure,
+         log-depth path doubling) over asserted + step-1 output;
+      3. symmetric + inverseOf once more over the new transitive pairs —
+         closing inverse-of-transitive (the inverse of a transitive
+         closure IS the closure of the inverse) and re-symmetrizing.
+    A symmetric transitive predicate closes exactly (step 2 runs over the
+    symmetrized edge set = undirected reachability); mutually-recursive
+    exotic stacks beyond one extra round (e.g. a symmetric inverse of a
+    different transitive predicate) are applied as declared, not chased
+    to a joint fixpoint.
+
+    Output: (subj, pred, obj, basis) distinct; basis is the minimum of
+    the contributing derivations on ASCII order — 'asserted' < 'inverse'
+    < 'symmetric' < 'transitive', which is exactly most-direct-evidence
+    priority, so provenance is engine-exact (same min() trick as
+    entail_types).
+
+    Scale shape: symmetric/inverse derivations are column swaps (zero
+    shuffle); each transitive predicate pays transitive_closure's one
+    equi-join + algebraic min-groupBy per doubling round on ITS edge
+    slice only; the final dedupe is one algebraic min-groupBy on
+    (subj, pred, obj)."""
+    from .graph import transitive_closure
+
+    t = triples.select("subj", "pred", "obj").where(
+        F.col("subj").isNotNull() & F.col("pred").isNotNull() & F.col("obj").isNotNull()
+    )
+
+    def derive_once(frame: DataFrame) -> DataFrame:
+        """One application of the symmetric + inverseOf rules to `frame`
+        (basis-tagged); returns only the derived rows."""
+        outs = []
+        if symmetric:
+            outs.append(
+                frame.where(F.col("pred").isin(*symmetric)).select(
+                    F.col("obj").alias("subj"),
+                    "pred",
+                    F.col("subj").alias("obj"),
+                    F.lit("symmetric").alias("basis"),
+                )
+            )
+        for p, q in inverse_of:
+            for a, b in ((p, q), (q, p)):
+                outs.append(
+                    frame.where(F.col("pred") == a).select(
+                        F.col("obj").alias("subj"),
+                        F.lit(b).alias("pred"),
+                        F.col("subj").alias("obj"),
+                        F.lit("inverse").alias("basis"),
+                    )
+                )
+        if not outs:
+            return None
+        acc = outs[0]
+        for o in outs[1:]:
+            acc = acc.unionAll(o)
+        return acc
+
+    base = t.withColumn("basis", F.lit("asserted"))
+    d1 = derive_once(base)
+    pool = base if d1 is None else base.unionAll(d1)
+
+    trans_parts = []
+    for p in transitive:
+        closed = transitive_closure(
+            pool.where(F.col("pred") == p), src="subj", dst="obj",
+            max_rounds=max_rounds,
+        )
+        trans_parts.append(
+            closed.where(F.col("dist") >= 2).select(
+                F.col("src").alias("subj"),
+                F.lit(p).alias("pred"),
+                F.col("dst").alias("obj"),
+                F.lit("transitive").alias("basis"),
+            )
+        )
+    for tp in trans_parts:
+        pool = pool.unionAll(tp)
+        d2 = derive_once(tp)
+        if d2 is not None:
+            pool = pool.unionAll(d2)
+
+    return (
+        pool.where(F.col("subj") != F.col("obj"))
+        .groupBy("subj", "pred", "obj")
+        .agg(F.min("basis").alias("basis"))
+    )
+
+
+def functional_violations(
+    triples: DataFrame,
+    functional: tuple[str, ...] = (),
+    inverse_functional: tuple[str, ...] = (),
+) -> DataFrame:
+    """owl:FunctionalProperty / owl:InverseFunctionalProperty audit: a
+    functional predicate allows ONE object per subject (a material has
+    one CAS number); an inverse-functional predicate allows ONE subject
+    per object (a CAS number names one material — the reference's
+    match-by-CAS linking silently assumes this, entity_linker.py's
+    CAS-first cascade). Emits one row per violated (pred, entity):
+    (pred, entity, side 'subj'|'obj', n_values, v_min, v_max) where
+    n_values is the distinct conflicting-value count and v_min/v_max
+    bracket the conflict deterministically. Feed the offenders into
+    truth.truth_discovery to adjudicate.
+
+    One algebraic count-distinct/min/max groupBy per direction — no
+    joins, map-side partials absorb hub entities."""
+    t = triples.select("subj", "pred", "obj")
+    parts = []
+    if functional:
+        parts.append(
+            t.where(F.col("pred").isin(*functional))
+            .groupBy("pred", F.col("subj").alias("entity"))
+            .agg(
+                F.countDistinct("obj").alias("n_values"),
+                F.min("obj").alias("v_min"),
+                F.max("obj").alias("v_max"),
+            )
+            .where(F.col("n_values") > 1)
+            .select(
+                "pred", "entity", F.lit("subj").alias("side"),
+                "n_values", "v_min", "v_max",
+            )
+        )
+    if inverse_functional:
+        parts.append(
+            t.where(F.col("pred").isin(*inverse_functional))
+            .groupBy("pred", F.col("obj").alias("entity"))
+            .agg(
+                F.countDistinct("subj").alias("n_values"),
+                F.min("subj").alias("v_min"),
+                F.max("subj").alias("v_max"),
+            )
+            .where(F.col("n_values") > 1)
+            .select(
+                "pred", "entity", F.lit("obj").alias("side"),
+                "n_values", "v_min", "v_max",
+            )
+        )
+    if not parts:
+        raise ValueError("declare at least one functional or inverse_functional predicate")
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionAll(p)
+    return acc
