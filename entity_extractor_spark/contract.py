@@ -8952,6 +8952,84 @@ def kg_functional_audit(spark, sf_dir):
     )
 
 
+
+# --------------------------------------------------------------- bm25 --
+
+from .operators.ranking import log2fp_chain as _log2fp_chain  # noqa: E402
+
+_BM25_QUERIES = [
+    ("q1", "spark table scan"),
+    ("q2", "fast hash join"),
+    ("q3", "window agg group"),
+    ("q4", "customer order line"),
+    ("q5", "vector quantum flux"),
+    ("q6", "slow query filter sort"),
+]
+_BM25_L2_COLS = ", ".join(
+    f"{e} AS {a}" for a, e in _log2fp_chain("_q", 6, div="//", wide="HUGEINT")
+)
+_BM25_QS = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+
+
+@query(
+    "rag_bm25_topk",
+    rf"""WITH qs(qid, qtext) AS (VALUES {_BM25_QS}),
+       t AS (SELECT doc_id AS d,
+                    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+             FROM documents),
+       td AS (SELECT term, d, CAST(count(*) AS BIGINT) AS tf
+              FROM t WHERE term <> '' GROUP BY 1, 2),
+       dl AS (SELECT d, CAST(sum(tf) AS BIGINT) AS dl FROM td GROUP BY 1),
+       sc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS l FROM dl),
+       st AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY 1),
+       idf AS (SELECT term, _l2_a6 - 20 * 64 AS idf_fp FROM (
+                 SELECT term, {_BM25_L2_COLS} FROM (
+                   SELECT term,
+                          CAST(CAST(2 * sc.n + 2 AS HUGEINT) * 1048576
+                               // (2 * df + 1) AS BIGINT) AS _q
+                   FROM st, sc))),
+       qt AS (SELECT DISTINCT qid, term FROM (
+                SELECT qid,
+                       unnest(string_split_regex(trim(lower(qtext)), '\s+')) AS term
+                FROM qs) WHERE term <> ''),
+       hits AS (SELECT qt.qid, td.d,
+                       CAST(CAST(idf_fp AS HUGEINT) * 22 * tf * sc.l
+                            // (10 * CAST(sc.l AS HUGEINT) * tf + 3 * sc.l
+                                + 9 * dl.dl * sc.n) AS BIGINT) AS s
+                FROM qt JOIN td USING (term) JOIN idf USING (term)
+                JOIN dl USING (d) CROSS JOIN sc),
+       scored AS (SELECT qid AS query_id, d AS doc_id,
+                         CAST(sum(s) AS BIGINT) AS bm25_fp,
+                         CAST(count(*) AS BIGINT) AS n_terms
+                  FROM hits GROUP BY 1, 2)
+       SELECT query_id, doc_id, bm25_fp, n_terms, CAST(rank AS BIGINT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY bm25_fp DESC, doc_id) AS rank FROM scored)
+       WHERE rank <= 10""",
+)
+def rag_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (ranking.bm25_topk): six fixed multi-term
+    queries over the documents corpus, top-10 each — the lexical half of
+    a hybrid RAG stack (rrf_fuse is the fusion layer, the ANN family the
+    dense half; the reference retrieves by vector distance only,
+    vector_repository.py:56-67). Scores are exact integers: idf =
+    log2((N+1)/(df+0.5)) via the float-free fixed-point log2 chain
+    (log2fp_chain, 2^-6-bit grid — the SAME generated expression text
+    runs in both engines), tf saturation (k1=1.2, b=0.75) as one
+    DECIMAL(38,0)/HUGEINT floor division after substituting avgdl = L/N
+    symbolically. q5 mixes present ('vector') and absent ('quantum',
+    'flux') terms — absent terms contribute nothing; q1-q4/q6 span
+    common and rare vocabulary so idf ordering carries real mass."""
+    from .operators.ranking import bm25_topk
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "qid string, qtext string")
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), qdf,
+        "doc_id", "text", "qid", "qtext", top_n=10,
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

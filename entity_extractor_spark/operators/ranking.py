@@ -67,3 +67,215 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= top_n)
     )
+
+# ------------------------------------------------------------------ BM25 --
+#
+# Lexical ranked retrieval — the standard BM25 scoring function (Robertson
+# et al., TREC-3) over the same whitespace tokenization the inverted index
+# exports, on the exact integer grid so scores (and therefore ranks) are
+# engine/partitioning/retry-invariant. The reference retrieves by exact
+# vector distance only (vector_repository.py:56-67); BM25 is the lexical
+# half every production RAG stack fuses with it (see rrf_fuse).
+#
+# Two places BM25 needs a log/division that floats would make
+# engine-dependent; both are made exact:
+#
+#   * idf = log2((N + 1) / (df + 0.5))  [Lucene's +1 form: never negative]
+#     computed as a FIXED-POINT BASE-2 LOG over pure integers: the rational
+#     is scaled to q = (2N+2) * 2^F div (2df+1), then floor(2^k * log2(q))
+#     comes from the float-free exponent/mantissa algorithm below
+#     (log2fp_chain) — both engines replay the identical arithmetic.
+#   * the tf saturation (k1 = 1.2, b = 0.75 — the standard defaults) is a
+#     rational in integers once avgdl = L/N is substituted symbolically:
+#         tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+#       = 22*tf*L / (10*L*tf + 3*L + 9*dl*N)
+#     so each term's score is ONE floor division in DECIMAL(38,0)/HUGEINT:
+#         score_term = idf_fp * 22 * tf * L  div  (10*L*tf + 3*L + 9*dl*N)
+#
+# log2fp_chain: floor(2^k * log2(x)) for BIGINT x >= 1 with no floats.
+#   e  = floor(log2(x))           -- length(bin(x)) - 1, exact in both engines
+#   m0 = floor(x * 2^30 / 2^e)    -- mantissa normalized into [2^30, 2^31)
+#   k refinement steps: square the mantissa (m*m < 2^62, BIGINT-safe),
+#   rescale by 2^30; if the square crossed 2^31 the next log2 bit is 1 and
+#   the mantissa halves. Each step is exact integer arithmetic; the result
+#   is within [0, 2^-k) BITS below the true log2 (truncation is one-sided,
+#   so the map stays monotone: x <= y  =>  log2fp(x) <= log2fp(y)).
+#   power(2, e) is exactly representable in a double and IEEE-exact in
+#   both engines, so the cast back to the wide integer type is exact.
+
+_L2_HI = 2_147_483_648  # 2^31
+_L2_SC = 1_073_741_824  # 2^30
+
+
+def log2fp_chain(
+    x_expr: str, k: int, div: str, wide: str, prefix: str = "_l2"
+) -> list[tuple[str, str]]:
+    """The (alias, sql_expr) chain computing floor(2^k * log2(x_expr)) —
+    ONE source of truth rendered for either engine: Spark uses
+    div='DIV', wide='DECIMAL(38,0)'; DuckDB uses div='//',
+    wide='HUGEINT'. Each expr may reference earlier aliases (applied as
+    chained projections on the Spark side, lateral column aliases on
+    the DuckDB side). Final alias: f'{prefix}_a{k}'."""
+    if k < 1 or k > 12:
+        raise ValueError("k must be in [1, 12]")
+    p = prefix
+    cols: list[tuple[str, str]] = [
+        (f"{p}_e", f"CAST(length(bin(CAST({x_expr} AS BIGINT))) - 1 AS BIGINT)"),
+        (
+            f"{p}_m0",
+            f"CAST(CAST({x_expr} AS {wide}) * {_L2_SC} {div} "
+            f"CAST(power(2, {p}_e) AS {wide}) AS BIGINT)",
+        ),
+        (f"{p}_a0", f"{p}_e"),
+    ]
+    for i in range(1, k + 1):
+        cols.append((f"{p}_s{i}", f"({p}_m{i-1} * {p}_m{i-1}) {div} {_L2_SC}"))
+        cols.append(
+            (
+                f"{p}_m{i}",
+                f"CASE WHEN {p}_s{i} >= {_L2_HI} THEN {p}_s{i} {div} 2 "
+                f"ELSE {p}_s{i} END",
+            )
+        )
+        cols.append(
+            (
+                f"{p}_a{i}",
+                f"{p}_a{i-1} * 2 + (CASE WHEN {p}_s{i} >= {_L2_HI} "
+                f"THEN 1 ELSE 0 END)",
+            )
+        )
+    return cols
+
+
+def with_log2fp(df: DataFrame, x_col: str, out_col: str, k: int = 6) -> DataFrame:
+    """Append out_col = floor(2^k * log2(x_col)) (x_col BIGINT >= 1;
+    x < 1 raises executor-side — a non-positive log argument is an
+    upstream bug, not a scorable row). Intermediates are dropped."""
+    checked = (
+        f"CASE WHEN {x_col} >= 1 THEN {x_col} "
+        f"ELSE CAST(raise_error(concat('log2fp: x must be >= 1, got ', "
+        f"CAST({x_col} AS STRING))) AS BIGINT) END"
+    )
+    chain = log2fp_chain(checked, k, div="DIV", wide="DECIMAL(38,0)")
+    out = df
+    for alias, expr in chain:
+        out = out.withColumn(alias, F.expr(expr))
+    return out.select(*df.columns, F.col(f"_l2_a{k}").cast("bigint").alias(out_col))
+
+
+def log2fp_py(x: int, k: int) -> int:
+    """Pure-Python replay of log2fp_chain (unit-test reference)."""
+    if x < 1:
+        raise ValueError("x must be >= 1")
+    e = x.bit_length() - 1
+    m = (x << 30) // (1 << e)
+    acc = e
+    for _ in range(k):
+        s = (m * m) >> 30
+        bit = 1 if s >= _L2_HI else 0
+        acc = acc * 2 + bit
+        m = s >> 1 if bit else s
+    return acc
+
+
+_IDF_F = 20  # fractional bits when scaling (N+1)/(df+0.5) onto the int grid
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str,
+    query_text_col: str,
+    top_n: int = 10,
+    log_bits: int = 6,
+) -> DataFrame:
+    """BM25 top-n per query: (query_id, doc_id, bm25_fp, n_terms, rank).
+
+    bm25_fp is the score in units of 2^-log_bits BITS of idf (floor'd
+    per term then summed — deterministic on any engine/partitioning).
+    Query terms are deduplicated (query-side tf is ignored — the
+    standard short-query simplification) and terms absent from the
+    corpus contribute nothing. Docs with zero tokens are unrankable and
+    absent. k1 = 1.2, b = 0.75 (the standard defaults, baked into the
+    exact rational — see module comment).
+
+    Scale shape: the corpus collapses to the inverted-index tables once
+    — (term, doc, tf) with map-side partials, (doc, dl), (term, df) —
+    and N/L are two collected scalars (pagerank scalar doctrine, never
+    a 1-row crossJoin). The query side is tiny and broadcast into the
+    term-keyed join; per-query top-n is a query-partitioned row_number
+    (WindowGroupLimit pre-prunes map-side), never a global window."""
+    if top_n <= 0:
+        raise ValueError("top_n must be > 0")
+    tok = lambda c: F.split(F.trim(F.lower(F.col(c))), r"\s+")  # noqa: E731
+    td = (
+        docs.select(F.col(id_col).alias("_d"), F.explode(tok(text_col)).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term", "_d")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    ).localCheckpoint()
+    dl = td.groupBy("_d").agg(F.sum("tf").cast("long").alias("dl"))
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("l"),
+    ).collect()[0]
+    n_docs, l_tot = int(scal.n or 0), int(scal.l or 0)
+    if n_docs == 0:
+        raise ValueError("bm25_topk: corpus has no non-empty documents")
+    stats = td.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = with_log2fp(
+        stats.withColumn(
+            "_q",
+            F.expr(
+                f"CAST(CAST({2 * n_docs + 2} AS DECIMAL(38,0)) * {1 << _IDF_F} "
+                f"DIV (2 * df + 1) AS BIGINT)"
+            ),
+        ),
+        "_q",
+        "_lq",
+        k=log_bits,
+    ).select(
+        "term",
+        (F.col("_lq") - F.lit(_IDF_F * (1 << log_bits))).cast("long").alias("idf_fp"),
+    )
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tok(query_text_col)).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    hits = (
+        qt.join(td, "term")
+        .join(idf, "term")
+        .join(dl, "_d")
+        .withColumn(
+            "_sc",
+            F.expr(
+                f"CAST(CAST(idf_fp AS DECIMAL(38,0)) * 22 * tf * {l_tot} DIV "
+                f"(10 * CAST({l_tot} AS DECIMAL(38,0)) * tf + {3 * l_tot} "
+                f"+ 9 * dl * {n_docs}) AS BIGINT)"
+            ),
+        )
+    )
+    scored = hits.groupBy("query_id", "_d").agg(
+        F.sum("_sc").cast("long").alias("bm25_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_fp").desc(), F.col("_d")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= top_n)
+        .select(
+            "query_id",
+            F.col("_d").alias("doc_id"),
+            "bm25_fp",
+            "n_terms",
+            "rank",
+        )
+    )

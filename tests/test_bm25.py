@@ -1,0 +1,158 @@
+"""BM25 + fixed-point log2: exactness vs pure-Python replays, ranking
+sanity, and the DuckDB render of the shared log2fp chain."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.operators.ranking import (
+    bm25_topk,
+    log2fp_chain,
+    log2fp_py,
+    with_log2fp,
+)
+
+
+def test_log2fp_py_bounds_and_monotone():
+    rng = random.Random(7)
+    xs = sorted(
+        {1, 2, 3, (1 << 62) - 1}
+        | {rng.randrange(1, 1 << 62) for _ in range(500)}
+    )
+    prev = -1
+    for x in xs:
+        got = log2fp_py(x, 6)
+        true = math.log2(x) * 64
+        # one-sided truncation: within [0, 1) fixed-point units below the
+        # true value (float-evaluated here, hence the 1e-6 slack)
+        assert true - 1 - 1e-6 < got <= true + 1e-6
+        assert got >= prev
+        prev = got
+
+
+def test_log2fp_spark_matches_python(spark):
+    rng = random.Random(11)
+    xs = [1, 2, 3, 7, (1 << 62) - 1] + [
+        rng.randrange(1, 1 << 62) for _ in range(200)
+    ]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    rows = with_log2fp(df, "x", "l2", k=6).collect()
+    for r in rows:
+        assert r.l2 == log2fp_py(r.x, 6), r.x
+
+
+def test_log2fp_duckdb_render_matches_python():
+    rng = random.Random(13)
+    xs = [1, 2, 3, (1 << 62) - 1] + [rng.randrange(1, 1 << 62) for _ in range(200)]
+    chain = log2fp_chain("x", 6, div="//", wide="HUGEINT")
+    cols = ", ".join(f"{e} AS {a}" for a, e in chain)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest($1::BIGINT[]) AS x", [xs]
+    )
+    got = dict(
+        con.sql(f"SELECT x, _l2_a6 FROM (SELECT x, {cols} FROM t)").fetchall()
+    )
+    for x in xs:
+        assert got[x] == log2fp_py(x, 6), x
+
+
+def test_log2fp_rejects_nonpositive(spark):
+    df = spark.createDataFrame([(0,)], "x long")
+    with pytest.raises(Exception, match="log2fp"):
+        with_log2fp(df, "x", "l2").collect()
+
+
+def _bm25_py(docs: dict[str, str], queries: dict[str, str], log_bits=6):
+    """Pure-Python replay of bm25_topk's integer formulas."""
+    td: dict[tuple[str, str], int] = {}
+    dl: dict[str, int] = {}
+    for d, text in docs.items():
+        toks = text.lower().split()
+        if not toks:
+            continue
+        dl[d] = len(toks)
+        for t in toks:
+            td[(t, d)] = td.get((t, d), 0) + 1
+    n, l_tot = len(dl), sum(dl.values())
+    df: dict[str, int] = {}
+    for (t, _d) in td:
+        df[t] = df.get(t, 0) + 1
+    f_bits = 20
+    idf = {
+        t: log2fp_py(((2 * n + 2) << f_bits) // (2 * v + 1), log_bits)
+        - f_bits * (1 << log_bits)
+        for t, v in df.items()
+    }
+    out = {}
+    for q, qtext in queries.items():
+        scores: dict[str, list[int]] = {}
+        for t in set(qtext.lower().split()):
+            if t not in idf:
+                continue
+            for d in dl:
+                tf = td.get((t, d))
+                if not tf:
+                    continue
+                sc = (idf[t] * 22 * tf * l_tot) // (
+                    10 * l_tot * tf + 3 * l_tot + 9 * dl[d] * n
+                )
+                scores.setdefault(d, []).append(sc)
+        ranked = sorted(
+            ((sum(v), len(v), d) for d, v in scores.items()),
+            key=lambda r: (-r[0], r[2]),
+        )
+        out[q] = [(d, s, m) for s, m, d in ranked]
+    return out
+
+
+def test_bm25_matches_python_replay(spark):
+    rng = random.Random(3)
+    vocab = ["spark", "scan", "join", "hash", "sort", "agg", "row", "col"]
+    docs = {
+        f"d{i}": " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 30)))
+        for i in range(40)
+    }
+    docs["empty"] = "   "
+    queries = {"q1": "spark join", "q2": "sort agg row", "q3": "zzz unknown"}
+    ddf = spark.createDataFrame(list(docs.items()), "doc_id string, text string")
+    qdf = spark.createDataFrame(list(queries.items()), "qid string, qtext string")
+    got = bm25_topk(ddf, qdf, "doc_id", "text", "qid", "qtext", top_n=10)
+    ref = _bm25_py(docs, queries)
+    by_q: dict[str, list] = {}
+    for r in got.orderBy("query_id", "rank").collect():
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.bm25_fp, r.n_terms))
+    for q, exp in ref.items():
+        assert by_q.get(q, []) == exp[:10], q
+    assert "q3" not in by_q  # no corpus term -> no rows
+
+
+def test_bm25_ranking_sanity(spark):
+    # a short doc with both terms must beat a long one with one term;
+    # the rare term outweighs the common one at equal tf/dl.
+    docs = [
+        ("both", "rare common"),
+        ("one_long", "common common common common common common common"),
+        ("rare_only", "rare filler"),
+        ("common_only", "common filler"),
+    ] + [(f"pad{i}", "common filler") for i in range(6)]
+    ddf = spark.createDataFrame(docs, "doc_id string, text string")
+    qdf = spark.createDataFrame([("q", "rare common")], "qid string, qtext string")
+    rows = bm25_topk(ddf, qdf, "doc_id", "text", "qid", "qtext", top_n=10).collect()
+    ranked = [r.doc_id for r in sorted(rows, key=lambda r: r.rank)]
+    assert ranked[0] == "both"
+    assert ranked.index("rare_only") < ranked.index("common_only")
+    with pytest.raises(ValueError):
+        bm25_topk(ddf, qdf, "doc_id", "text", "qid", "qtext", top_n=0)
+
+
+def test_bm25_empty_corpus_raises(spark):
+    ddf = spark.createDataFrame([("d", "  ")], "doc_id string, text string")
+    qdf = spark.createDataFrame([("q", "x")], "qid string, qtext string")
+    with pytest.raises(ValueError, match="no non-empty"):
+        bm25_topk(ddf, qdf, "doc_id", "text", "qid", "qtext")
