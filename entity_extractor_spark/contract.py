@@ -8971,9 +8971,7 @@ _BM25_L2_COLS = ", ".join(
 _BM25_QS = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
 
 
-@query(
-    "rag_bm25_topk",
-    rf"""WITH qs(qid, qtext) AS (VALUES {_BM25_QS}),
+_BM25_SQL_BODY = rf"""qs(qid, qtext) AS (VALUES {_BM25_QS}),
        t AS (SELECT doc_id AS d,
                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
              FROM documents),
@@ -8999,13 +8997,18 @@ _BM25_QS = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
                                 + 9 * dl.dl * sc.n) AS BIGINT) AS s
                 FROM qt JOIN td USING (term) JOIN idf USING (term)
                 JOIN dl USING (d) CROSS JOIN sc),
-       scored AS (SELECT qid AS query_id, d AS doc_id,
+       bm_scored AS (SELECT qid AS query_id, d AS doc_id,
                          CAST(sum(s) AS BIGINT) AS bm25_fp,
                          CAST(count(*) AS BIGINT) AS n_terms
-                  FROM hits GROUP BY 1, 2)
+                  FROM hits GROUP BY 1, 2)"""
+
+
+@query(
+    "rag_bm25_topk",
+    rf"""WITH {_BM25_SQL_BODY}
        SELECT query_id, doc_id, bm25_fp, n_terms, CAST(rank AS BIGINT) AS rank
        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY bm25_fp DESC, doc_id) AS rank FROM scored)
+                 ORDER BY bm25_fp DESC, doc_id) AS rank FROM bm_scored)
        WHERE rank <= 10""",
 )
 def rag_bm25_topk(spark, sf_dir):
@@ -9027,6 +9030,66 @@ def rag_bm25_topk(spark, sf_dir):
     return bm25_topk(
         _t(spark, sf_dir, "documents"), qdf,
         "doc_id", "text", "qid", "qtext", top_n=10,
+    )
+
+
+
+@query(
+    "rag_hybrid_topk",
+    rf"""WITH {_BM25_SQL_BODY},
+       lex_rk AS (SELECT query_id AS q, doc_id AS i,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY bm25_fp DESC, doc_id) AS rnk
+                  FROM bm_scored QUALIFY rnk <= 10),
+       dv AS (SELECT d AS id, {_TFIDF_BUCKET_SQL} AS bucket,
+                     CAST(count(*) AS DOUBLE) AS tf
+              FROM (SELECT d, term AS tok FROM t WHERE term <> '')
+              GROUP BY 1, 2),
+       qv2 AS (SELECT qid, {_TFIDF_BUCKET_SQL} AS bucket,
+                      CAST(count(*) AS DOUBLE) AS tf
+               FROM (SELECT qid, unnest(string_split_regex(trim(lower(qtext)),
+                              '\s+')) AS tok FROM qs) WHERE tok <> ''
+               GROUP BY 1, 2),
+       dn AS (SELECT id, sqrt(sum(tf * tf)) AS dnorm FROM dv GROUP BY 1),
+       qn2 AS (SELECT qid, sqrt(sum(tf * tf)) AS qnorm FROM qv2 GROUP BY 1),
+       dots AS (SELECT qv2.qid, dv.id, sum(qv2.tf * dv.tf) AS dot
+                FROM qv2 JOIN dv USING (bucket) GROUP BY 1, 2),
+       dense_rk AS (SELECT qid AS q, dots.id AS i,
+                           row_number() OVER (PARTITION BY qid
+                               ORDER BY dot / (qnorm * dnorm) DESC, dots.id) AS rnk
+                    FROM dots JOIN qn2 USING (qid) JOIN dn ON dots.id = dn.id
+                    QUALIFY rnk <= 10),
+       stacked AS (
+         SELECT q, i, 1000000000 // (60 + rnk) AS s FROM lex_rk
+         UNION ALL
+         SELECT q, i, 1000000000 // (60 + rnk) AS s FROM dense_rk),
+       fused AS (SELECT q AS query_id, i AS doc_id,
+                        CAST(sum(s) AS BIGINT) AS rrf_score,
+                        CAST(count(*) AS BIGINT) AS n_rankers
+                 FROM stacked GROUP BY 1, 2)
+       SELECT query_id, doc_id, rrf_score, n_rankers,
+              CAST(rank AS BIGINT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_score DESC, doc_id) AS rank FROM fused)
+       WHERE rank <= 5""",
+)
+def rag_hybrid_topk(spark, sf_dir):
+    """Hybrid retrieval end-to-end (ranking.hybrid_topk): the SAME six
+    queries ranked by BM25 (exact-integer lexical) AND hashed-TF cosine
+    (dense — integer TFs make the doubles exact before the IEEE-
+    deterministic sqrt/divide), fused by RRF on the 10^9 div (60+rank)
+    grid into a final top-5 — the production RAG shape the reference's
+    vector-only top-5 lacks. Docs found by only one ranker survive with
+    one contribution (n_rankers=1), which the gate exercises because the
+    lexical and dense top-10s genuinely diverge on this corpus. The
+    oracle replays BOTH rankers and the fusion in one DuckDB query."""
+    from .operators.ranking import hybrid_topk
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "qid string, qtext string")
+    return hybrid_topk(
+        _t(spark, sf_dir, "documents"), qdf,
+        "doc_id", "text", "qid", "qtext",
+        lexical_top=10, dense_top=10, k=60, top_n=5,
     )
 
 

@@ -279,3 +279,52 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str,
+    query_text_col: str,
+    lexical_top: int = 10,
+    dense_top: int = 10,
+    k: int = 60,
+    top_n: int = 5,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) and hashed-TF cosine (dense)
+    each produce a per-query top list; rrf_fuse combines them on ranks
+    alone — the production RAG shape (incomparable raw scores, rank-only
+    fusion). Returns rrf_fuse's (query, item, rrf_score, n_rankers,
+    rank) with query/item aliased to query_id/doc_id.
+
+    Dense scores are exact despite the doubles: TF counts are integers,
+    so dots are exact sums; sqrt/divide are IEEE-correctly-rounded in
+    any engine — identical doubles, identical order. Scale shape: both
+    rankers end in query-partitioned row_numbers over already-pruned
+    candidate sets; fusion is one union + algebraic sum."""
+    from .disambiguate import cosine_scores, hashed_tf
+
+    lex = bm25_topk(
+        docs, queries, id_col, text_col, query_id_col, query_text_col,
+        top_n=lexical_top,
+    ).select(F.col("query_id").alias("q"), F.col("doc_id").alias("i"), "rank")
+    dense_sc = cosine_scores(
+        hashed_tf(queries, query_id_col, query_text_col),
+        hashed_tf(docs, id_col, text_col),
+    )
+    wd = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    dense = (
+        dense_sc.withColumn("rank", F.row_number().over(wd).cast("bigint"))
+        .where(F.col("rank") <= dense_top)
+        .select(F.col("qid").alias("q"), F.col("cid").alias("i"), "rank")
+    )
+    fused = rrf_fuse([lex, dense], "q", "i", "rank", k=k, top_n=top_n)
+    return fused.select(
+        F.col("query").alias("query_id"),
+        F.col("item").alias("doc_id"),
+        "rrf_score",
+        "n_rankers",
+        "rank",
+    )

@@ -156,3 +156,30 @@ def test_bm25_empty_corpus_raises(spark):
     qdf = spark.createDataFrame([("q", "x")], "qid string, qtext string")
     with pytest.raises(ValueError, match="no non-empty"):
         bm25_topk(ddf, qdf, "doc_id", "text", "qid", "qtext")
+
+
+def test_hybrid_topk_fuses_both_rankers(spark):
+    from entity_extractor_spark.operators.ranking import hybrid_topk
+
+    # "lexonly" shares rare exact terms with the query (BM25 finds it);
+    # "denseonly" is made dense-similar by repeating one query token so
+    # its hashed-TF vector points the same way.
+    docs = [
+        ("both", "alpha beta"),
+        ("lexonly", "alpha beta gamma delta epsilon zeta"),
+        ("denseonly", "alpha alpha alpha alpha alpha alpha alpha alpha"),
+    ] + [(f"pad{i}", "omicron sigma tau") for i in range(5)]
+    ddf = spark.createDataFrame(docs, "doc_id string, text string")
+    qdf = spark.createDataFrame([("q", "alpha beta")], "qid string, qtext string")
+    rows = {
+        r.doc_id: r
+        for r in hybrid_topk(
+            ddf, qdf, "doc_id", "text", "qid", "qtext",
+            lexical_top=2, dense_top=2, top_n=5,
+        ).collect()
+    }
+    # "both" tops both rankers -> n_rankers == 2 and rank 1
+    assert rows["both"].n_rankers == 2 and rows["both"].rank == 1
+    # the ranker-specific docs each survive with one contribution
+    assert rows["lexonly"].n_rankers == 1
+    assert rows["denseonly"].n_rankers == 1
