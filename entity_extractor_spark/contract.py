@@ -9093,6 +9093,53 @@ def rag_hybrid_topk(spark, sf_dir):
     )
 
 
+
+@query(
+    "curate_temperature_mix",
+    """WITH a AS (SELECT lang AS grp, CAST(sum(n_chars) AS BIGINT) AS available
+               FROM documents GROUP BY 1),
+       c AS (SELECT grp, available,
+                    CAST(floor(sqrt(CAST(available AS DOUBLE))) AS BIGINT) AS _r2
+             FROM a),
+       w AS (SELECT grp, available, _r2,
+                    _r2 * CAST(floor(sqrt(CAST(_r2 AS DOUBLE))) AS BIGINT) AS _s
+             FROM c),
+       tot AS (SELECT CAST(sum(available) AS BIGINT) AS mt,
+                      CAST(sum(_s) AS BIGINT) AS st FROM w)
+       SELECT grp AS lang, available,
+              CAST(CAST(available AS HUGEINT) * 1000000 // mt AS BIGINT)
+                AS share_raw_ppm,
+              CAST(CAST(_s AS HUGEINT) * 1000000 // st AS BIGINT)
+                AS share_temp_ppm,
+              CAST(CAST(140000 AS HUGEINT) * _s // st AS BIGINT)
+                AS target_tokens,
+              CASE WHEN available = 0 THEN CAST(0 AS BIGINT) ELSE
+                CAST(LEAST(CAST(1000000 AS HUGEINT),
+                     (CAST(140000 AS HUGEINT) * _s // st) * 1000000 // available)
+                  AS BIGINT) END AS rate_ppm
+       FROM w CROSS JOIN tot""",
+)
+def curate_temperature_mix(spark, sf_dir):
+    """Temperature mixture planning (sampling.temperature_plan): per-
+    language sampling shares proportional to char-mass^0.75 — the
+    multilingual upsampling standard (mT5/XLM-R) with weights DERIVED
+    from the corpus instead of mixture_plan's user map. alpha = 3/4
+    exercises the composite power branch (r2 * r4 — both floor'd roots
+    carry). Every power is exact integer composition of IEEE-correctly-
+    rounded sqrt under a 2^53 domain guard, shares/targets/rates in
+    DECIMAL(38,0)/HUGEINT — bit-equal on any engine. The 140k budget is
+    ~94% of sf0.01 mass (every tail language caps at rate 10^6 while
+    'en' stays fractional — both branches carry mass) and ~9% of sf0.1
+    mass (nothing caps): the cap logic is value-checked at one scale,
+    the fractional path at both."""
+    from .operators.sampling import temperature_plan
+
+    return temperature_plan(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars",
+        budget_tokens=140_000, alpha_quarters=3,
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

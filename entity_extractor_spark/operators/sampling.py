@@ -334,3 +334,96 @@ def leakage_safe_splits(
         split_col=split_col,
     )
     return labeled
+
+
+_SQRT_DOMAIN = 1 << 53  # doubles represent every integer below this exactly
+
+
+def temperature_plan(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    budget_tokens: int,
+    alpha_quarters: int = 2,
+) -> DataFrame:
+    """Temperature-based mixture planning — the multilingual sampling
+    standard (mT5 §3.1 / XLM-R: sample group g with probability
+    proportional to mass^alpha, alpha < 1) where mixture_plan takes
+    USER weights, this derives them from the data: upsample the tail
+    languages/sources, damp the head, without hand-tuning a weight map.
+
+    alpha is quarters in {1,2,3,4} (0.25/0.5/0.75/1.0) so every power is
+    exact integer composition of floor'd square roots:
+        r2 = floor(sqrt(m))   r4 = floor(sqrt(r2))
+        s  = r4 | r2 | r2*r4 | m        (alpha_quarters = 1|2|3|4)
+    sqrt is IEEE-correctly-rounded in every engine, and m is guarded
+    below 2^53 (exact double domain), so s — hence every share — is
+    engine/partitioning-invariant. (2^53 chars ~ 9 PB in one group;
+    the guard raises loudly rather than planning off a lossy cast.)
+
+    Output (group, available, share_raw_ppm, share_temp_ppm,
+    target_tokens, rate_ppm): shares on the ppm grid (raw = mass/total,
+    temp = s/total_s — the before/after view of the temperature);
+    target_tokens = budget * s div sum(s) exactly; rate_ppm =
+    min(10^6, target*10^6 div available) on sample_stratified's DENOM
+    grid (rate_ppm == 10^6 flags a group whose target exceeds what it
+    has — take everything and still fall short). Zero-mass groups plan
+    to 0 (derived weight 0) — unlike mixture_plan, where a USER weight
+    on an absent group must surface as under-resourced.
+
+    Scale shape: ONE algebraic aggregation to the per-group stats table,
+    two collected scalars (total mass, total s — pagerank scalar
+    doctrine, never a 1-row crossJoin), then pure column arithmetic in
+    DECIMAL(38,0) over the tiny plan table."""
+    if alpha_quarters not in (1, 2, 3, 4):
+        raise ValueError("alpha_quarters must be 1, 2, 3 or 4")
+    if type(budget_tokens) is not int or budget_tokens < 0:
+        raise ValueError("budget_tokens must be a non-negative int")
+    avail = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(tokens_col).cast("long").alias("available")
+    )
+    checked = (
+        f"CASE WHEN available >= {_SQRT_DOMAIN} OR available < 0 THEN "
+        f"CAST(raise_error(concat('temperature_plan: group mass outside "
+        f"[0, 2^53): ', CAST(available AS STRING))) AS BIGINT) "
+        f"ELSE available END"
+    )
+    r2 = "CAST(floor(sqrt(CAST(_m AS DOUBLE))) AS BIGINT)"
+    r4 = "CAST(floor(sqrt(CAST(_r2 AS DOUBLE))) AS BIGINT)"
+    s_by_alpha = {1: "_r4", 2: "_r2", 3: "_r2 * _r4", 4: "_m"}
+    weighted = (
+        avail.withColumn("_m", F.expr(checked))
+        .withColumn("_r2", F.expr(r2))
+        .withColumn("_r4", F.expr(r4))
+        .withColumn("_s", F.expr(s_by_alpha[alpha_quarters]))
+    ).localCheckpoint()
+    tot = weighted.agg(
+        F.sum("_m").cast("long").alias("mt"),
+        F.sum("_s").cast("long").alias("st"),
+    ).collect()[0]
+    m_tot, s_tot = int(tot.mt or 0), int(tot.st or 0)
+    if s_tot == 0:
+        raise ValueError("temperature_plan: corpus has no mass to plan over")
+    return weighted.select(
+        F.col("grp").alias(group_col),
+        "available",
+        F.expr(
+            f"CAST(CAST(_m AS DECIMAL(38,0)) * {DENOM} div {m_tot} AS BIGINT)"
+        ).alias("share_raw_ppm"),
+        F.expr(
+            f"CAST(CAST(_s AS DECIMAL(38,0)) * {DENOM} div {s_tot} AS BIGINT)"
+        ).alias("share_temp_ppm"),
+        F.expr(
+            f"CAST(CAST({budget_tokens} AS DECIMAL(38,0)) * _s div {s_tot}"
+            f" AS BIGINT)"
+        ).alias("target_tokens"),
+        F.when(F.col("available") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr(
+                f"CAST(LEAST(CAST({DENOM} AS DECIMAL(38,0)),"
+                f" CAST(CAST({budget_tokens} AS DECIMAL(38,0)) * _s div {s_tot}"
+                f" AS DECIMAL(38,0)) * {DENOM} div available) AS BIGINT)"
+            )
+        )
+        .alias("rate_ppm"),
+    )

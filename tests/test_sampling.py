@@ -412,3 +412,61 @@ def test_leakage_safe_splits_singletons_match_assign_splits(spark):
             assert safe[d] == naive[d]
     # members 1,2 both take the keeper's (=1's) naive label
     assert safe[1] == safe[2] == naive[1]
+
+
+def test_temperature_plan_math_and_branches(spark):
+    import math
+
+    from entity_extractor_spark.operators.sampling import temperature_plan
+
+    rows = [("en", 64437), ("zh", 22833), ("es", 21756), ("de", 0)]
+    df = spark.createDataFrame(
+        [(g, m) for g, m in rows for _ in range(1)], "lang string, toks long"
+    )
+    budget = 60_000
+    got = {
+        r.lang: r
+        for r in temperature_plan(df, "lang", "toks", budget, 3).collect()
+    }
+    s = {g: math.isqrt(m) * math.isqrt(math.isqrt(m)) for g, m in rows}
+    mt, st = sum(m for _, m in rows), sum(s.values())
+    for g, m in rows:
+        r = got[g]
+        assert r.available == m
+        assert r.share_raw_ppm == m * 10**6 // mt
+        assert r.share_temp_ppm == s[g] * 10**6 // st
+        assert r.target_tokens == budget * s[g] // st
+        if m == 0:
+            assert r.rate_ppm == 0  # derived weight 0: nothing to plan
+        else:
+            assert r.rate_ppm == min(10**6, (budget * s[g] // st) * 10**6 // m)
+    # temperature flattens: the head's temp share < raw share, tail's >
+    assert got["en"].share_temp_ppm < got["en"].share_raw_ppm
+    assert got["zh"].share_temp_ppm > got["zh"].share_raw_ppm
+    # alpha=1.0 (quarters=4) reproduces the raw shares exactly
+    flat = {
+        r.lang: r
+        for r in temperature_plan(df, "lang", "toks", budget, 4).collect()
+    }
+    for g, m in rows:
+        assert flat[g].share_temp_ppm == flat[g].share_raw_ppm
+
+
+def test_temperature_plan_guards(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.sampling import temperature_plan
+
+    df = spark.createDataFrame([("en", 10)], "lang string, toks long")
+    with pytest.raises(ValueError):
+        temperature_plan(df, "lang", "toks", 100, 5)
+    with pytest.raises(ValueError):
+        temperature_plan(df, "lang", "toks", -1, 2)
+    with pytest.raises(ValueError):
+        temperature_plan(df, "lang", "toks", True, 2)  # bool is not a budget
+    big = spark.createDataFrame([("en", 1 << 53)], "lang string, toks long")
+    with pytest.raises(Exception, match="outside"):
+        temperature_plan(big, "lang", "toks", 100, 2).collect()
+    zero = spark.createDataFrame([("en", 0)], "lang string, toks long")
+    with pytest.raises(ValueError, match="no mass"):
+        temperature_plan(zero, "lang", "toks", 100, 2)
