@@ -9140,6 +9140,78 @@ def curate_temperature_mix(spark, sf_dir):
     )
 
 
+
+@query(
+    "curate_forget_cascade",
+    """WITH req AS (
+         SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k FROM customer
+         WHERE c_custkey % 131 = 0
+         UNION SELECT CAST(-1 AS BIGINT) UNION SELECT CAST(-2 AS BIGINT)),
+       l0 AS (SELECT c.c_custkey AS mk, c.c_custkey AS ek
+              FROM customer c JOIN req ON c.c_custkey = req.k),
+       f1 AS (SELECT DISTINCT ek AS k FROM l0 WHERE ek IS NOT NULL),
+       l1 AS (SELECT o.o_custkey AS mk, o.o_orderkey AS ek
+              FROM orders o JOIN f1 ON o.o_custkey = f1.k),
+       f2 AS (SELECT DISTINCT ek AS k FROM l1 WHERE ek IS NOT NULL),
+       l2 AS (SELECT l.l_orderkey AS mk, l.l_orderkey AS ek
+              FROM lineitem l JOIN f2 ON l.l_orderkey = f2.k),
+       f3 AS (SELECT DISTINCT ek AS k FROM l2 WHERE ek IS NOT NULL)
+       SELECT CAST(0 AS BIGINT) AS depth, 'customer' AS table_name,
+              (SELECT CAST(count(*) AS BIGINT) FROM l0) AS n_rows,
+              (SELECT CAST(count(DISTINCT mk) AS BIGINT) FROM l0) AS n_matched_keys,
+              (SELECT CAST(count(*) AS BIGINT) FROM f1) AS n_emit_keys,
+              (SELECT CAST(COALESCE(sum(CAST(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) AS HUGEINT)), 0) % 2305843009213693951 AS BIGINT) FROM f1) AS digest1,
+              (SELECT CAST(COALESCE(sum(CAST(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 13, 12)) AS BIGINT) AS HUGEINT)), 0) % 2305843009213693951 AS BIGINT) FROM f1) AS digest2
+       UNION ALL
+       SELECT CAST(1 AS BIGINT) AS depth, 'orders' AS table_name,
+              (SELECT CAST(count(*) AS BIGINT) FROM l1) AS n_rows,
+              (SELECT CAST(count(DISTINCT mk) AS BIGINT) FROM l1) AS n_matched_keys,
+              (SELECT CAST(count(*) AS BIGINT) FROM f2) AS n_emit_keys,
+              (SELECT CAST(COALESCE(sum(CAST(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) AS HUGEINT)), 0) % 2305843009213693951 AS BIGINT) FROM f2) AS digest1,
+              (SELECT CAST(COALESCE(sum(CAST(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 13, 12)) AS BIGINT) AS HUGEINT)), 0) % 2305843009213693951 AS BIGINT) FROM f2) AS digest2
+       UNION ALL
+       SELECT CAST(2 AS BIGINT) AS depth, 'lineitem' AS table_name,
+              (SELECT CAST(count(*) AS BIGINT) FROM l2) AS n_rows,
+              (SELECT CAST(count(DISTINCT mk) AS BIGINT) FROM l2) AS n_matched_keys,
+              (SELECT CAST(count(*) AS BIGINT) FROM f3) AS n_emit_keys,
+              (SELECT CAST(COALESCE(sum(CAST(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) AS HUGEINT)), 0) % 2305843009213693951 AS BIGINT) FROM f3) AS digest1,
+              (SELECT CAST(COALESCE(sum(CAST(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 13, 12)) AS BIGINT) AS HUGEINT)), 0) % 2305843009213693951 AS BIGINT) FROM f3) AS digest2""",
+)
+def curate_forget_cascade(spark, sf_dir):
+    """Right-to-be-forgotten deletion cascade (cdc.forget_cascade): every
+    131st customer requests erasure (plus two keys that never existed —
+    already-gone users are level-0 shrinkage, not an error), and the
+    manifest walks the FK chain customer -> orders -> lineitem: per
+    level the rows to delete, the frontier keys that hit, and the NEXT
+    frontier pinned as dataset_digest's order/partition/engine-invariant
+    multiset sum — so the gate value-checks the exact key SETS flowing
+    down the cascade, not just their sizes. Per level: one hash equi-
+    join against the localCheckpoint'd distinct frontier (AQE broadcasts
+    it at runtime when small; nothing assumes it) + two algebraic aggs.
+    This is the audit artifact a compliance deletion job emits before
+    touching data; the digest makes two runs or two engines comparable
+    line by line."""
+    from .operators.cdc import forget_cascade
+
+    cust = _t(spark, sf_dir, "customer")
+    reqs = (
+        cust.where("c_custkey % 131 = 0")
+        .select(F.col("c_custkey").cast("long").alias("k"))
+        .unionAll(
+            spark.createDataFrame([(-1,), (-2,)], "k long")
+        )
+    )
+    return forget_cascade(
+        reqs,
+        "k",
+        [
+            ("customer", cust, "c_custkey", "c_custkey"),
+            ("orders", _t(spark, sf_dir, "orders"), "o_custkey", "o_orderkey"),
+            ("lineitem", _t(spark, sf_dir, "lineitem"), "l_orderkey", None),
+        ],
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -232,3 +232,94 @@ def as_of_state(
         F.col("_ch._ts").alias("as_of_ts"),
         F.col("_ch._seq").alias("as_of_seq"),
     )
+
+
+def forget_cascade(
+    requests: DataFrame,
+    request_key: str,
+    levels: list[tuple[str, DataFrame, str, str | None]],
+) -> DataFrame:
+    """Right-to-be-forgotten deletion cascade: given a table of deletion
+    requests (GDPR/CCPA erasure keys) and an ordered chain of derived
+    tables, compute the full downstream removal manifest — what every
+    deletion job must produce BEFORE touching data, and what the
+    compliance audit quotes after.
+
+    `levels` is the FK chain: (table_name, df, match_col, emit_col).
+    Level 0's match_col joins the request keys; level i's joins the
+    keys level i-1 emitted (emit_col values of its matched rows).
+    emit_col=None terminates the chain (last level only — anything
+    after it would have no frontier to match).
+
+    Output, one row per level:
+        (depth, table_name, n_rows, n_matched_keys, n_emit_keys,
+         digest1, digest2)
+    n_rows = rows to delete; n_matched_keys = distinct frontier keys
+    that actually hit (requests for unknown keys are visible as
+    level-0 shrinkage, not an error — erasure requests routinely name
+    already-gone users); n_emit_keys + the two digests describe the
+    NEXT frontier via snapshot.dataset_digest's order/partition/engine-
+    invariant multiset sum — so the manifest pins the exact key SETS
+    flowing down the cascade, not just their sizes, and two runs (or
+    two engines) can be compared line by line.
+
+    Scale shape: per level ONE hash equi-join of the table against the
+    (distinct, localCheckpoint'd) frontier — the frontier is usually
+    small enough to broadcast and AQE does so at runtime, but nothing
+    assumes it — plus two algebraic aggregations (row/key counts, the
+    digest). No windows, no driver-side key materialization: only the
+    per-level scalar counts are collected (pagerank scalar doctrine).
+    NULL request keys are dropped (a NULL erasure key is no key);
+    NULL emit values simply don't extend the frontier (a row with no
+    child link has no children)."""
+    from .snapshot import dataset_digest
+
+    if not levels:
+        raise ValueError("forget_cascade: levels must be non-empty")
+    for i, (_, _, _, emit) in enumerate(levels):
+        if emit is None and i != len(levels) - 1:
+            raise ValueError(
+                "forget_cascade: emit_col=None is only valid on the last level"
+            )
+    frontier = (
+        requests.select(F.col(request_key).alias("_fk"))
+        .where(F.col("_fk").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = requests.sparkSession
+    out: list[tuple[int, str, int, int, int, int, int]] = []
+    for depth, (name, df, match_col, emit_col) in enumerate(levels):
+        matched = df.join(
+            frontier, on=df[match_col] == frontier["_fk"], how="inner"
+        )
+        stats = matched.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(F.col(match_col)).cast("long").alias("n_hit"),
+        ).collect()[0]
+        key_src = emit_col if emit_col is not None else match_col
+        nxt = (
+            matched.select(F.col(key_src).alias("_fk"))
+            .where(F.col("_fk").isNotNull())
+            .distinct()
+            .localCheckpoint()
+        )
+        dig = dataset_digest(nxt, ["_fk"]).collect()[0]
+        out.append(
+            (
+                depth,
+                name,
+                int(stats.n_rows or 0),
+                int(stats.n_hit or 0),
+                int(dig.n_rows or 0),
+                int(dig.digest1 or 0),
+                int(dig.digest2 or 0),
+            )
+        )
+        if emit_col is not None:
+            frontier = nxt
+    return spark.createDataFrame(
+        out,
+        "depth long, table_name string, n_rows long, n_matched_keys long, "
+        "n_emit_keys long, digest1 long, digest2 long",
+    )

@@ -201,3 +201,54 @@ def test_as_of_state_rejects_bad_op(spark):
     df = spark.createDataFrame([(1, 10, 1, "X", 5)], _AOF_SCHEMA)
     with pytest.raises(Exception, match="Exception|I/U/D"):
         as_of_state(df, "k", "ts", "seq", "op", ["bal"], 99).collect()
+
+
+def test_forget_cascade_chain_and_guards(spark):
+    from entity_extractor_spark.operators.cdc import forget_cascade
+    from entity_extractor_spark.operators.snapshot import dataset_digest
+
+    cust = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "ck long, name string"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3), (14, None)],
+        "ok long, ck long",
+    )
+    items = spark.createDataFrame(
+        [(10, "x"), (10, "y"), (12, "z"), (99, "w")], "ok long, sku string"
+    )
+    reqs = spark.createDataFrame([(1,), (2,), (777,), (None,)], "k long")
+    out = {
+        r.table_name: r
+        for r in forget_cascade(
+            reqs, "k",
+            [
+                ("customer", cust, "ck", "ck"),
+                ("orders", orders, "ck", "ok"),
+                ("items", items, "ok", None),
+            ],
+        ).collect()
+    }
+    c, o, i = out["customer"], out["orders"], out["items"]
+    assert (c.depth, c.n_rows, c.n_matched_keys, c.n_emit_keys) == (0, 2, 2, 2)
+    # customers 1,2 -> orders 10,11,12 (order 14 has NULL ck: untouched)
+    assert (o.depth, o.n_rows, o.n_matched_keys, o.n_emit_keys) == (1, 3, 2, 3)
+    # orders 10,12 hit items (11 has none, 99 not in frontier)
+    assert (i.depth, i.n_rows, i.n_matched_keys, i.n_emit_keys) == (2, 3, 2, 2)
+    # the digest pins the frontier key SET: recompute independently
+    exp = dataset_digest(
+        spark.createDataFrame([(10,), (11,), (12,)], "_fk long"), ["_fk"]
+    ).collect()[0]
+    assert (o.digest1, o.digest2) == (exp.digest1, exp.digest2)
+    # unknown request keys shrink nothing downstream; empty digest is 0
+    none_hit = forget_cascade(
+        spark.createDataFrame([(777,)], "k long"), "k",
+        [("customer", cust, "ck", None)],
+    ).collect()[0]
+    assert (none_hit.n_rows, none_hit.digest1, none_hit.digest2) == (0, 0, 0)
+    import pytest
+
+    with pytest.raises(ValueError, match="last level"):
+        forget_cascade(reqs, "k", [("a", cust, "ck", None), ("b", orders, "ck", None)])
+    with pytest.raises(ValueError, match="non-empty"):
+        forget_cascade(reqs, "k", [])
