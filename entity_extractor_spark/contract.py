@@ -9212,6 +9212,64 @@ def curate_forget_cascade(spark, sf_dir):
     )
 
 
+
+def _rp_signs_sql(in_dim: int, out_dim: int, salt: str = "rp0") -> str:
+    """The JL sign matrix as a VALUES table — generated from the same
+    similarity.rp_sign the Spark side embeds as literals."""
+    rows = ", ".join(
+        f"({i}, {j}, {SIM.rp_sign(i, j, salt)})"
+        for i in range(in_dim)
+        for j in range(out_dim)
+    )
+    return f"(VALUES {rows}) signs(i, j, s)"
+
+
+@query(
+    "ann_rp_topk",
+    f"""WITH vecs AS (
+         SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS v
+         FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)
+       ),
+       m AS (SELECT max(abs(v)) AS ma FROM vecs),
+       q AS (SELECT d, CAST(FLOOR(v * 127.0 / (SELECT ma FROM m) + 0.5) AS BIGINT) AS qq
+             FROM vecs WHERE vec_id = 0),
+       c AS (SELECT vec_id, d, CAST(FLOOR(v * 127.0 / (SELECT ma FROM m) + 0.5) AS BIGINT) AS qc
+             FROM vecs WHERE vec_id <> 0),
+       r AS (SELECT c.vec_id, signs.j, CAST(sum(qc * s) AS BIGINT) AS rv
+             FROM c JOIN {_rp_signs_sql(64, 16)} ON c.d = signs.i
+             GROUP BY 1, 2),
+       qr AS (SELECT signs.j, CAST(sum(qq * s) AS BIGINT) AS qv
+              FROM q JOIN {_rp_signs_sql(64, 16)} ON q.d = signs.i
+              GROUP BY 1),
+       sc AS (SELECT r.vec_id, CAST(sum(rv * qv) AS BIGINT) AS qscore
+              FROM r JOIN qr USING (j) GROUP BY 1)
+       SELECT vec_id, qscore, CAST(rnk AS BIGINT) AS rank FROM (
+         SELECT vec_id, qscore,
+                row_number() OVER (ORDER BY qscore DESC, vec_id) AS rnk FROM sc)
+       WHERE rnk <= 10""",
+)
+def ann_rp_topk(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection ANN (similarity.
+    rp_project_coded): int8-quantize the corpus (the existing SQ8 step),
+    project 64 -> 16 dims with the md5-derived +/-1 Achlioptas matrix
+    (rp_sign — ONE source of truth, embedded as Spark literals and
+    rebuilt as the oracle's VALUES table), rank by exact BIGINT dot in
+    the projected space — the coarse pre-ranker of a quantize ->
+    project -> rerank funnel: another 4x store shrink and a 4x cheaper
+    scoring dot, with JL's O(1/sqrt(16)) pairwise-dot distortion. The
+    projection is a pure map (one codegen'd F.aggregate per output dim,
+    no shuffle, length-checked executor-side); ranking is the same
+    TakeOrderedAndProject path as the int8 ranker. All-integer end to
+    end, so the replay is bit-exact by construction."""
+    e = _t(spark, sf_dir, "embeddings")
+    ma = SIM.corpus_max_abs(e)
+    coded = SIM.quantize_embeddings(e.where("vec_id <> 0"), max_abs=ma)
+    projected = SIM.rp_project_coded(coded, in_dim=64, out_dim=16)
+    qv = [float(x) for x in e.where("vec_id = 0").select("embedding").head()[0]]
+    q_rp = SIM.rp_query(SIM.quantize_query(qv, ma), out_dim=16)
+    return SIM.rp_topk(projected, q_rp, k=10)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -19,6 +19,7 @@ prunes ~(1 - 1/2^bits) of the corpus per probe.
 
 from __future__ import annotations
 
+import hashlib
 from math import floor as math_floor
 
 from pyspark.sql import Column, DataFrame, Window
@@ -721,3 +722,91 @@ def pq_topk(
     q8 = quantize_query(query_vec, ma)
     enc = pq_encode(coded, books, id_col)
     return pq_topk_encoded(enc, books, q8, id_col, k, exclude_ids)
+
+
+# ------------------------------------------------ random projection (JL) --
+
+def rp_sign(i: int, j: int, salt: str = "rp0") -> int:
+    """The +1/-1 Johnson-Lindenstrauss projection cell s_ij, md5-derived
+    (Achlioptas 2003 sign matrix) — one source of truth: the operator
+    embeds these as literals and the DuckDB oracles rebuild the identical
+    matrix from the same seed strings."""
+    v = int(hashlib.md5(f"rp:{salt}:{i}:{j}".encode()).hexdigest()[:2], 16)
+    return 1 if v % 2 == 0 else -1
+
+
+def rp_project_coded(
+    coded: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+    salt: str = "rp0",
+) -> DataFrame:
+    """Project already-quantized integer vectors to out_dim dimensions
+    with the +/-1 JL matrix: (id, rvec) where rvec[j] = sum_i v_i*s_ij —
+    exact BIGINT arithmetic, so projections (and any ranking over them)
+    are engine/partitioning-invariant.
+
+    Why on the QUANTIZED codes: int8 in, ~15-bit ints out — the reduced
+    store is another ~(in_dim/out_dim)x smaller than the SQ8 codes and
+    the scoring dot touches out_dim multiplies instead of in_dim. This
+    is the coarse pre-ranker of a quantize -> project -> rerank-exact
+    funnel; JL guarantees pairwise dots distort by O(1/sqrt(out_dim)).
+
+    Scale shape: a pure map over the corpus (no shuffle, no UDF — one
+    F.aggregate per output dim inside whole-stage codegen); a wrong
+    vector length raises executor-side (a silently-truncated zip would
+    corrupt every score downstream)."""
+    if in_dim <= 0 or out_dim <= 0:
+        raise ValueError("in_dim and out_dim must be > 0")
+    checked = F.when(
+        F.size(F.col(vec_col)) == in_dim, F.col(vec_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"rp_project: expected {in_dim}-dim vector, got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
+    outs = []
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(rp_sign(i, j, salt)) for i in range(in_dim)])
+        outs.append(
+            F.aggregate(
+                F.zip_with(checked, signs, lambda a, b: (a * b).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias(f"_r{j}")
+        )
+    return coded.select(F.col(id_col), *outs).select(
+        F.col(id_col),
+        F.array(*[F.col(f"_r{j}") for j in range(out_dim)]).alias("rvec"),
+    )
+
+
+def rp_query(q_codes: list[int], out_dim: int, salt: str = "rp0") -> list[int]:
+    """Driver-side twin of rp_project_coded for a single query vector."""
+    in_dim = len(q_codes)
+    return [
+        sum(int(v) * rp_sign(i, j, salt) for i, v in enumerate(q_codes))
+        for j in range(out_dim)
+    ]
+
+
+def rp_topk(
+    projected: DataFrame,
+    q_rp: list[int],
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by integer dot in the projected space: (vec_id, qscore,
+    rank) — same distributed TakeOrderedAndProject scoring path as the
+    int8 ranker (quantized_topk_coded), just over the reduced vectors."""
+    return quantized_topk_coded(
+        projected.select(F.col(id_col), F.col("rvec").alias("qvec")),
+        q_rp,
+        id_col=id_col,
+        k=k,
+    )

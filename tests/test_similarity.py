@@ -173,3 +173,55 @@ def test_hamming_ball():
     ball = hamming_ball("101", 2)
     assert "101" in ball and len(ball) == 1 + 3 + 3
     assert ball == sorted(set(ball))
+
+
+def test_rp_projection_matches_python_replay(spark):
+    import random
+
+    from entity_extractor_spark.operators import similarity as S
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.randrange(-127, 128) for _ in range(8)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, qvec array<int>")
+    got = {
+        r.vec_id: list(r.rvec)
+        for r in S.rp_project_coded(df, in_dim=8, out_dim=4).collect()
+    }
+    for vid, vec in rows:
+        exp = [
+            sum(v * S.rp_sign(i, j) for i, v in enumerate(vec))
+            for j in range(4)
+        ]
+        assert got[vid] == exp, vid
+    # driver-side twin agrees with the distributed projection
+    assert S.rp_query(rows[0][1], 4) == got[rows[0][0]]
+
+
+def test_rp_projection_guards(spark):
+    import pytest
+
+    from entity_extractor_spark.operators import similarity as S
+
+    df = spark.createDataFrame([(1, [1, 2, 3])], "vec_id long, qvec array<int>")
+    with pytest.raises(Exception, match="expected 8-dim"):
+        S.rp_project_coded(df, in_dim=8, out_dim=4).collect()
+    with pytest.raises(ValueError):
+        S.rp_project_coded(df, in_dim=3, out_dim=0)
+
+
+def test_rp_topk_prefers_aligned_vectors(spark):
+    from entity_extractor_spark.operators import similarity as S
+
+    # the projected dot must still rank an identical vector above an
+    # anti-aligned one: JL preserves sign structure of large dots
+    base = [100, -50, 80, -20, 60, -90, 40, -10]
+    rows = [(1, base), (2, [-v for v in base]), (3, [0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, qvec array<int>")
+    proj = S.rp_project_coded(df, in_dim=8, out_dim=6)
+    q = S.rp_query(base, 6)
+    out = {r.vec_id: r for r in S.rp_topk(proj, q, k=3).collect()}
+    assert out[1].rank == 1
+    assert out[1].qscore > 0 and out[2].qscore == -out[1].qscore
+    assert out[3].qscore == 0
