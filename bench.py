@@ -149,7 +149,7 @@ def main() -> None:
     bucketed.count()
     qids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(8).collect()]
     t0 = time.time()
-    rec_single = rec_multi = rec_quant = rec_pq = 0.0
+    rec_single = rec_multi = rec_quant = rec_pq = rec_rp = 0.0
     # all 8 query vectors in ONE job (not one scan per query)
     qvecs = {
         r["vec_id"]: [float(x) for x in r["embedding"]]
@@ -167,6 +167,8 @@ def main() -> None:
     books = SIM.pq_codebooks(coded)
     enc = SIM.pq_encode(coded, books).cache()
     enc.count()
+    proj = SIM.rp_project_coded(coded, in_dim=64, out_dim=16).cache()
+    proj.count()
     for qid in qids:
         qv = qvecs[qid]
         rest = bucketed.where(F.col("vec_id") != qid)
@@ -226,16 +228,28 @@ def main() -> None:
         }
         rec_quant += len(exact_dot & quant) / len(exact_dot)
         rec_pq += len(exact_l2 & pq) / len(exact_l2)
+        # JL projection loss in isolation: vs the UNprojected int8 ranking
+        # (quant), not the float ranking — quant already carries the
+        # quantization loss line above
+        rp = {
+            r[0]
+            for r in SIM.rp_topk(
+                proj.where(F.col("vec_id") != qid), SIM.rp_query(q8, 16), k=10
+            ).select("vec_id").collect()
+        }
+        rec_rp += len(quant & rp) / len(quant)
     # reported as its own context key, NOT in queries{}: the queries map and
     # summed "value" stay like-for-like comparable with earlier rounds
     ann_recall_sec = round(time.time() - t0, 3)
     bucketed.unpersist()
     coded.unpersist()
     enc.unpersist()
+    proj.unpersist()
     ann_lsh_recall = round(rec_single / len(qids), 3)
     ann_multiprobe_recall = round(rec_multi / len(qids), 3)
     ann_quantized_recall = round(rec_quant / len(qids), 3)
     ann_pq_recall = round(rec_pq / len(qids), 3)
+    ann_rp_recall = round(rec_rp / len(qids), 3)
 
     total = round(sum(queries.values()), 3)
     print(
@@ -254,6 +268,7 @@ def main() -> None:
                 "ann_multiprobe_recall_at_10": ann_multiprobe_recall,
                 "ann_quantized_recall_at_10_vs_exact_dot": ann_quantized_recall,
                 "ann_pq_recall_at_10_vs_exact_l2": ann_pq_recall,
+                "ann_rp_recall_at_10_vs_int8_dot": ann_rp_recall,
                 "ann_recall_report_sec": ann_recall_sec,
                 "cpus": CPUS,
             }
