@@ -9270,6 +9270,63 @@ def ann_rp_topk(spark, sf_dir):
     return SIM.rp_topk(projected, q_rp, k=10)
 
 
+
+@query(
+    "text_centroid_class",
+    f"""WITH seeds AS (SELECT doc_id, text, lang FROM documents
+                     WHERE doc_id % 3 = 0),
+       ttok AS (SELECT doc_id, lang, tok FROM (
+                  SELECT doc_id, lang,
+                         unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                  FROM seeds) WHERE tok != ''),
+       ttf AS (SELECT doc_id, lang, {_TFIDF_BUCKET_SQL} AS bucket,
+                      CAST(count(*) AS BIGINT) AS tf
+               FROM ttok GROUP BY 1, 2, 3),
+       cent AS (SELECT lang AS label, bucket, CAST(sum(tf) AS BIGINT) AS ctf
+                FROM ttf GROUP BY 1, 2),
+       cn AS (SELECT label, CAST(sum(ctf * ctf) AS BIGINT) AS nc2
+              FROM cent GROUP BY 1),
+       dtok AS (SELECT doc_id, tok FROM (
+                  SELECT doc_id,
+                         unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                  FROM documents WHERE doc_id % 3 <> 0) WHERE tok != ''),
+       dv AS (SELECT doc_id, {_TFIDF_BUCKET_SQL} AS bucket,
+                     CAST(count(*) AS BIGINT) AS dtf
+              FROM dtok GROUP BY 1, 2),
+       dn AS (SELECT doc_id, CAST(sum(dtf * dtf) AS BIGINT) AS nd2
+              FROM dv GROUP BY 1),
+       dots AS (SELECT dv.doc_id, cent.label,
+                       CAST(sum(dv.dtf * cent.ctf) AS BIGINT) AS dot
+                FROM dv JOIN cent USING (bucket) GROUP BY 1, 2),
+       sc AS (SELECT doc_id, label,
+                     CAST(CAST(dot AS HUGEINT) * dot * 1000000
+                          // (CAST(nd2 AS HUGEINT) * nc2) AS BIGINT) AS score_ppm
+              FROM dots JOIN dn USING (doc_id) JOIN cn USING (label))
+       SELECT doc_id, label, score_ppm,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score_ppm DESC, label) AS BIGINT) AS rank
+       FROM sc""",
+)
+def text_centroid_class(spark, sf_dir):
+    """Rocchio/centroid domain classifier (text_quality.centroid_scores):
+    every third document is a labeled seed (class = lang), the rest score
+    squared-cosine against each class centroid on the exact ppm grid —
+    the train-in-one-aggregation curation classifier ("wiki-like vs
+    crawl-like") whose feature space is the SAME md5 hashed-TF the dense
+    retrieval path uses. cosine^2 keeps everything integer (dot, |d|^2,
+    |c|^2 are BIGINTs; one DECIMAL(38,0)/HUGEINT floor division) and is
+    rank-equivalent to cosine for non-negative TF vectors. Centroids are
+    (classes x 64 buckets) — broadcast into the bucket join; the per-doc
+    rank window is bounded by the class count. Value-checked at sf0.01
+    AND sf0.1 over 5 language classes."""
+    d = _t(spark, sf_dir, "documents")
+    return TQ.centroid_scores(
+        d.where("doc_id % 3 = 0"),
+        d.where("doc_id % 3 <> 0"),
+        "doc_id", "text", "lang",
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -786,3 +786,92 @@ def lm_bigram_score(
             " DIV sum(cnt) AS BIGINT)"
         ).alias("lm_score_ppm"),
     )
+
+
+def centroid_scores(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Rocchio/centroid text classifier — the curation-grade domain
+    scorer ("wiki-like vs crawl-like") trained in ONE aggregation:
+    each class's centroid is the summed hashed-TF vector of its seed
+    docs (disambiguate.hashed_tf's md5-bucket formula, so the feature
+    space is shared with the dense retrieval/disambiguation path), and
+    every candidate doc scores cosine^2 against every centroid on the
+    exact ppm grid:
+
+        (doc_id, label, score_ppm, rank)
+
+        score_ppm = 10^6 * dot^2 div (|d|^2 * |c|^2)
+
+    cosine^2 instead of cosine: TF counts are integers, so dot, |d|^2
+    and |c|^2 are exact BIGINTs and the squared-cosine quotient is ONE
+    DECIMAL(38,0) floor division — engine/partitioning-invariant with
+    no sqrt, no float summation. Squaring is monotone for non-negative
+    cosines (TF vectors are non-negative), so ranking is unchanged.
+    rank 1 = best class per doc (ties by label ascending). Docs with no
+    tokens are unscorable and absent; empty classes simply contribute
+    no centroid. NULL train labels raise executor-side (a silently
+    dropped seed class corrupts every ranking downstream).
+
+    Scale shape: the centroid table is (classes x 64 buckets) — tiny,
+    broadcast into the bucket-keyed join against the candidate TF
+    vectors; per-(doc, class) dot is an algebraic agg with map-side
+    partials; the per-doc rank window is bounded by the class count.
+    The 10^6 * dot^2 product runs in DECIMAL(38,0): a 10^12-row class
+    centroid squares past BIGINT long before it troubles 38 digits."""
+    from .disambiguate import hashed_tf
+
+    checked_label = F.when(
+        F.col(label_col).isNotNull(), F.col(label_col)
+    ).otherwise(
+        F.raise_error(F.lit("centroid_scores: NULL train label"))
+    )
+    seeds = train_df.select(
+        F.col(id_col).alias("_tid"),
+        F.col(text_col).alias("_ttext"),
+        checked_label.alias("_lbl"),
+    )
+    tf = hashed_tf(seeds, "_tid", "_ttext")
+    cent = (
+        tf.join(seeds.select("_tid", "_lbl").distinct(), tf.id == F.col("_tid"))
+        .groupBy(F.col("_lbl").alias("label"), "bucket")
+        .agg(F.sum(F.col("tf").cast("long")).alias("ctf"))
+    ).localCheckpoint()
+    cnorm = cent.groupBy("label").agg(
+        F.sum(F.col("ctf") * F.col("ctf")).cast("long").alias("nc2")
+    )
+    dv = hashed_tf(score_df, id_col, text_col).select(
+        F.col("id").alias("doc_id"), "bucket", F.col("tf").cast("long").alias("dtf")
+    )
+    dnorm = dv.groupBy("doc_id").agg(
+        F.sum(F.col("dtf") * F.col("dtf")).cast("long").alias("nd2")
+    )
+    dots = (
+        dv.join(F.broadcast(cent), "bucket")
+        .groupBy("doc_id", "label")
+        .agg(F.sum(F.col("dtf") * F.col("ctf")).cast("long").alias("dot"))
+    )
+    scored = (
+        dots.join(dnorm, "doc_id")
+        .join(F.broadcast(cnorm), "label")
+        .withColumn(
+            "score_ppm",
+            F.expr(
+                "CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000"
+                " DIV (CAST(nd2 AS DECIMAL(38,0)) * nc2) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("label")
+    )
+    return scored.select(
+        "doc_id",
+        "label",
+        "score_ppm",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
