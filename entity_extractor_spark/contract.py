@@ -9327,6 +9327,81 @@ def text_centroid_class(spark, sf_dir):
     )
 
 
+
+@query(
+    "kg_lp_eval",
+    """WITH p_all AS (
+         SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey
+          AND a.l_quantity >= 25 AND b.l_quantity >= 25
+         WHERE a.l_partkey < b.l_partkey),
+       hold AS (SELECT s, t FROM p_all WHERE (s + t) % 11 = 0),
+       keep AS (SELECT s, t FROM p_all WHERE (s + t) % 11 <> 0),
+       und AS (SELECT s AS src, t AS dst FROM keep
+               UNION ALL SELECT t, s FROM keep),
+       q AS (SELECT DISTINCT s AS u FROM hold),
+       deg AS (SELECT src AS z, count(*) AS deg FROM und GROUP BY src),
+       midok AS (SELECT z AS m, CAST(1000000000 // deg AS BIGINT) AS ra
+                 FROM deg WHERE deg <= 40),
+       nbu AS (SELECT und.src AS m, und.dst AS u, midok.ra
+               FROM und JOIN midok ON und.src = midok.m
+               JOIN q ON und.dst = q.u),
+       nbv AS (SELECT und.src AS m, und.dst AS v
+               FROM und JOIN midok ON und.src = midok.m),
+       wed AS (SELECT nbu.u, nbv.v, nbu.ra FROM nbu
+               JOIN nbv ON nbu.m = nbv.m AND nbu.u <> nbv.v),
+       sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+                     CAST(sum(ra) AS BIGINT) AS ra
+              FROM wed GROUP BY u, v),
+       cand AS (SELECT sc.* FROM sc
+                LEFT JOIN und ON und.src = sc.u AND und.dst = sc.v
+                WHERE und.src IS NULL),
+       rk AS (SELECT u, v,
+                     CAST(row_number() OVER (PARTITION BY u
+                          ORDER BY ra DESC, cn DESC, v) AS BIGINT) AS _rk
+              FROM cand),
+       j AS (SELECT h.s, h.t, rk._rk FROM hold h
+             LEFT JOIN rk ON rk.u = h.s AND rk.v = h.t)
+       SELECT CAST(count(*) AS BIGINT) AS n_truth,
+              CAST(count(_rk) AS BIGINT) AS n_found,
+              CAST(sum(COALESCE(1000000 // _rk, 0)) // count(*) AS BIGINT)
+                AS mrr_ppm,
+              CAST(count(CASE WHEN _rk <= 1 THEN 1 END) * 1000000 // count(*)
+                AS BIGINT) AS hits_1_ppm,
+              CAST(count(CASE WHEN _rk <= 10 THEN 1 END) * 1000000 // count(*)
+                AS BIGINT) AS hits_10_ppm
+       FROM j""",
+)
+def kg_lp_eval(spark, sf_dir):
+    """Link-prediction evaluation harness (graph.lp_candidate_scores +
+    er_metrics.ranking_metrics): hold out every co-order edge with
+    (s+t) % 11 == 0, score query-centric candidates for the held-out
+    sources over the REMAINING graph (capped-middle RA/CN wedges, the
+    filtered setting — observed edges anti-joined away), and report
+    filtered MRR + Hits@1/10 with unreachable positives kept in the
+    denominator (n_found shows the gap — dropping them is how LP
+    numbers get quietly inflated). This is the TransE-protocol
+    evaluation loop the KG-completion stack (negative_sample,
+    contrastive_pairs, rule_inference) was missing: the predictor and
+    its scorecard in one value-checked plan. Pure integer ranks/ppm —
+    floor-mean MRR, never a float mean."""
+    from .operators.er_metrics import ranking_metrics
+    from .operators.graph import lp_candidate_scores
+
+    pairs = _q25_edges(spark, sf_dir).distinct().localCheckpoint()
+    hold = pairs.where("(src + dst) % 11 = 0")
+    keep = pairs.where("(src + dst) % 11 <> 0")
+    cand = lp_candidate_scores(
+        keep, hold.select("src"), "src", max_middle_degree=40
+    )
+    return ranking_metrics(
+        cand,
+        hold.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        "u", "v", ["ra_1e9", "common_neighbors"], ks=(1, 10),
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -402,3 +402,66 @@ def bcubed_metrics(df: DataFrame, pred_col: str, gold_col: str) -> DataFrame:
             ),
         ),
     )
+
+
+def ranking_metrics(
+    candidates: DataFrame,
+    truth: DataFrame,
+    query_col: str,
+    cand_col: str,
+    score_cols: list[str],
+    ks: tuple[int, ...] = (1, 10),
+) -> DataFrame:
+    """Filtered MRR / Hits@k over a scored candidate table — the
+    standard KG link-prediction evaluation (Bordes et al. TransE
+    protocol) and the generic IR ranking scorecard: rank every query's
+    candidates by (score_cols DESC ..., candidate ASC — a total order),
+    look up each truth pair's rank, and aggregate:
+
+        (n_truth, n_found, mrr_ppm, hits_{k}_ppm ...)
+
+    A truth pair absent from the candidates ranks 'infinity': it
+    contributes 0 to MRR and every Hits@k but STAYS in the denominator
+    (n_truth) — dropping unreachable positives is how link-prediction
+    numbers get quietly inflated; n_found makes the gap explicit.
+    MRR is the floor-mean of 10^6 div rank (per-item floor then floor
+    mean — deterministic on any engine; a float mean is not). NULL
+    truth keys raise executor-side (an ungradable positive silently
+    shrinking the denominator corrupts the metric).
+
+    Scale shape: one query-partitioned row_number (bounded by the
+    per-query candidate count — never global), one hash left-join of
+    the (distinct) truth pairs, ONE algebraic aggregation."""
+    if not score_cols:
+        raise ValueError("score_cols must be non-empty")
+    if not ks or any(k <= 0 for k in ks):
+        raise ValueError("ks must be positive")
+    w = Window.partitionBy(F.col(query_col)).orderBy(
+        *[F.col(c).desc() for c in score_cols], F.col(cand_col).asc()
+    )
+    ranked = candidates.select(
+        F.col(query_col).alias("_q"),
+        F.col(cand_col).alias("_c"),
+        F.row_number().over(w).cast("long").alias("_rk"),
+    )
+    checked = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(), F.col(c)
+    ).otherwise(F.raise_error(F.lit(f"ranking_metrics: NULL truth {c}")))
+    t = truth.select(
+        checked(query_col).alias("_q"), checked(cand_col).alias("_c")
+    ).distinct()
+    j = t.join(ranked, ["_q", "_c"], "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.count("_rk").cast("long").alias("n_found"),
+        F.expr(
+            "CAST(sum(COALESCE(1000000 DIV _rk, 0)) DIV count(1) AS BIGINT)"
+        ).alias("mrr_ppm"),
+        *[
+            F.expr(
+                f"CAST(count(CASE WHEN _rk <= {int(k)} THEN 1 END) * 1000000"
+                f" DIV count(1) AS BIGINT)"
+            ).alias(f"hits_{int(k)}_ppm")
+            for k in ks
+        ],
+    )

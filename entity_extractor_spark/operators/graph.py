@@ -1632,3 +1632,61 @@ def strongly_connected(
             F.col("src").alias("vertex"), F.col("dst").alias("scc")
         )
     return assigned.select(F.col("v").alias("vertex"), "scc")
+
+
+def lp_candidate_scores(
+    edges: DataFrame,
+    query_vertices: DataFrame,
+    vertex_col: str,
+    max_middle_degree: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Query-centric link prediction: for each QUERY vertex u, every
+    non-adjacent candidate v with (u, v, common_neighbors, ra_1e9) —
+    the serving/evaluation form of link_prediction_topk (which answers
+    "globally strongest missing edges"; this answers "what should THIS
+    entity link to", the shape a per-entity recommender or a held-out
+    evaluation needs).
+
+    Same exactness contract as the global form: middles above
+    max_middle_degree are EXCLUDED, not sampled, so capped-wedge counts
+    and RA sums (BIGINT 10^9 div deg terms) are deterministic and
+    value-checkable on any engine. Candidates adjacent to the query in
+    the OBSERVED graph are anti-joined away (the 'filtered' setting of
+    KG link-prediction evaluation).
+
+    Scale shape: the query set prunes the u-side of the wedge join
+    BEFORE the middle-keyed self-join, so fan-out is bounded by
+    |queries| * cap^2, not |V| * cap^2; everything else is the
+    link_prediction_topk plan without the final top-k."""
+    if max_middle_degree < 2:
+        raise ValueError("max_middle_degree must be >= 2")
+    und = (
+        _symmetrized(_clean_edges(edges, src, dst))
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    q = query_vertices.select(F.col(vertex_col).alias("u")).where(
+        F.col("u").isNotNull()
+    ).distinct()
+    deg = und.groupBy(F.col("src").alias("z")).agg(F.count(F.lit(1)).alias("deg"))
+    mid_ok = deg.where(F.col("deg") <= max_middle_degree).select(
+        F.col("z").alias("m"),
+        F.expr("CAST(1000000000 div deg AS BIGINT)").alias("_ra"),
+    )
+    nbrs_u = (
+        und.select(F.col("src").alias("m"), F.col("dst").alias("u"))
+        .join(q, "u")
+        .join(mid_ok, "m")
+    )
+    nbrs_v = und.select(F.col("src").alias("m"), F.col("dst").alias("v")).join(
+        mid_ok.select("m"), "m"
+    )
+    wedges = nbrs_u.join(nbrs_v, "m").where(F.col("u") != F.col("v"))
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.sum("_ra").cast("long").alias("ra_1e9"),
+    )
+    existing = und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    return scored.join(existing, ["u", "v"], "left_anti")

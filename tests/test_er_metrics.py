@@ -315,3 +315,55 @@ def test_bcubed_rejects_null_labels(spark):
     df = spark.createDataFrame([("a", None), ("a", "g")], "p string, g string")
     with pytest.raises(Exception, match="Exception|non-NULL"):
         bcubed_metrics(df, "p", "g").collect()
+
+
+def test_ranking_metrics_math(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.er_metrics import ranking_metrics
+
+    cand = spark.createDataFrame(
+        [
+            ("q1", "a", 90), ("q1", "b", 80), ("q1", "c", 70),
+            ("q2", "x", 50), ("q2", "y", 50),  # tie -> cand asc: x rank 1
+        ],
+        "q string, c string, s long",
+    )
+    truth = spark.createDataFrame(
+        [("q1", "b"), ("q2", "y"), ("q3", "zz")],  # q3 unreachable
+        "q string, c string",
+    )
+    r = ranking_metrics(cand, truth, "q", "c", ["s"], ks=(1, 2)).collect()[0]
+    # ranks: q1/b=2, q2/y=2 (tie broken by cand asc), q3/zz=missing
+    assert (r.n_truth, r.n_found) == (3, 2)
+    assert r.mrr_ppm == (10**6 // 2 + 10**6 // 2 + 0) // 3
+    assert r.hits_1_ppm == 0
+    assert r.hits_2_ppm == 2 * 10**6 // 3
+    with pytest.raises(ValueError):
+        ranking_metrics(cand, truth, "q", "c", [], ks=(1,))
+    with pytest.raises(ValueError):
+        ranking_metrics(cand, truth, "q", "c", ["s"], ks=(0,))
+    bad = spark.createDataFrame([("q1", None)], "q string, c string")
+    with pytest.raises(Exception, match="NULL truth"):
+        ranking_metrics(cand, bad, "q", "c", ["s"]).collect()
+
+
+def test_lp_candidate_scores_filtered_setting(spark):
+    from entity_extractor_spark.operators.graph import lp_candidate_scores
+
+    # path graph 1-2-3-4 plus 2-5: candidates for 1 are {3} (via 2) and
+    # {5} (via 2); 2 itself is adjacent -> filtered out
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5)], "src long, dst long"
+    )
+    q = spark.createDataFrame([(1,)], "src long")
+    got = {
+        (r.u, r.v): (r.common_neighbors, r.ra_1e9)
+        for r in lp_candidate_scores(edges, q, "src", 10).collect()
+    }
+    # middle 2 has degree 3 -> ra term 10^9 div 3
+    assert got == {(1, 3): (1, 10**9 // 3), (1, 5): (1, 10**9 // 3)}
+    # cap below the middle's degree excludes the wedge entirely
+    assert (
+        lp_candidate_scores(edges, q, "src", 2).count() == 0
+    )
