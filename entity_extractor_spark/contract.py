@@ -9402,6 +9402,58 @@ def kg_lp_eval(spark, sf_dir):
     )
 
 
+
+# the scored+labeled candidate pairs shared with er_threshold_sweep,
+# sliced off before that gate's histogram/cumulative stage
+_ER_SCORED_PREFIX = _ER_SWEEP_SQL.split("), hist AS (")[0] + ")"
+
+
+@query(
+    "er_calibration",
+    _ER_SCORED_PREFIX + """,
+       p AS (SELECT score * 1000000 // 16 AS p_ppm, gold FROM scored),
+       b AS (SELECT LEAST(9, p_ppm * 10 // 1000000) AS bin, p_ppm, gold FROM p)
+       SELECT CAST(bin AS BIGINT) AS bin,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(CAST(p_ppm AS HUGEINT)) // count(*) AS BIGINT)
+                AS mean_pred_ppm,
+              CAST(sum(CAST(gold AS HUGEINT)) * 1000000 // count(*) AS BIGINT)
+                AS obs_rate_ppm,
+              CAST(abs(sum(CAST(p_ppm AS HUGEINT)) // count(*)
+                   - sum(CAST(gold AS HUGEINT)) * 1000000 // count(*))
+                AS BIGINT) AS gap_ppm
+       FROM b GROUP BY bin""",
+)
+def er_calibration(spark, sf_dir):
+    """Matcher reliability diagram (er_metrics.calibration_report): the
+    minhash-agreement score treated as P(duplicate) = agree/16 and
+    audited bin by bin against the OBSERVED duplicate rate over the
+    same labeled LSH candidates er_threshold_sweep grades — the "is the
+    confidence meaningful" gate that must pass before a pipeline
+    auto-accepts links above a score or weights triples by extractor
+    confidence. (Minhash agreement estimates JACCARD, not P(dup) — the
+    report is exactly the tool that makes that distinction visible:
+    mid-range bins over-predict while the extremes are sharp.) One
+    algebraic aggregation over the pair table, <= 10 output rows, all
+    floor-integer ppm with DECIMAL(38,0)/HUGEINT sums — and the sweep
+    and the diagram now share one scored-pairs definition in both
+    engines."""
+    from .operators.er_metrics import calibration_report
+
+    aug = _neardup_docs(spark, sf_dir)
+    sig = D.minhash_signatures(aug, "doc_id", "text", num_hashes=16, shingle_n=2)
+    pairs = D.lsh_candidate_pairs(sig, band_size=2)
+    scored = (
+        D.minhash_agreement(sig, pairs, num_hashes=16)
+        .select("doc1", "doc2", F.col("agree").alias("score"))
+        .withColumn(
+            "gold",
+            (F.col("doc1") % 1_000_000 == F.col("doc2") % 1_000_000).cast("int"),
+        )
+    )
+    return calibration_report(scored, "score", "gold", score_max=16, bins=10)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -465,3 +465,73 @@ def ranking_metrics(
             for k in ks
         ],
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    score_col: str,
+    gold_col: str,
+    score_max: int,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a scored matcher/extractor — the "is the
+    confidence meaningful" audit that must run before any pipeline
+    treats a score as a probability (auto-accepting links above 0.9,
+    weighting triples by extractor confidence, routing low-confidence
+    rows to review): bin pairs by predicted probability p = score /
+    score_max, compare each bin's mean prediction against its OBSERVED
+    positive rate:
+
+        (bin, n_pairs, mean_pred_ppm, obs_rate_ppm, gap_ppm)
+
+    gap_ppm = |mean_pred - obs_rate| is each bin's calibration error;
+    sum(n_pairs * gap_ppm) / sum(n_pairs) is ECE. Empty bins are absent
+    (nothing was predicted there — a report row of NULLs would read as
+    data). Everything is exact integers: p_ppm = score * 10^6 div
+    score_max, equal-width bin = min(bins-1, p_ppm * bins div 10^6),
+    floor means with the sums in DECIMAL(38,0) (10^12 pairs x 10^6 ppm
+    exceeds BIGINT) — engine/partitioning-invariant. Scores outside
+    [0, score_max] and gold outside {0, 1} raise executor-side: a
+    mis-scaled score silently lands every pair in the top bin and the
+    report reads as catastrophic miscalibration of the wrong thing.
+
+    Scale shape: ONE algebraic aggregation over the pair table with
+    map-side partials; output is <= bins rows."""
+    if score_max <= 0 or bins < 2:
+        raise ValueError("score_max must be > 0 and bins >= 2")
+    sc = (
+        f"CASE WHEN {score_col} >= 0 AND {score_col} <= {int(score_max)} "
+        f"THEN CAST({score_col} AS BIGINT) ELSE CAST(raise_error(concat("
+        f"'calibration_report: score outside [0, {int(score_max)}]: ', "
+        f"CAST({score_col} AS STRING))) AS BIGINT) END"
+    )
+    gd = (
+        f"CASE WHEN {gold_col} IN (0, 1) THEN CAST({gold_col} AS BIGINT) "
+        f"ELSE CAST(raise_error(concat('calibration_report: gold must be "
+        f"0/1, got ', CAST({gold_col} AS STRING))) AS BIGINT) END"
+    )
+    p = scored.select(
+        F.expr(f"CAST(({sc}) * 1000000 DIV {int(score_max)} AS BIGINT)").alias(
+            "_p"
+        ),
+        F.expr(gd).alias("_g"),
+    ).withColumn(
+        "bin",
+        F.expr(f"CAST(LEAST({int(bins) - 1}, _p * {int(bins)} DIV 1000000) AS BIGINT)"),
+    )
+    return (
+        p.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST(sum(CAST(_p AS DECIMAL(38,0))) DIV count(1) AS BIGINT)"
+            ).alias("mean_pred_ppm"),
+            F.expr(
+                "CAST(sum(CAST(_g AS DECIMAL(38,0))) * 1000000 DIV count(1)"
+                " AS BIGINT)"
+            ).alias("obs_rate_ppm"),
+        )
+        .withColumn(
+            "gap_ppm", F.expr("abs(mean_pred_ppm - obs_rate_ppm)").cast("long")
+        )
+    )

@@ -367,3 +367,37 @@ def test_lp_candidate_scores_filtered_setting(spark):
     assert (
         lp_candidate_scores(edges, q, "src", 2).count() == 0
     )
+
+
+def test_calibration_report_math_and_guards(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.er_metrics import calibration_report
+
+    # scores /10 as probability; bin width 0.1 over 10 bins
+    rows = [
+        (1, 1), (1, 0), (1, 0), (1, 0),   # p=0.1 -> bin 1, obs 0.25
+        (9, 1), (9, 1), (9, 0),           # p=0.9 -> bin 9, obs 2/3
+        (10, 1),                          # p=1.0 -> clamped to bin 9
+        (0, 0),                           # p=0   -> bin 0, obs 0
+    ]
+    df = spark.createDataFrame(rows, "score long, gold long")
+    got = {r.bin: r for r in calibration_report(df, "score", "gold", 10).collect()}
+    b1 = got[1]
+    assert (b1.n_pairs, b1.mean_pred_ppm, b1.obs_rate_ppm) == (4, 100000, 250000)
+    assert b1.gap_ppm == 150000
+    b9 = got[9]
+    assert b9.n_pairs == 4  # three 0.9s + the clamped 1.0
+    assert b9.mean_pred_ppm == (3 * 900000 + 1000000) // 4
+    assert got[0].n_pairs == 1 and got[0].gap_ppm == 0
+    assert set(got) == {0, 1, 9}  # empty bins absent
+    with pytest.raises(ValueError):
+        calibration_report(df, "score", "gold", 0)
+    with pytest.raises(ValueError):
+        calibration_report(df, "score", "gold", 10, bins=1)
+    bad_score = spark.createDataFrame([(11, 0)], "score long, gold long")
+    with pytest.raises(Exception, match="score outside"):
+        calibration_report(bad_score, "score", "gold", 10).collect()
+    bad_gold = spark.createDataFrame([(5, 2)], "score long, gold long")
+    with pytest.raises(Exception, match="gold must be"):
+        calibration_report(bad_gold, "score", "gold", 10).collect()
