@@ -9454,6 +9454,79 @@ def er_calibration(spark, sf_dir):
     return calibration_report(scored, "score", "gold", score_max=16, bins=10)
 
 
+
+@query(
+    "rag_bm25_eval",
+    rf"""WITH {_BM25_SQL_BODY},
+       top10 AS (SELECT query_id, doc_id, bm25_fp,
+                        row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25_fp DESC, doc_id) AS rnk
+                 FROM bm_scored QUALIFY rnk <= 10),
+       qn AS (SELECT qid, CAST(count(*) AS BIGINT) AS qn FROM qt GROUP BY 1),
+       cover AS (SELECT qt.qid, td.d, CAST(count(*) AS BIGINT) AS nt
+                 FROM qt JOIN td USING (term) GROUP BY 1, 2),
+       truth AS (SELECT c.qid AS query_id, c.d AS doc_id
+                 FROM cover c JOIN qn ON c.qid = qn.qid WHERE c.nt = qn.qn),
+       rk AS (SELECT query_id, doc_id,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY bm25_fp DESC, doc_id) AS BIGINT) AS _rk
+              FROM top10),
+       j AS (SELECT t.query_id, t.doc_id, rk._rk FROM truth t
+             LEFT JOIN rk ON rk.query_id = t.query_id
+                          AND rk.doc_id = t.doc_id)
+       SELECT CAST(count(*) AS BIGINT) AS n_truth,
+              CAST(count(_rk) AS BIGINT) AS n_found,
+              CAST(sum(COALESCE(1000000 // _rk, 0)) // count(*) AS BIGINT)
+                AS mrr_ppm,
+              CAST(count(CASE WHEN _rk <= 1 THEN 1 END) * 1000000 // count(*)
+                AS BIGINT) AS hits_1_ppm,
+              CAST(count(CASE WHEN _rk <= 10 THEN 1 END) * 1000000 // count(*)
+                AS BIGINT) AS hits_10_ppm
+       FROM j""",
+)
+def rag_bm25_eval(spark, sf_dir):
+    """The retrieval scorecard closing the lexical loop: BM25's top-10
+    per query graded by er_metrics.ranking_metrics against a
+    deterministic relevance set — docs containing EVERY query term
+    (conjunctive containment, the classic lexical-relevance proxy).
+    Full-coverage docs outside the top-10 stay in the denominator
+    (n_found shows the recall gap — on the common-vocabulary queries
+    the relevance set is far larger than 10, so Hits@10 genuinely
+    measures something at both scale factors). Demonstrates the SAME
+    evaluation harness grades IR rankers and KG link predictors
+    (kg_lp_eval) — one scorecard, two domains. All-integer MRR/Hits
+    as everywhere: floor-mean of 10^6 div rank."""
+    from .operators.er_metrics import ranking_metrics
+    from .operators.ranking import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "qid string, qtext string")
+    cand = bm25_topk(d, qdf, "doc_id", "text", "qid", "qtext", top_n=10)
+    tok = lambda df, idc, tc: (  # noqa: E731
+        df.select(
+            F.col(idc).alias("_i"),
+            F.explode(F.split(F.trim(F.lower(F.col(tc))), r"\s+")).alias("term"),
+        ).where("term <> ''").distinct()
+    )
+    dt = tok(d, "doc_id", "text")
+    qt = tok(qdf, "qid", "qtext")
+    qn = qt.groupBy("_i").agg(F.count(F.lit(1)).alias("_qn"))
+    cover = (
+        qt.select(F.col("_i").alias("_q"), "term")
+        .join(dt.select(F.col("_i").alias("_d"), "term"), "term")
+        .groupBy("_q", "_d")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+    )
+    truth = (
+        cover.join(qn, cover._q == qn._i)
+        .where("_nt = _qn")
+        .select(F.col("_q").alias("query_id"), F.col("_d").alias("doc_id"))
+    )
+    return ranking_metrics(
+        cand, truth, "query_id", "doc_id", ["bm25_fp"], ks=(1, 10)
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).
