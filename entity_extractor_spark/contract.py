@@ -9527,6 +9527,83 @@ def rag_bm25_eval(spark, sf_dir):
     )
 
 
+
+@query(
+    "multimodal_media_context",
+    """WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS d, doc_id AS did,
+              'H ' || CAST(doc_id AS VARCHAR) AS h, text AS b FROM documents),
+       sp AS (
+         SELECT d, 'image' AS kind, '' AS text,
+                'blob://' || d || '/img_0.png' AS mr, 0 AS o
+         FROM base WHERE did % 5 = 0
+         UNION ALL SELECT d, 'text', h, '', 1 FROM base WHERE did % 5 = 0
+         UNION ALL SELECT d, 'text', b, '', 2 FROM base WHERE did % 5 = 0
+         UNION ALL SELECT d, 'text', h, '', 0 FROM base WHERE did % 5 = 1
+         UNION ALL SELECT d, 'text', b, '', 1 FROM base WHERE did % 5 = 1
+         UNION ALL SELECT d, 'image', '', 'blob://' || d || '/img_0.png', 2
+         FROM base WHERE did % 5 = 1
+         UNION ALL SELECT d, 'text', h, '', 0 FROM base WHERE did % 5 = 2
+         UNION ALL SELECT d, 'image', '', 'blob://' || d || '/img_0.png', 1
+         FROM base WHERE did % 5 = 2
+         UNION ALL SELECT d, 'image', '', 'blob://' || d || '/img_1.png', 2
+         FROM base WHERE did % 5 = 2
+         UNION ALL SELECT d, 'text', b, '', 3 FROM base WHERE did % 5 = 2
+         UNION ALL SELECT d, 'text', h, '', 0 FROM base WHERE did % 5 > 2
+         UNION ALL SELECT d, 'image', '', 'blob://' || d || '/img_0.png', 1
+         FROM base WHERE did % 5 > 2
+         UNION ALL SELECT d, 'text', b, '', 2 FROM base WHERE did % 5 > 2),
+       imgs AS (SELECT d, mr, o FROM sp WHERE kind = 'image'),
+       txts AS (SELECT d, text, o FROM sp WHERE kind = 'text'),
+       pv AS (SELECT i.d, i.mr, i.o, max(t.o) AS po FROM imgs i
+              LEFT JOIN txts t ON t.d = i.d AND t.o < i.o GROUP BY 1, 2, 3),
+       nx AS (SELECT i.d, i.mr, i.o, min(t.o) AS no FROM imgs i
+              LEFT JOIN txts t ON t.d = i.d AND t.o > i.o GROUP BY 1, 2, 3)
+       SELECT pv.d AS doc_id, pv.mr AS media_ref, CAST(pv.o AS INT) AS media_offset,
+              tp.text AS prev_text, CAST(pv.po AS INT) AS prev_offset,
+              tn.text AS next_text, CAST(nx.no AS INT) AS next_offset
+       FROM pv JOIN nx ON nx.d = pv.d AND nx.mr = pv.mr AND nx.o = pv.o
+       LEFT JOIN txts tp ON tp.d = pv.d AND tp.o = pv.po
+       LEFT JOIN txts tn ON tn.d = pv.d AND tn.o = nx.no""",
+)
+def multimodal_media_context(spark, sf_dir):
+    """Figure-caption association over interleaved spans (multimodal.
+    media_context): for every media span, the nearest text span before
+    and after in span order — the grounding step a multimodal KG needs
+    before an image can evidence a triple, and an operator over the
+    north rule's OWN span shape (kind/text/media_ref/offset). The gate
+    interleaves four layouts so every branch carries mass: a leading
+    figure (no prev — absence is the signal), a trailing figure (no
+    next), TWO consecutive images (both must share the same neighbours
+    — lag/lead would wrongly return the other image; last/first IGNORE
+    NULLS is the point), and the plain sandwiched case. One explode +
+    ONE doc-partitioned window on the pipeline's own doc_id
+    partitioning; no joins."""
+    from .operators.multimodal import media_context
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    h = F.concat(F.lit("H "), ds)
+    b = F.col("text")
+    t = lambda txt, o: F.struct(  # noqa: E731
+        F.lit("text").alias("kind"), txt.alias("text"),
+        F.lit("").alias("media_ref"), F.lit(o).cast("int").alias("offset"),
+    )
+    img = lambda k, o: F.struct(  # noqa: E731
+        F.lit("image").alias("kind"), F.lit("").alias("text"),
+        F.concat(F.lit("blob://"), ds, F.lit(f"/img_{k}.png")).alias("media_ref"),
+        F.lit(o).cast("int").alias("offset"),
+    )
+    spans = (
+        F.when(did % 5 == 0, F.array(img(0, 0), t(h, 1), t(b, 2)))
+        .when(did % 5 == 1, F.array(t(h, 0), t(b, 1), img(0, 2)))
+        .when(did % 5 == 2, F.array(t(h, 0), img(0, 1), img(1, 2), t(b, 3)))
+        .otherwise(F.array(t(h, 0), img(0, 1), t(b, 2)))
+    )
+    docs = d.select(ds.alias("doc_id"), spans.alias("spans"))
+    return media_context(docs)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

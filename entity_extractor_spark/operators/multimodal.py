@@ -97,3 +97,61 @@ def frame_sample_plan(binary_df: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def media_context(docs: DataFrame) -> DataFrame:
+    """Figure-caption candidate association over interleaved spans — the
+    grounding step a multimodal KG needs before an image can evidence a
+    triple: for every media span, the nearest TEXT span before and after
+    it in the document's span order:
+
+        (doc_id, media_ref, media_offset,
+         prev_text, prev_offset, next_text, next_offset)
+
+    prev/next are NULL when the image opens/closes the document (a
+    leading figure has no preceding caption candidate — absence is the
+    signal, not an error). Consecutive images share the same
+    neighbours (last/first IGNORE NULLS, not lag/lead — a lag over the
+    mixed span sequence would return the other IMAGE). Span offsets
+    must be non-null (the north-rule ordering key; a null raises
+    executor-side rather than silently mis-associating captions).
+
+    Scale shape: one explode + ONE doc-partitioned window ordered by
+    offset (the same doc_id hash-partitioning every other span op
+    reuses) carrying last/first-ignore-nulls; images are then filtered
+    — no joins, no second shuffle."""
+    checked_off = F.when(
+        F.col("s.offset").isNotNull(), F.col("s.offset")
+    ).otherwise(
+        F.raise_error(F.lit("media_context: span offset must not be NULL"))
+    )
+    flat = docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        checked_off.cast("int").alias("offset"),
+    )
+    txt = F.when(
+        F.col("kind") == "text",
+        F.struct(F.col("offset").alias("o"), F.col("text").alias("t")),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    after = w.rowsBetween(1, Window.unboundedFollowing)
+    ctx = flat.withColumn("_prev", F.last(txt, ignorenulls=True).over(before)).withColumn(
+        "_next", F.first(txt, ignorenulls=True).over(after)
+    )
+    return ctx.where(F.col("kind") != "text").select(
+        "doc_id",
+        "media_ref",
+        F.col("offset").alias("media_offset"),
+        F.col("_prev.t").alias("prev_text"),
+        F.col("_prev.o").alias("prev_offset"),
+        F.col("_next.t").alias("next_text"),
+        F.col("_next.o").alias("next_offset"),
+    )
