@@ -9604,6 +9604,52 @@ def multimodal_media_context(spark, sf_dir):
     return media_context(docs)
 
 
+
+@query(
+    "graph_mutual_knn",
+    """WITH pc AS (
+         SELECT a.l_partkey AS s, b.l_partkey AS t,
+                CAST(count(*) AS BIGINT) AS w
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey
+          AND a.l_quantity >= 25 AND b.l_quantity >= 25
+         WHERE a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       sym AS (SELECT s AS a, t AS b, w FROM pc
+               UNION ALL SELECT t, s, w FROM pc),
+       tk AS (SELECT a, b, w,
+                     CAST(row_number() OVER (PARTITION BY a
+                          ORDER BY w DESC, b) AS BIGINT) AS rk
+              FROM sym QUALIFY rk <= 5)
+       SELECT t1.a AS u, t1.b AS v, t1.w AS weight,
+              t1.rk AS rank_uv, t2.rk AS rank_vu
+       FROM tk t1 JOIN tk t2 ON t2.a = t1.b AND t2.b = t1.a
+       WHERE t1.a < t1.b""",
+)
+def graph_mutual_knn(spark, sf_dir):
+    """Mutual-kNN sparsification (graph.mutual_knn_graph) of the
+    weighted co-order graph (weight = shared high-quantity orders):
+    an edge survives iff BOTH endpoints rank it in their top-5 — the
+    densification guard run before clustering a similarity graph,
+    because one hub part's weak edges otherwise glue every community
+    into a blob (the same hub pathology the capped-wedge and salted-
+    join operators defend against, attacked at the graph-construction
+    step instead). Per-source top-k is a WindowGroupLimit-pre-pruned
+    row_number (a 10^6-degree hub costs k rows, not its degree);
+    mutuality is ONE self-equi-join of the two bounded top-k tables on
+    the flipped key; output <= |V|*k/2 rows by construction. Both
+    asymmetry directions carry mass at both scale factors (edges in
+    u's top-5 but not v's, and vice versa, are the dropped majority)."""
+    from .operators.graph import mutual_knn_graph
+
+    weighted = (
+        _q25_edges(spark, sf_dir)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    return mutual_knn_graph(weighted, k=5, weight_col="w")
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

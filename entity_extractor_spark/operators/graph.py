@@ -1690,3 +1690,70 @@ def lp_candidate_scores(
     )
     existing = und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     return scored.join(existing, ["u", "v"], "left_anti")
+
+
+def mutual_knn_graph(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Mutual-kNN sparsification: keep the undirected edge (u, v) iff v
+    is in u's top-k neighbours AND u is in v's top-k, ranked by
+    (weight DESC, neighbour ASC — a total order). The standard
+    densification guard before clustering a similarity graph (LPA/CC
+    over co-order or near-dup edges): a hub's weak edges glue
+    everything into one blob unless BOTH endpoints vouch for the link.
+
+        (u, v, weight, rank_uv, rank_vu)   with u < v
+
+    Duplicate/parallel input edges collapse by MAX weight first (an
+    observed pair's strongest evidence counts once); self-loops are
+    dropped; NULL endpoints or weights raise executor-side (an
+    unrankable edge silently vanishing changes every neighbourhood).
+
+    Scale shape: one (u, v) max-agg, one symmetrized per-source
+    row_number window (WindowGroupLimit pre-prunes to k rows per
+    partition map-side — a 10^6-degree hub costs k, not degree), then
+    ONE self-equi-join of the two bounded top-k tables on the flipped
+    key. Output is <= |V| * k / 2 rows by construction."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    chk = lambda c: F.when(F.col(c).isNotNull(), F.col(c)).otherwise(  # noqa: E731
+        F.raise_error(F.lit(f"mutual_knn_graph: NULL {c}"))
+    )
+    base = (
+        edges.select(
+            chk(src).alias("a"), chk(dst).alias("b"),
+            chk(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.max("w").alias("w"))
+    )
+    sym = base.unionAll(
+        base.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    ).groupBy("a", "b").agg(F.max("w").alias("w"))
+    wnd = Window.partitionBy("a").orderBy(F.col("w").desc(), F.col("b").asc())
+    topk = (
+        sym.withColumn("rk", F.row_number().over(wnd).cast("long"))
+        .where(F.col("rk") <= k)
+        .localCheckpoint()
+    )
+    rev = topk.select(
+        F.col("b").alias("a"), F.col("a").alias("b"), F.col("rk").alias("rk_vu")
+    )
+    return (
+        topk.join(rev, ["a", "b"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            F.col("w").alias("weight"),
+            F.col("rk").alias("rank_uv"),
+            F.col("rk_vu").alias("rank_vu"),
+        )
+    )

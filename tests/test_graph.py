@@ -1049,3 +1049,33 @@ def test_strongly_connected_unconverged_raises(spark):
         strongly_connected(df, max_rounds=2)
     got = {r.vertex: r.scc for r in strongly_connected(df, max_rounds=8).collect()}
     assert got == _tarjan_scc(edges)
+
+
+def test_mutual_knn_graph_semantics(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.graph import mutual_knn_graph
+
+    # hub h connects to a,b,c strongly ranked; with k=1: a's best is h,
+    # h's best is a (weight 9) -> mutual; (h,b) is b's best but h ranks
+    # it 2nd -> dropped at k=1, kept at k=2.
+    edges = spark.createDataFrame(
+        [("h", "a", 9), ("h", "b", 5), ("h", "c", 1), ("a", "c", 2),
+         ("h", "a", 4)],  # parallel edge: max weight 9 wins
+        "src string, dst string, weight long",
+    )
+    k1 = {
+        (r.u, r.v): r for r in mutual_knn_graph(edges, 1).collect()
+    }
+    assert set(k1) == {("a", "h")}
+    assert (k1[("a", "h")].weight, k1[("a", "h")].rank_uv, k1[("a", "h")].rank_vu) == (9, 1, 1)
+    k2 = {(r.u, r.v) for r in mutual_knn_graph(edges, 2).collect()}
+    assert ("b", "h") in k2 and ("a", "h") in k2
+    # self loops dropped, guards raise
+    loop = spark.createDataFrame([("x", "x", 5)], "src string, dst string, weight long")
+    assert mutual_knn_graph(loop, 2).count() == 0
+    with pytest.raises(ValueError):
+        mutual_knn_graph(edges, 0)
+    bad = spark.createDataFrame([("x", None, 5)], "src string, dst string, weight long")
+    with pytest.raises(Exception, match="NULL dst"):
+        mutual_knn_graph(bad, 2).collect()
