@@ -9650,6 +9650,74 @@ def graph_mutual_knn(spark, sf_dir):
     return mutual_knn_graph(weighted, k=5, weight_col="w")
 
 
+
+@query(
+    "multimodal_span_reuse",
+    """WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS d, doc_id AS did,
+                            text AS b FROM documents),
+       sp AS (
+         SELECT d, 'text' AS kind, b AS key FROM base
+         UNION ALL
+         SELECT d, 'text', 'CONFIDENTIAL - INTERNAL USE ONLY'
+         FROM base WHERE did % 3 = 0
+         UNION ALL
+         SELECT d, 'text', 'CONFIDENTIAL - INTERNAL USE ONLY'
+         FROM base WHERE did % 9 = 0
+         UNION ALL
+         SELECT d, 'image', 'blob://shared/logo.png' FROM base WHERE did % 4 = 0
+         UNION ALL
+         SELECT d, 'image', 'blob://' || d || '/img_0.png' FROM base)
+       SELECT kind, key AS span_key,
+              CAST(count(DISTINCT d) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_spans
+       FROM sp GROUP BY 1, 2 HAVING count(DISTINCT d) >= 2""",
+)
+def multimodal_span_reuse(spark, sf_dir):
+    """Cross-document span reuse (multimodal.span_reuse): C4's
+    boilerplate rule lifted to the interleaved span shape — verbatim-
+    repeated text spans are boilerplate (the banner here additionally
+    repeats TWICE inside every 9th doc, so n_docs counts distinct docs
+    while n_spans prices total occurrences), and a media_ref shared
+    across docs is a shared asset to decode once and exclude from
+    content dedup (the logo hits every 4th doc; per-doc image refs stay
+    under the n_docs >= 2 floor and are correctly absent — the filter
+    carries real dropped mass at both scale factors; duplicate body
+    TEXT across docs also surfaces at sf0.1 where the corpus genuinely
+    repeats). One explode + ONE (kind, key) aggregation; the distinct-
+    doc count is the only non-algebraic piece, bounded per key by the
+    reuse itself."""
+    from .operators.multimodal import span_reuse
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    t = lambda txt: F.struct(  # noqa: E731
+        F.lit("text").alias("kind"), txt.alias("text"),
+        F.lit("").alias("media_ref"), F.lit(0).cast("int").alias("offset"),
+    )
+    img = lambda ref: F.struct(  # noqa: E731
+        F.lit("image").alias("kind"), F.lit("").alias("text"),
+        ref.alias("media_ref"), F.lit(0).cast("int").alias("offset"),
+    )
+    banner = F.lit("CONFIDENTIAL - INTERNAL USE ONLY")
+    shared = F.lit("blob://shared/logo.png")
+    own = F.concat(F.lit("blob://"), ds, F.lit("/img_0.png"))
+    spans = F.concat(
+        F.array(t(F.col("text")), img(own)),
+        F.when(did % 3 == 0, F.array(t(banner))).otherwise(
+            F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+        ),
+        F.when(did % 9 == 0, F.array(t(banner))).otherwise(
+            F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+        ),
+        F.when(did % 4 == 0, F.array(img(shared))).otherwise(
+            F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+        ),
+    )
+    docs = d.select(ds.alias("doc_id"), spans.alias("spans"))
+    return span_reuse(docs, min_docs=2)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

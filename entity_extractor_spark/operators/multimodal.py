@@ -155,3 +155,46 @@ def media_context(docs: DataFrame) -> DataFrame:
         F.col("_next.t").alias("next_text"),
         F.col("_next.o").alias("next_offset"),
     )
+
+
+def span_reuse(docs: DataFrame, min_docs: int = 2) -> DataFrame:
+    """Cross-document span reuse over the interleaved shape — C4's
+    boilerplate rule lifted to spans: a text span repeated verbatim
+    across many documents is boilerplate (banners, legal footers), and
+    a media_ref shared across documents is a SHARED ASSET (the same
+    logo/stock image referenced everywhere — which a multimodal
+    pipeline should decode once and a dedup pass should not count as
+    content). Both fall out of one aggregation:
+
+        (kind, span_key, n_docs, n_spans)   for n_docs >= min_docs
+
+    span_key is the text for text spans, the media_ref otherwise
+    (their namespaces can't collide — kind is part of the group key).
+    Empty text spans / empty media refs are excluded (nothing to
+    reuse). n_docs counts DISTINCT documents; n_spans counts total
+    occurrences (a banner repeated five times in one doc is one doc,
+    five spans — both numbers matter: the first gates removal, the
+    second prices it).
+
+    Scale shape: explode + ONE (kind, key) aggregation with map-side
+    partials; the distinct-doc count is the only non-algebraic piece
+    and is bounded per key by the reuse itself. No windows, no joins."""
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    flat = docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.when(F.col("s.kind") == "text", F.col("s.text"))
+        .otherwise(F.col("s.media_ref"))
+        .alias("span_key"),
+    ).where(F.col("span_key").isNotNull() & (F.col("span_key") != ""))
+    return (
+        flat.groupBy("kind", "span_key")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

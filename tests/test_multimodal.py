@@ -56,3 +56,28 @@ def test_media_context_null_offset_raises(spark):
     )
     with pytest.raises(Exception, match="offset must not be NULL"):
         media_context(docs).collect()
+
+
+def test_span_reuse_counts_and_floor(spark):
+    docs = spark.createDataFrame(
+        [
+            _doc("d1", [("text", "banner", "", 0), ("text", "banner", "", 1),
+                        ("image", "", "logo", 2), ("text", "unique1", "", 3)]),
+            _doc("d2", [("text", "banner", "", 0), ("image", "", "logo", 1),
+                        ("text", "", "", 2), ("image", "", "", 3)]),
+            _doc("d3", [("text", "unique3", "", 0), ("image", "", "own3", 1)]),
+        ],
+        _SCHEMA,
+    )
+    from entity_extractor_spark.operators.multimodal import span_reuse
+
+    got = {(r.kind, r.span_key): r for r in span_reuse(docs, 2).collect()}
+    # banner: 2 docs, 3 spans (twice in d1); logo: 2 docs 2 spans
+    assert (got[("text", "banner")].n_docs, got[("text", "banner")].n_spans) == (2, 3)
+    assert (got[("image", "logo")].n_docs, got[("image", "logo")].n_spans) == (2, 2)
+    # uniques and empty keys absent
+    assert set(got) == {("text", "banner"), ("image", "logo")}
+    import pytest
+
+    with pytest.raises(ValueError):
+        span_reuse(docs, 0)
