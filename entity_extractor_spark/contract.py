@@ -9726,6 +9726,60 @@ def multimodal_span_reuse(spark, sf_dir):
 # everything the driver has NOT yet value-checked (including any query added
 # after this block) floats to the front; the 50 rows the driver already
 # verified in round 2 keep their local gates and fill the tail.
+# NOTE for round 4: the driver's CORRECTNESS_r03 window is the FIRST 50
+# entries of the reordered Q below, i.e. (in order):
+#   ann_lsh_multiprobe
+#   dedup_embedding_blocked
+#   link_cosine_disambiguation
+#   x4_chunk_fixed
+#   rag_chunk_topk
+#   review_repropagate
+#   kg_streaming_synthetic
+#   graph_components_star
+#   sample_uniform_det
+#   sample_stratified_det
+#   dedup_lsh_canonical
+#   curate_corpus_e2e
+#   w5_session_window
+#   w4_tumbling_window_agg
+#   w9_hopping_window
+#   text_repetition_signals
+#   text_pii_redact
+#   contamination_ngram
+#   graph_pagerank
+#   graph_triangles
+#   sample_capped_per_group
+#   w6_asof_join
+#   graph_label_propagation
+#   curate_snapshot_diff
+#   text_length_percentiles
+#   text_distinctive_terms
+#   curate_pack_sequences
+#   text_pair_counts
+#   sample_assign_splits
+#   sample_fixed_k
+#   dedup_incremental_lsh
+#   curate_split_leakage
+#   stream_dedup_replay
+#   graph_k_core
+#   curate_mixture_plan
+#   curate_mixture_e2e
+#   x4_chunk_semantic
+#   ann_quantized_topk
+#   text_oov_rate
+#   j10_salted_skew_join
+#   j11_bucketed_colocated_join
+#   ann_pq_adc_topk
+#   dedup_paragraphs_c4
+#   sample_weighted_det
+#   w7_interval_join
+#   text_kmv_distinct
+#   text_kmv_slice_jaccard
+#   graph_common_neighbors
+#   graph_link_prediction_ra
+#   w7_scd2_collapse
+# Once r03 confirms them green, append them to the verified list so the
+# next never-verified batch rotates into the driver's window.
 _R02_DRIVER_VERIFIED = [
     "p1_filter_projection", "p3_norm_name_key", "p4_substring_predicate",
     "p6_notin_count", "j1_multiway_join_agg", "j2_broadcast_dim",
