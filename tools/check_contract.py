@@ -62,10 +62,19 @@ def main():
     names = [a for a in args if "/" not in a]
 
     spark = get_spark("contract_check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
 
+    def fresh_con():
+        c = duckdb.connect()
+        # bound worker threads: the sweep shares one process with a 32-way
+        # JVM; unbounded duckdb threads + JIT/codegen maps can exhaust
+        # vm.max_map_count late in a 200+-query run (thread stacks are
+        # mmaps too), surfacing as bogus 32KB "Out of Memory" allocations
+        c.execute("SET threads=8")
+        for t in TABLES:
+            c.execute(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+        return c
+
+    con = fresh_con()
     qs = entry_mod.queries()
     sqls = entry_mod.oracle_sql()
     fails = []
@@ -74,6 +83,11 @@ def main():
         if names and name not in names:
             continue
         ran += 1
+        if ran % 40 == 0:
+            # recycle the connection so buffer-pool/allocator state from
+            # earlier oracles cannot accumulate across the whole sweep
+            con.close()
+            con = fresh_con()
         try:
             ok, msg = compare(name, fn(spark, sf_dir), sqls.get(name), con)
         except Exception as e:
