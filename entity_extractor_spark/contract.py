@@ -9718,6 +9718,58 @@ def multimodal_span_reuse(spark, sf_dir):
     return span_reuse(docs, min_docs=2)
 
 
+
+@query(
+    "layout_snapshot_retention",
+    """WITH s AS (SELECT o_orderkey AS id, CAST(o_orderdate AS DATE) AS ts
+               FROM orders WHERE o_orderkey % 3 = 0),
+       b AS (SELECT id, ts,
+                    CAST(date_diff('day', ts, DATE '2001-08-02') AS BIGINT)
+                      AS age
+             FROM s),
+       r AS (SELECT *, row_number() OVER (PARTITION BY ts
+                        ORDER BY id DESC) AS dr FROM b),
+       hd AS (SELECT max(ts) AS hts FROM b),
+       hi AS (SELECT max(id) AS hid FROM b, hd WHERE ts = hd.hts),
+       tagged AS (
+         SELECT r.id, r.ts, r.age,
+                CASE WHEN r.ts = hd.hts AND r.id = hi.hid THEN 'current'
+                     WHEN r.age <= 30 THEN 'recent'
+                     WHEN r.age <= 365 AND r.dr = 1 THEN 'daily-rep'
+                     WHEN r.age <= 365 THEN 'superseded'
+                     ELSE 'aged-out' END AS reason
+         FROM r CROSS JOIN hd CROSS JOIN hi)
+       SELECT id AS snapshot_id, CAST(ts AS VARCHAR) AS ts,
+              age AS age_days,
+              CASE WHEN reason IN ('current', 'recent', 'daily-rep')
+                   THEN 'keep' ELSE 'expire' END AS action,
+              reason
+       FROM tagged""",
+)
+def layout_snapshot_retention(spark, sf_dir):
+    """Snapshot-retention planning (layout.snapshot_retention_plan) —
+    the deterministic planning half of Iceberg/Delta expire_snapshots,
+    completing the table-maintenance family: keep everything <= 30 days
+    old, thin 30-365 days to each calendar day's LAST snapshot (ties by
+    id DESC — a total order), expire the rest, and NEVER expire the
+    table's newest snapshot whatever the policy says. as_of is a caller
+    literal, never wall-clock — a retention plan must replay. Over the
+    every-3rd-order snapshot log (~2 snapshots/day) all five reasons
+    carry mass at both scale factors: current, recent (orders within 30
+    days of the 2001-07-31 head), daily-rep + superseded in the daily
+    band, aged-out beyond. One day-partitioned window + one collected
+    head scalar + column arithmetic."""
+    from .operators.layout import snapshot_retention_plan
+
+    snaps = _t(spark, sf_dir, "orders").where("o_orderkey % 3 = 0").select(
+        F.col("o_orderkey").alias("id"), F.col("o_orderdate").alias("ts")
+    )
+    return snapshot_retention_plan(
+        snaps, "id", "ts", "2001-08-02",
+        keep_all_days=30, keep_daily_days=365,
+    ).withColumn("ts", F.col("ts").cast("string"))
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

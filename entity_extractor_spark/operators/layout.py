@@ -321,3 +321,94 @@ def zone_map_prune(zm: DataFrame, lo: int, hi: int) -> DataFrame:
         .cast("long")
         .alias("rows_scan_upper"),
     )
+
+
+def snapshot_retention_plan(
+    snapshots: DataFrame,
+    id_col: str,
+    ts_col: str,
+    as_of: str,
+    keep_all_days: int,
+    keep_daily_days: int,
+) -> DataFrame:
+    """Snapshot-retention planning — the deterministic planning half of
+    Iceberg/Delta `expire_snapshots`, completing the table-maintenance
+    family (compaction_plan groups small files, table_gc_plan reconciles
+    files vs manifests, THIS decides which snapshots the manifests of
+    which may be dropped at all): grandfather-father-son thinning
+    against a caller-supplied `as_of` date (never wall-clock — a
+    retention plan must be replayable):
+
+        age <= keep_all_days           -> keep  ('recent')
+        keep_all < age <= keep_daily   -> keep the LAST snapshot of each
+                                          calendar day ('daily-rep');
+                                          the rest expire ('superseded')
+        age > keep_daily_days          -> expire ('aged-out')
+        the newest snapshot overall    -> always keep ('current') — a
+                                          table must never lose its head,
+                                          whatever the policy says
+
+    Output: (snapshot_id, ts, age_days, action in {keep, expire},
+    reason). Ties inside a day break by snapshot id DESC (latest id is
+    the day's representative — a total order, engine-invariant). NULL
+    ids/timestamps raise executor-side: a snapshot you cannot identify
+    or date is a corrupted metadata table, not a retention decision.
+    Snapshots dated AFTER as_of raise too (a replayable plan cannot
+    contain the future).
+
+    Scale shape: one day-partitioned row_number window (bounded by
+    snapshots-per-day) + one collected max-id scalar (pagerank scalar
+    doctrine) + pure column arithmetic; the snapshot table is metadata-
+    sized, but nothing here would break if it weren't."""
+    from pyspark.sql import Window
+
+    if keep_all_days < 0 or keep_daily_days < keep_all_days:
+        raise ValueError(
+            "need 0 <= keep_all_days <= keep_daily_days"
+        )
+    chk = lambda c: F.when(F.col(c).isNotNull(), F.col(c)).otherwise(  # noqa: E731
+        F.raise_error(F.lit(f"snapshot_retention_plan: NULL {c}"))
+    )
+    base = snapshots.select(
+        chk(id_col).alias("snapshot_id"), chk(ts_col).cast("date").alias("ts")
+    ).withColumn(
+        "age_days",
+        F.datediff(F.lit(as_of).cast("date"), F.col("ts")).cast("long"),
+    ).withColumn(
+        "age_days",
+        F.when(F.col("age_days") >= 0, F.col("age_days")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("snapshot_retention_plan: snapshot after as_of: "),
+                    F.col("snapshot_id").cast("string"),
+                )
+            )
+        ),
+    )
+    head = base.agg(
+        F.max(F.struct(F.col("ts"), F.col("snapshot_id"))).alias("h")
+    ).collect()[0].h
+    w = Window.partitionBy("ts").orderBy(F.col("snapshot_id").desc())
+    ranked = base.withColumn("_day_rank", F.row_number().over(w))
+    is_head = (F.col("ts") == F.lit(head.ts)) & (
+        F.col("snapshot_id") == F.lit(head.snapshot_id)
+    )
+    reason = (
+        F.when(is_head, F.lit("current"))
+        .when(F.col("age_days") <= keep_all_days, F.lit("recent"))
+        .when(
+            (F.col("age_days") <= keep_daily_days) & (F.col("_day_rank") == 1),
+            F.lit("daily-rep"),
+        )
+        .when(F.col("age_days") <= keep_daily_days, F.lit("superseded"))
+        .otherwise(F.lit("aged-out"))
+    )
+    return ranked.select(
+        "snapshot_id",
+        "ts",
+        "age_days",
+        F.when(reason.isin("current", "recent", "daily-rep"), F.lit("keep"))
+        .otherwise(F.lit("expire"))
+        .alias("action"),
+        reason.alias("reason"),
+    )

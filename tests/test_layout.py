@@ -230,3 +230,50 @@ def test_zone_map_prune_validation(spark):
         zone_map_prune(zm, 5, 4)
     with pytest.raises(ValueError):
         zone_map_prune(zm, True, 4)
+
+
+def test_snapshot_retention_plan_policy(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.layout import snapshot_retention_plan
+
+    snaps = spark.createDataFrame(
+        [
+            (1, "2024-01-01"),   # ancient -> aged-out
+            (2, "2024-06-01"),   # daily band, sole snapshot -> daily-rep
+            (3, "2024-06-02"),   # daily band, superseded by 4
+            (4, "2024-06-02"),   # daily band, day rep (higher id)
+            (5, "2024-12-20"),   # recent
+            (6, "2024-12-30"),   # newest -> current
+        ],
+        "id long, ts string",
+    )
+    got = {
+        r.snapshot_id: r
+        for r in snapshot_retention_plan(
+            snaps, "id", "ts", "2024-12-31", 30, 300
+        ).collect()
+    }
+    assert (got[1].action, got[1].reason) == ("expire", "aged-out")
+    assert (got[2].action, got[2].reason) == ("keep", "daily-rep")
+    assert (got[3].action, got[3].reason) == ("expire", "superseded")
+    assert (got[4].action, got[4].reason) == ("keep", "daily-rep")
+    assert (got[5].action, got[5].reason) == ("keep", "recent")
+    assert (got[6].action, got[6].reason) == ("keep", "current")
+    # the head survives even an expire-everything policy
+    harsh = {
+        r.snapshot_id: r
+        for r in snapshot_retention_plan(
+            snaps, "id", "ts", "2024-12-31", 0, 0
+        ).collect()
+    }
+    assert harsh[6].reason == "current" and harsh[6].action == "keep"
+    assert all(r.action == "expire" for i, r in harsh.items() if i not in (6,))
+    with pytest.raises(ValueError):
+        snapshot_retention_plan(snaps, "id", "ts", "2024-12-31", 10, 5)
+    fut = spark.createDataFrame([(9, "2025-06-01")], "id long, ts string")
+    with pytest.raises(Exception, match="after as_of"):
+        snapshot_retention_plan(fut, "id", "ts", "2024-12-31", 30, 300).collect()
+    nul = spark.createDataFrame([(9, None)], "id long, ts string")
+    with pytest.raises(Exception, match="NULL ts"):
+        snapshot_retention_plan(nul, "id", "ts", "2024-12-31", 30, 300).collect()
