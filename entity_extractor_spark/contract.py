@@ -9770,6 +9770,66 @@ def layout_snapshot_retention(spark, sf_dir):
     ).withColumn("ts", F.col("ts").cast("string"))
 
 
+@query(
+    "dedup_substring_spans",
+    """WITH pos AS (
+         SELECT doc_id, unnest(generate_series(0, length(text)-30)) AS off,
+                text
+         FROM documents WHERE length(text) >= 30),
+       gr AS (
+         SELECT doc_id, off,
+                CAST(('0x' || substr(md5(substr(text, off+1, 30)), 1, 12))
+                     AS BIGINT) AS g
+         FROM pos),
+       rep AS (
+         SELECT g FROM (SELECT g, doc_id FROM gr GROUP BY g, doc_id)
+         GROUP BY g HAVING count(*) >= 2),
+       hits AS (SELECT doc_id, off AS s, off+30 AS e
+                FROM gr JOIN rep USING (g)),
+       sw AS (
+         SELECT doc_id, s, e,
+                CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     IS NULL
+                     OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS opens
+         FROM hits),
+       sp AS (
+         SELECT doc_id, s, e,
+                sum(opens) OVER (PARTITION BY doc_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+         FROM sw),
+       spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se
+                 FROM sp GROUP BY doc_id, span),
+       rolled AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(se-ss) AS BIGINT) AS dup_chars,
+                string_agg(ss || '-' || se, ';' ORDER BY ss) AS spans_csv
+         FROM spans GROUP BY doc_id)
+       SELECT r.doc_id, n_spans, dup_chars,
+              CAST(dup_chars * 1000000 // length(d.text) AS BIGINT) AS dup_ppm,
+              spans_csv
+       FROM rolled r JOIN documents d ON d.doc_id = r.doc_id""",
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact-substring duplicate coverage (dedupe.duplicate_substring_spans
+    — the ExactSubstr dedup of Lee et al. 2021): per document, every char
+    position covered by a 30-gram occurring in >= 2 distinct docs, merged
+    into maximal spans, with the ppm coverage ratio that drives span-level
+    cut-or-drop in an LM pipeline. MinHash judges whole documents; this
+    finds the duplicated BYTES inside otherwise-unique ones. At sf0.01
+    67/500 docs carry spans (both present/absent branches have mass; at
+    sf0.1 it's 1544/5000); grams shuffle as 48-bit md5 ints replayed
+    bit-identically by the oracle, the distinct-doc count pre-collapses
+    on (gram, doc), and the repeated-gram set comes back as an equi-join
+    — never a collect or a gram-keyed window."""
+    from .operators import dedupe as DD
+
+    d = _t(spark, sf_dir, "documents")
+    return DD.duplicate_substring_spans(d, "doc_id", "text", 30, 2)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -875,3 +875,113 @@ def containment_pairs(
     return out.where(
         F.greatest("cont1_ppm", "cont2_ppm") >= F.lit(threshold_ppm)
     )
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_len: int = 30,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate coverage (the ExactSubstr dedup of Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): mark, per document, every character position covered by a
+    `gram_len`-char substring that also occurs in at least `min_docs`
+    distinct documents, and merge those positions into maximal duplicated
+    spans — (id, n_spans, dup_chars, dup_ppm, spans_csv). The per-doc
+    coverage ratio is the signal that drives span-level cut-or-drop
+    decisions in an LM training pipeline; MinHash/SimHash (above) judge
+    whole documents, this finds the duplicated BYTES inside otherwise-
+    unique documents (licence boilerplate, quoted posts, templated
+    footers). The reference dedupes only node names on exact equality
+    (global_node_repository.py:171-187); it has no notion of partial
+    text reuse.
+
+    Semantics: a position p in doc d is duplicated iff the gram
+    text[p, p+gram_len) occurs in >= min_docs DISTINCT docs (d itself
+    counts — so min_docs=2 means "appears in at least one other doc";
+    a substring repeated only within one doc does not fire). Overlapping
+    or touching covered intervals [p, p+L) merge into maximal spans
+    (sweep-line reuse of temporal.interval_coalesce). dup_ppm =
+    dup_chars * 1e6 div length(text) on the exact ppm grid. Docs with no
+    duplicated gram (or shorter than gram_len) have no output row — the
+    absent-row semantics every oracle join in this file uses. spans_csv
+    is "start-end" (0-based, end-exclusive) joined by ";" in offset
+    order, per the sorted-CSV doctrine.
+
+    Scale shape: the explode is one row per character position — the
+    honest cost of exact-substring discovery (Lee et al. pay the same in
+    suffix-array construction). Three design choices keep it Spark-sane
+    at corpus scale: (1) grams shuffle as 48-bit md5 integers (_hash48),
+    8 bytes instead of gram_len bytes, and the hash is replayed
+    bit-identically by the DuckDB oracle so a collision (p ~ n^2/2^49,
+    deterministic) can never split the gate; (2) the distinct-doc count
+    pre-collapses on (gram, doc) so a gram repeated 10^4 times inside one
+    template doc adds ONE row past the map side; (3) the repeated-gram
+    set comes back as an equi-JOIN against the position table, never a
+    collect or a window over the gram key, so a boilerplate gram in 10^8
+    docs is join skew AQE can split, not one task's collect_list. The
+    per-doc interval merge partitions by doc id — bounded by doc length.
+    For a true 100 TB corpus a suffix-array sort (one global sort of
+    position-tagged grams) trades the join for a range exchange; the
+    join form wins while the repeated-gram table fits a shuffle, and is
+    the one Catalyst can prune and AQE can re-plan.
+    """
+    from .temporal import interval_coalesce
+
+    L = int(gram_len)
+    if L < 2:
+        raise ValueError("gram_len must be >= 2")
+    pos = (
+        df.where(F.length(text_col) >= L)
+        .select(F.col(id_col).alias("_d"), F.col(text_col).alias("_t"))
+        .select(
+            "_d",
+            F.explode(F.sequence(F.lit(0), F.length("_t") - L)).alias("off"),
+            "_t",
+        )
+        .select(
+            "_d",
+            "off",
+            _hash48(F.col("_t").substr(F.col("off") + 1, F.lit(L))).alias("g"),
+        )
+    )
+    rep = (
+        pos.groupBy("g", "_d")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= int(min_docs))
+        .select("g")
+    )
+    hits = pos.join(rep, "g").select(
+        "_d", F.col("off").alias("s"), (F.col("off") + L).alias("e")
+    )
+    spans = interval_coalesce(hits, "_d", "s", "e")
+    rolled = spans.groupBy("_d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).cast("long").alias("dup_chars"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                        )
+                    )
+                ),
+                lambda r: F.concat_ws("-", r["s"].cast("string"), r["e"].cast("string")),
+            ),
+            ";",
+        ).alias("spans_csv"),
+    )
+    return rolled.join(
+        df.select(F.col(id_col).alias("_d"), F.length(text_col).alias("_n")), "_d"
+    ).select(
+        F.col("_d").alias(id_col),
+        "n_spans",
+        "dup_chars",
+        F.expr("dup_chars * 1000000 div _n").alias("dup_ppm"),
+        "spans_csv",
+    )

@@ -56,7 +56,26 @@ def compare(name: str, spark_df, sql: str | None, con) -> tuple[bool, str]:
     return True, f"{len(sp)} rows in {t1-t0:.1f}s"
 
 
+def _raise_map_count(floor: int = 262144) -> None:
+    """Best-effort bump of vm.max_map_count. The kernel default (65530)
+    is low enough that ONE allocation-churny DuckDB oracle (the unrolled
+    fixed-point log2 chains in rag_hybrid_topk / rag_bm25_eval) can pin
+    the process at the ceiling — after which unrelated 4 KB allocations
+    and even pthread_create fail, surfacing as bogus tiny
+    OutOfMemoryException / "can't start new thread" errors. Root-only;
+    silently skipped when not permitted."""
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            cur = int(f.read().strip())
+        if cur < floor:
+            with open("/proc/sys/vm/max_map_count", "w") as f:
+                f.write(str(floor))
+    except Exception:
+        pass
+
+
 def main():
+    _raise_map_count()
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a]
