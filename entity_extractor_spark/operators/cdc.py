@@ -323,3 +323,85 @@ def forget_cascade(
         "depth long, table_name string, n_rows long, n_matched_keys long, "
         "n_emit_keys long, digest1 long, digest2 long",
     )
+
+
+def compact_changelog(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    op_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Changelog compaction: collapse a key's whole event history inside
+    the window into its NET effect — the batch form of Kafka log
+    compaction and the step that keeps a long-retention changelog
+    replayable in O(live keys) instead of O(events). Feeding the
+    compacted log to apply_changelog produces the same next snapshot as
+    the full log (unit-gated equivalence), so upstream can thin history
+    any time the event:key ratio grows.
+
+    Net classification per key from (first event, last event) in
+    (ts, seq) order:
+      first I, last D  -> the key was born AND died inside the window:
+                          emit NOTHING (the histories cancel);
+      first I, last !D -> net 'I' with the last payload;
+      first !I, last D -> net 'D' tombstone (the key pre-existed, so
+                          downstream must still see the delete — kept,
+                          exactly like Kafka retains tombstones);
+      first !I, last !D-> net 'U' with the last payload.
+    Output: (key, op, ts, seq, *payload_cols, n_events) — ts/seq are the
+    LAST event's (the compacted event sorts where the original history
+    ended), n_events is the collapsed count (the compaction-ratio audit).
+    Dropping the born-and-died pair is sound under the standard CDC
+    consistency contract (an 'I' only for keys absent from the base
+    snapshot); an inconsistent log that 'I'nserts an existing key would
+    diverge — same caveat as every log-compacted store. Ops outside
+    {I, U, D} raise executor-side; NULL keys are dropped (apply_changelog
+    contract). First/last are min/max over struct(ts, seq, op, payloads)
+    — a total order even under duplicated (ts, seq), never a partition
+    race.
+
+    Scale shape: ONE algebraic aggregation on key computing BOTH ends
+    (min + max of the same struct in one groupBy — map-side partials
+    collapse a hot key's 10^6-event history per task); no window ever
+    ranks raw events, no join. The reference has no changelog at all —
+    it mutates rows in place one session.commit() at a time
+    (utils/mysql.py:12-41)."""
+    if not payload_cols:
+        raise ValueError("payload_cols must be non-empty")
+    op = F.col(op_col)
+    checked_op = F.when(op.isin(*_OPS), op).otherwise(
+        F.raise_error(
+            F.concat(F.lit("compact_changelog: op must be one of I/U/D, got "), op)
+        )
+    )
+    ev = F.struct(
+        F.col(ts_col).alias("_ts"),
+        F.col(seq_col).alias("_seq"),
+        checked_op.alias("_op"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    g = (
+        changes.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("_k"), ev.alias("_e"))
+        .groupBy("_k")
+        .agg(
+            F.min("_e").alias("_f"),
+            F.max("_e").alias("_l"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    born = F.col("_f._op") == "I"
+    dead = F.col("_l._op") == "D"
+    return g.where(~(born & dead)).select(
+        F.col("_k").alias(key_col),
+        F.when(dead, F.lit("D"))
+        .when(born, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias(op_col),
+        F.col("_l._ts").alias(ts_col),
+        F.col("_l._seq").alias(seq_col),
+        *[F.col(f"_l._p_{c}").alias(c) for c in payload_cols],
+        "n_events",
+    )

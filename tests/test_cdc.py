@@ -252,3 +252,99 @@ def test_forget_cascade_chain_and_guards(spark):
         forget_cascade(reqs, "k", [("a", cust, "ck", None), ("b", orders, "ck", None)])
     with pytest.raises(ValueError, match="non-empty"):
         forget_cascade(reqs, "k", [])
+
+
+# ------------------------------------------------------- compact_changelog --
+
+
+def _compact(spark, chg_rows):
+    from entity_extractor_spark.operators.cdc import compact_changelog
+
+    chg = spark.createDataFrame(chg_rows, CHG)
+    return {
+        r["k"]: (r["op"], r["ts"], r["seq"], r["val"], r["n_events"])
+        for r in compact_changelog(
+            chg, "k", "ts", "seq", "op", ["val"]
+        ).collect()
+    }
+
+
+def test_compact_four_net_classes(spark):
+    """born+died cancels; born->net I; pre-existing->net U; pre-existing
+    ending in delete keeps a tombstone. ts/seq/payload come from the
+    LAST event; n_events counts the collapsed history."""
+    out = _compact(
+        spark,
+        [
+            # a: I then U then D inside the window -> cancelled
+            ("a", 1, 1, "I", "a1"), ("a", 2, 2, "U", "a2"), ("a", 3, 3, "D", None),
+            # b: I then U -> net I with last payload
+            ("b", 1, 4, "I", "b1"), ("b", 5, 5, "U", "b2"),
+            # c: U then U -> net U
+            ("c", 2, 6, "U", "c1"), ("c", 4, 7, "U", "c2"),
+            # d: U then D -> tombstone kept
+            ("d", 1, 8, "U", "d1"), ("d", 9, 9, "D", None),
+            # e: single U
+            ("e", 7, 10, "U", "e1"),
+        ],
+    )
+    assert "a" not in out
+    assert out["b"] == ("I", 5, 5, "b2", 2)
+    assert out["c"] == ("U", 4, 7, "c2", 2)
+    assert out["d"] == ("D", 9, 9, None, 2)
+    assert out["e"] == ("U", 7, 10, "e1", 1)
+    # d-then-I resurrection inside the window: first=D (pre-existed),
+    # last=I payload -> net U
+    out2 = _compact(
+        spark, [("x", 1, 1, "D", None), ("x", 2, 2, "I", "x2")]
+    )
+    assert out2["x"] == ("U", 2, 2, "x2", 2)
+
+
+def test_compact_duplicate_ts_seq_total_order(spark):
+    """Under duplicated (ts, seq) the first/last are struct min/max —
+    op then payload break the tie deterministically, same as
+    apply_changelog's winner."""
+    out = _compact(
+        spark,
+        [("k", 1, 1, "I", "p1"), ("k", 1, 1, "U", "p9"), ("k", 1, 1, "U", "p2")],
+    )
+    # last = max(struct) -> op 'U', payload 'p9'; first = min -> op 'I'
+    assert out["k"] == ("I", 1, 1, "p9", 3)
+
+
+def test_compact_apply_equivalence(spark):
+    """Consistency contract: applying the COMPACTED log to a snapshot the
+    log is consistent with (born keys absent from it) yields the same
+    next snapshot as applying the FULL log."""
+    snap_rows = [("c", "c0"), ("d", "d0"), ("z", "z0")]
+    chg_rows = [
+        ("a", 1, 1, "I", "a1"), ("a", 3, 2, "D", None),      # cancelled
+        ("b", 1, 3, "I", "b1"), ("b", 5, 4, "U", "b2"),      # born
+        ("c", 2, 5, "U", "c1"), ("c", 4, 6, "U", "c2"),      # updated
+        ("d", 1, 7, "U", "d1"), ("d", 9, 8, "D", None),      # deleted
+    ]
+    from entity_extractor_spark.operators.cdc import compact_changelog
+
+    full = _apply(spark, snap_rows, chg_rows)
+    compacted_df = compact_changelog(
+        spark.createDataFrame(chg_rows, CHG), "k", "ts", "seq", "op", ["val"]
+    ).select("k", "ts", "seq", "op", "val")
+    snap = spark.createDataFrame(snap_rows, SNAP)
+    via_compact = {
+        r["k"]: (r["val"],)
+        for r in apply_changelog(
+            snap, compacted_df, "k", "ts", "seq", "op", ["val"]
+        ).collect()
+    }
+    assert full == via_compact == {"b": ("b2",), "c": ("c2",), "z": ("z0",)}
+
+
+def test_compact_rejects_bad_op_and_empty_payload(spark):
+    from entity_extractor_spark.operators.cdc import compact_changelog
+
+    chg = spark.createDataFrame([("k", 1, 1, "Z", "v")], CHG)
+    with pytest.raises(Exception, match="op must be one of"):
+        compact_changelog(chg, "k", "ts", "seq", "op", ["val"]).collect()
+    with pytest.raises(ValueError, match="non-empty"):
+        compact_changelog(chg, "k", "ts", "seq", "op", [])
