@@ -9886,6 +9886,51 @@ def cdc_compact_changelog(spark, sf_dir):
     return compact_changelog(ch, "k", "ts", "seq", "op", ["bal"])
 
 
+@query(
+    "kg_temporal_conflicts",
+    """WITH iv AS (
+         SELECT o_custkey AS k, o_orderkey AS id, o_orderpriority AS v,
+                o_orderdate AS s,
+                CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS e
+         FROM orders)
+       SELECT a.k, a.id AS id1, b.id AS id2, a.v AS val1, b.v AS val2,
+              CAST(greatest(a.s, b.s) AS VARCHAR) AS overlap_start,
+              CAST(least(a.e, b.e) AS VARCHAR) AS overlap_end,
+              a.v != b.v AS is_conflict
+       FROM iv a JOIN iv b
+         ON a.k = b.k AND a.id < b.id AND a.s < b.e AND b.s < a.e""",
+)
+def kg_temporal_conflicts(spark, sf_dir):
+    """Temporal functional-property audit (temporal.interval_conflicts):
+    each order asserts its customer's active priority for 30 days;
+    overlapping assertions with different priorities are the conflicts a
+    one-value-AT-A-TIME invariant flags (1461 conflicting vs 372
+    agreeing pairs at sf0.01, 15053/3653 at sf0.1 — both branches carry
+    mass via the is_conflict flag, so an operator that drops agreeing
+    overlaps or miscounts either side hash-mismatches). The oracle is
+    the naive per-key range self-join that goes quadratic on a hub key
+    at scale; the operator quantizes time into 30-day buckets, explodes
+    ONE side to its covered buckets, equi-joins on (key, bucket), and
+    each pair is found exactly once in the bucket owning the later start
+    — no distinct pass, shuffle time-local by bucket."""
+    from .operators.temporal import interval_conflicts
+
+    iv = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("v"),
+        F.col("o_orderdate").alias("s"),
+        F.date_add(F.col("o_orderdate"), 30).alias("e"),
+    )
+    out = interval_conflicts(
+        iv, ["k"], "id", "v", "s", "e",
+        bucket_width=30 * 86400.0, conflicts_only=False,
+    )
+    return out.withColumn(
+        "overlap_start", F.col("overlap_start").cast("string")
+    ).withColumn("overlap_end", F.col("overlap_end").cast("string"))
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

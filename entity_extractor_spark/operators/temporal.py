@@ -523,3 +523,143 @@ def rolling_window(
     for c in sum_cols:
         out = out.withColumn(f"{c}_roll", F.sum(c).over(w))
     return out
+
+
+def interval_conflicts(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    val_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    max_span_buckets: int = 4096,
+    conflicts_only: bool = True,
+) -> DataFrame:
+    """Temporal functional-property audit: find every pair of assertions
+    about the same key whose validity intervals [start, end) OVERLAP —
+    flagged `is_conflict` when their values differ. The temporal
+    completion of kg_quality.functional_violations: "one value per
+    subject" is too strict for facts that legitimately change (a
+    customer's active priority, an entity's current name); the real
+    invariant is one value AT A TIME, and its violations are overlapping
+    intervals with different values. The reference stores one mutable
+    value per node and loses history entirely (global_node_repository.py
+    upserts in place), so it can neither detect nor report these.
+
+    Semantics: assertions with NULL key/bounds or empty intervals
+    (end <= start) are dropped (interval_coalesce contract); a NULL
+    value RAISES executor-side — an audit over a feed with missing
+    values would report vacuous agreement. Output one row per unordered
+    overlapping pair: (*key_cols, id1, id2, val1, val2, overlap_start,
+    overlap_end, is_conflict) with id1 < id2 and val1/val2 the values of
+    id1/id2; conflicts_only=True keeps only the violating pairs.
+
+    Scale shape: the naive form is a per-key self-join with a range
+    predicate — Spark plans the range part as an in-join filter over the
+    full key-group cross product, quadratic in a hub key's assertion
+    count. Here the axis is quantized like range_join: ONE side explodes
+    to its covered buckets (loudly capped at max_span_buckets, same
+    guard), the other stays a single row at its START bucket, and the
+    join is a plain equi-join on (keys..., bucket). Each overlapping
+    pair is found EXACTLY once — it meets in the bucket holding the
+    later start, owned by the unexploded side via (s_P > s_B, ties by
+    id) — so no distinct pass re-shuffles the output. Shuffle is
+    time-local by bucket; a hub key's assertions spread across its
+    buckets instead of one task.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be > 0")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+
+    def _bucket(frame: DataFrame, c: str) -> F.Column:
+        col = F.col(c)
+        if dict(frame.dtypes)[c] in ("timestamp_ntz", "date"):
+            col = col.cast("timestamp")
+        return F.floor(col.cast("double") / F.lit(float(bucket_width))).cast("long")
+
+    checked_val = F.when(
+        F.col(val_col).isNotNull(), F.col(val_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("interval_conflicts: NULL value for assertion id "),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    base = (
+        df.where(
+            F.col(start_col).isNotNull()
+            & F.col(end_col).isNotNull()
+            & (F.col(end_col) > F.col(start_col))
+        )
+        .na.drop(subset=key_cols)
+        .select(
+            *key_cols,
+            F.col(id_col).alias("_id"),
+            checked_val.alias("_v"),
+            F.col(start_col).alias("_s"),
+            F.col(end_col).alias("_e"),
+        )
+    )
+    probe = base.select(
+        *key_cols,
+        F.col("_id").alias("_id_p"),
+        F.col("_v").alias("_v_p"),
+        F.col("_s").alias("_s_p"),
+        F.col("_e").alias("_e_p"),
+    )
+    probe = probe.withColumn(
+        "_bk", _bucket(probe, "_s_p")
+    )
+    build = base.select(
+        *key_cols,
+        F.col("_id").alias("_id_b"),
+        F.col("_v").alias("_v_b"),
+        F.col("_s").alias("_s_b"),
+        F.col("_e").alias("_e_b"),
+    )
+    build = (
+        build.withColumn("_b0", _bucket(build, "_s_b"))
+        .withColumn("_b1", _bucket(build, "_e_b"))
+    )
+    guard = F.assert_true(
+        F.col("_b1") - F.col("_b0") < F.lit(max_span_buckets),
+        F.concat(
+            F.lit("interval_conflicts: an interval spans "),
+            (F.col("_b1") - F.col("_b0") + 1).cast("string"),
+            F.lit(
+                f" buckets (cap {max_span_buckets}); widen bucket_width "
+                "instead of exploding the build side"
+            ),
+        ),
+    )
+    build = (
+        build.where(guard.isNull())
+        .withColumn("_bk", F.explode(F.sequence(F.col("_b0"), F.col("_b1"))))
+        .drop("_b0", "_b1")
+    )
+    pairs = (
+        probe.join(build, key_cols + ["_bk"])
+        .where(
+            # probe owns the pair: strictly later start, ties by id
+            (F.col("_s_p") > F.col("_s_b"))
+            | ((F.col("_s_p") == F.col("_s_b")) & (F.col("_id_p") > F.col("_id_b")))
+        )
+        # overlap (s_b <= s_p < e_p gives the other half for free)
+        .where(F.col("_s_p") < F.col("_e_b"))
+    )
+    first_is_p = F.col("_id_p") < F.col("_id_b")
+    out = pairs.select(
+        *key_cols,
+        F.when(first_is_p, F.col("_id_p")).otherwise(F.col("_id_b")).alias("id1"),
+        F.when(first_is_p, F.col("_id_b")).otherwise(F.col("_id_p")).alias("id2"),
+        F.when(first_is_p, F.col("_v_p")).otherwise(F.col("_v_b")).alias("val1"),
+        F.when(first_is_p, F.col("_v_b")).otherwise(F.col("_v_p")).alias("val2"),
+        F.greatest("_s_p", "_s_b").alias("overlap_start"),
+        F.least("_e_p", "_e_b").alias("overlap_end"),
+        (F.col("_v_p") != F.col("_v_b")).alias("is_conflict"),
+    )
+    return out.where("is_conflict") if conflicts_only else out

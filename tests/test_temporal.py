@@ -524,3 +524,96 @@ def test_gap_fill_pre_epoch_buckets_floor_not_truncate(spark):
            gap_fill(df, "k", "ts", 3_600_000_000, value_col="v").collect()}
     # truncation toward zero would merge both events into bucket 0
     assert out == {("a", -1): (1, 100), ("a", 0): (1, 200)}
+
+
+# ------------------------------------------------------ interval_conflicts --
+
+
+def _conf(spark, rows, width=10.0, conflicts_only=False, **kw):
+    from entity_extractor_spark.operators.temporal import interval_conflicts
+
+    df = spark.createDataFrame(
+        rows, "k string, id long, v string, s double, e double"
+    )
+    return interval_conflicts(
+        df, ["k"], "id", "v", "s", "e", bucket_width=width,
+        conflicts_only=conflicts_only, **kw
+    )
+
+
+def test_conflicts_basic_pairs_and_flag(spark):
+    rows = [
+        ("a", 1, "x", 0.0, 10.0),
+        ("a", 2, "y", 5.0, 15.0),   # overlaps 1, different value
+        ("a", 3, "x", 9.0, 12.0),   # overlaps 1 (same val) and 2 (diff)
+        ("a", 4, "z", 20.0, 30.0),  # disjoint
+        ("b", 5, "x", 0.0, 10.0),   # other key
+    ]
+    out = {(r["id1"], r["id2"]): r for r in _conf(spark, rows).collect()}
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    assert out[(1, 2)]["is_conflict"] and out[(2, 3)]["is_conflict"]
+    assert not out[(1, 3)]["is_conflict"]
+    assert (out[(1, 2)]["overlap_start"], out[(1, 2)]["overlap_end"]) == (5.0, 10.0)
+    only = {(r["id1"], r["id2"]) for r in
+            _conf(spark, rows, conflicts_only=True).collect()}
+    assert only == {(1, 2), (2, 3)}
+
+
+def test_conflicts_exactly_once_across_buckets(spark):
+    """A pair overlapping across MANY buckets must appear exactly once,
+    including equal-start ties and containment."""
+    rows = [
+        ("a", 1, "x", 0.0, 100.0),   # spans 10 buckets
+        ("a", 2, "y", 0.0, 100.0),   # equal start tie
+        ("a", 3, "z", 55.0, 60.0),   # contained, later start
+        ("a", 4, "w", 95.0, 200.0),  # tail overlap
+    ]
+    out = [(r["id1"], r["id2"]) for r in _conf(spark, rows).collect()]
+    assert sorted(out) == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    assert len(out) == len(set(out))  # no duplicates from the explode
+
+
+def test_conflicts_brute_force_replay(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        k = rng.choice("abc")
+        s = float(rng.randrange(0, 200))
+        rows.append((k, i, rng.choice("xy"), s, s + rng.randrange(1, 40)))
+    got = {
+        (r["k"], r["id1"], r["id2"], r["is_conflict"])
+        for r in _conf(spark, rows, width=7.0).collect()
+    }
+    want = set()
+    for (k1, i1, v1, s1, e1) in rows:
+        for (k2, i2, v2, s2, e2) in rows:
+            if k1 == k2 and i1 < i2 and s1 < e2 and s2 < e1:
+                want.add((k1, i1, i2, v1 != v2))
+    assert got == want
+
+
+def test_conflicts_guards(spark):
+    import pytest
+    from entity_extractor_spark.operators.temporal import interval_conflicts
+
+    # empty / inverted intervals and NULL bounds are dropped silently
+    rows = [("a", 1, "x", 5.0, 5.0), ("a", 2, "y", None, 9.0),
+            ("a", 3, "z", 1.0, 9.0)]
+    assert _conf(spark, rows).count() == 0
+    # NULL value raises executor-side
+    df = spark.createDataFrame(
+        [("a", 1, None, 0.0, 5.0), ("a", 2, "y", 1.0, 6.0)],
+        "k string, id long, v string, s double, e double",
+    )
+    with pytest.raises(Exception, match="NULL value"):
+        interval_conflicts(df, ["k"], "id", "v", "s", "e", 10.0).collect()
+    # over-wide interval trips the span guard loudly
+    wide = [("a", 1, "x", 0.0, 1e6), ("a", 2, "y", 5.0, 6.0)]
+    with pytest.raises(Exception, match="spans"):
+        _conf(spark, wide, width=1.0).count()
+    with pytest.raises(ValueError, match="bucket_width"):
+        _conf(spark, wide, width=0)
+    with pytest.raises(ValueError, match="key_cols"):
+        interval_conflicts(df, [], "id", "v", "s", "e", 10.0)
