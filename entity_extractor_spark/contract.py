@@ -9931,6 +9931,63 @@ def kg_temporal_conflicts(spark, sf_dir):
     ).withColumn("overlap_end", F.col("overlap_end").cast("string"))
 
 
+@query(
+    "text_c4_line_filter",
+    r"""WITH t AS (
+         SELECT doc_id,
+                string_split(replace(text, ' the ', '.' || chr(10)),
+                             chr(10)) AS parts
+         FROM documents),
+       ix AS (SELECT doc_id, unnest(generate_series(1, len(parts))) AS i,
+                     parts
+              FROM t),
+       l AS (SELECT doc_id, i - 1 AS idx, trim(parts[i]) AS ln
+             FROM ix WHERE trim(parts[i]) <> ''),
+       f AS (SELECT doc_id, idx, ln,
+                    right(ln, 1) IN ('.', '!', '?', '"') AS ep,
+                    len(string_split_regex(ln, '\s+')) >= 5 AS mw,
+                    contains(lower(ln), 'window') AS bl
+             FROM l),
+       rolled AS (
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(count(*) FILTER (ep AND mw AND NOT bl) AS BIGINT)
+                  AS n_kept,
+                CAST(count(*) FILTER (NOT ep) AS BIGINT) AS dropped_punct,
+                CAST(count(*) FILTER (ep AND NOT mw) AS BIGINT)
+                  AS dropped_short,
+                CAST(count(*) FILTER (ep AND mw AND bl) AS BIGINT)
+                  AS dropped_block,
+                string_agg(ln, chr(10) ORDER BY idx)
+                  FILTER (ep AND mw AND NOT bl) AS text
+         FROM f GROUP BY doc_id)
+       SELECT doc_id, text, n_lines, n_kept, dropped_punct, dropped_short,
+              dropped_block
+       FROM rolled WHERE n_kept >= 3""",
+)
+def text_c4_line_filter(spark, sf_dir):
+    """C4 line-level cleaning (text_quality.c4_line_filter) over the
+    sentence-ified corpus (the ' the ' -> '.\\n' convention giving real
+    line boundaries): terminal-punctuation, >=5-words, and blocklist
+    ('window' — a token with real corpus mass standing in for C4's
+    'javascript') rules attribute every dropped line to its first
+    failing rule, then docs keeping < 3 lines are dropped whole. All
+    four line branches carry mass at both scale factors (500/134/310
+    dropped + 322 kept lines at sf0.01) and the doc gate bites
+    (23/500 docs survive; 257/5000 at sf0.1). One posexplode + codegen
+    predicates + a single doc-keyed aggregation."""
+    from .operators.text_quality import c4_line_filter
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit(".\n")).alias("text"),
+    )
+    return c4_line_filter(
+        d, "doc_id", "text", min_words=5, min_kept_lines=3,
+        blocklist=("window",),
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -875,3 +875,107 @@ def centroid_scores(
         "score_ppm",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_sep: str = r"\n",
+    join_sep: str = "\n",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+    blocklist: tuple[str, ...] = ("javascript", "lorem ipsum", "{"),
+) -> DataFrame:
+    """The C4 line-level cleaning pass (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning..."): keep a line iff it (1) ends in
+    terminal punctuation [.!?"], (2) has at least `min_words` whitespace
+    words, (3) contains no blocklist entry (case-insensitive substring —
+    the published filter drops any line with "javascript" and any page
+    with "lorem ipsum" or "{"); then drop every DOCUMENT retaining fewer
+    than `min_kept_lines` lines. The standard first-stage web-corpus
+    scrubber that runs BEFORE dedup and quality scoring; quality_score
+    (above) grades whole documents, this removes the navigation/footer/
+    code debris inside them. The reference ingests page text verbatim
+    (file_analysis_service.py) and has no cleaning stage.
+
+    Output per SURVIVING doc: (id, text, n_lines, n_kept, dropped_punct,
+    dropped_short, dropped_block) — text reassembled from kept lines in
+    original order via `join_sep`, per-rule drop counts attributing each
+    dropped line to its FIRST failing rule in the order punct -> short ->
+    block (deterministic attribution; a line can fail several). Blank /
+    whitespace-only lines vanish before the rules (dedup_paragraphs
+    contract) and count in none of the columns; docs below
+    min_kept_lines have no output row.
+
+    Scale shape: posexplode + pure codegen'd column predicates per line,
+    then ONE doc-keyed algebraic aggregation (conditional counts +
+    collect of kept lines, ordered by index) — a single exchange, no
+    windows, no joins; the blocklist folds into the expression as
+    literals. Reassembly memory is bounded by document length, same as
+    dedup_paragraphs."""
+    if min_words < 1 or min_kept_lines < 1:
+        raise ValueError("min_words and min_kept_lines must be >= 1")
+    if not blocklist:
+        raise ValueError(
+            "blocklist must be non-empty (pass a sentinel that cannot "
+            "occur if you want rule 3 off)"
+        )
+    lines = df.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("_idx", "_raw"),
+    ).select("_d", "_idx", F.trim("_raw").alias("_ln")).where(F.col("_ln") != "")
+    ends_punct = F.substring(F.col("_ln"), -1, 1).isin(".", "!", "?", '"')
+    n_words = F.size(F.split(F.col("_ln"), r"\s+"))
+    low = F.lower(F.col("_ln"))
+    blocked = None
+    for b in blocklist:
+        c = low.contains(b.lower())
+        blocked = c if blocked is None else (blocked | c)
+    keep = ends_punct & (n_words >= int(min_words)) & ~blocked
+    flagged = lines.select(
+        "_d",
+        "_idx",
+        "_ln",
+        keep.alias("_keep"),
+        F.when(~ends_punct, F.lit("punct"))
+        .when(n_words < int(min_words), F.lit("short"))
+        .when(blocked, F.lit("block"))
+        .alias("_drop"),
+    )
+    rolled = flagged.groupBy("_d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("_drop") == "punct", 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_punct"),
+        F.sum(F.when(F.col("_drop") == "short", 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_short"),
+        F.sum(F.when(F.col("_drop") == "block", 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_block"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct(F.col("_idx").alias("i"), F.col("_ln").alias("t")),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            join_sep,
+        ).alias("text"),
+    )
+    return rolled.where(F.col("n_kept") >= int(min_kept_lines)).select(
+        F.col("_d").alias(id_col),
+        "text",
+        "n_lines",
+        "n_kept",
+        "dropped_punct",
+        "dropped_short",
+        "dropped_block",
+    )

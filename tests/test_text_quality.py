@@ -329,3 +329,71 @@ def test_centroid_scores_classifies_and_guards(spark):
     )
     with pytest.raises(Exception, match="NULL train label"):
         centroid_scores(bad, score, "doc_id", "text", "label").collect()
+
+
+# ---------------------------------------------------------- c4_line_filter --
+
+
+def test_c4_rules_and_attribution(spark):
+    """Each rule drops its line; attribution goes to the FIRST failing
+    rule (punct -> short -> block); kept lines reassemble in order."""
+    from entity_extractor_spark.operators.text_quality import c4_line_filter
+
+    doc = "\n".join(
+        [
+            "this line has enough words to pass.",   # kept
+            "no terminal punctuation here at all",   # punct
+            "too short.",                            # short
+            "this line mentions javascript badly.",  # block
+            "another good line with many words!",    # kept
+            "   ",                                   # blank: vanishes
+            "short no punct",                        # punct (first rule)
+            'quoted line also counts as terminal?',  # kept (?)
+        ]
+    )
+    out = c4_line_filter(
+        spark.createDataFrame([(1, doc)], "doc_id long, text string"),
+        "doc_id", "text", min_words=5, min_kept_lines=1,
+        blocklist=("javascript",),
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_lines"] == 7  # blank excluded
+    assert r["n_kept"] == 3
+    assert (r["dropped_punct"], r["dropped_short"], r["dropped_block"]) == (2, 1, 1)
+    assert r["text"] == (
+        "this line has enough words to pass.\n"
+        "another good line with many words!\n"
+        "quoted line also counts as terminal?"
+    )
+
+
+def test_c4_doc_gate_and_validation(spark):
+    import pytest
+    from entity_extractor_spark.operators.text_quality import c4_line_filter
+
+    df = spark.createDataFrame(
+        [(1, "one good line stays here tonight.\nbad"),
+         (2, "first excellent line of this doc.\nsecond excellent line of this doc.")],
+        "doc_id long, text string",
+    )
+    out = c4_line_filter(df, "doc_id", "text", min_words=5, min_kept_lines=2)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+    with pytest.raises(ValueError, match="min_words"):
+        c4_line_filter(df, "doc_id", "text", min_words=0)
+    with pytest.raises(ValueError, match="blocklist"):
+        c4_line_filter(df, "doc_id", "text", blocklist=())
+
+
+def test_c4_blocklist_case_and_phrase(spark):
+    """Blocklist matching is case-insensitive substring — phrases and
+    braces (the published C4 entries) both fire."""
+    from entity_extractor_spark.operators.text_quality import c4_line_filter
+
+    df = spark.createDataFrame(
+        [(1, "Lorem Ipsum dolor sit amet filler.\nvar x = {a: 1} in code line.\na perfectly clean sentence stays here.")],
+        "doc_id long, text string",
+    )
+    r = c4_line_filter(df, "doc_id", "text", min_kept_lines=1).collect()[0]
+    assert r["n_kept"] == 1 and r["dropped_block"] == 2
+    assert r["text"] == "a perfectly clean sentence stays here."
