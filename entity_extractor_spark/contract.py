@@ -9988,6 +9988,81 @@ def text_c4_line_filter(spark, sf_dir):
     )
 
 
+@query(
+    "curate_epoch_order",
+    """WITH h AS (
+         SELECT doc_id,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                      || '|ep|1'), 1, 12)) AS BIGINT) AS hv
+         FROM documents)
+       SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT)
+                AS seq,
+              CAST((row_number() OVER (ORDER BY hv, doc_id) - 1) // 64
+                AS BIGINT) AS microbatch
+       FROM h""",
+)
+def curate_epoch_order(spark, sf_dir):
+    """Deterministic epoch-1 training order (sampling.epoch_order): every
+    doc gets a dense 0..N-1 sequence and a 64-doc microbatch id from the
+    md5(id|salt|epoch) permutation — reproducible on any cluster size,
+    retry or partitioning, a new independent shuffle per epoch. The
+    oracle is ONE global row_number; the operator never runs a
+    partitionless window — the uniform 48-bit hash range splits into 64
+    order-aligned strips ranked locally, with strip offsets from a
+    bounded 64-row collect folded into a literal map (the
+    sorted_neighborhood size-probe convention). Hash-mismatch catches
+    any off-by-one in strip stitching or a non-dense sequence."""
+    from .operators import sampling as SAMP
+
+    d = _t(spark, sf_dir, "documents")
+    return SAMP.epoch_order(d, "doc_id", epoch=1, salt="ep", microbatch_size=64)
+
+
+@query(
+    "curate_epoch_interleave",
+    """WITH h AS (
+         SELECT doc_id, lang,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                      || '|ep|1'), 1, 12)) AS BIGINT) AS hv
+         FROM documents),
+       seqd AS (
+         SELECT lang,
+                CAST(row_number() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT)
+                  AS seq
+         FROM h),
+       n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM seqd)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(min(seq) AS BIGINT) AS first_seq,
+              CAST(max(seq) AS BIGINT) AS last_seq,
+              CAST(sum(seq) * 1000000 // (count(*) * (n.total - 1))
+                   AS BIGINT) AS mean_pos_ppm
+       FROM seqd, n GROUP BY lang, n.total""",
+)
+def curate_epoch_interleave(spark, sf_dir):
+    """Interleave audit over the epoch order: per language, the doc
+    count, first/last position and mean position on the ppm grid — a
+    well-shuffled epoch puts every group's mean near 500000, so a
+    training-order writer that accidentally clusters a language (the
+    classic sorted-by-source bug that makes loss curves sawtooth) shows
+    up as a skewed mean and a late first_seq. Exact integer arithmetic
+    on the dense sequence; one algebraic group-by over epoch_order's
+    output with the corpus total broadcast."""
+    from .operators import sampling as SAMP
+
+    d = _t(spark, sf_dir, "documents")
+    ordr = SAMP.epoch_order(d, "doc_id", epoch=1, salt="ep", microbatch_size=64)
+    joined = ordr.join(d.select("doc_id", "lang"), "doc_id")
+    total = joined.count()
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("seq").cast("long").alias("first_seq"),
+        F.max("seq").cast("long").alias("last_seq"),
+        F.expr(f"CAST(sum(seq) * 1000000 div (count(*) * {total - 1}L) AS BIGINT)")
+        .alias("mean_pos_ppm"),
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

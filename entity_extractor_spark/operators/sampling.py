@@ -427,3 +427,84 @@ def temperature_plan(
         )
         .alias("rate_ppm"),
     )
+
+
+def epoch_order(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    salt: str = "epoch",
+    microbatch_size: int = 1024,
+    shards: int = 64,
+) -> DataFrame:
+    """Deterministic global training order for epoch `epoch`: every row
+    gets a dense sequence number 0..N-1 and a microbatch id — the
+    shuffled write order a training-data exporter materializes per epoch.
+    The order key is the 48-bit md5 of (id, salt, epoch), so each epoch
+    is an independent pseudo-random permutation, reproducible on any
+    cluster size / retry / partitioning (the sampling-family doctrine:
+    never rand(seed), which reshuffles with the partitioning), and the
+    DuckDB oracle replays it as one row_number. Ties on the 48-bit hash
+    break by id; NULL ids raise executor-side — an unnamed row cannot be
+    ordered reproducibly. Output: (id, seq, microbatch).
+
+    Scale shape: a dense global enumeration is normally Spark's worst
+    primitive (row_number over an EMPTY partitionSpec = the whole corpus
+    through ONE task). Here the hash is uniform on [0, 2^48), so its
+    value RANGE is split into `shards` contiguous, order-aligned strips:
+    shard = h div (2^48/shards) preserves global hash order BETWEEN
+    strips, each strip ranks locally (per-shard window over ~N/shards
+    rows), and strip offsets come from a bounded shards-row collect
+    folded into a literal map (the sorted_neighborhood / star-CC
+    size-probe convention — never a partitionless window). Total: one
+    hash exchange on shard reused by the count probe and the ranking.
+    Set shards ~ cluster cores; skew is impossible by construction
+    (uniform hash strips)."""
+    if epoch < 0 or microbatch_size < 1 or shards < 1:
+        raise ValueError("epoch >= 0, microbatch_size >= 1, shards >= 1 required")
+    checked_id = F.when(F.col("_id").isNotNull(), F.col("_id")).otherwise(
+        F.raise_error(F.lit("epoch_order: NULL id cannot be ordered"))
+    )
+    strip = (1 << 48) // int(shards) + (1 if (1 << 48) % int(shards) else 0)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", checked_id.cast("string"), F.lit(salt), F.lit(int(epoch))
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    tagged = (
+        df.select(F.col(id_col).alias("_id"))
+        .withColumn("_h", h)
+        .withColumn("_sh", F.expr(f"_h div {strip}L").cast("int"))
+        .localCheckpoint(eager=True)  # pin for the count probe + ranking
+    )
+    counts = {
+        r._sh: r.c
+        for r in tagged.groupBy("_sh").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for sh in sorted(counts):
+        offsets[sh] = acc
+        acc += counts[sh]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    ) if offsets else F.create_map(F.lit(0), F.lit(0))
+    wr = Window.partitionBy("_sh").orderBy("_h", "_id")
+    return (
+        tagged.withColumn(
+            "seq",
+            (off_map[F.col("_sh")] + F.row_number().over(wr) - 1).cast("long"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "seq",
+            F.expr(f"seq div {int(microbatch_size)}L").cast("long").alias("microbatch"),
+        )
+    )
