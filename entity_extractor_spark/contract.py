@@ -10063,6 +10063,161 @@ def curate_epoch_interleave(spark, sf_dir):
     )
 
 
+def _mmr_oracle_sql(k: int = 5, lam: int = 700000, m: int = 12) -> str:
+    """Unrolled greedy-MMR oracle: one CTE pair per selection round —
+    the literal replay of ranking.mmr_rerank's k-round loop."""
+    head = rf"""WITH qs(query_id, qtext) AS (VALUES
+         ('q1', 'spark table scan'), ('q2', 'fast hash join'),
+         ('q3', 'window agg group'), ('q4', 'customer order line'),
+         ('q5', 'vector quantum flux'), ('q6', 'slow query filter sort')),
+       dt AS (SELECT DISTINCT doc_id AS d, term FROM (
+                SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+                       '\s+')) AS term FROM documents) WHERE term <> ''),
+       nd AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY 1),
+       qt AS (SELECT DISTINCT query_id AS qq, term FROM (
+                SELECT query_id, unnest(string_split_regex(trim(lower(qtext)),
+                       '\s+')) AS term FROM qs) WHERE term <> ''),
+       nq AS (SELECT qq, CAST(count(*) AS BIGINT) AS c FROM qt GROUP BY 1),
+       iq AS (SELECT qq, d, CAST(count(*) AS BIGINT) AS i
+              FROM qt JOIN dt USING (term) GROUP BY 1, 2),
+       relt AS (SELECT qq, d,
+                       CAST(i * 1000000 // (nq.c + nd.c - i) AS BIGINT) AS rel
+                FROM iq JOIN nq USING (qq) JOIN nd USING (d) WHERE i > 0),
+       cand AS (SELECT qq, d, rel FROM (
+                  SELECT *, row_number() OVER (PARTITION BY qq
+                            ORDER BY rel DESC, d) AS rn
+                  FROM relt) WHERE rn <= {m}),
+       cd AS (SELECT c.qq, c.d, dt.term FROM cand c JOIN dt ON dt.d = c.d),
+       pi AS (SELECT a.qq, a.d AS d1, b.d AS d2, CAST(count(*) AS BIGINT) AS i
+              FROM cd a JOIN cd b
+                ON a.qq = b.qq AND a.term = b.term AND a.d != b.d
+              GROUP BY 1, 2, 3),
+       sims AS (SELECT qq, d1, d2,
+                       CAST(i * 1000000 // (x.c + y.c - i) AS BIGINT) AS sim
+                FROM pi JOIN nd x ON x.d = pi.d1 JOIN nd y ON y.d = pi.d2),
+       sel1 AS (SELECT qq, d, 1 AS mmr_rank, rel,
+                       CAST(0 AS BIGINT) AS msim,
+                       CAST({lam} AS BIGINT) * rel AS score
+                FROM (SELECT *, row_number() OVER (PARTITION BY qq
+                              ORDER BY rel DESC, d) AS rn
+                      FROM cand) WHERE rn = 1),
+       selall1 AS (SELECT * FROM sel1)"""
+    rounds = []
+    for r in range(2, k + 1):
+        rounds.append(rf""",
+       rem{r} AS (SELECT c.* FROM cand c
+                  LEFT JOIN selall{r-1} s ON s.qq = c.qq AND s.d = c.d
+                  WHERE s.d IS NULL),
+       ms{r} AS (SELECT c.qq, c.d, c.rel,
+                        CAST(COALESCE(max(s2.sim), 0) AS BIGINT) AS msim
+                 FROM rem{r} c LEFT JOIN
+                   (SELECT si.qq, si.d1, si.sim FROM sims si
+                    JOIN selall{r-1} s ON s.qq = si.qq AND s.d = si.d2) s2
+                   ON s2.qq = c.qq AND s2.d1 = c.d
+                 GROUP BY 1, 2, 3),
+       sel{r} AS (SELECT qq, d, {r} AS mmr_rank, rel, msim, score FROM (
+                    SELECT *,
+                           CAST({lam} AS BIGINT) * rel
+                             - CAST({1_000_000 - lam} AS BIGINT) * msim
+                             AS score,
+                           row_number() OVER (PARTITION BY qq
+                             ORDER BY CAST({lam} AS BIGINT) * rel
+                               - CAST({1_000_000 - lam} AS BIGINT) * msim
+                               DESC, d) AS rn
+                    FROM ms{r}) WHERE rn = 1),
+       selall{r} AS (SELECT * FROM selall{r-1}
+                     UNION ALL SELECT * FROM sel{r})""")
+    tail = rf"""
+       SELECT qq AS query_id, d AS doc_id,
+              CAST(mmr_rank AS BIGINT) AS mmr_rank, rel, msim, score
+       FROM selall{k}"""
+    return head + "".join(rounds) + tail
+
+
+@query("rag_mmr_topk", _mmr_oracle_sql())
+def rag_mmr_topk(spark, sf_dir):
+    """MMR diversified rerank (ranking.mmr_rerank — Carbonell & Goldstein
+    1998): the six BM25-suite queries retrieve a 12-candidate pool by
+    query-doc token-Jaccard (ppm grid), candidate pairs get doc-doc
+    Jaccard sims, and five greedy rounds pick the item maximizing
+    0.7*rel - 0.3*max_sim_to_selected — the diversification pass that
+    stops a RAG context from being five paraphrases of one passage. rel
+    and sim share the exact ppm grid so the score is pure BIGINT; ties
+    break by doc_id; the oracle is the round-by-round unrolled CTE
+    replay of the same greedy loop. Every step is an equi-join or
+    map-side-combining agg on the query key — no windows in the
+    operator, plan depth O(k)."""
+    from .operators.ranking import mmr_rerank
+
+    d = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [
+            ("q1", "spark table scan"), ("q2", "fast hash join"),
+            ("q3", "window agg group"), ("q4", "customer order line"),
+            ("q5", "vector quantum flux"), ("q6", "slow query filter sort"),
+        ],
+        "query_id string, qtext string",
+    )
+    dt = (
+        d.select(
+            F.col("doc_id").alias("d"),
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    nd = dt.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    qt = (
+        qs.select(
+            F.col("query_id").alias("qq"),
+            F.explode(F.split(F.trim(F.lower("qtext")), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    nq = qt.groupBy("qq").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    iq = qt.join(dt, "term").groupBy("qq", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("i")
+    )
+    relt = (
+        iq.join(F.broadcast(nq.withColumnRenamed("c", "cq")), "qq")
+        .join(nd.withColumnRenamed("c", "cd"), "d")
+        .select(
+            "qq", "d",
+            F.expr("CAST(i * 1000000 div (cq + cd - i) AS BIGINT)").alias("rel"),
+        )
+        .where(F.col("rel") > 0)
+    )
+    wq = Window.partitionBy("qq").orderBy(F.col("rel").desc(), F.col("d"))
+    cand = relt.withColumn("rn", F.row_number().over(wq)).where("rn <= 12").drop("rn")
+    cd = cand.select("qq", "d").join(dt, "d").select("qq", "d", "term")
+    a = cd.select("qq", F.col("d").alias("d1"), "term")
+    b = cd.select("qq", F.col("d").alias("d2"), "term")
+    pi = (
+        a.join(b, ["qq", "term"])
+        .where(F.col("d1") != F.col("d2"))
+        .groupBy("qq", "d1", "d2")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    sims = (
+        pi.join(nd.select(F.col("d").alias("d1"), F.col("c").alias("c1")), "d1")
+        .join(nd.select(F.col("d").alias("d2"), F.col("c").alias("c2")), "d2")
+        .select(
+            "qq", "d1", "d2",
+            F.expr("CAST(i * 1000000 div (c1 + c2 - i) AS BIGINT)").alias("sim"),
+        )
+    )
+    out = mmr_rerank(
+        cand.withColumnRenamed("d", "doc"),
+        sims.withColumnRenamed("d1", "doc1").withColumnRenamed("d2", "doc2"),
+        "qq", "doc", "rel", "sim", k=5, lambda_ppm=700000,
+    )
+    return out.select(
+        F.col("qq").alias("query_id"), F.col("doc").alias("doc_id"),
+        "mmr_rank", "rel", "msim", "score",
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -328,3 +328,119 @@ def hybrid_topk(
         "n_rankers",
         "rank",
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    pair_sims: DataFrame,
+    query_col: str,
+    id_col: str,
+    rel_col: str,
+    sim_col: str,
+    k: int = 5,
+    lambda_ppm: int = 700000,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    greedily pick k items per query maximizing
+        lambda * relevance - (1 - lambda) * max-similarity-to-selected,
+    the standard diversification pass between retrieval and a RAG
+    context window — rrf_fuse (above) merges rankers, this stops the
+    merged list from being five paraphrases of the same passage. The
+    reference returns its raw exact cosine top-5 with no
+    diversification (vector_repository.py:56-67).
+
+    Inputs: `candidates` (query, id, rel) — the BOUNDED per-query pool
+    (top-m from any retriever; the caller owns the bound, same contract
+    as rrf_fuse's top-m rankings); `pair_sims` (query, id1, id2, sim)
+    with BOTH orientations present (or none for a zero-sim pair —
+    absent pairs read as similarity 0). rel and sim must live on the
+    same integer grid (ppm Jaccard here); scores are then pure BIGINT:
+    score = lambda_ppm*rel - (10^6-lambda_ppm)*max_sim, ties broken by
+    id ascending — deterministic on any engine or partitioning.
+
+    Output: (query, id, mmr_rank 1..k, rel, msim, score) where msim is
+    the max similarity to the already-selected set at selection time
+    (0 for rank 1).
+
+    Scale shape: k is a small constant, so the greedy loop unrolls into
+    k rounds of {anti-join out the selected, one equi-join of the
+    selected picks against pair_sims, one algebraic max per candidate,
+    one argmax per query via min(struct(-score, id))} — every step an
+    equi-join or map-side-combining agg on the query key, no windows,
+    no driver data movement. The inputs and each round's one-row-per-
+    query pick are localCheckpoint'd (the winsorize shared-intermediate
+    convention): `selected` feeds THREE places per round (anti-join,
+    sim lookup, union), so an unmaterialized lineage would triple in
+    size per round — 3^k plan blowup — where the pinned form keeps
+    every round a constant-size plan over materialized inputs.
+    Candidate and pair volumes are the caller's m and m^2 per query
+    (document the m you feed it, as the contract query does with
+    m=12)."""
+    if not 1 <= int(k) <= 64:
+        raise ValueError("k must be in [1, 64]")
+    if not 0 <= int(lambda_ppm) <= 1_000_000:
+        raise ValueError("lambda_ppm must be in [0, 1e6]")
+    lam = int(lambda_ppm)
+    q, d = query_col, id_col
+    cand = candidates.select(
+        F.col(q).alias("_q"), F.col(d).alias("_d"),
+        F.col(rel_col).cast("long").alias("_rel"),
+    ).localCheckpoint(eager=True)
+    sims = pair_sims.select(
+        F.col(q).alias("_q"), F.col(f"{d}1").alias("_d1"),
+        F.col(f"{d}2").alias("_d2"), F.col(sim_col).cast("long").alias("_sim"),
+    ).localCheckpoint(eager=True)
+
+    def _pick(scored: DataFrame, rank: int) -> DataFrame:
+        best = scored.groupBy("_q").agg(
+            F.min(F.struct((-F.col("_score")).alias("ns"), F.col("_d").alias("d")))
+            .alias("_b")
+        )
+        return (
+            scored.join(best, "_q")
+            .where(
+                (F.col("_score") == -F.col("_b.ns")) & (F.col("_d") == F.col("_b.d"))
+            )
+            .select(
+                "_q", "_d", F.lit(rank).cast("long").alias("mmr_rank"),
+                "_rel", "_msim", "_score",
+            )
+        )
+
+    first = _pick(
+        cand.select(
+            "_q", "_d", "_rel", F.lit(0).cast("long").alias("_msim"),
+            (F.lit(lam) * F.col("_rel")).alias("_score"),
+        ),
+        1,
+    )
+    selected = first.localCheckpoint(eager=True)
+    for r in range(2, int(k) + 1):
+        rem = cand.join(selected.select("_q", "_d"), ["_q", "_d"], "left_anti")
+        sel_sims = sims.join(
+            selected.select("_q", F.col("_d").alias("_d2")), ["_q", "_d2"]
+        )
+        ms = (
+            rem.join(
+                sel_sims.select("_q", F.col("_d1").alias("_d"), "_sim"),
+                ["_q", "_d"],
+                "left",
+            )
+            .groupBy("_q", "_d", "_rel")
+            .agg(F.coalesce(F.max("_sim"), F.lit(0)).cast("long").alias("_msim"))
+        )
+        scored = ms.select(
+            "_q", "_d", "_rel", "_msim",
+            (
+                F.lit(lam) * F.col("_rel")
+                - F.lit(1_000_000 - lam) * F.col("_msim")
+            ).alias("_score"),
+        )
+        selected = selected.unionByName(_pick(scored, r)).localCheckpoint(
+            eager=True
+        )
+    return selected.select(
+        F.col("_q").alias(q), F.col("_d").alias(d), "mmr_rank",
+        F.col("_rel").alias(rel_col), F.col("_msim").alias("msim"),
+        F.col("_score").alias("score"),
+    )

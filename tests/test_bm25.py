@@ -183,3 +183,65 @@ def test_hybrid_topk_fuses_both_rankers(spark):
     # the ranker-specific docs each survive with one contribution
     assert rows["lexonly"].n_rankers == 1
     assert rows["denseonly"].n_rankers == 1
+
+
+# ---------------------------------------------------------------- mmr_rerank --
+
+
+def _mmr(spark, cand_rows, sim_rows, k=3, lam=500000):
+    from entity_extractor_spark.operators.ranking import mmr_rerank
+
+    cand = spark.createDataFrame(cand_rows, "q string, doc string, rel long")
+    sims = spark.createDataFrame(
+        sim_rows, "q string, doc1 string, doc2 string, sim long"
+    )
+    return [
+        (r["q"], r["doc"], r["mmr_rank"], r["msim"])
+        for r in mmr_rerank(cand, sims, "q", "doc", "rel", "sim", k, lam)
+        .orderBy("q", "mmr_rank")
+        .collect()
+    ]
+
+
+def test_mmr_diversifies_against_pure_relevance(spark):
+    """b is the 2nd-most relevant but nearly identical to a; MMR at
+    lambda=0.5 picks the dissimilar c second instead."""
+    cand = [("q", "a", 900000), ("q", "b", 800000), ("q", "c", 500000)]
+    sims = []
+    for x, y, s in [("a", "b", 950000), ("a", "c", 50000), ("b", "c", 60000)]:
+        sims += [("q", x, y, s), ("q", y, x, s)]
+    out = _mmr(spark, cand, sims)
+    assert out == [
+        ("q", "a", 1, 0),
+        ("q", "c", 2, 50000),   # 0.5*500k-0.5*50k  > 0.5*800k-0.5*950k
+        ("q", "b", 3, 950000),
+    ]
+
+
+def test_mmr_pure_relevance_at_lambda_1(spark):
+    cand = [("q", "a", 900000), ("q", "b", 800000), ("q", "c", 500000)]
+    sims = [("q", "a", "b", 999999), ("q", "b", "a", 999999)]
+    out = _mmr(spark, cand, sims, lam=1_000_000)
+    assert [d for (_, d, _, _) in out] == ["a", "b", "c"]
+
+
+def test_mmr_exhaustion_ties_and_missing_sims(spark):
+    """Fewer candidates than k -> short list; absent sim pairs read as
+    0; score ties break by id ascending."""
+    cand = [("q1", "a", 700000), ("q1", "b", 700000), ("q2", "z", 100000)]
+    out = _mmr(spark, cand, [], k=5)
+    assert out == [
+        ("q1", "a", 1, 0), ("q1", "b", 2, 0), ("q2", "z", 1, 0),
+    ]
+
+
+def test_mmr_validation(spark):
+    import pytest
+    from entity_extractor_spark.operators.ranking import mmr_rerank
+
+    cand = spark.createDataFrame([("q", "a", 1)], "q string, doc string, rel long")
+    sims = spark.createDataFrame([], "q string, doc1 string, doc2 string, sim long")
+    with pytest.raises(ValueError, match="k must be"):
+        mmr_rerank(cand, sims, "q", "doc", "rel", "sim", k=0)
+    with pytest.raises(ValueError, match="lambda_ppm"):
+        mmr_rerank(cand, sims, "q", "doc", "rel", "sim", lambda_ppm=2_000_000)
