@@ -10218,6 +10218,118 @@ def rag_mmr_topk(spark, sf_dir):
     )
 
 
+@query(
+    "rag_proximity_window",
+    r"""WITH qs(query_id, qtext) AS (VALUES
+         ('q1', 'spark table scan'), ('q2', 'fast hash join'),
+         ('q3', 'window agg group'), ('q4', 'customer order line'),
+         ('q5', 'vector quantum flux'), ('q6', 'slow query filter sort')),
+       qt AS (SELECT query_id, term,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY term) AS INT) AS idx
+              FROM (SELECT DISTINCT query_id,
+                           unnest(string_split_regex(trim(lower(qtext)),
+                                  '\s+')) AS term
+                    FROM qs) WHERE term <> ''),
+       nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+              FROM qt GROUP BY 1),
+       tt AS (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS parts
+              FROM documents),
+       ix AS (SELECT doc_id, parts,
+                     unnest(generate_series(1, len(parts))) AS i FROM tt),
+       tok AS (SELECT doc_id, parts[i] AS term, CAST(i - 1 AS BIGINT) AS pos
+               FROM ix WHERE parts[i] <> ''),
+       p AS (SELECT qt.query_id, tok.doc_id, tok.pos, qt.idx, nt.n_terms
+             FROM tok JOIN qt USING (term) JOIN nt USING (query_id)),
+       sc AS (
+         SELECT query_id, doc_id, pos, n_terms,
+                max(CASE WHEN idx = 1 THEN pos END) OVER w AS l1,
+                max(CASE WHEN idx = 2 THEN pos END) OVER w AS l2,
+                max(CASE WHEN idx = 3 THEN pos END) OVER w AS l3,
+                max(CASE WHEN idx = 4 THEN pos END) OVER w AS l4
+         FROM p
+         WINDOW w AS (PARTITION BY query_id, doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       val AS (
+         SELECT query_id, doc_id, pos, n_terms,
+                CASE WHEN n_terms = 1 THEN l1
+                     WHEN n_terms = 2 THEN least(l1, l2)
+                     WHEN n_terms = 3 THEN least(l1, l2, l3)
+                     ELSE least(l1, l2, l3, l4) END AS ws
+         FROM sc
+         WHERE CASE WHEN n_terms = 1 THEN l1 IS NOT NULL
+                    WHEN n_terms = 2 THEN l1 IS NOT NULL AND l2 IS NOT NULL
+                    WHEN n_terms = 3 THEN l1 IS NOT NULL AND l2 IS NOT NULL
+                         AND l3 IS NOT NULL
+                    ELSE l1 IS NOT NULL AND l2 IS NOT NULL
+                         AND l3 IS NOT NULL AND l4 IS NOT NULL END),
+       ranked AS (
+         SELECT query_id, doc_id, n_terms,
+                pos - ws + 1 AS win_len, ws AS win_start, pos AS win_end,
+                row_number() OVER (PARTITION BY query_id, doc_id
+                  ORDER BY pos - ws + 1, pos, ws) AS rn
+         FROM val)
+       SELECT query_id, doc_id, n_terms,
+              CAST(win_len AS BIGINT) AS win_len,
+              CAST(win_start AS BIGINT) AS win_start,
+              CAST(win_end AS BIGINT) AS win_end
+       FROM ranked WHERE rn = 1""",
+)
+def rag_proximity_window(spark, sf_dir):
+    """Minimal covering window (ranking.min_cover_window — Clarke et al.
+    positional proximity): for each (query, doc) containing ALL the
+    query's distinct terms, the shortest token span covering one
+    occurrence of each — the co-occurrence rerank signal BM25's bag of
+    counts can't see. The O(n log n) sweep carries the latest position
+    of each term index as statically-unrolled windowed CASE columns
+    (never the m^T occurrence cross-join); docs missing a term never
+    form a valid window end and vanish (q5's absent 'quantum flux'
+    prunes whole queries — presence and absence both carry mass). ONE
+    hash exchange on (query, doc) feeds the carry window and the final
+    argmin; ties break by (len, end)."""
+    from .operators.ranking import min_cover_window
+
+    d = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [
+            ("q1", "spark table scan"), ("q2", "fast hash join"),
+            ("q3", "window agg group"), ("q4", "customer order line"),
+            ("q5", "vector quantum flux"), ("q6", "slow query filter sort"),
+        ],
+        "query_id string, qtext string",
+    )
+    qterms = (
+        qs.select(
+            "query_id",
+            F.explode(F.split(F.trim(F.lower("qtext")), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    wq = Window.partitionBy("query_id").orderBy("term")
+    qt = qterms.withColumn("idx", F.row_number().over(wq).cast("int"))
+    nt = qt.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    tok = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+                "pos", "term"
+            ),
+        )
+        .where(F.col("term") != "")
+        .select("doc_id", "term", F.col("pos").cast("long").alias("pos"))
+    )
+    positions = tok.join(F.broadcast(qt), "term").select(
+        "query_id", "doc_id", "pos", "idx"
+    )
+    return min_cover_window(
+        positions, "query_id", "doc_id", "pos", "idx", nt, max_terms=4
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

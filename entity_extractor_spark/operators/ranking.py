@@ -444,3 +444,105 @@ def mmr_rerank(
         F.col("_rel").alias(rel_col), F.col("_msim").alias("msim"),
         F.col("_score").alias("score"),
     )
+
+
+def min_cover_window(
+    positions: DataFrame,
+    query_col: str,
+    id_col: str,
+    pos_col: str,
+    idx_col: str,
+    nterms: DataFrame,
+    max_terms: int = 8,
+) -> DataFrame:
+    """Minimal covering window — proximity relevance (the classic
+    positional-IR signal, Clarke et al. 2000 "Relevance ranking for one
+    to three term queries"): for each (query, doc) where the doc
+    contains ALL the query's distinct terms, the length of the shortest
+    token span containing at least one occurrence of each term. BM25
+    (above) counts matches; this measures whether they CO-OCCUR — "fast
+    hash join" in one phrase vs scattered over 400 tokens — the rerank
+    signal between lexical retrieval and a cross-encoder.
+
+    Inputs: `positions` (query, id, pos, idx) — one row per occurrence
+    of a query term in a doc, pos the 0-based token position, idx the
+    term's 1-based index among the query's DISTINCT terms (any fixed
+    assignment; the contract uses alphabetical); `nterms` (query,
+    n_terms) — the distinct-term count per query, <= max_terms (raises
+    loudly beyond: widen the cap consciously, the range_join guard
+    convention).
+
+    Algorithm (the O(n log n) sweep, never the m^T occurrence
+    cross-join): scanning each (query, doc)'s occurrences in position
+    order, carry the LATEST seen position of every term index i —
+    max(CASE idx=i THEN pos) over the running window, statically
+    unrolled for i in 1..max_terms; a scan row is a valid window END
+    iff all T carries are non-null, and its best window is
+    [min(carries), pos]. The per-(query, doc) minimum (ties: smallest
+    end) is the answer. Output: (query, id, n_terms, win_len, win_start,
+    win_end) in token units, win_len = win_end - win_start + 1.
+
+    Scale shape: ONE hash exchange on (query, doc) feeds the ordered
+    carry window and the final argmin agg; the carries are fixed-width
+    codegen'd CASE columns (an array, never a per-term join), so cost is
+    the per-group sort — identical to any keyed window — and docs
+    missing any term never produce a valid end, vanishing without a
+    dedicated filter pass."""
+    if not 1 <= int(max_terms) <= 16:
+        raise ValueError("max_terms must be in [1, 16]")
+    checked_T = F.when(
+        F.col("_T").between(1, int(max_terms)), F.col("_T")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("min_cover_window: query "),
+                F.col("_q").cast("string"),
+                F.lit(f" has more distinct terms than max_terms={max_terms}"),
+            )
+        )
+    )
+    p = positions.select(
+        F.col(query_col).alias("_q"), F.col(id_col).alias("_d"),
+        F.col(pos_col).cast("long").alias("_p"),
+        F.col(idx_col).cast("int").alias("_i"),
+    )
+    nt = nterms.select(
+        F.col(query_col).alias("_q"), F.col("n_terms").alias("_T")
+    ).select("_q", checked_T.alias("_T"))
+    w = (
+        Window.partitionBy("_q", "_d")
+        .orderBy("_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carries = [
+        F.max(F.when(F.col("_i") == i, F.col("_p"))).over(w)
+        for i in range(1, int(max_terms) + 1)
+    ]
+    scanned = (
+        p.join(F.broadcast(nt), "_q")
+        .withColumn("_carr", F.array(*carries))
+        .withColumn("_sl", F.slice(F.col("_carr"), 1, F.col("_T")))
+        .where(
+            F.size(F.filter(F.col("_sl"), lambda x: x.isNotNull()))
+            == F.col("_T")
+        )
+        .select(
+            "_q", "_d", "_T",
+            (F.col("_p") - F.array_min("_sl") + 1).alias("_len"),
+            F.array_min("_sl").alias("_ws"),
+            F.col("_p").alias("_we"),
+        )
+    )
+    best = scanned.groupBy("_q", "_d").agg(
+        F.max("_T").alias("_Tm"),
+        F.min(F.struct(F.col("_len").alias("l"), F.col("_we").alias("e"),
+                       F.col("_ws").alias("s"))).alias("_b"),
+    )
+    return best.select(
+        F.col("_q").alias(query_col),
+        F.col("_d").alias(id_col),
+        F.col("_Tm").cast("long").alias("n_terms"),
+        F.col("_b.l").cast("long").alias("win_len"),
+        F.col("_b.s").cast("long").alias("win_start"),
+        F.col("_b.e").cast("long").alias("win_end"),
+    )

@@ -245,3 +245,79 @@ def test_mmr_validation(spark):
         mmr_rerank(cand, sims, "q", "doc", "rel", "sim", k=0)
     with pytest.raises(ValueError, match="lambda_ppm"):
         mmr_rerank(cand, sims, "q", "doc", "rel", "sim", lambda_ppm=2_000_000)
+
+
+# ---------------------------------------------------------- min_cover_window --
+
+
+def _mcw(spark, pos_rows, nt_rows, max_terms=4):
+    from entity_extractor_spark.operators.ranking import min_cover_window
+
+    p = spark.createDataFrame(
+        pos_rows, "query_id string, doc_id long, pos long, idx int"
+    )
+    nt = spark.createDataFrame(nt_rows, "query_id string, n_terms long")
+    return {
+        (r["query_id"], r["doc_id"]): (
+            r["n_terms"], r["win_len"], r["win_start"], r["win_end"]
+        )
+        for r in min_cover_window(
+            p, "query_id", "doc_id", "pos", "idx", nt, max_terms
+        ).collect()
+    }
+
+
+def test_mcw_known_answer(spark):
+    """doc tokens: t1 . . t2 t1 t2 -> best window for {t1,t2} is [3,4]
+    len 2, not the [0,3] len 4 that greedy-first would give."""
+    pos = [
+        ("q", 1, 0, 1), ("q", 1, 3, 2), ("q", 1, 4, 1), ("q", 1, 5, 2),
+        # doc 2 misses idx 2 entirely -> absent
+        ("q", 2, 0, 1), ("q", 2, 9, 1),
+    ]
+    out = _mcw(spark, pos, [("q", 2)])
+    assert out == {("q", 1): (2, 2, 3, 4)}
+
+
+def test_mcw_brute_force_replay(spark):
+    import random
+
+    rng = random.Random(11)
+    docs = {}
+    for d in range(30):
+        docs[d] = [rng.randrange(0, 5) for _ in range(rng.randrange(3, 40))]
+    T = 3  # terms are token values 0,1,2 with idx = value+1
+    pos_rows, want = [], {}
+    for d, toks in docs.items():
+        for p, t in enumerate(toks):
+            if t < T:
+                pos_rows.append(("q", d, p, t + 1))
+        best = None
+        for i in range(len(toks)):
+            seen = {}
+            for j in range(i, len(toks)):
+                if toks[j] < T:
+                    seen[toks[j]] = j
+                if len(seen) == T:
+                    cand = (j - i + 1, j, i)
+                    if toks[i] < T and (best is None or cand < best):
+                        best = cand
+                    break
+        if best:
+            want[("q", d)] = (T, best[0], best[2], best[1])
+    got = _mcw(spark, pos_rows, [("q", T)])
+    assert got == want
+
+
+def test_mcw_guards(spark):
+    import pytest
+    from entity_extractor_spark.operators.ranking import min_cover_window
+
+    p = spark.createDataFrame(
+        [("q", 1, 0, 1)], "query_id string, doc_id long, pos long, idx int"
+    )
+    big = spark.createDataFrame([("q", 9)], "query_id string, n_terms long")
+    with pytest.raises(Exception, match="more distinct terms"):
+        min_cover_window(p, "query_id", "doc_id", "pos", "idx", big, 4).collect()
+    with pytest.raises(ValueError, match="max_terms"):
+        min_cover_window(p, "query_id", "doc_id", "pos", "idx", big, 0)
