@@ -10330,6 +10330,52 @@ def rag_proximity_window(spark, sf_dir):
     )
 
 
+@query(
+    "kg_entity_salience",
+    r"""WITH tt AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '') AS parts
+         FROM documents),
+       ix AS (SELECT doc_id, len(parts) AS L,
+                     unnest(generate_series(1, len(parts))) AS i, parts
+              FROM tt),
+       tok AS (SELECT doc_id, L, CAST(i - 1 AS BIGINT) AS pos,
+                      parts[i] AS t
+               FROM ix),
+       hits AS (SELECT * FROM tok
+                WHERE t IN ('customer', 'join', 'spark', 'table', 'window')),
+       agg AS (
+         SELECT doc_id, t AS keyword, CAST(max(L) AS BIGINT) AS L,
+                CAST(count(*) AS BIGINT) AS n_mentions,
+                CAST(min(pos) AS BIGINT) AS first_pos,
+                CAST(max(pos) AS BIGINT) AS last_pos
+         FROM hits GROUP BY 1, 2)
+       SELECT doc_id, keyword, n_mentions, first_pos, last_pos,
+              last_pos - first_pos AS spread,
+              CAST((7 * ((L - first_pos) * 1000000 // L)
+                    + 3 * (n_mentions * 1000000 // L)) // 10 AS BIGINT)
+                AS salience_ppm
+       FROM agg""",
+)
+def kg_entity_salience(spark, sf_dir):
+    """Positional entity salience (kg_training.mention_salience —
+    Dunietz & Gillick features): per (doc, keyword), first/last mention
+    position, frequency and the 7:3 early-vs-frequency ppm fold over
+    five corpus-native gazetteer terms (~900 occurrences each at
+    sf0.01) — prominence, not mere presence; a footer mention stops
+    outweighing a title one. Pure algebraic (doc, keyword) aggregation
+    + a broadcast token-count join; the literal keyword filter prunes
+    the exploded tokens before any shuffle."""
+    from .operators.kg_training import mention_salience
+
+    d = _t(spark, sf_dir, "documents")
+    return mention_salience(
+        d, "doc_id", "text",
+        ["customer", "join", "spark", "table", "window"],
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

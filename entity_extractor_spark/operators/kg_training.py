@@ -409,3 +409,80 @@ def mention_contexts(
             "right_ctx"
         ),
     )
+
+
+def mention_salience(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keywords: list[str],
+    early_weight: int = 7,
+) -> DataFrame:
+    """Positional entity salience — per (doc, keyword): how PROMINENT is
+    the entity in the document, not merely whether it appears. The
+    standard features (Dunietz & Gillick 2014, "A new entity salience
+    task"): first-mention position (title/lead mentions dominate),
+    mention frequency, and spread, folded into one exact-integer score:
+
+        early_ppm    = (L - first_pos) * 10^6 div L
+        freq_ppm     = n_mentions * 10^6 div L
+        salience_ppm = (w*early_ppm + (10-w)*freq_ppm) div 10
+
+    (L = doc token count, positions 0-based, w = early_weight in
+    [0, 10]). Feeds entity ranking in summarize_entities, disambiguation
+    priors (a doc's most salient candidate wins ties), and weak labels
+    for a salience classifier — the reference counts mentions per page
+    (file_analysis_service.py) but has no notion of position, so a
+    footer mention weighs as much as a title one.
+
+    Tokenization is the corpus-wide lowercase-whitespace convention;
+    `keywords` are matched as whole tokens (for 10^4+ keywords route
+    detection through detect_mentions' broadcast paths and feed its
+    output here instead). Docs where a keyword never occurs have no row
+    (absent-row semantics). Blank docs tokenize to zero tokens and are
+    absent. Output: (id, keyword, n_mentions, first_pos, last_pos,
+    spread, salience_ppm).
+
+    Scale shape: posexplode + a broadcast-literal IN filter (the
+    mention_contexts convention), then ONE algebraic (doc, keyword)
+    aggregation — min/max/count with map-side combine — and a broadcast
+    join back for the token count; no windows, no raw-token shuffle
+    beyond the matched rows."""
+    if not keywords:
+        raise ValueError("keywords must be non-empty")
+    if not 0 <= int(early_weight) <= 10:
+        raise ValueError("early_weight must be in [0, 10]")
+    kw = sorted({k.lower() for k in keywords})
+    w = int(early_weight)
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("_pos", "_t"),
+    )
+    lens = toks.groupBy("_d").agg(F.count(F.lit(1)).cast("long").alias("_L"))
+    hits = toks.where(F.col("_t").isin(*kw))
+    agg = hits.groupBy("_d", "_t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.min("_pos").cast("long").alias("first_pos"),
+        F.max("_pos").cast("long").alias("last_pos"),
+    )
+    return (
+        agg.join(lens, "_d")
+        .select(
+            F.col("_d").alias(id_col),
+            F.col("_t").alias("keyword"),
+            "n_mentions",
+            "first_pos",
+            "last_pos",
+            (F.col("last_pos") - F.col("first_pos")).alias("spread"),
+            F.expr(
+                f"CAST(({w} * ((_L - first_pos) * 1000000 div _L)"
+                f" + {10 - w} * (n_mentions * 1000000 div _L)) div 10"
+                " AS BIGINT)"
+            ).alias("salience_ppm"),
+        )
+    )

@@ -226,3 +226,45 @@ def test_mention_contexts_validates(spark):
         mention_contexts(df, "doc_id", "text", [], k=4)
     with pytest.raises(ValueError):
         mention_contexts(df, "doc_id", "text", ["a"], k=0)
+
+
+# ---------------------------------------------------------- mention_salience --
+
+
+def test_salience_formula_and_positions(spark):
+    from entity_extractor_spark.operators.kg_training import mention_salience
+
+    # 10 tokens; 'spark' at 0 and 8; 'join' at 9; 'absent' never
+    doc = "spark a b c d e f g spark join"
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    out = {
+        r["keyword"]: r.asDict()
+        for r in mention_salience(df, "doc_id", "text", ["spark", "join", "absent"]).collect()
+    }
+    assert set(out) == {"spark", "join"}
+    s = out["spark"]
+    assert (s["n_mentions"], s["first_pos"], s["last_pos"], s["spread"]) == (2, 0, 8, 8)
+    # early = (10-0)*1e6//10 = 1e6; freq = 2*1e6//10 = 200000
+    assert s["salience_ppm"] == (7 * 1_000_000 + 3 * 200_000) // 10
+    j = out["join"]
+    # early = (10-9)*1e6//10 = 100000; freq = 100000
+    assert j["salience_ppm"] == (7 * 100_000 + 3 * 100_000) // 10
+    # first-position dominance: spark must outrank join
+    assert s["salience_ppm"] > j["salience_ppm"]
+
+
+def test_salience_case_blank_and_validation(spark):
+    import pytest
+    from entity_extractor_spark.operators.kg_training import mention_salience
+
+    df = spark.createDataFrame(
+        [(1, "SPARK spark Spark"), (2, "   "), (3, "")],
+        "doc_id long, text string",
+    )
+    out = mention_salience(df, "doc_id", "text", ["Spark"]).collect()
+    assert len(out) == 1 and out[0]["n_mentions"] == 3  # case-folded both sides
+    assert out[0]["salience_ppm"] == 1_000_000  # early 1e6, freq 1e6
+    with pytest.raises(ValueError, match="keywords"):
+        mention_salience(df, "doc_id", "text", [])
+    with pytest.raises(ValueError, match="early_weight"):
+        mention_salience(df, "doc_id", "text", ["x"], early_weight=11)
