@@ -10376,6 +10376,43 @@ def kg_entity_salience(spark, sf_dir):
     )
 
 
+@query(
+    "stats_equal_freq_bins",
+    """WITH counts AS (
+         SELECT l_returnflag AS grp, l_quantity AS val,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM lineitem
+         WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+         GROUP BY 1, 2),
+       cum AS (
+         SELECT grp, val, n_rows,
+                CAST(COALESCE(sum(n_rows) OVER (PARTITION BY grp
+                  ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS below,
+                CAST(sum(n_rows) OVER (PARTITION BY grp) AS BIGINT) AS n
+         FROM counts)
+       SELECT grp, val, n_rows,
+              CAST(least(9, below * 10 // n) AS BIGINT) AS bin
+       FROM cum""",
+)
+def stats_equal_freq_bins(spark, sf_dir):
+    """Equal-frequency decile binning (stats.equal_freq_bins): lineitem
+    quantities per return flag into 10 quantile bins from the EXACT
+    strictly-below rank — ties land every occurrence of a value in one
+    deterministic bin (the ~50 distinct integer quantities per flag make
+    tie handling the whole game; percentile_approx cuts would be
+    engine-unstable), the first bin starts at 0, and the emitted per-bin
+    row counts make tie-imbalance measurable. One DISTINCT
+    (group, value) collapse then windows over the collapsed ~50-row
+    table — the percentile_rank scale shape."""
+    from .operators.stats import equal_freq_bins
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), F.col("l_quantity").alias("val")
+    )
+    return equal_freq_bins(li, "grp", "val", 10)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

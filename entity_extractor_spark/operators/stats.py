@@ -414,3 +414,65 @@ def knee_point(
         F.col("_b._bx1").alias("x_lo"),
         F.col("_b._bx2").alias("x_hi"),
     )
+
+
+def equal_freq_bins(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int,
+) -> DataFrame:
+    """Equal-frequency discretization: assign every row's value to one
+    of n_bins quantile bins per group — the feature-engineering step
+    behind decile features, calibration buckets, and monotone binning
+    for downstream models. A value's bin derives from its exact
+    percentile rank: bin = min(n_bins-1, (cum_below * n_bins) div N)
+    where cum_below counts rows with STRICTLY smaller values (so ties —
+    the reason approximate quantile cuts are irreproducible — always
+    land every occurrence of a value in ONE deterministic bin, and the
+    first bin starts at 0). With heavy ties bins are as balanced as the
+    data allows; the per-bin row counts in the output make the
+    imbalance measurable rather than silent. never percentile_approx:
+    interpolated double cuts are neither exact nor engine-stable
+    (the winsorize doctrine).
+
+    Output: one row per DISTINCT (group, value): (group, value, n_rows,
+    bin) with bin in [0, n_bins) — join it back to the raw table to tag
+    rows (the percentile_rank composition pattern), which keeps this
+    operator one collapsed-table pass instead of shipping the raw mass
+    through a window.
+
+    Scale shape: identical to percentile_rank — one algebraic DISTINCT
+    (group, value) count, then one window over the COLLAPSED table;
+    NULL groups/values are dropped (audit-input convention)."""
+    if not 2 <= int(n_bins) <= 10_000:
+        raise ValueError("n_bins must be in [2, 10000]")
+    counts = (
+        df.where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias(group_col), F.col(value_col).alias(value_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    return (
+        counts.withColumn(
+            "_below",
+            F.coalesce(
+                F.sum("n_rows").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_n", F.sum("n_rows").over(Window.partitionBy(group_col)))
+        .select(
+            group_col,
+            value_col,
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.least(
+                F.lit(int(n_bins) - 1),
+                F.expr(f"_below * {int(n_bins)} div _n"),
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+    )

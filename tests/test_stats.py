@@ -298,3 +298,50 @@ def test_knee_point_rejects_null_points(spark):
     )
     with pytest.raises(Exception, match="Exception|non-NULL"):
         knee_point(df, "grp", "x", "y").collect()
+
+
+# ----------------------------------------------------------- equal_freq_bins --
+
+
+def test_bins_uniform_and_tie_collapse(spark):
+    from entity_extractor_spark.operators.stats import equal_freq_bins
+
+    # 20 distinct values -> 4 bins of exactly 5 values
+    rows = [("g", float(v)) for v in range(20)]
+    df = spark.createDataFrame(rows, "grp string, val double")
+    out = {r["val"]: r["bin"] for r in equal_freq_bins(df, "grp", "val", 4).collect()}
+    assert out == {float(v): v // 5 for v in range(20)}
+    # a value occupying 60% of mass: every occurrence in ONE bin, later
+    # values pushed into the top bins
+    rows = [("g", 1.0)] * 12 + [("g", 2.0)] * 4 + [("g", 3.0)] * 4
+    df = spark.createDataFrame(rows, "grp string, val double")
+    got = {
+        r["val"]: (r["bin"], r["n_rows"])
+        for r in equal_freq_bins(df, "grp", "val", 4).collect()
+    }
+    # below(1.0)=0 -> bin 0; below(2.0)=12 -> 12*4//20=2; below(3.0)=16 -> 3
+    assert got == {1.0: (0, 12), 2.0: (2, 4), 3.0: (3, 4)}
+
+
+def test_bins_python_replay_and_validation(spark):
+    import random
+
+    import pytest
+
+    from entity_extractor_spark.operators.stats import equal_freq_bins
+
+    rng = random.Random(3)
+    rows = [(g, float(rng.randrange(0, 15))) for g in "ab" for _ in range(50)]
+    df = spark.createDataFrame(rows, "grp string, val double")
+    got = {
+        (r["grp"], r["val"]): r["bin"]
+        for r in equal_freq_bins(df, "grp", "val", 5).collect()
+    }
+    for g in "ab":
+        vals = sorted(v for gg, v in rows if gg == g)
+        n = len(vals)
+        for v in set(vals):
+            below = sum(1 for x in vals if x < v)
+            assert got[(g, v)] == min(4, below * 5 // n)
+    with pytest.raises(ValueError, match="n_bins"):
+        equal_freq_bins(df, "grp", "val", 1)
