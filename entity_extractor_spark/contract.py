@@ -10413,6 +10413,54 @@ def stats_equal_freq_bins(spark, sf_dir):
     return equal_freq_bins(li, "grp", "val", 10)
 
 
+@query(
+    "assoc_basket_rules",
+    """WITH m AS (
+         SELECT DISTINCT l_orderkey AS b, p_brand || '/' || p_type AS i
+         FROM lineitem JOIN part ON p_partkey = l_partkey),
+       n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM m),
+       supp AS (SELECT i, CAST(count(*) AS BIGINT) AS s FROM m GROUP BY 1),
+       pairs AS (
+         SELECT a.i AS item_a, bb.i AS item_b,
+                CAST(count(*) AS BIGINT) AS supp_pair
+         FROM m a JOIN m bb ON a.b = bb.b AND a.i != bb.i
+         GROUP BY 1, 2),
+       kept AS (SELECT p.* FROM pairs p, n
+                WHERE p.supp_pair * 1000000 >= 900 * n.nb)
+       SELECT k.item_a, k.item_b, k.supp_pair,
+              sa.s AS supp_a, sb.s AS supp_b,
+              CAST(k.supp_pair * 1000000 // sa.s AS BIGINT)
+                AS confidence_ppm,
+              CAST(CAST(k.supp_pair AS HUGEINT) * n.nb * 1000000
+                   // (CAST(sa.s AS HUGEINT) * sb.s) AS BIGINT) AS lift_ppm
+       FROM kept k
+       JOIN supp sa ON sa.i = k.item_a
+       JOIN supp sb ON sb.i = k.item_b
+       CROSS JOIN n""",
+)
+def assoc_basket_rules(spark, sf_dir):
+    """Market-basket association rules (assoc.association_rules —
+    Agrawal & Srikant pair rules): orders as baskets, brand/type combos
+    as items (150 items; plain brands have only 25 values and every
+    pair clears any threshold — no pruning branch to check), directed
+    rules clearing the RELATIVE 900-ppm-of-baskets support threshold —
+    which bites at BOTH scale factors (5506 kept / 16790 pruned pairs
+    at sf0.01, 1082/21268 at sf0.1), exactly what an absolute count
+    cannot do across corpus sizes. Confidence and lift on the exact
+    ppm grid (lift's three-factor product in DECIMAL(38,0)/HUGEINT);
+    the within-basket self-join is bounded by the loud max-basket
+    guard; supports broadcast back."""
+    from .operators.assoc import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    baskets = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        F.col("l_orderkey").alias("b"),
+        F.concat_ws("/", "p_brand", "p_type").alias("i"),
+    )
+    return association_rules(baskets, "b", "i", min_support_ppm=900)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).
