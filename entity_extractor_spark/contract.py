@@ -10461,6 +10461,67 @@ def assoc_basket_rules(spark, sf_dir):
     return association_rules(baskets, "b", "i", min_support_ppm=900)
 
 
+@query(
+    "audit_watermark_policy",
+    """WITH j AS (
+         SELECT event_id, event_type, ts,
+                event_id + (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                     || '|arr'), 1, 12)) AS BIGINT) % 41) - 20 AS arr
+         FROM events),
+       w AS (
+         SELECT event_type, epoch_us(ts) AS tus,
+                max(epoch_us(ts)) OVER (ORDER BY arr, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+         FROM j),
+       fan AS (
+         SELECT event_type, tus, prev,
+                unnest([0, 300, 900, 1800]) AS delay_s
+         FROM w)
+       SELECT event_type, CAST(delay_s AS BIGINT) AS delay_s,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(count(*) FILTER (prev IS NOT NULL
+                   AND tus < prev - delay_s * 1000000) AS BIGINT) AS n_late,
+              CAST(count(*) FILTER (prev IS NOT NULL
+                   AND tus < prev - delay_s * 1000000) * 1000000
+                   // count(*) AS BIGINT) AS late_ppm
+       FROM fan GROUP BY 1, 2""",
+)
+def audit_watermark_policy(spark, sf_dir):
+    """Watermark policy tuning (audit.watermark_audit): the event stream
+    with deterministic md5-jittered arrival order (±20 positions — the
+    driver events are perfectly ordered, so disorder is synthesized the
+    sampling-family way) replayed under candidate allowed-lateness
+    values 0/300/900/1800s, reporting per event_type how many events
+    each watermark WOULD drop. Delay cells span full mass to zero at
+    sf0.1 (late counts 78964/50455/4261/0) and stay heavy at sf0.01 —
+    the "tight watermark loses data, loose watermark bloats state"
+    trade-off made measurable. The global running max is assembled from
+    range partitions + a bounded per-partition-maxima collect (never a
+    partitionless window); the oracle IS that partitionless window —
+    the naive form the operator refuses to run."""
+    from .operators.audit import watermark_audit
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts",
+        (
+            F.col("event_id")
+            + F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("event_id").cast("string"), F.lit("|arr"))),
+                        1, 12,
+                    ), 16, 10,
+                ).cast("long"),
+                F.lit(41),
+            )
+            - 20
+        ).alias("arr"),
+    )
+    return watermark_audit(
+        ev, "ts", ["arr", "event_id"], "event_type", [0, 300, 900, 1800]
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -675,3 +675,111 @@ def benford_audit(df: DataFrame, cols: list[str]) -> DataFrame:
             ),
         )
     )
+
+
+def watermark_audit(
+    events: DataFrame,
+    ts_col: str,
+    arrival_cols: list[str],
+    group_col: str,
+    delays_seconds: list[int],
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Watermark policy tuning table: for each candidate allowed-lateness
+    W, how many events WOULD a Structured-Streaming watermark of W
+    seconds drop — replayed over the historical stream before anyone
+    commits to a delay. An event is dropped under W iff its event time
+    is more than W behind the maximum event time among all STRICTLY
+    EARLIER arrivals (the standard watermark = max-event-time - delay;
+    first arrival is never late). The streaming pipeline
+    (streaming/windows.py) enforces a watermark at run time; this is
+    the batch instrument that says what the right W is, per group:
+    (group, delay_s, n_events, n_late, late_ppm).
+
+    Arrival order is the caller's `arrival_cols` lexicographic total
+    order (pass a tiebreaking id last — a partial order would make the
+    prefix max partition-dependent). NULL timestamps or arrival keys
+    raise executor-side (an unplaceable event invalidates the audit).
+
+    Scale shape: the global running max over arrival order — normally a
+    partitionless window, the banned scale-killer — is assembled like
+    sorted_neighborhood's global rank: range-repartition by arrival,
+    per-partition running max from a PARTITIONED window, plus the
+    bounded #partitions-row collect of per-partition maxima whose
+    python-side prefix folds into a literal map. One range exchange,
+    one partitioned window; the delay fan-out is a literal explode of
+    len(delays) ints and the rollup is algebraic."""
+    if not delays_seconds:
+        raise ValueError("delays_seconds must be non-empty")
+    if any(type(d) is not int or d < 0 for d in delays_seconds):
+        raise ValueError("delays_seconds must be non-negative ints")
+    if not arrival_cols:
+        raise ValueError("arrival_cols must be non-empty")
+    # TIMESTAMP_NTZ has no unix_micros; route through TIMESTAMP (session
+    # is pinned UTC, so the reinterpretation is identity — the range_join
+    # convention)
+    checked_tus = F.when(
+        F.col(ts_col).isNotNull(),
+        F.unix_micros(F.col(ts_col).cast("timestamp")),
+    ).otherwise(
+        F.raise_error(F.lit("watermark_audit: NULL event time")).cast("long")
+    )
+    arr_checks = [
+        F.when(
+            F.col(c).isNotNull(), F.lit(True)
+        ).otherwise(F.raise_error(F.lit(f"watermark_audit: NULL arrival key {c}")))
+        for c in arrival_cols
+    ]
+    base = events.select(
+        F.col(group_col).alias("_g"),
+        checked_tus.alias("_tus"),
+        *[F.col(c).alias(f"_a{i}") for i, c in enumerate(arrival_cols)],
+        *[chk.alias(f"_chk{i}") for i, chk in enumerate(arr_checks)],
+    ).drop(*[f"_chk{i}" for i in range(len(arr_checks))])
+    acols = [F.col(f"_a{i}") for i in range(len(arrival_cols))]
+    keyed = (
+        base.repartitionByRange(int(num_ranges), *acols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partitioning: probe + window
+    )
+    from pyspark.sql import Window as W
+
+    pmax = {
+        r._pid: r.m
+        for r in keyed.groupBy("_pid").agg(F.max("_tus").alias("m")).collect()
+    }
+    prefix, acc = {}, None
+    for pid in sorted(pmax):
+        prefix[pid] = acc
+        acc = pmax[pid] if acc is None else max(acc, pmax[pid])
+    entries = [(pid, v) for pid, v in sorted(prefix.items()) if v is not None]
+    if entries:
+        pref_map = F.create_map(*[F.lit(x) for kv in entries for x in kv])
+    else:
+        pref_map = F.create_map(F.lit(-1), F.lit(0))
+    win = (
+        W.partitionBy("_pid")
+        .orderBy(*acols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev = F.greatest(
+        F.coalesce(F.max("_tus").over(win), F.lit(None).cast("long")),
+        pref_map[F.col("_pid")],
+    )
+    # greatest() ignores NULLs; both NULL (true first event) -> no prev
+    flagged = keyed.withColumn("_prev", prev).select("_g", "_tus", "_prev")
+    d = flagged.withColumn(
+        "delay_s",
+        F.explode(F.array(*[F.lit(int(x)) for x in sorted(set(delays_seconds))])),
+    )
+    late = F.col("_prev").isNotNull() & (
+        F.col("_tus") < F.col("_prev") - F.col("delay_s").cast("long") * 1_000_000
+    )
+    return (
+        d.groupBy(F.col("_g").alias(group_col), F.col("delay_s").cast("long").alias("delay_s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+        )
+        .withColumn("late_ppm", F.expr("n_late * 1000000 div n_events"))
+    )

@@ -463,3 +463,83 @@ def test_drift_both_snapshots_empty_raises(spark):
     empty = spark.createDataFrame([], "c string")
     with pytest.raises(Exception, match="distribution_drift"):
         distribution_drift(empty, empty, ["c"]).collect()
+
+
+# ---------------------------------------------------------- watermark_audit --
+
+
+def test_watermark_known_stream(spark):
+    """Hand stream: arrivals 1..5 with event times 100, 200, 150, 50,
+    300 (seconds). prev-max chain: -,100,200,200,200. Late under W=0:
+    arrivals 3 (150<200) and 4 (50<200); under W=60: only arrival 4;
+    under W=200: none."""
+    from datetime import datetime
+
+    from entity_extractor_spark.operators.audit import watermark_audit
+
+    def t(s):
+        return datetime(2020, 1, 1, 0, 0, 0).replace(second=0).fromtimestamp(s)
+
+    rows = [(a, "x", t(s)) for a, s in [(1, 100), (2, 200), (3, 150), (4, 50), (5, 300)]]
+    df = spark.createDataFrame(rows, "arr long, g string, ts timestamp")
+    out = {
+        r["delay_s"]: (r["n_events"], r["n_late"])
+        for r in watermark_audit(df, "ts", ["arr"], "g", [0, 60, 200]).collect()
+    }
+    assert out == {0: (5, 2), 60: (5, 1), 200: (5, 0)}
+
+
+def test_watermark_matches_partitionless_window(spark):
+    """Range-partition assembly equals the naive global window for
+    several partition counts, on a jittered random stream."""
+    import random
+    from datetime import datetime
+
+    from entity_extractor_spark.operators.audit import watermark_audit
+
+    rng = random.Random(5)
+    rows = []
+    for a in range(200):
+        rows.append((a, rng.choice("uv"), datetime.fromtimestamp(1_600_000_000 + a * 60 + rng.randrange(-300, 300))))
+    df = spark.createDataFrame(rows, "arr long, g string, ts timestamp")
+    want = {}
+    best = None
+    for a, g, ts in sorted(rows):
+        tus = int(ts.timestamp() * 1_000_000)
+        for w in (0, 120):
+            late = best is not None and tus < best - w * 1_000_000
+            k = (g, w)
+            n, nl = want.get(k, (0, 0))
+            want[k] = (n + 1, nl + (1 if late else 0))
+        best = tus if best is None else max(best, tus)
+    for nr in (1, 4, 32):
+        got = {
+            (r["event_type"] if "event_type" in r else r["g"], r["delay_s"]): (
+                r["n_events"], r["n_late"]
+            )
+            for r in watermark_audit(
+                df, "ts", ["arr"], "g", [0, 120], num_ranges=nr
+            ).collect()
+        }
+        assert got == want, nr
+
+
+def test_watermark_validation(spark):
+    import pytest
+    from datetime import datetime
+
+    from entity_extractor_spark.operators.audit import watermark_audit
+
+    df = spark.createDataFrame(
+        [(1, "x", datetime(2020, 1, 1)), (2, "x", None)],
+        "arr long, g string, ts timestamp",
+    )
+    with pytest.raises(Exception, match="NULL event time"):
+        watermark_audit(df, "ts", ["arr"], "g", [0]).collect()
+    ok = df.where("ts IS NOT NULL")
+    with pytest.raises(ValueError, match="delays_seconds"):
+        watermark_audit(ok, "ts", ["arr"], "g", [])
+    with pytest.raises(ValueError, match="delays_seconds"):
+        watermark_audit(ok, "ts", ["arr"], "g", [True])
+    with pytest.raises(ValueError, match="arrival_cols"):
+        watermark_audit(ok, "ts", [], "g", [0])
