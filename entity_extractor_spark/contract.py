@@ -10522,6 +10522,60 @@ def audit_watermark_policy(spark, sf_dir):
     )
 
 
+@query(
+    "eval_langid_confusion",
+    r"""WITH t AS (SELECT doc_id, lang,
+                string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents),
+       profiles AS (
+         SELECT 'de' AS plang, ['der','und','die'] AS markers
+         UNION ALL SELECT 'en', ['the','and','of']
+         UNION ALL SELECT 'es', ['el','la','de']
+         UNION ALL SELECT 'fr', ['le','la','et']
+         UNION ALL SELECT 'zh', ['de','shi','le']
+       ),
+       scores AS (
+         SELECT doc_id, lang, plang,
+                CAST(len(list_filter(toks, x -> list_contains(markers, x)))
+                     AS DOUBLE) / len(toks) AS s
+         FROM t CROSS JOIN profiles),
+       preds AS (SELECT doc_id, lang AS truth, plang AS pred FROM (
+                   SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY s DESC, plang ASC) AS rn
+                   FROM scores) WHERE rn = 1),
+       cells AS (SELECT truth, pred, CAST(count(*) AS BIGINT) AS n
+                 FROM preds GROUP BY 1, 2),
+       tm AS (SELECT truth, CAST(sum(n) AS BIGINT) AS truth_total
+              FROM cells GROUP BY 1),
+       pm AS (SELECT pred, CAST(sum(n) AS BIGINT) AS pred_total
+              FROM cells GROUP BY 1)
+       SELECT c.truth, c.pred, c.n, tm.truth_total, pm.pred_total,
+              CAST(c.n * 1000000 // tm.truth_total AS BIGINT) AS recall_ppm,
+              CAST(c.n * 1000000 // pm.pred_total AS BIGINT)
+                AS precision_ppm
+       FROM cells c JOIN tm USING (truth) JOIN pm USING (pred)""",
+)
+def eval_langid_confusion(spark, sf_dir):
+    """Classifier evaluation closed end-to-end (er_metrics.
+    confusion_matrix over text_quality.language_id): the marker-word
+    language identifier graded against the corpus's labeled lang column
+    as a long-form confusion matrix with exact per-cell recall/precision
+    ppm — diagonal cells are class recall/precision, off-diagonal cells
+    say where each language's mass leaks and what pollutes each
+    prediction (the zh marker list collides with es/fr function words,
+    so real confusion mass exists at both scale factors). One (truth,
+    pred) count + two marginal re-aggs + broadcast joins; the raw
+    corpus scans once."""
+    from .operators.er_metrics import confusion_matrix
+
+    d = _t(spark, sf_dir, "documents")
+    preds = TQ.language_id(d, "doc_id", "text")
+    joined = preds.join(d.select("doc_id", "lang"), "doc_id").select(
+        F.col("lang").alias("truth"), F.col("pred_lang").alias("pred")
+    )
+    return confusion_matrix(joined, "truth", "pred")
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -535,3 +535,57 @@ def calibration_report(
             "gap_ppm", F.expr("abs(mean_pred_ppm - obs_rate_ppm)").cast("long")
         )
     )
+
+
+def confusion_matrix(
+    df: DataFrame,
+    truth_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Long-form confusion matrix with exact marginal rates — the
+    classifier-evaluation primitive behind the language-ID audit, domain
+    classifier QA, and any truth-vs-pred comparison: one row per
+    OBSERVED (truth, pred) cell with
+
+        n            cell count
+        truth_total  rows with this truth label
+        pred_total   rows with this pred label
+        recall_ppm   n * 1e6 div truth_total  (diagonal: class recall;
+                     off-diagonal: where this class's mass LEAKS to)
+        precision_ppm n * 1e6 div pred_total  (diagonal: class
+                     precision; off-diagonal: what POLLUTES this
+                     prediction)
+
+    pair_metrics/bcubed (above) grade clusterings where labels have no
+    identity; this grades CLASSIFIERS where they do. NULL labels raise
+    executor-side (the er-audit convention — an ungradable row silently
+    dropped would inflate every rate). Empty cells are absent (the
+    observed matrix, not the dense one — join against a label dimension
+    to densify).
+
+    Scale shape: ONE algebraic (truth, pred) count (hot cells collapse
+    map-side), two re-aggregations of that tiny cell table for the
+    marginals, two broadcast joins back. The raw table is scanned
+    once."""
+    checked = df.select(
+        F.when(F.col(truth_col).isNotNull(), F.col(truth_col))
+        .otherwise(F.raise_error(F.lit("confusion_matrix: NULL truth label")))
+        .alias("truth"),
+        F.when(F.col(pred_col).isNotNull(), F.col(pred_col))
+        .otherwise(F.raise_error(F.lit("confusion_matrix: NULL pred label")))
+        .alias("pred"),
+    )
+    cells = checked.groupBy("truth", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tmarg = cells.groupBy("truth").agg(F.sum("n").cast("long").alias("truth_total"))
+    pmarg = cells.groupBy("pred").agg(F.sum("n").cast("long").alias("pred_total"))
+    return (
+        cells.join(F.broadcast(tmarg), "truth")
+        .join(F.broadcast(pmarg), "pred")
+        .select(
+            "truth", "pred", "n", "truth_total", "pred_total",
+            F.expr("n * 1000000 div truth_total").cast("long").alias("recall_ppm"),
+            F.expr("n * 1000000 div pred_total").cast("long").alias("precision_ppm"),
+        )
+    )

@@ -401,3 +401,38 @@ def test_calibration_report_math_and_guards(spark):
     bad_gold = spark.createDataFrame([(5, 2)], "score long, gold long")
     with pytest.raises(Exception, match="gold must be"):
         calibration_report(bad_gold, "score", "gold", 10).collect()
+
+
+# --------------------------------------------------------- confusion_matrix --
+
+
+def test_confusion_cells_and_marginals(spark):
+    from entity_extractor_spark.operators.er_metrics import confusion_matrix
+
+    rows = (
+        [("a", "a")] * 6 + [("a", "b")] * 2
+        + [("b", "b")] * 3 + [("b", "a")] * 1
+    )
+    df = spark.createDataFrame(rows, "t string, p string")
+    out = {
+        (r["truth"], r["pred"]): r.asDict()
+        for r in confusion_matrix(df, "t", "p").collect()
+    }
+    assert set(out) == {("a", "a"), ("a", "b"), ("b", "b"), ("b", "a")}
+    aa = out[("a", "a")]
+    assert (aa["n"], aa["truth_total"], aa["pred_total"]) == (6, 8, 7)
+    assert aa["recall_ppm"] == 6 * 1_000_000 // 8
+    assert aa["precision_ppm"] == 6 * 1_000_000 // 7
+    ab = out[("a", "b")]
+    assert ab["recall_ppm"] == 2 * 1_000_000 // 8  # leak of class a into b
+    assert ab["precision_ppm"] == 2 * 1_000_000 // 5  # pollution of pred b
+
+
+def test_confusion_null_raises(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.er_metrics import confusion_matrix
+
+    df = spark.createDataFrame([("a", None)], "t string, p string")
+    with pytest.raises(Exception, match="NULL pred label"):
+        confusion_matrix(df, "t", "p").collect()
