@@ -10576,6 +10576,120 @@ def eval_langid_confusion(spark, sf_dir):
     return confusion_matrix(joined, "truth", "pred")
 
 
+@query(
+    "stats_pareto_frontier",
+    """WITH pts AS (
+         SELECT DISTINCT p_brand, p_size,
+                CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents
+         FROM part
+         WHERE p_brand IS NOT NULL AND p_size IS NOT NULL
+           AND p_retailprice IS NOT NULL),
+       sl AS (SELECT p_brand, p_size, min(price_cents) AS price_cents
+              FROM pts GROUP BY 1, 2),
+       w AS (SELECT p_brand, p_size, price_cents,
+                    min(price_cents) OVER (PARTITION BY p_brand
+                      ORDER BY p_size ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pm
+             FROM sl)
+       SELECT p_brand, p_size, price_cents
+       FROM w WHERE pm IS NULL OR price_cents < pm""",
+)
+def stats_pareto_frontier(spark, sf_dir):
+    """2-D Pareto frontier (stats.pareto_frontier_2d): per brand, the
+    parts not dominated on (size, price) — smaller AND cheaper beats
+    both — the multi-criteria trade-off primitive whose output knee_point
+    picks among. Dominance in 2-D linearizes: DISTINCT point collapse,
+    per-x-slice min (sizes are heavily tied integers, so the slice
+    branch carries real mass), then one running-min window ordered by x
+    over the collapsed cloud — zero joins, never the quadratic
+    "exists a dominator" self-join the naive form runs."""
+    from .operators.stats import pareto_frontier_2d
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand", "p_size",
+        F.expr("CAST(floor(p_retailprice * 100) AS BIGINT)").alias("price_cents"),
+    )
+    return pareto_frontier_2d(p, "p_brand", "p_size", "price_cents")
+
+
+def _temporal_reach_oracle(hops: int = 3) -> str:
+    """Unrolled temporal-BFS oracle: one state CTE per round — the
+    literal replay of graph.temporal_reachability's merge (frontier
+    pruning is a pure optimization, so the full-state expansion here
+    converges to the identical fixpoint within the hop bound)."""
+    base = """WITH li AS (
+         SELECT o_custkey AS c, l_suppkey AS s, o_orderdate AS d
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         WHERE l_quantity >= 48),
+       e AS (SELECT 'c' || c AS src, 's' || s AS dst,
+                    CAST(d AS DATE) AS ts FROM li
+             UNION ALL
+             SELECT 's' || s, 'c' || c, CAST(d AS DATE) FROM li),
+       s0 AS (SELECT src0 AS source, src0 AS vertex,
+                     CAST(NULL AS DATE) AS arrive_ts, 0 AS hops
+              FROM (SELECT unnest(['c1','c10','c100']) AS src0))"""
+    rounds = []
+    for r in range(1, hops + 1):
+        rounds.append(f""",
+       s{r} AS (
+         SELECT source, vertex, a AS arrive_ts, h AS hops FROM (
+           SELECT source, vertex, o, a, h,
+                  row_number() OVER (PARTITION BY source, vertex
+                    ORDER BY o, a, h) AS rn
+           FROM (
+             SELECT source, vertex,
+                    CASE WHEN arrive_ts IS NULL THEN 0 ELSE 1 END AS o,
+                    arrive_ts AS a, hops AS h FROM s{r-1}
+             UNION ALL
+             SELECT s.source, e.dst, 1, e.ts, s.hops + 1
+             FROM s{r-1} s JOIN e ON e.src = s.vertex
+             WHERE s.arrive_ts IS NULL OR e.ts >= s.arrive_ts
+           )) WHERE rn = 1)""")
+    tail = f"""
+       SELECT source, vertex, CAST(arrive_ts AS VARCHAR) AS arrive_ts,
+              CAST(hops AS BIGINT) AS hops
+       FROM s{hops}"""
+    return base + "".join(rounds) + tail
+
+
+@query("graph_temporal_reachability", _temporal_reach_oracle())
+def graph_temporal_reachability(spark, sf_dir):
+    """Time-respecting reachability (graph.temporal_reachability — Pan &
+    Saramäki temporal BFS): on the customer-supplier contact network
+    (high-quantity lineitems, both directions, dated by order), which
+    vertices can information from each of three seed customers reach in
+    <= 3 contacts with nondecreasing timestamps — the influence
+    question static k-hop overstates, since A->B at noon cannot feed
+    B->C at 9am. Earliest-arrival state is lossless (any continuation
+    legal from a later arrival is legal from an earlier one), so state
+    is one row per (seed, vertex): 76 rows at sf0.01 with real mass at
+    every hop depth (3/40/30 at hops 1/2/3). Frontier BFS with in-join
+    time predicate, algebraic min(struct) merge, per-round
+    localCheckpoint."""
+    from .operators.graph import temporal_reachability
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).where("l_quantity >= 48")
+    fwd = j.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    edges = fwd.unionByName(
+        j.select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+    seeds = spark.createDataFrame([("c1",), ("c10",), ("c100",)], "vertex string")
+    out = temporal_reachability(edges, seeds, max_hops=3)
+    return out.withColumn(
+        "arrive_ts", F.col("arrive_ts").cast("date").cast("string")
+    )
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

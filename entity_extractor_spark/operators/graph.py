@@ -1757,3 +1757,120 @@ def mutual_knn_graph(
             F.col("rk_vu").alias("rank_vu"),
         )
     )
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    ts: str = "ts",
+    seed_col: str = "vertex",
+) -> DataFrame:
+    """Time-respecting reachability (temporal BFS — Pan & Saramäki
+    2011): which vertices can information FROM each seed reach within
+    max_hops contacts, where consecutive contacts must be
+    time-ordered (each edge's timestamp >= the arrival time at its
+    source)? Static reachability (k_hop_neighborhood above) overstates
+    influence on a contact network: A->B at noon and B->C at 9am is a
+    path in the static graph but information cannot flow through it.
+    Output: (source, vertex, arrive_ts, hops) — EARLIEST arrival per
+    (seed, vertex), hops = fewest contacts among earliest arrivals;
+    seeds appear at hops 0 with arrive_ts NULL (origin, no contact yet).
+
+    Correctness of the greedy state: keeping only the earliest arrival
+    per (source, vertex) is lossless — any continuation legal from a
+    later arrival (edge ts >= later) is legal from an earlier one, so
+    the pruned frontier reaches exactly the same set with arrival times
+    <= any alternative. That collapses state from all temporal paths
+    (exponential) to one row per (source, vertex).
+
+    Scale shape: k_hop's frontier discipline — max_hops synchronous
+    rounds, each ONE equi-join of the frontier against the edge table
+    on the source vertex with the time predicate applied in-join, then
+    an algebraic min(struct(arrive, hops)) per (source, vertex) merging
+    round results into the state; state and frontier are
+    localCheckpoint'd per round (O(1) lineage), rounds stop early when
+    no arrival improves. NULL edge endpoints/timestamps are dropped
+    (clean-edges contract); directed — symmetrize upstream for contact
+    semantics."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = (
+        edges.select(
+            F.col(src).alias("_u"), F.col(dst).alias("_v"), F.col(ts).alias("_t")
+        )
+        .where(
+            F.col("_u").isNotNull() & F.col("_v").isNotNull() & F.col("_t").isNotNull()
+        )
+        .localCheckpoint(eager=True)
+    )
+    state = (
+        seeds.select(F.col(seed_col).alias("source"))
+        .where(F.col("source").isNotNull())
+        .distinct()
+        .select(
+            "source",
+            F.col("source").alias("vertex"),
+            F.lit(None).cast(e.schema["_t"].dataType).alias("arrive_ts"),
+            F.lit(0).cast("long").alias("hops"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = state
+    for _ in range(1, int(max_hops) + 1):
+        cand = (
+            frontier.join(e, frontier.vertex == e._u)
+            .where(F.col("arrive_ts").isNull() | (F.col("_t") >= F.col("arrive_ts")))
+            .select(
+                "source",
+                F.col("_v").alias("vertex"),
+                F.col("_t").alias("arrive_ts"),
+                (F.col("hops") + 1).alias("hops"),
+            )
+        )
+        merged = (
+            state.unionByName(cand)
+            .groupBy("source", "vertex")
+            .agg(
+                F.min(
+                    F.struct(
+                        # NULL arrive_ts (the seed origin) must stay the
+                        # minimum: flag seeds 0, contacts 1
+                        F.when(F.col("arrive_ts").isNull(), 0)
+                        .otherwise(1)
+                        .alias("o"),
+                        F.col("arrive_ts").alias("a"),
+                        F.col("hops").alias("h"),
+                    )
+                ).alias("_b")
+            )
+            .select(
+                "source", "vertex",
+                F.col("_b.a").alias("arrive_ts"),
+                F.col("_b.h").alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # next frontier: strictly improved or newly reached vertices
+        nxt = merged.join(
+            state.withColumnRenamed("arrive_ts", "_pa").withColumnRenamed(
+                "hops", "_ph"
+            ),
+            ["source", "vertex"],
+            "left",
+        ).where(
+            F.col("_ph").isNull()
+            | (
+                F.col("_pa").isNotNull()
+                & (F.col("arrive_ts") < F.col("_pa"))
+            )
+        ).select("source", "vertex", "arrive_ts", "hops").localCheckpoint(
+            eager=True
+        )
+        state = merged
+        if nxt.isEmpty():
+            break
+        frontier = nxt
+    return state

@@ -476,3 +476,65 @@ def equal_freq_bins(
             .alias("bin"),
         )
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D Pareto frontier per group — the rows not DOMINATED by any
+    other (dominated: another row is <= on both axes and < on at least
+    one; both axes minimized — negate a column upstream to maximize).
+    The multi-criteria trade-off primitive behind curation decisions
+    ("quality loss vs tokens removed", "recall vs candidate volume"):
+    er_threshold_sweep and lsh_curve emit whole curves, this extracts
+    the undominated set of ANY (x, y) point cloud, the points knee_point
+    then picks among.
+
+    Semantics: ties collapse first (DISTINCT (group, x, y) — duplicate
+    points are one frontier member; join back by (group, x, y) to
+    recover row identity); NULL groups/coordinates are dropped (the
+    audit-input convention). Output: (group, x, y) — exactly the
+    frontier, ordered by nothing (sort downstream).
+
+    Why this formulation: the naive test is a quadratic self-join
+    ("exists a row that dominates me"). In 2-D, dominance linearizes:
+    scanning DISTINCT points by (x asc, y asc), a point is on the
+    frontier iff its y is strictly below the running minimum y of all
+    points with STRICTLY SMALLER x — equal-x points compare within
+    their x-slice by keeping only the slice's min y. One window over
+    the distinct-collapsed cloud (the percentile_rank scale shape:
+    a 10^9-row group with 10^4 distinct points sorts 10^4 rows), zero
+    joins.
+    """
+    pts = (
+        df.where(
+            F.col(group_col).isNotNull()
+            & F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(x_col).alias("_x"),
+            F.col(y_col).alias("_y"),
+        )
+        .distinct()
+    )
+    # within an equal-x slice only the min-y point can be undominated
+    slice_min = pts.groupBy("_g", "_x").agg(F.min("_y").alias("_y"))
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        slice_min.withColumn("_prev_min", F.min("_y").over(w))
+        .where(F.col("_prev_min").isNull() | (F.col("_y") < F.col("_prev_min")))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_x").alias(x_col),
+            F.col("_y").alias(y_col),
+        )
+    )

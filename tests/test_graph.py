@@ -1079,3 +1079,52 @@ def test_mutual_knn_graph_semantics(spark):
     bad = spark.createDataFrame([("x", None, 5)], "src string, dst string, weight long")
     with pytest.raises(Exception, match="NULL dst"):
         mutual_knn_graph(bad, 2).collect()
+
+
+# ------------------------------------------------------ temporal_reachability --
+
+
+def _reach(spark, edge_rows, seeds, h):
+    from entity_extractor_spark.operators.graph import temporal_reachability
+
+    e = spark.createDataFrame(edge_rows, "src string, dst string, ts long")
+    s = spark.createDataFrame([(x,) for x in seeds], "vertex string")
+    return {
+        (r["source"], r["vertex"]): (r["arrive_ts"], r["hops"])
+        for r in temporal_reachability(e, s, h).collect()
+    }
+
+
+def test_temporal_vs_static_path(spark):
+    """a->b at t=10, b->c at t=5: static 2-hop reaches c, temporal must
+    NOT; reversed timestamps do flow."""
+    out = _reach(spark, [("a", "b", 10), ("b", "c", 5)], ["a"], 3)
+    assert out == {("a", "a"): (None, 0), ("a", "b"): (10, 1)}
+    out2 = _reach(spark, [("a", "b", 5), ("b", "c", 10)], ["a"], 3)
+    assert out2[("a", "c")] == (10, 2)
+
+
+def test_temporal_equal_ts_and_earliest_arrival(spark):
+    """Equal timestamps chain (>= semantics); among two routes the
+    EARLIEST arrival wins and hops break ties at that arrival."""
+    edges = [
+        ("a", "b", 5), ("b", "c", 5),          # c via 2 hops at t=5
+        ("a", "c", 7),                          # direct but later
+        ("a", "d", 3), ("d", "c", 5),          # also arrives t=5, 2 hops
+    ]
+    out = _reach(spark, edges, ["a"], 3)
+    assert out[("a", "c")] == (5, 2)  # t=5 beats t=7 despite 1 hop
+    # earliest arrival propagates: c can continue on ts >= 5
+    out2 = _reach(spark, edges + [("c", "e", 6)], ["a"], 3)
+    assert out2[("a", "e")] == (6, 3)
+
+
+def test_temporal_hop_bound_and_multi_seed(spark):
+    edges = [("a", "b", 1), ("b", "c", 2), ("c", "d", 3), ("d", "e", 4)]
+    out = _reach(spark, edges, ["a", "c"], 2)
+    assert ("a", "d") not in out or out[("a", "d")][1] <= 2
+    assert out[("a", "c")] == (2, 2)
+    assert out[("c", "e")] == (4, 2)
+    assert ("a", "e") not in out  # 4 hops away, bound 2
+    with __import__("pytest").raises(ValueError):
+        _reach(spark, edges, ["a"], -1)

@@ -345,3 +345,43 @@ def test_bins_python_replay_and_validation(spark):
             assert got[(g, v)] == min(4, below * 5 // n)
     with pytest.raises(ValueError, match="n_bins"):
         equal_freq_bins(df, "grp", "val", 1)
+
+
+# ------------------------------------------------------- pareto_frontier_2d --
+
+
+def test_pareto_known_cloud(spark):
+    from entity_extractor_spark.operators.stats import pareto_frontier_2d
+
+    pts = [
+        ("g", 1, 9), ("g", 1, 5),  # equal-x slice: only (1,5) survives
+        ("g", 2, 7),               # dominated by nothing yet y=7 >= 5 -> dominated
+        ("g", 3, 4),               # frontier
+        ("g", 4, 4),               # equal y to running min -> dominated (<= both, < on x? no: (3,4) dominates (4,4))
+        ("g", 5, 2),               # frontier
+        ("g", 5, 2),               # duplicate point collapses
+        ("h", 10, 10),             # other group: trivially frontier
+    ]
+    df = spark.createDataFrame(pts, "g string, x int, y int")
+    out = {(r["g"], r["x"], r["y"]) for r in pareto_frontier_2d(df, "g", "x", "y").collect()}
+    assert out == {("g", 1, 5), ("g", 3, 4), ("g", 5, 2), ("h", 10, 10)}
+
+
+def test_pareto_brute_force_replay(spark):
+    import random
+
+    from entity_extractor_spark.operators.stats import pareto_frontier_2d
+
+    rng = random.Random(9)
+    pts = [("g", rng.randrange(0, 12), rng.randrange(0, 12)) for _ in range(120)]
+    df = spark.createDataFrame(pts, "g string, x int, y int")
+    got = {(r["x"], r["y"]) for r in pareto_frontier_2d(df, "g", "x", "y").collect()}
+    uniq = set((x, y) for _, x, y in pts)
+    want = {
+        (x, y)
+        for (x, y) in uniq
+        if not any(
+            (a <= x and b <= y and (a < x or b < y)) for (a, b) in uniq
+        )
+    }
+    assert got == want
