@@ -10690,6 +10690,69 @@ def graph_temporal_reachability(spark, sf_dir):
     )
 
 
+def _coverage_oracle(k: int = 6) -> str:
+    """Unrolled greedy max-coverage oracle — one (gains, pick, covered)
+    CTE triple per round, replaying sampling.coverage_select. Every CTE
+    is AS MATERIALIZED: the covered-set chain references each prior
+    round twice, and DuckDB's default inlining re-evaluates the whole
+    upstream cascade per reference — exponential in rounds (observed:
+    >400 s at sf0.1 inlined, 0.3 s materialized)."""
+    head = r"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '') AS toks
+         FROM documents),
+       ix AS MATERIALIZED (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i FROM t),
+       g AS MATERIALIZED (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+             FROM ix),
+       g1 AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+              FROM g GROUP BY 1),
+       p1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS round, doc_id, gain FROM (
+                SELECT *, row_number() OVER (ORDER BY gain DESC, doc_id)
+                       AS rn FROM g1) WHERE rn = 1),
+       c1 AS MATERIALIZED (SELECT DISTINCT g.gram FROM g JOIN p1 USING (doc_id))"""
+    parts = []
+    for r in range(2, k + 1):
+        parts.append(f""",
+       rem{r} AS MATERIALIZED (SELECT g.doc_id, g.gram FROM g
+                  LEFT JOIN c{r-1} c ON c.gram = g.gram
+                  WHERE c.gram IS NULL),
+       g{r} AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+                FROM rem{r} GROUP BY 1),
+       p{r} AS MATERIALIZED (SELECT CAST({r} AS BIGINT) AS round, doc_id, gain FROM (
+                  SELECT *, row_number() OVER (ORDER BY gain DESC, doc_id)
+                         AS rn FROM g{r}) WHERE rn = 1),
+       c{r} AS MATERIALIZED (SELECT gram FROM c{r-1}
+                UNION
+                SELECT rem{r}.gram FROM rem{r} JOIN p{r} USING (doc_id))""")
+    selects = [
+        f"""SELECT p{r}.round, p{r}.doc_id, p{r}.gain,
+               (SELECT CAST(count(*) AS BIGINT) FROM c{r}) AS covered_total
+            FROM p{r}"""
+        for r in range(1, k + 1)
+    ]
+    return head + "".join(parts) + "\n       " + "\n       UNION ALL ".join(selects)
+
+
+@query("curate_coverage_select", _coverage_oracle())
+def curate_coverage_select(spark, sf_dir):
+    """Greedy maximum-coverage selection (sampling.coverage_select —
+    the (1-1/e)-optimal submodular greedy, Nemhauser et al.): the six
+    documents that together cover the most distinct word bigrams, with
+    per-round marginal gain and the running covered total — budgeted
+    subset selection by CONTENT where mixture_plan balances by group.
+    Diminishing returns are real in the gate (gains 95..58 over six
+    rounds at sf0.01 against a 916-bigram universe). Each round: one
+    anti-join vs the covered set, one algebraic per-doc count, a
+    single-row global argmax (never a global window), checkpointed
+    state; the oracle is the round-by-round unrolled CTE replay."""
+    from .operators.sampling import coverage_select
+
+    d = _t(spark, sf_dir, "documents")
+    return coverage_select(d, "doc_id", "text", k=6, shingle_n=2)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

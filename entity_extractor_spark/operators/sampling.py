@@ -508,3 +508,85 @@ def epoch_order(
             F.expr(f"seq div {int(microbatch_size)}L").cast("long").alias("microbatch"),
         )
     )
+
+
+def coverage_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Greedy maximum-coverage corpus selection: pick k documents that
+    together cover the most distinct word `shingle_n`-grams — the
+    submodular data-selection primitive (greedy is (1-1/e)-optimal,
+    Nemhauser et al. 1978) behind "choose the budgeted subset with the
+    broadest linguistic coverage": seed-corpus selection, eval-set
+    construction, and the coverage side of any quality-vs-diversity
+    curation trade-off that mixture planning (above) balances by
+    GROUP — this balances by CONTENT. The reference ingests everything
+    it is pointed at (file_crawler.py) and has no selection notion.
+
+    Output: (round, id, gain, covered_total) — round r's pick, the
+    count of newly covered grams it contributed, and the running
+    distinct-gram total; rounds stop early once the best gain is 0
+    (standard greedy termination), so the result can be shorter than
+    k. Ties break (gain desc, id asc) — deterministic anywhere.
+
+    Scale shape: the (doc, gram) membership table is built ONCE
+    (distinct-collapsed, localCheckpoint'd); each round is one
+    anti-join against the covered-gram set, one algebraic per-doc
+    count, and a single-row global argmax (an aggregation to ONE row —
+    never a global window), with the winner's grams unioned into the
+    checkpointed covered set. Per-round driver traffic is exactly one
+    (id, gain) row plus one count — the bounded size-probe convention.
+    k is the loop bound; plan depth stays O(1) per round via the
+    checkpoints (the mmr_rerank lesson)."""
+    if not 1 <= int(k) <= 256:
+        raise ValueError("k must be in [1, 256]")
+    if not 1 <= int(shingle_n) <= 8:
+        raise ValueError("shingle_n must be in [1, 8]")
+    n = int(shingle_n)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    if n == 1:
+        sh = F.array_distinct(toks)
+    else:
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0))),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+    gd = (
+        df.select(F.col(id_col).alias("_d"), F.explode(sh).alias("gram"))
+        .where(F.col("gram") != "")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    covered = spark.createDataFrame([], "gram string").localCheckpoint(eager=True)
+    picks: list[tuple[int, object, int, int]] = []
+    total = 0
+    for r in range(1, int(k) + 1):
+        rem = gd.join(covered, "gram", "left_anti")
+        best = (
+            rem.groupBy("_d")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .agg(F.min(F.struct((-F.col("gain")).alias("ng"), F.col("_d").alias("d"))).alias("b"))
+            .select(F.col("b.d").alias("d"), (-F.col("b.ng")).alias("gain"))
+            .collect()
+        )
+        if not best or best[0].d is None or best[0].gain == 0:
+            break
+        d, gain = best[0].d, int(best[0].gain)
+        covered = covered.unionByName(
+            rem.where(F.col("_d") == F.lit(d)).select("gram")
+        ).localCheckpoint(eager=True)
+        total += gain
+        picks.append((r, d, gain, total))
+    id_type = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        picks, f"round long, {id_col} {id_type}, gain long, covered_total long"
+    )

@@ -531,3 +531,65 @@ def test_epoch_order_validation_and_null(spark):
         epoch_order(ok, "doc_id", -1)
     with pytest.raises(ValueError):
         epoch_order(ok, "doc_id", 0, microbatch_size=0)
+
+
+# ----------------------------------------------------------- coverage_select --
+
+
+def test_coverage_greedy_known(spark):
+    from entity_extractor_spark.operators.sampling import coverage_select
+
+    # unigram universes: d1={a,b,c}, d2={c,d}, d3={a,b} -> greedy: d1(3),
+    # d2(+1 'd'); d3 adds nothing -> stops (2 rows even with k=3)
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c d"), (3, "a b")], "doc_id long, text string"
+    )
+    out = [
+        (r["round"], r["doc_id"], r["gain"], r["covered_total"])
+        for r in coverage_select(df, "doc_id", "text", k=3, shingle_n=1)
+        .orderBy("round")
+        .collect()
+    ]
+    assert out == [(1, 1, 3, 3), (2, 2, 1, 4)]
+
+
+def test_coverage_brute_force_replay(spark):
+    import random
+
+    from entity_extractor_spark.operators.sampling import coverage_select
+
+    rng = random.Random(21)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 25)))
+        for d in range(25)
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = [
+        (r["round"], r["doc_id"], r["gain"], r["covered_total"])
+        for r in coverage_select(df, "doc_id", "text", k=5, shingle_n=1)
+        .orderBy("round")
+        .collect()
+    ]
+    sets = {d: set(t.split()) for d, t in docs.items()}
+    cov, want = set(), []
+    for r in range(1, 6):
+        best = max(sets.items(), key=lambda kv: (len(kv[1] - cov), -kv[0]))
+        gain = len(best[1] - cov)
+        if gain == 0:
+            break
+        cov |= best[1]
+        want.append((r, best[0], gain, len(cov)))
+    assert got == want
+
+
+def test_coverage_validation(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.sampling import coverage_select
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k must"):
+        coverage_select(df, "doc_id", "text", k=0)
+    with pytest.raises(ValueError, match="shingle_n"):
+        coverage_select(df, "doc_id", "text", k=1, shingle_n=0)
