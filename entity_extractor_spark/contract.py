@@ -10753,6 +10753,43 @@ def curate_coverage_select(spark, sf_dir):
     return coverage_select(d, "doc_id", "text", k=6, shingle_n=2)
 
 
+@query(
+    "text_cooccurrence_glove",
+    r"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '') AS toks
+         FROM documents),
+       ix AS (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS i FROM t),
+       tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS w
+               FROM ix),
+       probes AS (SELECT doc_id, w AS ta, dd, pos + dd AS pos
+                  FROM tok, (SELECT unnest([1, 2, 3, 4]) AS dd)),
+       pairs AS (
+         SELECT least(p.ta, k.w) AS w1, greatest(p.ta, k.w) AS w2,
+                1000000 // p.dd AS wppm
+         FROM probes p JOIN tok k USING (doc_id, pos))
+       SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(wppm) AS BIGINT) AS weight_ppm_sum
+       FROM pairs GROUP BY 1, 2""",
+)
+def text_cooccurrence_glove(spark, sf_dir):
+    """Distance-weighted co-occurrence matrix (text_quality.
+    cooccurrence_counts — the GloVe statistic): every unordered token
+    pair within 4 positions with raw counts and the exact-ppm harmonic
+    distance weight (1e6 div d per occurrence, pure BIGINT — never
+    float accumulation). The d-shift trick turns proximity into ONE
+    hash equi-join of the token stream against itself (the
+    sorted_neighborhood pair pattern), then an algebraic pair-keyed
+    aggregation where hot pairs collapse map-side. Self-co-occurrence
+    (w1 = w2) and all four distance weights carry mass."""
+    from .operators.text_quality import cooccurrence_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return cooccurrence_counts(d, "doc_id", "text", window=4)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -979,3 +979,65 @@ def c4_line_filter(
         "dropped_short",
         "dropped_block",
     )
+
+
+def cooccurrence_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+) -> DataFrame:
+    """Distance-weighted token co-occurrence counts — the GloVe
+    statistic (Pennington et al. 2014): for every unordered token pair
+    within `window` positions, the raw pair count and the sum of 1/d
+    distance weights on the exact ppm grid (GloVe's harmonic weighting;
+    weight_ppm = 1e6 div d per occurrence, so the matrix is pure BIGINT
+    and engine/partition-invariant — never float accumulation). This
+    table IS the input to classic embedding training and to PMI-style
+    collocation scoring; text_pair_counts (above) counts unordered
+    co-presence per document, this counts POSITIONAL proximity with
+    distance discounting.
+
+    Semantics: tokens are the corpus-wide lowercase-whitespace
+    convention; pairs are canonical (w1 <= w2 lexicographically), each
+    positional co-occurrence counted once; a token repeated within the
+    window co-occurs with itself (w1 = w2) — real signal for
+    repetition-heavy corpora, not an artifact. Output: (w1, w2,
+    n_pairs, weight_ppm_sum).
+
+    Scale shape: the d-shift trick (the sorted_neighborhood pair
+    pattern): explode each token row into d = 1..window shifted probes
+    and equi-join (doc, pos+d) = (doc, pos) against the token table —
+    one hash join of the token stream against itself, never a per-doc
+    quadratic or a window function; the final aggregation is algebraic
+    with map-side combine (hot pairs collapse per task). Cost is the
+    honest window x corpus-tokens row multiplication every
+    co-occurrence builder pays."""
+    if not 1 <= int(window) <= 64:
+        raise ValueError("window must be in [1, 64]")
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("_pos", "_t"),
+    )
+    probes = toks.select(
+        "_d",
+        F.col("_t").alias("_ta"),
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, int(window) + 1)])
+        ).alias("_dd"),
+        F.col("_pos").alias("_pa"),
+    ).select("_d", "_ta", "_dd", (F.col("_pa") + F.col("_dd")).alias("_pos"))
+    pairs = probes.join(toks, ["_d", "_pos"]).select(
+        F.least("_ta", "_t").alias("w1"),
+        F.greatest("_ta", "_t").alias("w2"),
+        F.expr("1000000 div _dd").alias("_w"),
+    )
+    return pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_w").cast("long").alias("weight_ppm_sum"),
+    )

@@ -397,3 +397,59 @@ def test_c4_blocklist_case_and_phrase(spark):
     r = c4_line_filter(df, "doc_id", "text", min_kept_lines=1).collect()[0]
     assert r["n_kept"] == 1 and r["dropped_block"] == 2
     assert r["text"] == "a perfectly clean sentence stays here."
+
+
+# ------------------------------------------------------- cooccurrence_counts --
+
+
+def test_cooccurrence_known_and_weights(spark):
+    from entity_extractor_spark.operators.text_quality import cooccurrence_counts
+
+    # "a b a": pairs within window 2: (a,b,d1), (b,a,d1), (a,a,d2)
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    out = {
+        (r["w1"], r["w2"]): (r["n_pairs"], r["weight_ppm_sum"])
+        for r in cooccurrence_counts(df, "doc_id", "text", window=2).collect()
+    }
+    assert out == {
+        ("a", "b"): (2, 2_000_000),      # two d=1 co-occurrences
+        ("a", "a"): (1, 500_000),        # self pair at d=2
+    }
+
+
+def test_cooccurrence_brute_force(spark):
+    import random
+    from collections import defaultdict
+
+    from entity_extractor_spark.operators.text_quality import cooccurrence_counts
+
+    rng = random.Random(13)
+    docs = {
+        d: " ".join(rng.choice("pqrs") for _ in range(rng.randrange(2, 30)))
+        for d in range(15)
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["n_pairs"], r["weight_ppm_sum"])
+        for r in cooccurrence_counts(df, "doc_id", "text", window=3).collect()
+    }
+    want = defaultdict(lambda: [0, 0])
+    for t in docs.values():
+        toks = t.split()
+        for i in range(len(toks)):
+            for dd in range(1, 4):
+                if i + dd < len(toks):
+                    k = tuple(sorted((toks[i], toks[i + dd])))
+                    want[k][0] += 1
+                    want[k][1] += 1_000_000 // dd
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_cooccurrence_validation(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.text_quality import cooccurrence_counts
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        cooccurrence_counts(df, "doc_id", "text", window=0)
