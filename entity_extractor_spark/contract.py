@@ -10790,6 +10790,62 @@ def text_cooccurrence_glove(spark, sf_dir):
     return cooccurrence_counts(d, "doc_id", "text", window=4)
 
 
+_PMI_L2_COLS = ", ".join(
+    f"{e} AS {a}" for a, e in _log2fp_chain("_q", 6, div="//", wide="HUGEINT")
+)
+
+
+@query(
+    "text_collocations_pmi",
+    rf"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '') AS toks
+         FROM documents),
+       ix AS (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS i FROM t),
+       tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS w
+               FROM ix),
+       probes AS (SELECT doc_id, w AS ta, dd, pos + dd AS pos
+                  FROM tok, (SELECT unnest([1, 2, 3, 4]) AS dd)),
+       cp AS (
+         SELECT least(p.ta, k.w) AS w1, greatest(p.ta, k.w) AS w2,
+                CAST(count(*) AS BIGINT) AS c
+         FROM probes p JOIN tok k USING (doc_id, pos) GROUP BY 1, 2),
+       marg AS (SELECT w, CAST(sum(c) AS BIGINT) AS m FROM (
+                  SELECT w1 AS w, c FROM cp
+                  UNION ALL SELECT w2, c FROM cp) GROUP BY 1),
+       tt AS (SELECT CAST(sum(c) AS BIGINT) AS T FROM cp),
+       qv AS (
+         SELECT cp.w1, cp.w2, cp.c, ma.m AS m1, mb.m AS m2,
+                GREATEST(CAST(CAST(cp.c AS HUGEINT) * tt.T * 1048576
+                     // (CAST(ma.m AS HUGEINT) * mb.m) AS BIGINT),
+                     1) AS _q
+         FROM cp JOIN marg ma ON ma.w = cp.w1
+                 JOIN marg mb ON mb.w = cp.w2
+                 CROSS JOIN tt),
+       chain AS (SELECT w1, w2, c, m1, m2, {_PMI_L2_COLS} FROM qv)
+       SELECT w1, w2, c AS n_pairs, m1, m2,
+              CAST(_l2_a6 - 20 * 64 AS BIGINT) AS pmi_fp
+       FROM chain""",
+)
+def text_collocations_pmi(spark, sf_dir):
+    """PMI collocation scoring (text_quality.pmi_collocations — Church
+    & Hanks) composed over the GloVe co-occurrence table: log2(c*T /
+    (m_x*m_y)) on the 2^-6-bit fixed-point grid via the SAME generated
+    log2fp expression text BM25's idf uses on both engines — scores are
+    bit-identical, never float-ordering-dependent. Marginals from one
+    stacked-explode pass (self pairs count twice so sum(m) = 2T), the
+    rational scaled 2^20 and clamped >= 1 (anti-correlated pairs floor
+    at -1280 rather than raising). The corpus's collocation lexicon and
+    a boilerplate flag in one table."""
+    from .operators.text_quality import cooccurrence_counts, pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    co = cooccurrence_counts(d, "doc_id", "text", window=4)
+    return pmi_collocations(co)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

@@ -1041,3 +1041,73 @@ def cooccurrence_counts(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum("_w").cast("long").alias("weight_ppm_sum"),
     )
+
+
+def pmi_collocations(
+    pairs: DataFrame,
+    w1_col: str = "w1",
+    w2_col: str = "w2",
+    count_col: str = "n_pairs",
+    k: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information over a co-occurrence pair table
+    (Church & Hanks 1990 collocations): PMI(x,y) = log2(c_xy * T /
+    (m_x * m_y)) on the float-free fixed-point grid —
+    pmi_fp = floor(2^k * log2(.)) in 2^-k-bit units via the SAME
+    log2fp chain BM25's idf uses (ranking.log2fp_chain), so scores are
+    bit-identical on any engine and the ranking never depends on float
+    summation order. Feed it cooccurrence_counts (above) and the top of
+    the table is the corpus's collocation lexicon; high-PMI pairs also
+    flag templated boilerplate a dedup pass should look at.
+
+    Marginals come from the pair table itself: m_x = sum of counts of
+    every pair containing x, with a SELF-pair (x,x) counting twice
+    (both endpoints are x — the convention that makes sum(m) = 2T
+    exactly); T = total pair count. The rational is scaled by 2^20
+    before the log (the bm25 idf convention) and clamped to >= 1, so
+    pairs more than 20 bits anti-correlated floor at pmi_fp =
+    -20 * 2^k instead of raising. Output: (w1, w2, n_pairs, m1, m2,
+    pmi_fp).
+
+    Scale shape: one stacked-explode marginal aggregation (both
+    endpoints in ONE pass — the u_probabilities convention), one
+    1-row total broadcast, two word-keyed broadcast joins back, and a
+    codegen'd arithmetic + log chain; no windows."""
+    from .ranking import with_log2fp
+
+    p = pairs.select(
+        F.col(w1_col).alias("_w1"),
+        F.col(w2_col).alias("_w2"),
+        F.col(count_col).cast("long").alias("_c"),
+    )
+    stacked = p.select(F.col("_w1").alias("_w"), "_c").unionAll(
+        p.select(F.col("_w2").alias("_w"), "_c")
+    )
+    marg = stacked.groupBy("_w").agg(F.sum("_c").cast("long").alias("_m"))
+    tot = p.agg(F.sum("_c").cast("long").alias("_T"))
+    scored = (
+        p.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(marg.select(F.col("_w").alias("_w1"), F.col("_m").alias("m1"))),
+            "_w1",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("_w").alias("_w2"), F.col("_m").alias("m2"))),
+            "_w2",
+        )
+        .withColumn(
+            "_q",
+            F.expr(
+                "GREATEST(CAST(CAST(_c AS DECIMAL(38,0)) * _T * 1048576"
+                " div (CAST(m1 AS DECIMAL(38,0)) * m2) AS BIGINT), 1L)"
+            ),
+        )
+    )
+    return with_log2fp(scored, "_q", "_pmi_raw", k).select(
+        F.col("_w1").alias(w1_col),
+        F.col("_w2").alias(w2_col),
+        F.col("_c").alias(count_col),
+        "m1",
+        "m2",
+        (F.col("_pmi_raw") - F.lit(20 * (1 << int(k)))).cast("long").alias("pmi_fp"),
+    )

@@ -453,3 +453,43 @@ def test_cooccurrence_validation(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="window"):
         cooccurrence_counts(df, "doc_id", "text", window=0)
+
+
+# --------------------------------------------------------- pmi_collocations --
+
+
+def test_pmi_python_replay(spark):
+    from entity_extractor_spark.operators.ranking import log2fp_py
+    from entity_extractor_spark.operators.text_quality import pmi_collocations
+
+    pairs = [("a", "b", 8), ("a", "a", 2), ("b", "c", 1), ("c", "c", 5)]
+    df = spark.createDataFrame(pairs, "w1 string, w2 string, n_pairs long")
+    out = {
+        (r["w1"], r["w2"]): (r["m1"], r["m2"], r["pmi_fp"])
+        for r in pmi_collocations(df).collect()
+    }
+    T = sum(c for _, _, c in pairs)
+    m = {}
+    for x, y, c in pairs:
+        m[x] = m.get(x, 0) + c
+        m[y] = m.get(y, 0) + c  # self pairs count twice
+    assert m == {"a": 12, "b": 9, "c": 11}
+    for x, y, c in pairs:
+        q = max(c * T * 1_048_576 // (m[x] * m[y]), 1)
+        want = log2fp_py(q, 6) - 20 * 64
+        assert out[(x, y)] == (m[x], m[y], want), (x, y)
+    # sanity: the strongly-associated pair scores above the weak one
+    assert out[("a", "b")][2] > out[("b", "c")][2]
+
+
+def test_pmi_clamp_floor(spark):
+    """A pair 20+ bits anti-correlated floors at -1280 instead of
+    raising (q clamps to 1)."""
+    from entity_extractor_spark.operators.text_quality import pmi_collocations
+
+    pairs = [("x", "y", 1), ("x", "x", 10_000_000), ("y", "y", 10_000_000)]
+    df = spark.createDataFrame(pairs, "w1 string, w2 string, n_pairs long")
+    out = {
+        (r["w1"], r["w2"]): r["pmi_fp"] for r in pmi_collocations(df).collect()
+    }
+    assert out[("x", "y")] == -1280
