@@ -1070,9 +1070,11 @@ def pmi_collocations(
     pmi_fp).
 
     Scale shape: one stacked-explode marginal aggregation (both
-    endpoints in ONE pass — the u_probabilities convention), one
-    1-row total broadcast, two word-keyed broadcast joins back, and a
-    codegen'd arithmetic + log chain; no windows."""
+    endpoints in ONE pass — the u_probabilities convention), T as ONE
+    collected scalar folded into the expression as a literal (the
+    bm25/pagerank scalar doctrine — never a 1-row crossJoin, which
+    plans as a BroadcastNestedLoopJoin), two word-keyed broadcast
+    joins back, and a codegen'd arithmetic + log chain; no windows."""
     from .ranking import with_log2fp
 
     p = pairs.select(
@@ -1084,9 +1086,11 @@ def pmi_collocations(
         p.select(F.col("_w2").alias("_w"), "_c")
     )
     marg = stacked.groupBy("_w").agg(F.sum("_c").cast("long").alias("_m"))
-    tot = p.agg(F.sum("_c").cast("long").alias("_T"))
+    T = int(
+        p.agg(F.sum("_c").cast("long").alias("_T")).collect()[0]._T or 0
+    )
     scored = (
-        p.crossJoin(F.broadcast(tot))
+        p.withColumn("_T", F.lit(T).cast("long"))
         .join(
             F.broadcast(marg.select(F.col("_w").alias("_w1"), F.col("_m").alias("m1"))),
             "_w1",
