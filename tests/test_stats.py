@@ -385,3 +385,49 @@ def test_pareto_brute_force_replay(spark):
         )
     }
     assert got == want
+
+
+# --------------------------------------------------------------- change_point --
+
+
+def test_change_point_planted_shift(spark):
+    """Level shift 10 -> 50 at index 30 of 60: CUSUM argmax lands on
+    the boundary with the right means."""
+    from entity_extractor_spark.operators.stats import change_point
+
+    rows = [("k", i, i, 10 if i < 30 else 50) for i in range(60)]
+    df = spark.createDataFrame(rows, "k string, ts long, tb long, v long")
+    r = change_point(df, "k", "ts", "tb", "v").collect()[0]
+    assert (r["cp_index"], r["mean_before"], r["mean_after"]) == (30, 10, 50)
+    assert r["n"] == 60
+
+
+def test_change_point_brute_force_and_edges(spark):
+    import random
+
+    from entity_extractor_spark.operators.stats import change_point
+
+    rng = random.Random(17)
+    rows = []
+    for k in "ab":
+        for i in range(40):
+            rows.append((k, i, i, rng.randrange(0, 100)))
+    rows.append(("single", 0, 0, 5))  # n=1: absent
+    df = spark.createDataFrame(rows, "k string, ts long, tb long, v long")
+    got = {
+        r["k"]: (r["cp_index"], r["mag"], r["mean_before"], r["mean_after"])
+        for r in change_point(df, "k", "ts", "tb", "v").collect()
+    }
+    assert "single" not in got
+    for k in "ab":
+        vs = [v for kk, _, _, v in rows if kk == k]
+        n, tot = len(vs), sum(vs)
+        best = None
+        cum = 0
+        for i in range(1, n):
+            cum += vs[i - 1]
+            d = abs(n * cum - i * tot)
+            if best is None or d > best[0]:
+                best = (d, i, cum)
+        d, i, cum = best
+        assert got[k] == (i, d // n, cum // i, (tot - cum) // (n - i)), k
