@@ -10902,6 +10902,77 @@ def stats_change_point(spark, sf_dir):
     )
 
 
+_MI_P_COLS = ", ".join(
+    f"{e} AS {a}"
+    for a, e in _log2fp_chain("_q", 6, div="//", wide="HUGEINT", prefix="_p")
+)
+_MI_HX_COLS = ", ".join(
+    f"{e} AS {a}"
+    for a, e in _log2fp_chain("_q", 6, div="//", wide="HUGEINT", prefix="_hx")
+)
+_MI_HY_COLS = ", ".join(
+    f"{e} AS {a}"
+    for a, e in _log2fp_chain("_q", 6, div="//", wide="HUGEINT", prefix="_hy")
+)
+
+
+@query(
+    "stats_mutual_information",
+    f"""WITH cells AS (
+         SELECT l_returnflag AS x, l_linestatus AS y,
+                CAST(count(*) AS BIGINT) AS c
+         FROM lineitem GROUP BY 1, 2),
+       xm AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+       ym AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+       nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+       qv AS (SELECT c,
+                GREATEST(CAST(CAST(c AS HUGEINT) * nn.n * 1048576
+                     // (CAST(cx AS HUGEINT) * cy) AS BIGINT), 1) AS _q
+              FROM cells JOIN xm USING (x) JOIN ym USING (y) CROSS JOIN nn),
+       pch AS (SELECT c, {_MI_P_COLS} FROM qv),
+       mi AS (SELECT CAST(GREATEST(sum(CAST(c AS HUGEINT)
+                       * (_p_a6 - 1280)), 0)
+                     // (SELECT n FROM nn) AS BIGINT) AS mi_fp,
+                     CAST(count(*) AS BIGINT) AS n_cells
+              FROM pch),
+       hxq AS (SELECT cx AS c,
+                      CAST((SELECT n FROM nn) * 1048576 // cx AS BIGINT)
+                        AS _q
+               FROM xm),
+       hxc AS (SELECT c, {_MI_HX_COLS} FROM hxq),
+       hx AS (SELECT CAST(sum(CAST(c AS HUGEINT) * (_hx_a6 - 1280))
+                     // (SELECT n FROM nn) AS BIGINT) AS h FROM hxc),
+       hyq AS (SELECT cy AS c,
+                      CAST((SELECT n FROM nn) * 1048576 // cy AS BIGINT)
+                        AS _q
+               FROM ym),
+       hyc AS (SELECT c, {_MI_HY_COLS} FROM hyq),
+       hy AS (SELECT CAST(sum(CAST(c AS HUGEINT) * (_hy_a6 - 1280))
+                     // (SELECT n FROM nn) AS BIGINT) AS h FROM hyc)
+       SELECT nn.n, mi.n_cells, mi.mi_fp,
+              hx.h AS h_x_fp, hy.h AS h_y_fp,
+              CASE WHEN least(hx.h, hy.h) > 0
+                   THEN CAST(mi.mi_fp * 1000000 // least(hx.h, hy.h)
+                        AS BIGINT) END AS nmi_ppm
+       FROM nn, mi, hx, hy""",
+)
+def stats_mutual_information(spark, sf_dir):
+    """Mutual information + normalized MI (stats.mutual_information)
+    between lineitem's return flag and line status — genuinely
+    associated columns (returns only happen on filled lines), so MI
+    carries real mass and NMI lands strictly inside (0, 1e6). All logs
+    ride the SAME generated log2fp chain as BM25/PMI, weighted sums in
+    DECIMAL(38,0)/HUGEINT, MI clamped at 0 before the division (the
+    engines disagree on negative integer division — the clamp is also
+    what keeps quantization dips deterministic). One cell count + two
+    marginal re-aggs + three one-row aggregations; raw table scans
+    once."""
+    from .operators.stats import mutual_information
+
+    li = _t(spark, sf_dir, "lineitem")
+    return mutual_information(li, "l_returnflag", "l_linestatus", k=6)
+
+
 # --------------------------------------------------------- driver ordering --
 # The driver's correctness harness verifies the FIRST 50 entries of Q in
 # insertion order (observed in CORRECTNESS_r01/r02: exactly queries()[:50]).

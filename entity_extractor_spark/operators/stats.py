@@ -625,3 +625,117 @@ def change_point(
             "mean_after"
         ),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    k: int = 6,
+) -> DataFrame:
+    """Mutual information (and normalized MI) between two categorical
+    columns on the float-free fixed-point log2 grid — the
+    feature-association audit behind "is this column redundant given
+    that one", leakage checks (a feature that near-determines the label
+    is a leak suspect), and functional-dependency SCREENING by strength
+    where audit.functional_dependencies is exact-or-nothing.
+
+        MI   = sum_cells p_xy * log2(p_xy / (p_x p_y))
+        H(c) = -sum p_c log2 p_c
+
+    computed as integer-weighted sums of the SAME log2fp chain BM25 and
+    pmi_collocations use: per cell q = c_xy*N*2^20 div (c_x*c_y)
+    clamped >= 1, pmi_fp = log2fp(q, k) - 20*2^k, MI_fp =
+    sum(c_xy * pmi_fp) div N — every step floor-exact BIGINT/
+    DECIMAL(38,0), so the reported association is engine- and
+    partition-invariant (a float MI would depend on summation order).
+    The floors make each reported value a deterministic estimate within
+    ~2^-k bits per term of the real quantity — the same one-sided
+    truncation contract as log2fp itself.
+
+    Output ONE row: (n, n_cells, mi_fp, h_x_fp, h_y_fp, nmi_ppm) in
+    2^-k-bit units; nmi_ppm = mi_fp * 1e6 div min(h_x_fp, h_y_fp)
+    (NULL when either entropy is 0 — a constant column carries no
+    information to normalize by). NULL category values raise
+    executor-side (confusion_matrix convention).
+
+    Scale shape: one (x, y) cell count with map-side combine, two
+    marginal re-aggs of the tiny cell table, N as one collected scalar
+    (the bm25 doctrine), then pure codegen'd arithmetic and THREE
+    one-row aggregations — the raw table scans once; everything after
+    is cell-table-sized."""
+    from .ranking import with_log2fp
+
+    checked = df.select(
+        F.when(F.col(x_col).isNotNull(), F.col(x_col).cast("string"))
+        .otherwise(F.raise_error(F.lit("mutual_information: NULL x value")))
+        .alias("_x"),
+        F.when(F.col(y_col).isNotNull(), F.col(y_col).cast("string"))
+        .otherwise(F.raise_error(F.lit("mutual_information: NULL y value")))
+        .alias("_y"),
+    )
+    cells = checked.groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    ).localCheckpoint(eager=True)
+    xm = cells.groupBy("_x").agg(F.sum("_c").cast("long").alias("_cx"))
+    ym = cells.groupBy("_y").agg(F.sum("_c").cast("long").alias("_cy"))
+    n = int(cells.agg(F.sum("_c").alias("s")).collect()[0].s or 0)
+    if n == 0:
+        raise ValueError("mutual_information: empty input")
+    shift = 20 * (1 << int(k))
+    joined = (
+        cells.join(F.broadcast(xm), "_x")
+        .join(F.broadcast(ym), "_y")
+        .withColumn(
+            "_q",
+            F.expr(
+                f"GREATEST(CAST(CAST(_c AS DECIMAL(38,0)) * {n} * 1048576"
+                " div (CAST(_cx AS DECIMAL(38,0)) * _cy) AS BIGINT), 1L)"
+            ),
+        )
+    )
+    mi_row = (
+        with_log2fp(joined, "_q", "_pfp", int(k))
+        .agg(
+            # clamp at 0 BEFORE dividing: MI is non-negative, but the
+            # one-sided per-term floors can dip the sum slightly below
+            # for near-independent columns — and the two engines
+            # disagree on negative integer division (Spark div
+            # truncates, DuckDB // floors), so the clamp is also what
+            # keeps the gate bit-exact
+            F.expr(
+                "CAST(GREATEST(sum(CAST(_c AS DECIMAL(38,0))"
+                f" * (_pfp - {shift})), CAST(0 AS DECIMAL(38,0)))"
+                f" div {n} AS BIGINT)"
+            ).alias("mi_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+        .collect()[0]
+    )
+
+    def _entropy(marg: DataFrame, ccol: str) -> int:
+        scored = marg.withColumn(
+            "_q", F.expr(f"CAST({n}L * 1048576 div {ccol} AS BIGINT)")
+        )
+        row = (
+            with_log2fp(scored, "_q", "_hfp", int(k))
+            .agg(
+                F.expr(
+                    f"CAST(sum(CAST({ccol} AS DECIMAL(38,0)) * (_hfp - {shift}))"
+                    f" div {n} AS BIGINT)"
+                ).alias("h")
+            )
+            .collect()[0]
+        )
+        return int(row.h)
+
+    hx = _entropy(xm, "_cx")
+    hy = _entropy(ym, "_cy")
+    spark = df.sparkSession
+    nmi = (
+        int(mi_row.mi_fp) * 1_000_000 // min(hx, hy) if min(hx, hy) > 0 else None
+    )
+    return spark.createDataFrame(
+        [(n, int(mi_row.n_cells), int(mi_row.mi_fp), hx, hy, nmi)],
+        "n long, n_cells long, mi_fp long, h_x_fp long, h_y_fp long, nmi_ppm long",
+    )

@@ -431,3 +431,59 @@ def test_change_point_brute_force_and_edges(spark):
                 best = (d, i, cum)
         d, i, cum = best
         assert got[k] == (i, d // n, cum // i, (tot - cum) // (n - i)), k
+
+
+# --------------------------------------------------------- mutual_information --
+
+
+def test_mi_python_replay(spark):
+    from entity_extractor_spark.operators.ranking import log2fp_py
+    from entity_extractor_spark.operators.stats import mutual_information
+
+    rows = (
+        [("a", "u")] * 30 + [("a", "v")] * 10
+        + [("b", "u")] * 5 + [("b", "v")] * 55
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = mutual_information(df, "x", "y", k=6).collect()[0]
+    from collections import Counter
+
+    cells = Counter(rows)
+    cx = Counter(x for x, _ in rows)
+    cy = Counter(y for _, y in rows)
+    n = len(rows)
+    mi_sum = 0
+    for (x, y), c in cells.items():
+        q = max(c * n * 1_048_576 // (cx[x] * cy[y]), 1)
+        mi_sum += c * (log2fp_py(q, 6) - 1280)
+    want_mi = max(mi_sum, 0) // n
+    hx = sum(c * (log2fp_py(n * 1_048_576 // c, 6) - 1280) for c in cx.values()) // n
+    hy = sum(c * (log2fp_py(n * 1_048_576 // c, 6) - 1280) for c in cy.values()) // n
+    assert (r["n"], r["n_cells"], r["mi_fp"], r["h_x_fp"], r["h_y_fp"]) == (
+        n, 4, want_mi, hx, hy
+    )
+    assert r["nmi_ppm"] == want_mi * 1_000_000 // min(hx, hy)
+    assert 0 < r["nmi_ppm"] < 1_000_000  # associated but not determined
+
+
+def test_mi_extremes(spark):
+    from entity_extractor_spark.operators.stats import mutual_information
+
+    # perfectly dependent: NMI = 1e6 exactly on the grid
+    dep = spark.createDataFrame(
+        [("a", "u")] * 8 + [("b", "v")] * 8, "x string, y string"
+    )
+    r = mutual_information(dep, "x", "y").collect()[0]
+    assert r["nmi_ppm"] == 1_000_000
+    # constant y: zero entropy -> NULL nmi, MI clamps to 0
+    const = spark.createDataFrame(
+        [("a", "u")] * 4 + [("b", "u")] * 4, "x string, y string"
+    )
+    r2 = mutual_information(const, "x", "y").collect()[0]
+    assert (r2["mi_fp"], r2["h_y_fp"], r2["nmi_ppm"]) == (0, 0, None)
+    import pytest
+
+    with pytest.raises(Exception, match="NULL x value"):
+        mutual_information(
+            spark.createDataFrame([(None, "u")], "x string, y string"), "x", "y"
+        ).collect()
