@@ -553,12 +553,23 @@ def coverage_select(
     if n == 1:
         sh = F.array_distinct(toks)
     else:
-        sh = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0))),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            )
-        )
+        # Docs with fewer than n tokens have no n-grams. The guard is
+        # load-bearing: F.sequence defaults step to -1 when start > stop,
+        # so sequence(1, size-n+1) on a short doc yields [1, 0] and
+        # slice(toks, 0, n) then raises INVALID_PARAMETER_VALUE.START
+        # executor-side — a job-aborting crash on ordinary input (blank
+        # or single-token docs). DuckDB's generate_series(1, len-1)
+        # returns empty for the same doc, so the empty array is also the
+        # cross-engine-consistent answer.
+        sh = F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     gd = (
         df.select(F.col(id_col).alias("_d"), F.explode(sh).alias("gram"))
         .where(F.col("gram") != "")

@@ -614,16 +614,27 @@ def change_point(
             )
         ).alias("_b")
     )
+    # Floor division, explicitly: Spark's `div` truncates toward zero while
+    # DuckDB's `//` floors, so for negative cumulative sums the two engines
+    # would disagree by 1 (the same div-vs-floor discrepancy
+    # mutual_information clamps around). Denominators here are always
+    # strictly positive (i in 1..n-1), so flooring only needs a -1 adjust
+    # when the numerator is negative and the division is inexact. mag's
+    # numerator is an abs() and needs no adjustment.
+    def _floordiv(num: str, den: str) -> str:
+        return (
+            f"CAST(CASE WHEN ({num}) < 0 AND ({num}) % ({den}) != 0 "
+            f"THEN ({num}) div ({den}) - 1 ELSE ({num}) div ({den}) END AS BIGINT)"
+        )
+
     return best.select(
         F.col("_k").alias(key_col),
         F.col("_b.n").cast("long").alias("n"),
         F.col("_b.i").cast("long").alias("cp_index"),
         F.col("_b.ts").alias("cp_ts"),
         F.expr("CAST((-_b.nd) div _b.n AS BIGINT)").alias("mag"),
-        F.expr("CAST(_b.cum div _b.i AS BIGINT)").alias("mean_before"),
-        F.expr("CAST((_b.tot - _b.cum) div (_b.n - _b.i) AS BIGINT)").alias(
-            "mean_after"
-        ),
+        F.expr(_floordiv("_b.cum", "_b.i")).alias("mean_before"),
+        F.expr(_floordiv("_b.tot - _b.cum", "_b.n - _b.i")).alias("mean_after"),
     )
 
 

@@ -886,14 +886,21 @@ def c4_line_filter(
     min_words: int = 5,
     min_kept_lines: int = 3,
     blocklist: tuple[str, ...] = ("javascript", "lorem ipsum", "{"),
+    page_blocklist: tuple[str, ...] = (),
 ) -> DataFrame:
     """The C4 line-level cleaning pass (Raffel et al. 2020, "Exploring
     the Limits of Transfer Learning..."): keep a line iff it (1) ends in
     terminal punctuation [.!?"], (2) has at least `min_words` whitespace
-    words, (3) contains no blocklist entry (case-insensitive substring —
-    the published filter drops any line with "javascript" and any page
-    with "lorem ipsum" or "{"); then drop every DOCUMENT retaining fewer
-    than `min_kept_lines` lines. The standard first-stage web-corpus
+    words, (3) contains no `blocklist` entry (case-insensitive
+    substring); then drop every DOCUMENT retaining fewer than
+    `min_kept_lines` lines. Faithfulness note, stated plainly: every
+    `blocklist` entry here is applied LINE-level. The published C4
+    filter is line-level only for "javascript"; it drops the ENTIRE
+    page for "lorem ipsum" and "{" — pass those via `page_blocklist`
+    (case-insensitive substring over the whole document; matching docs
+    emit no output row and no per-line attribution) to reproduce the
+    published page-level behavior. The default keeps the historical
+    all-line-level contract of this operator. The standard first-stage web-corpus
     scrubber that runs BEFORE dedup and quality scoring; quality_score
     (above) grades whole documents, this removes the navigation/footer/
     code debris inside them. The reference ingests page text verbatim
@@ -921,6 +928,13 @@ def c4_line_filter(
             "blocklist must be non-empty (pass a sentinel that cannot "
             "occur if you want rule 3 off)"
         )
+    if page_blocklist:
+        page_low = F.lower(F.col(text_col))
+        page_hit = None
+        for b in page_blocklist:
+            c = page_low.contains(b.lower())
+            page_hit = c if page_hit is None else (page_hit | c)
+        df = df.where(~F.coalesce(page_hit, F.lit(False)))
     lines = df.select(
         F.col(id_col).alias("_d"),
         F.posexplode(F.split(F.col(text_col), line_sep)).alias("_idx", "_raw"),

@@ -593,3 +593,31 @@ def test_coverage_validation(spark):
         coverage_select(df, "doc_id", "text", k=0)
     with pytest.raises(ValueError, match="shingle_n"):
         coverage_select(df, "doc_id", "text", k=1, shingle_n=0)
+
+
+def test_coverage_short_and_blank_docs_bigram(spark):
+    """Docs with fewer than shingle_n tokens (incl. blank) must yield no
+    shingles, not crash: F.sequence defaults step to -1 when start > stop,
+    so an unguarded sequence(1, size-n+1) emits [1, 0] and slice(toks, 0,
+    n) raises INVALID_PARAMETER_VALUE.START executor-side (ADVICE r04,
+    reproduced on Spark 4.1.2). Greedy must still pick the real docs."""
+    from entity_extractor_spark.operators.sampling import coverage_select
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),  # bigrams: ab, bg, gd
+            (2, "alpha beta"),              # one bigram (subset of d1)
+            (3, "solo"),                    # 1 token < n: zero bigrams
+            (4, ""),                        # blank: zero bigrams
+            (5, "   "),                     # whitespace only
+        ],
+        "doc_id long, text string",
+    )
+    out = [
+        (r["round"], r["doc_id"], r["gain"], r["covered_total"])
+        for r in coverage_select(df, "doc_id", "text", k=5, shingle_n=2)
+        .orderBy("round")
+        .collect()
+    ]
+    # d1 covers all 3 bigrams; d2 adds nothing; short/blank docs add nothing
+    assert out == [(1, 1, 3, 3)]

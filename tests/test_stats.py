@@ -487,3 +487,30 @@ def test_mi_extremes(spark):
         mutual_information(
             spark.createDataFrame([(None, "u")], "x string, y string"), "x", "y"
         ).collect()
+
+
+def test_change_point_negative_values_floor_division(spark):
+    """Means use FLOOR division on both engines (DuckDB // floors; Spark
+    div truncates toward zero — the explicit floor-adjust keeps negative
+    cumulative sums bit-exact cross-engine, ADVICE r04)."""
+    from entity_extractor_spark.operators.stats import change_point
+
+    # values sum to negatives: before-segment mean = -7/2 -> floor -4
+    # (truncation would report -3)
+    rows = [("k", 0, 0, -3), ("k", 1, 1, -4), ("k", 2, 2, 10), ("k", 3, 3, 12)]
+    df = spark.createDataFrame(rows, "k string, ts long, tb long, v long")
+    r = change_point(df, "k", "ts", "tb", "v").collect()[0]
+    vs = [-3, -4, 10, 12]
+    n, tot = 4, sum(vs)
+    best = None
+    cum = 0
+    for i in range(1, n):
+        cum += vs[i - 1]
+        d = abs(n * cum - i * tot)
+        if best is None or d > best[0]:
+            best = (d, i, cum)
+    d, i, cum = best
+    assert (r["cp_index"], r["mean_before"], r["mean_after"]) == (
+        i, cum // i, (tot - cum) // (n - i)
+    )
+    assert r["mean_before"] == -4  # floor(-7/2), not trunc -3

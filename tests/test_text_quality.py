@@ -493,3 +493,30 @@ def test_pmi_clamp_floor(spark):
         (r["w1"], r["w2"]): r["pmi_fp"] for r in pmi_collocations(df).collect()
     }
     assert out[("x", "y")] == -1280
+
+
+def test_c4_page_blocklist_drops_whole_document(spark):
+    """page_blocklist reproduces the published C4 page-level rules: a doc
+    containing 'lorem ipsum' or '{' anywhere vanishes entirely (no output
+    row), while the line-level blocklist only drops the matching line
+    (ADVICE r04). Matching is case-insensitive substring over the whole
+    document text."""
+    from entity_extractor_spark.operators.text_quality import c4_line_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "a perfectly clean first sentence here.\nanother clean sentence follows it now."),
+            (2, "Lorem Ipsum dolor sit amet filler text.\na clean sentence that would survive alone."),
+            (3, "code sample with braces {x: 1} inline.\nclean enough sentence in the same page."),
+        ],
+        "doc_id long, text string",
+    )
+    out = c4_line_filter(
+        df, "doc_id", "text", min_kept_lines=1,
+        blocklist=("javascript",),
+        page_blocklist=("lorem ipsum", "{"),
+    )
+    assert [r["doc_id"] for r in out.orderBy("doc_id").collect()] == [1]
+    # without page_blocklist the historical line-level contract is unchanged
+    line_only = c4_line_filter(df, "doc_id", "text", min_kept_lines=1)
+    assert [r["doc_id"] for r in line_only.orderBy("doc_id").collect()] == [1, 2, 3]
