@@ -58,8 +58,12 @@ def _driver_checked() -> set[str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     seen = _driver_checked()
     q = contract.Q
-    ordered = [k for k in q if k not in seen] + [k for k in q if k in seen]
-    return {k: q[k] for k in ordered}
+    # this round's new queries first (each earns its artifact in the round
+    # that introduced it), then the never-checked backlog, then verified
+    prio = [k for k in getattr(contract, "R04_PRIORITY", []) if k in q]
+    rest = [k for k in q if k not in seen and k not in prio]
+    done = [k for k in q if k in seen and k not in prio]
+    return {k: q[k] for k in prio + rest + done}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,1933 @@
+"""Driver-contract queries: each SURVEY.md §2 operator demonstrated over the
+driver-provided tables (/root/testdata/sf*/), paired with an ANSI-SQL
+oracle that DuckDB runs on the same parquet (CORRECTNESS_r{N}.json gate).
+
+Conventions for exact Spark<->DuckDB agreement:
+  * every computed column aliased identically on both sides;
+  * double aggregations routed through DECIMAL(18,2) (deterministic under
+    parallel partial aggregation) then cast back to DOUBLE;
+  * derived doubles ROUND()ed to a fixed precision on both sides;
+  * row_number ranks cast to BIGINT (Spark would emit INT);
+  * timestamps reduced to DATE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.core import b64_id, display_name, norm_name
+from ..operators import dedupe as D
+from ..operators import graph as G
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from ..operators import text_quality as TQ
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+SQL: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if sql is not None:
+            SQL[name] = sql
+        return fn
+
+    return deco
+
+
+_DEC = "decimal(18,2)"
+
+# md5 hashed-TF bucket (disambiguate.py formula), shared by the RAG and
+# disambiguation oracles
+_TFIDF_BUCKET_SQL = "CAST(CAST(concat('0x', substring(md5(tok), 1, 12)) AS BIGINT) % 64 AS BIGINT)"
+
+
+def _sum2(col: str, alias: str):
+    return F.sum(F.col(col).cast(_DEC)).cast("double").alias(alias)
+
+
+# the 16-slot minhash coefficient table, generated from dedupe._mh_const —
+# the SAME source the Spark side reads, so the two engines share one family
+_MH_CONSTS = D.minhash_consts_sql(16)
+
+# the per-slot hash, evaluated in HUGEINT (the 60-bit a times 48-bit x
+# product is ~2^108 — DuckDB BIGINT would overflow loudly, and a narrower
+# coefficient would never wrap the modulus: see minhash_signatures)
+_MH_HV_SQL = (
+    "CAST((CAST(a AS HUGEINT) * x + b) % 2305843009213693951 AS BIGINT)"
+)
+
+# Shared near-dup evaluation corpus for the dedup/calibration gates: every
+# 10th document plus two deterministic corruptions of it — a LIGHT variant
+# ('qq ' prepended: one extra bigram shingle, J ~ n/(n+2)) and a HEAVY
+# variant (first half of the text: J ~ 0.5). The raw documents table has NO
+# true near-duplicates (500/500 distinct shingle sets at sf0.01), so gates
+# running LSH over it alone return empty sets — two engines agreeing on
+# nothing (the k_core vacuity lesson). Gold class = the base doc id
+# (doc_id % 10^6); both engines rebuild the corpus from the same
+# expressions, so every gate value-checks corruption, hashing, banding and
+# the downstream decision end to end, over pairs that actually exist.
+
+def _neardup_docs(spark, sf_dir) -> DataFrame:
+    d0 = (
+        _t(spark, sf_dir, "documents")
+        .where("doc_id % 10 = 0")
+        .select("doc_id", "text", "lang", "n_chars")
+    )
+    return (
+        d0.select("doc_id", "text", "lang")
+        .unionByName(
+            d0.select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.lit("qq "), F.col("text")).alias("text"),
+                "lang",
+            )
+        )
+        .unionByName(
+            d0.select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.expr("substring(text, 1, CAST(n_chars DIV 2 AS INT))").alias(
+                    "text"
+                ),
+                "lang",
+            )
+        )
+    )
+
+
+_NEARDUP_SQL = """
+    WITH base AS (
+         SELECT doc_id, text, lang, n_chars
+         FROM documents WHERE doc_id % 10 = 0),
+       aug AS MATERIALIZED (
+         SELECT doc_id, text, lang FROM base
+         UNION ALL
+         SELECT doc_id + 1000000, 'qq ' || text, lang FROM base
+         UNION ALL
+         SELECT doc_id + 2000000,
+                substr(text, 1, CAST(n_chars // 2 AS INT)), lang
+         FROM base)
+"""
+
+# minhash signatures over `aug` — the dedupe.py scheme (48-bit md5 shingle
+# hashes, md5-derived 60-bit coefficients, HUGEINT mod 2^61-1)
+_NEARDUP_SIG_SQL = _NEARDUP_SQL + f""",
+       sh AS (
+         SELECT doc_id, unnest(list_distinct(
+                  list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                                 i -> toks[i] || ' ' || toks[i + 1]))) AS shingle
+         FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM aug)
+       ), hx AS (
+         SELECT doc_id, shingle,
+                CAST(('0x' || substr(md5(shingle), 1, 12)) AS BIGINT) AS x
+         FROM sh
+       ), sig AS MATERIALIZED (
+         SELECT doc_id, hash_id,
+                min({_MH_HV_SQL}) AS minhash
+         FROM hx CROSS JOIN {_MH_CONSTS}
+         GROUP BY doc_id, hash_id
+       )"""
+
+
+# the LSH banding CTE over `sig` — ONE oracle-side definition of the
+# banding scheme (band = hash_id // 4, bucket = md5 of the ordered
+# '|'-joined minhash run), mirroring dedupe._band_buckets
+_LSH_BUCKETS_SQL = """buckets AS (
+         SELECT doc_id, CAST(hash_id // 4 AS INT) AS band,
+                md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_id)) AS bucket
+         FROM sig GROUP BY doc_id, CAST(hash_id // 4 AS INT)
+       )"""
+
+
+def _ann_sql(sf_dir: str) -> str:
+    return """
+       WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       SELECT vec_id, score, CAST(rnk AS BIGINT) AS rank FROM (
+         SELECT vec_id,
+                ROUND(list_dot_product(embedding::DOUBLE[], (SELECT qv::DOUBLE[] FROM q))
+                      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                         * sqrt(list_dot_product((SELECT qv::DOUBLE[] FROM q), (SELECT qv::DOUBLE[] FROM q)))), 5) AS score,
+                row_number() OVER (ORDER BY ROUND(list_dot_product(embedding::DOUBLE[], (SELECT qv::DOUBLE[] FROM q))
+                      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                         * sqrt(list_dot_product((SELECT qv::DOUBLE[] FROM q), (SELECT qv::DOUBLE[] FROM q)))), 5) DESC, vec_id) AS rnk
+         FROM embeddings WHERE vec_id <> 0)
+       WHERE rnk <= 10"""
+
+
+SQL["ann_brute_topk"] = _ann_sql("")
+
+
+_LSH_SIG_SQL = """
+       planes AS (
+         SELECT j, d,
+                CASE WHEN strpos('0123456789abcdef',
+                            substr(md5(j || ':' || d), 1, 1)) - 1 < 8
+                     THEN -1.0 ELSE 1.0 END AS sgn
+         FROM (SELECT unnest(generate_series(0, 5)) AS j)
+         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)
+       ),
+       vecs AS (
+         SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS v
+         FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)
+       ),
+       bits AS (
+         SELECT vec_id, j, CASE WHEN ROUND(sum(v * sgn), 5) > 0 THEN '1' ELSE '0' END AS bit
+         FROM vecs JOIN planes USING (d) GROUP BY vec_id, j
+       ),
+       sigs AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket
+                FROM bits GROUP BY vec_id)
+"""
+
+_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 5)"
+)
+
+_IVF_SQL = (
+    """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY """
+    + _COS.format(a="e.embedding::DOUBLE[]", b="c.cv")
+    + """ DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (ORDER BY """
+    + _COS.format(a="(SELECT qv FROM q)", b="c.cv")
+    + """ DESC, c.cid) AS rn
+    FROM cents c) WHERE rn <= 2
+),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN assign a USING (vec_id)
+  WHERE a.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0
+)
+SELECT vec_id, score, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT vec_id, """
+    + _COS.format(a="embedding::DOUBLE[]", b="(SELECT qv FROM q)")
+    + """ AS score,
+         row_number() OVER (ORDER BY """
+    + _COS.format(a="embedding::DOUBLE[]", b="(SELECT qv FROM q)")
+    + """ DESC, vec_id) AS rnk
+  FROM cand)
+WHERE rnk <= 10"""
+)
+
+
+def _ivf_kmeans_sql(n_iter: int = 2, n_cells: int = 8, dims: int = 64) -> str:
+    """Unrolled Lloyd iterations as one DuckDB CTE chain: assignment =
+    argmax ROUNDED cosine (ties -> lowest cid), update = per-dimension mean
+    ROUNDED to 6 (empty cell keeps its previous centroid) — term-for-term
+    the similarity.py kmeans_centroids dataflow."""
+    parts = [
+        f"WITH c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding::DOUBLE[] AS cv "
+        f"FROM embeddings WHERE vec_id < {n_cells}),",
+        "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),",
+    ]
+    for i in range(1, n_iter + 1):
+        cos = _COS.format(a="e.embedding::DOUBLE[]", b="c.cv")
+        parts += [
+            f"""a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN c{i - 1} c) WHERE rn = 1),""",
+            f"""m{i} AS (
+  SELECT a.cid, dd.d, ROUND(avg(CAST(e.embedding[dd.d + 1] AS DOUBLE)), 6) AS m
+  FROM embeddings e JOIN a{i} a USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(0, {dims - 1})) AS d) dd
+  GROUP BY a.cid, dd.d),""",
+            f"""c{i} AS (
+  SELECT c{i - 1}.cid, COALESCE(mm.cv_new, c{i - 1}.cv) AS cv
+  FROM c{i - 1} LEFT JOIN (
+    SELECT cid, list(m ORDER BY d) AS cv_new FROM m{i} GROUP BY cid) mm USING (cid)),""",
+        ]
+    last = f"c{n_iter}"
+    cos_final = _COS.format(a="e.embedding::DOUBLE[]", b="c.cv")
+    parts += [
+        f"""af AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_final} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN {last} c) WHERE rn = 1),""",
+        f"""probe AS (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (ORDER BY {_COS.format(a="(SELECT qv FROM q)", b="c.cv")} DESC, c.cid) AS rn
+    FROM {last} c) WHERE rn <= 2),""",
+        """cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN af USING (vec_id)
+  WHERE af.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0)""",
+        f"""SELECT vec_id, score, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT vec_id, {_COS.format(a="embedding::DOUBLE[]", b="(SELECT qv FROM q)")} AS score,
+         row_number() OVER (ORDER BY {_COS.format(a="embedding::DOUBLE[]", b="(SELECT qv FROM q)")} DESC, vec_id) AS rnk
+  FROM cand)
+WHERE rnk <= 10""",
+    ]
+    return "\n".join(parts)
+
+
+
+
+def spanify_driver_documents(docs: DataFrame) -> DataFrame:
+    """Deterministically reshape the driver documents table
+    (doc_id,text,lang,source,...) into the interleaved-span input shape of
+    BASELINE.json input_hint: header + composition lines derived from the
+    row, an image span, and the body text — all built-in column ops, and
+    replayable in ANSI SQL (see kg_mention_scan_driver's oracle)."""
+    word = lambda i: F.split(F.trim(F.col("text")), r"\s+")[i]  # noqa: E731
+    header = F.concat(
+        F.lit("Mat "), F.col("doc_id").cast("string"),
+        F.lit(" manufactured by "), F.col("source"), F.lit(" Works, City-"),
+        F.col("lang"), F.lit(", Country-"), F.col("lang"),
+    )
+    comp1 = F.concat(
+        word(0), F.lit(" alpha CAS 10"), F.pmod(F.col("doc_id"), 90).cast("string"),
+        F.lit("-11-1 12.5% PFAS src=NONE"),
+    )
+    comp2 = F.concat(
+        word(1), F.lit(" beta CAS 20"), F.pmod(F.col("doc_id"), 70).cast("string"),
+        F.lit("-22-2 3.4% NO_PFAS src=OECD"),
+    )
+    span = lambda k, t, m, o: F.struct(  # noqa: E731
+        F.lit(k).alias("kind"), t.alias("text"), F.lit(m).alias("media_ref"),
+        F.lit(o).cast("int").alias("offset"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            span("text", header, "", 0),
+            span("text", comp1, "", 1),
+            F.struct(
+                F.lit("image").alias("kind"), F.lit("").alias("text"),
+                F.concat(F.lit("blob://"), F.col("doc_id").cast("string"), F.lit("/img_0.png")).alias("media_ref"),
+                F.lit(2).cast("int").alias("offset"),
+            ),
+            span("text", comp2, "", 3),
+            span("text", F.col("text"), "", 4),
+        ).alias("spans"),
+    )
+
+
+_DRIVER_GAZ = [
+    {"keyword": "alpha", "mtype": "CHEMICAL"},
+    {"keyword": "beta", "mtype": "CHEMICAL"},
+    {"keyword": "manufactured", "mtype": "HEADER"},
+    {"keyword": "tab", "mtype": "NOISE"},
+    {"keyword": "CAS", "mtype": "MARKER"},
+]
+
+_KG_MENTION_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source,
+         regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, 0 AS span_offset,
+         'Mat ' || doc_id || ' manufactured by ' || source || ' Works, City-' || lang || ', Country-' || lang AS text
+  FROM base
+  UNION ALL
+  SELECT doc_id, 1, arr[1] || ' alpha CAS 10' || CAST(did % 90 AS VARCHAR) || '-11-1 12.5% PFAS src=NONE' FROM base
+  UNION ALL
+  SELECT doc_id, 3, arr[2] || ' beta CAS 20' || CAST(did % 70 AS VARCHAR) || '-22-2 3.4% NO_PFAS src=OECD' FROM base
+  UNION ALL
+  SELECT doc_id, 4, text FROM base
+),
+toks AS (
+  SELECT doc_id, span_offset,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS word,
+         unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1)) AS pos
+  FROM spans WHERE text <> ''
+),
+words AS (
+  SELECT doc_id, span_offset, word,
+         CAST(row_number() OVER (PARTITION BY doc_id, span_offset ORDER BY pos) - 1 AS INTEGER) AS word_idx
+  FROM toks WHERE word <> ''
+)
+SELECT w.doc_id, CAST(w.span_offset AS INTEGER) AS span_offset, k.keyword, w.word,
+       100.0 AS confidence, k.mtype, w.word_idx
+FROM words w
+JOIN (VALUES ('alpha','CHEMICAL'),('beta','CHEMICAL'),('manufactured','HEADER'),
+             ('tab','NOISE'),('CAS','MARKER')) k(keyword, mtype)
+  ON contains(lower(w.word), lower(k.keyword))
+"""
+
+
+
+
+_KG_TRIPLES_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source,
+         regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+),
+obs AS (
+  SELECT doc_id, 1 AS seq, arr[1] || ' alpha' AS name,
+         '10' || CAST(did % 90 AS VARCHAR) || '-11-1' AS cas,
+         '12.5' AS weight, source || ' Works' AS manu
+  FROM base
+  UNION ALL
+  SELECT doc_id, 3, arr[2] || ' beta',
+         '20' || CAST(did % 70 AS VARCHAR) || '-22-2', '3.4', source || ' Works'
+  FROM base
+),
+verts AS (
+  SELECT manu, 'N|' || name AS v, 'C|' || cas AS w FROM obs
+),
+edges2 AS (
+  SELECT manu, v AS a, w AS b FROM verts
+  UNION SELECT manu, w, v FROM verts
+  UNION SELECT manu, v, v FROM verts
+  UNION SELECT manu, w, w FROM verts
+),
+closure AS (
+  WITH RECURSIVE reach(manu, src, dst) AS (
+    SELECT manu, a, b FROM edges2
+    UNION
+    SELECT r.manu, r.src, e.b FROM reach r JOIN edges2 e ON r.manu = e.manu AND r.dst = e.a
+  )
+  SELECT manu, src AS vertex, min(dst) AS component FROM reach GROUP BY manu, src
+),
+clustered AS (
+  SELECT o.*, c.component AS cluster
+  FROM obs o JOIN closure c ON c.manu = o.manu AND c.vertex = 'C|' || o.cas
+),
+canon AS (
+  SELECT manu, cluster, name AS canon_name
+  FROM (SELECT manu, cluster, name,
+               row_number() OVER (PARTITION BY manu, cluster ORDER BY doc_id, seq) AS rn
+        FROM clustered)
+  WHERE rn = 1
+),
+has_chem AS (
+  SELECT 'Mat ' || cl.doc_id AS subj, 'hasChemical' AS pred, cn.canon_name AS obj,
+         cl.weight AS weight_percent
+  FROM clustered cl JOIN canon cn ON cn.manu = cl.manu AND cn.cluster = cl.cluster
+),
+made_by AS (
+  SELECT 'Mat ' || doc_id, 'manufacturedBy', manu, CAST(NULL AS VARCHAR) FROM obs GROUP BY doc_id, manu
+),
+evidenced AS (
+  SELECT 'Mat ' || doc_id, 'evidencedBy', doc_id, CAST(NULL AS VARCHAR) FROM base
+)
+SELECT * FROM has_chem UNION ALL SELECT * FROM made_by UNION ALL SELECT * FROM evidenced
+"""
+
+
+
+
+_KG_NODES_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source,
+         regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+),
+obs AS (
+  SELECT doc_id, 1 AS seq, arr[1] || ' alpha' AS name,
+         '10' || CAST(did % 90 AS VARCHAR) || '-11-1' AS cas,
+         source || ' Works' AS manu FROM base
+  UNION ALL
+  SELECT doc_id, 3, arr[2] || ' beta',
+         '20' || CAST(did % 70 AS VARCHAR) || '-22-2', source || ' Works' FROM base
+),
+verts AS (SELECT manu, 'N|' || name AS v, 'C|' || cas AS w FROM obs),
+edges2 AS (
+  SELECT manu, v AS a, w AS b FROM verts
+  UNION SELECT manu, w, v FROM verts
+  UNION SELECT manu, v, v FROM verts
+  UNION SELECT manu, w, w FROM verts
+),
+closure AS (
+  WITH RECURSIVE reach(manu, src, dst) AS (
+    SELECT manu, a, b FROM edges2
+    UNION
+    SELECT r.manu, r.src, e.b FROM reach r JOIN edges2 e ON r.manu = e.manu AND r.dst = e.a
+  )
+  SELECT manu, src AS vertex, min(dst) AS component FROM reach GROUP BY manu, src
+),
+clustered AS (
+  SELECT o.*, c.component AS cluster
+  FROM obs o JOIN closure c ON c.manu = o.manu AND c.vertex = 'C|' || o.cas
+),
+chem AS (
+  SELECT manu, cluster,
+         min(name ORDER BY doc_id, seq) FILTER (WHERE rn_first = 1) AS name,
+         min(cas ORDER BY doc_id, seq) FILTER (WHERE rn_last = 1) AS cas_number,
+         CASE WHEN min(cas) LIKE '10%' THEN 'YES' ELSE 'NO' END AS pfas_status,
+         CASE WHEN min(cas) LIKE '10%' THEN 'NONE' ELSE 'OECD' END AS pfas_information_source
+  FROM (SELECT *,
+               row_number() OVER (PARTITION BY manu, cluster ORDER BY doc_id, seq) AS rn_first,
+               row_number() OVER (PARTITION BY manu, cluster ORDER BY doc_id DESC, seq DESC) AS rn_last
+        FROM clustered)
+  GROUP BY manu, cluster
+)
+SELECT name, 'CHEMICAL' AS node_type, cas_number, pfas_status, pfas_information_source FROM chem
+UNION ALL
+SELECT 'Mat ' || doc_id, 'MATERIAL', CAST(NULL AS VARCHAR), 'YES', 'NONE' FROM base
+"""
+
+
+# ------------------------------------------- KG (synthetic, value-checked) --
+#
+# The synthetic corpus is a pure function of (seed, doc index); the DuckDB
+# oracle reads an identical pyarrow-materialized copy (corpus.py
+# materialize_corpus_parquet) and replays the reference's SEQUENTIAL ingest
+# control flow (artifact_ingestor_service.py, see oracle.py) in closed-form
+# SQL. The closed form is valid because of the generator's invariants
+# (corpus.py module docstring): no lattice error cells, alias observations
+# always carry their CAS, names are unique per chemical — so
+#   * J7 first-wins  == min valid doc_id per (norm display, manufacturer);
+#   * per-manu name<->CAS connected components == "each name's unique CAS,
+#     else the name itself" (no chains longer than one CAS);
+#   * canonical node name == globally-first observation (doc_id, first
+#     occurrence offset) of the cluster;
+#   * A5 last-wins == arg_max by span offset within (doc, name);
+#   * J8 edge weight == the last-iterated entry of the doc mapping to the
+#     cluster (max first-occurrence offset), carrying its A5-final weight.
+# The general (non-closed-form) semantics stay pinned by the pure-Python
+# oracle in tests/test_pipeline_e2e.py.
+
+_HDR_RE = (
+    r"^(.*?)(?: \(P/N ([^)]*)\))?(?: \(UPC ([^)]*)\))?"
+    r" manufactured by ([^,]*), ([^,]*), ([^,]*)$"
+)
+_CMP_RE = r"^(.*?) CAS ([0-9\-]+|-) ([0-9.]+)% (PFAS|NO_PFAS|PENDING) src=([A-Z]+)$"
+
+
+def _synth_dir(n_docs: int, seed: int = 42) -> str:
+    # single source of truth for the cache formula (version-keyed so
+    # generator edits can never leave the oracle reading a stale corpus)
+    from ..corpus import synth_cache_dir
+
+    return synth_cache_dir(n_docs, seed)
+
+
+def ensure_synth_tables() -> None:
+    """Materialize the oracle's parquet copies of every synthetic-corpus
+    config the contract references (idempotent, pure Python — callable from
+    both the Spark query and the DuckDB oracle side)."""
+    from ..corpus import CorpusConfig, materialize_corpus_parquet
+
+    for n in (60, 80):
+        materialize_corpus_parquet(CorpusConfig(n_docs=n), _synth_dir(n))
+
+
+def _synth_triples_sql(n_docs: int) -> str:
+    docs = f"{_synth_dir(n_docs)}/documents.parquet"
+    return rf"""
+WITH sp0 AS (SELECT doc_id, unnest(spans) AS u FROM read_parquet('{docs}')),
+sp AS (
+  SELECT doc_id, u.text AS text, u."offset" AS off
+  FROM sp0 WHERE u.kind = 'text' AND u.text <> ''
+),
+hdr AS (
+  SELECT doc_id,
+         regexp_extract(text, '{_HDR_RE}', 1) AS mname,
+         regexp_extract(text, '{_HDR_RE}', 2) AS prod,
+         regexp_extract(text, '{_HDR_RE}', 3) AS upc,
+         regexp_extract(text, '{_HDR_RE}', 4) AS manu,
+         row_number() OVER (PARTITION BY doc_id ORDER BY off) AS rn
+  FROM sp WHERE regexp_matches(text, '{_HDR_RE}')
+),
+hdr1 AS (SELECT * FROM hdr WHERE rn = 1),
+comp AS (
+  SELECT doc_id, off,
+         regexp_extract(text, '{_CMP_RE}', 1) AS cname,
+         regexp_extract(text, '{_CMP_RE}', 2) AS cas_raw,
+         regexp_extract(text, '{_CMP_RE}', 3) AS weight
+  FROM sp WHERE regexp_matches(text, '{_CMP_RE}')
+),
+dedup AS (
+  SELECT doc_id, cname, min(off) AS first_seq,
+         arg_max(cas_raw, off) AS cas_raw, arg_max(weight, off) AS weight
+  FROM comp GROUP BY doc_id, cname
+),
+valid AS (
+  SELECT h.doc_id, h.manu,
+         h.mname
+           || CASE WHEN trim(h.prod) <> '' THEN ' (' || h.prod || ')' ELSE '' END
+           || CASE WHEN trim(h.upc)  <> '' THEN ' (' || h.upc  || ')' ELSE '' END
+           AS display
+  FROM hdr1 h WHERE EXISTS (SELECT 1 FROM dedup d WHERE d.doc_id = h.doc_id)
+),
+owners AS (
+  SELECT doc_id, manu, display FROM (
+    SELECT v.*, row_number() OVER (
+      PARTITION BY replace(lower(display), ' ', ''), manu ORDER BY doc_id) AS rn
+    FROM valid v) WHERE rn = 1
+),
+obs AS (
+  SELECT o.doc_id, o.display, o.manu, d.cname, d.first_seq,
+         nullif(nullif(trim(d.cas_raw), '-'), '') AS cas, d.weight
+  FROM owners o JOIN dedup d USING (doc_id)
+),
+name_cas AS (SELECT manu, cname, min(cas) AS ncas FROM obs GROUP BY manu, cname),
+clustered AS (
+  SELECT obs.*, COALESCE('C|' || nc.ncas, 'N|' || obs.cname) AS cluster
+  FROM obs JOIN name_cas nc ON nc.manu = obs.manu AND nc.cname = obs.cname
+),
+canon AS (
+  SELECT manu, cluster, cname AS canon_name FROM (
+    SELECT manu, cluster, cname, row_number() OVER (
+      PARTITION BY manu, cluster ORDER BY doc_id, first_seq) AS rn
+    FROM clustered) WHERE rn = 1
+),
+edges AS (
+  SELECT doc_id, display, manu, cluster, arg_max(weight, first_seq) AS weight
+  FROM clustered GROUP BY doc_id, display, manu, cluster
+)
+SELECT e.display AS subj, 'hasChemical' AS pred, c.canon_name AS obj,
+       e.weight AS weight_percent
+FROM edges e JOIN canon c ON c.manu = e.manu AND c.cluster = e.cluster
+UNION ALL
+SELECT display, 'manufacturedBy', manu, CAST(NULL AS VARCHAR) FROM owners
+UNION ALL
+SELECT display, 'evidencedBy', doc_id, CAST(NULL AS VARCHAR) FROM owners
+"""
+
+
+def _synth_mentions_sql(n_docs: int) -> str:
+    base = _synth_dir(n_docs)
+    return rf"""
+WITH sp0 AS (SELECT doc_id, unnest(spans) AS u
+             FROM read_parquet('{base}/documents.parquet')),
+sp AS (
+  SELECT doc_id, u.text AS text, u."offset" AS off
+  FROM sp0 WHERE u.kind = 'text' AND u.text <> ''
+),
+words AS (
+  SELECT doc_id, off, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM sp
+)
+SELECT w.doc_id, CAST(w.off AS INTEGER) AS span_offset, k.keyword, w.word,
+       CAST(100.0 AS DOUBLE) AS confidence, k.mtype
+FROM words w
+JOIN read_parquet('{base}/gazetteer.parquet') k
+  ON contains(lower(w.word), lower(k.keyword))
+WHERE w.word <> ''
+"""
+
+
+# ----------------------------------------------------- X4/S8 RAG lifecycle --
+
+
+_CHUNK_SQL_BODY = """
+d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, length(text) AS L FROM documents),
+starts AS (
+  SELECT doc_id, text, L, s,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT) AS chunk_idx
+  FROM (SELECT doc_id, text, L, unnest(range(0, greatest(L, 1), 96)) AS s FROM d)
+  WHERE s = 0 OR s - 96 + 120 < L
+),
+chunks AS (
+  SELECT doc_id, chunk_idx, doc_id || ':' || chunk_idx AS chunk_id,
+         substr(text, CAST(s AS INT) + 1, 120) AS text,
+         CAST(s AS INT) AS start_offset,
+         CAST(least(s + 120, L) AS INT) AS end_offset
+  FROM starts
+)"""
+
+
+# -------------------------------------------------------- review/update path --
+
+
+def _review_sql() -> str:
+    """DuckDB replay of the review path (save_msds else-branch): recursive-CTE
+    lattice fold per chemical + trigger/override/re-resolve algebra, generated
+    from the SAME lattice constants the Spark operator uses."""
+    from ..functions.lattice import _STATUS_REPLACING_PAIRS, TRANSITION_MAP
+
+    trans_case = (
+        "CASE (f.so || '_' || coalesce(o.source, 'NONE')) "
+        + " ".join(
+            f"WHEN '{k}' THEN '{v}'" for k, v in TRANSITION_MAP.items() if v is not None
+        )
+        + " ELSE '' END"
+    )
+    pairs = ", ".join(f"'{a}_{b}'" for a, b in sorted(_STATUS_REPLACING_PAIRS))
+    tag_st = "CASE o.tag WHEN 'PFAS' THEN 'YES' WHEN 'NO_PFAS' THEN 'NO' ELSE 'PENDING' END"
+
+    def resolve(src: str, key: str) -> str:
+        """One-pass A3/A4 resolve over child rows (key, st, so)."""
+        return f"""
+  SELECT {key},
+    CASE max_rank WHEN 2 THEN 'YES' WHEN 1 THEN 'PENDING' ELSE 'NO' END AS r_st,
+    CASE
+      WHEN best IS NULL THEN 'NONE'
+      WHEN max_rank = 1 THEN CASE best WHEN 0 THEN 'OECD' WHEN 1 THEN 'VAI' ELSE 'MANUAL' END
+      ELSE CASE best WHEN 0 THEN 'VAI' WHEN 1 THEN 'OECD' ELSE 'MANUAL' END
+    END AS r_so
+  FROM (
+    SELECT *, CASE max_rank WHEN 2 THEN p_yes WHEN 1 THEN p_pend ELSE p_no END AS best
+    FROM (
+      SELECT {key},
+        max(CASE st WHEN 'YES' THEN 2 WHEN 'PENDING' THEN 1 ELSE 0 END) AS max_rank,
+        min(CASE WHEN st = 'YES' THEN CASE so WHEN 'VAI' THEN 0 WHEN 'OECD' THEN 1 WHEN 'MANUAL' THEN 2 END END) AS p_yes,
+        min(CASE WHEN st = 'PENDING' THEN CASE so WHEN 'OECD' THEN 0 WHEN 'VAI' THEN 1 WHEN 'MANUAL' THEN 2 END END) AS p_pend,
+        min(CASE WHEN st = 'NO' THEN CASE so WHEN 'VAI' THEN 0 WHEN 'OECD' THEN 1 WHEN 'MANUAL' THEN 2 END END) AS p_no
+      FROM ({src}) GROUP BY {key}
+    )
+  )"""
+
+    return f"""
+WITH RECURSIVE
+chems AS (
+  SELECT 'c' || CAST(p_partkey AS VARCHAR) AS id, p_name AS name,
+         CASE p_partkey % 3 WHEN 0 THEN 'YES' WHEN 1 THEN 'NO' ELSE 'PENDING' END AS st0,
+         CASE p_partkey % 5 WHEN 0 THEN 'MANUAL' WHEN 1 THEN 'OECD' WHEN 2 THEN 'NONE'
+              WHEN 3 THEN 'OPENAI' ELSE 'VAI' END AS so0
+  FROM part
+),
+mats AS (SELECT 'm' || CAST(o_orderkey AS VARCHAR) AS id FROM orders),
+edges AS (SELECT DISTINCT 'm' || CAST(l_orderkey AS VARCHAR) AS material_id,
+                          'c' || CAST(l_partkey AS VARCHAR) AS chem_id FROM lineitem),
+reviews AS (SELECT o_orderkey AS review_seq, 'm' || CAST(o_orderkey AS VARCHAR) AS material_id
+            FROM orders WHERE o_orderkey % 7 = 0),
+rchems AS (
+  SELECT l.l_orderkey AS review_seq, l.l_linenumber AS chem_seq, p.p_name AS chemical_name,
+         CASE l.l_linenumber % 3 WHEN 0 THEN 'PFAS' WHEN 1 THEN 'NO_PFAS' ELSE 'OTHER' END AS tag,
+         CASE l.l_partkey % 4 WHEN 0 THEN 'OPENAI' WHEN 1 THEN 'MANUAL'
+              WHEN 2 THEN 'OECD' ELSE 'NONE' END AS source
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_orderkey % 7 = 0
+),
+matched AS (
+  SELECT review_seq, chem_id, tag, source FROM (
+    SELECT r.review_seq, e.chem_id, rc.tag, rc.source,
+           row_number() OVER (PARTITION BY r.review_seq, e.chem_id
+                              ORDER BY rc.chem_seq, rc.tag NULLS FIRST, rc.source NULLS FIRST) AS rn
+    FROM reviews r
+    JOIN edges e ON e.material_id = r.material_id
+    JOIN chems c ON c.id = e.chem_id
+    JOIN rchems rc ON rc.review_seq = r.review_seq AND lower(rc.chemical_name) = lower(c.name)
+  ) WHERE rn = 1
+),
+obs AS (
+  SELECT chem_id, review_seq, tag, source,
+         row_number() OVER (PARTITION BY chem_id ORDER BY review_seq) AS k
+  FROM matched
+),
+f(chem_id, k, st, so) AS (
+  SELECT c.id, 0, c.st0, c.so0
+  FROM chems c WHERE EXISTS (SELECT 1 FROM obs o WHERE o.chem_id = c.id)
+  UNION ALL
+  SELECT f.chem_id, f.k + 1,
+    CASE WHEN ({trans_case}) = '' THEN f.st
+         WHEN (f.so || '_' || coalesce(o.source, 'NONE')) IN ({pairs}) THEN {tag_st}
+         ELSE f.st END,
+    CASE WHEN ({trans_case}) = '' THEN f.so ELSE ({trans_case}) END
+  FROM f JOIN obs o ON o.chem_id = f.chem_id AND o.k = f.k + 1
+),
+chem_final AS (
+  SELECT chem_id, st, so FROM (
+    SELECT *, row_number() OVER (PARTITION BY chem_id ORDER BY k DESC) AS rn FROM f
+  ) WHERE rn = 1
+),
+chem_states AS (
+  SELECT c.id, coalesce(cf.st, c.st0) AS st, coalesce(cf.so, c.so0) AS so
+  FROM chems c LEFT JOIN chem_final cf ON cf.chem_id = c.id
+),
+trig AS (
+  SELECT e2.material_id, max(r.review_seq) AS last_trigger
+  FROM reviews r
+  JOIN edges e1 ON e1.material_id = r.material_id
+  JOIN edges e2 ON e2.chem_id = e1.chem_id
+  GROUP BY e2.material_id
+),
+last_rev AS (SELECT material_id, max(review_seq) AS last_review FROM reviews GROUP BY material_id),
+ov AS ({resolve("SELECT review_seq, " + tag_st.replace('o.tag', 'tag') + " AS st, source AS so FROM rchems", "review_seq")}),
+rr AS ({resolve("SELECT e.material_id, cs.st, cs.so FROM edges e JOIN chem_states cs ON cs.id = e.chem_id", "material_id")})
+SELECT m.id,
+  CASE
+    WHEN lr.last_review IS NOT NULL AND (t.last_trigger IS NULL OR lr.last_review >= t.last_trigger)
+      THEN coalesce(ov.r_st, 'NO')
+    WHEN t.last_trigger IS NOT NULL THEN rr.r_st
+    ELSE 'PENDING'
+  END AS pfas_status,
+  CASE
+    WHEN lr.last_review IS NOT NULL AND (t.last_trigger IS NULL OR lr.last_review >= t.last_trigger)
+      THEN coalesce(ov.r_so, 'NONE')
+    WHEN t.last_trigger IS NOT NULL THEN rr.r_so
+    ELSE 'NONE'
+  END AS pfas_information_source
+FROM mats m
+LEFT JOIN last_rev lr ON lr.material_id = m.id
+LEFT JOIN trig t ON t.material_id = m.id
+LEFT JOIN ov ON ov.review_seq = lr.last_review
+LEFT JOIN rr ON rr.material_id = m.id
+UNION ALL
+SELECT id, st AS pfas_status, so AS pfas_information_source FROM chem_states
+"""
+
+
+# --------------------------------------------------------------- sampling --
+
+_SAMPLE_BUCKET_SQL = (
+    "CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), '|', 's0')), 1, 12)) "
+    "AS BIGINT) % 1000000"
+)
+
+
+_EVAL_BUCKET_SQL = (
+    "CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), '|', 'eval')), 1, 12)) "
+    "AS BIGINT) % 1000000"
+)
+
+
+def _pagerank_sql(iterations: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank as one DuckDB CTE chain —
+    term-for-term the graph.pagerank dataflow: every step is exact BIGINT
+    fixed-point arithmetic (units of 1e-9, damping as the rational 17/20,
+    half-up division a/b as (2a+b)//(2b)), so the replay is bit-identical
+    by construction — no ROUND(double) anywhere to sit on an
+    engine-specific half boundary. Only the final display cast divides by
+    1e9 in doubles (one exact-input IEEE op per row)."""
+    parts = [
+        """WITH raw AS (
+  SELECT concat('p', CAST(l_partkey AS VARCHAR)) AS src,
+         concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
+  FROM lineitem WHERE l_orderkey % 97 = 1),
+e AS (SELECT DISTINCT * FROM (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)),
+v AS (SELECT DISTINCT src AS vertex FROM e),
+nn AS (SELECT COUNT(*) AS n FROM v),
+od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
+r0 AS (SELECT vertex,
+              (2000000000 + (SELECT n FROM nn)) // (2 * (SELECT n FROM nn)) AS r
+       FROM v),"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst AS vertex, (2 * r.r + od.odeg) // (2 * od.odeg) AS share
+  FROM e JOIN r{i - 1} r ON r.vertex = e.src JOIN od ON od.src = e.src),
+r{i} AS (
+  SELECT v.vertex,
+         (2 * (3000000000 + 17 * COALESCE(s.s, 0) * (SELECT n FROM nn))
+          + 20 * (SELECT n FROM nn)) // (2 * 20 * (SELECT n FROM nn)) AS r
+  FROM v LEFT JOIN (SELECT vertex, SUM(share) AS s FROM c{i} GROUP BY vertex) s USING (vertex)),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vertex, CAST(r AS DOUBLE) / 1000000000.0 AS pagerank FROM r{iterations}"
+    )
+    return "\n".join(parts)
+
+
+# The parts-co-ordered-together graph (s < t canonical orientation),
+# shared by the graph contract queries — one definition on each engine.
+_PAIRS_CTE = """pairs AS (
+         SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         WHERE a.l_partkey < b.l_partkey
+       )"""
+
+
+def _co_order_edges(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+
+
+_CAP_BUCKET_SQL = _SAMPLE_BUCKET_SQL.replace("'s0'", "'cap0'")
+
+
+_PACK_BUCKET_SQL = _SAMPLE_BUCKET_SQL.replace("'s0'", "'pack0'")
+
+
+_SPLIT_BUCKET_SQL = _SAMPLE_BUCKET_SQL.replace("'s0'", "'split0'")
+
+
+_MIX_BUCKET_SQL = _SAMPLE_BUCKET_SQL.replace("'s0'", "'mix0'")
+
+
+# High-quantity co-order graph (l_quantity >= 25 trims the full co-order
+# graph's ~90-degree hubs to ~15 so capped/unrolled graph oracles stay
+# replayable) — shared by the common-neighbors / k-hop / random-walk rows.
+_Q25_PAIRS_CTE = """p AS (
+         SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey
+          AND a.l_quantity >= 25 AND b.l_quantity >= 25
+         WHERE a.l_partkey < b.l_partkey),
+       und AS (SELECT s AS src, t AS dst FROM p
+               UNION ALL SELECT t, s FROM p)"""
+
+
+def _q25_edges(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where("l_quantity >= 25").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+
+
+_WALK_STEP_HASH = (
+    "CAST(concat('0x', substring(md5(concat(CAST(und.src AS VARCHAR), '|', "
+    "'{step}', '|', CAST(und.dst AS VARCHAR), '|', 'w0')), 1, 12)) AS BIGINT)"
+)
+
+
+def _ppr_sql(iterations: int = 2) -> str:
+    """Unrolled personalized-PageRank replay — term-for-term the
+    graph.personalized_pagerank dataflow in exact BIGINT fixed-point
+    (1e-9 units, damping 17/20, half-up division), teleport mass confined
+    to the seed set; only the final display cast touches doubles."""
+    parts = [
+        f"""WITH {_Q25_PAIRS_CTE},
+v0 AS (SELECT DISTINCT src AS vertex FROM und),
+sd AS (SELECT DISTINCT p_partkey AS vertex FROM part WHERE p_partkey % 100 = 0),
+v AS (SELECT vertex, max(i) AS i FROM
+        (SELECT vertex, 0 AS i FROM v0 UNION ALL SELECT vertex, 1 FROM sd)
+      GROUP BY vertex),
+ss AS (SELECT COUNT(*) AS s FROM sd),
+od AS (SELECT src, COUNT(*) AS odeg FROM und GROUP BY src),
+r0 AS (SELECT vertex, i,
+              CAST(i AS BIGINT) * ((2000000000 + (SELECT s FROM ss))
+                                   // (2 * (SELECT s FROM ss))) AS r
+       FROM v),"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT und.dst AS vertex, (2 * r.r + od.odeg) // (2 * od.odeg) AS share
+  FROM und JOIN r{i - 1} r ON r.vertex = und.src JOIN od ON od.src = und.src
+  WHERE r.r != 0),
+r{i} AS (
+  SELECT v.vertex, v.i,
+         CASE WHEN v.i = 1 THEN
+           (2 * (3000000000 + 17 * COALESCE(s.s, 0) * (SELECT s FROM ss))
+            + 20 * (SELECT s FROM ss)) // (2 * 20 * (SELECT s FROM ss))
+         ELSE (2 * 17 * COALESCE(s.s, 0) + 20) // (2 * 20) END AS r
+  FROM v LEFT JOIN (SELECT vertex, SUM(share) AS s FROM c{i} GROUP BY vertex) s
+  USING (vertex)),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vertex, CAST(r AS DOUBLE) / 1000000000.0 AS ppr FROM r{iterations}"
+    )
+    return "\n".join(parts)
+
+
+def _hits_sql(iterations: int = 2) -> str:
+    """Unrolled fixed-iteration HITS as one DuckDB CTE chain —
+    term-for-term the graph.hits dataflow: exact integer fixed-point
+    (1e-9 units), L-inf normalization as half-up division
+    (2*s*units + m) // (2*m) in HUGEINT (the 128-bit twin of the Spark
+    side's DECIMAL(38,0)); only the final display cast divides in
+    doubles."""
+    parts = [
+        """WITH raw AS (
+  SELECT DISTINCT concat('p', CAST(l_partkey AS VARCHAR)) AS src,
+         concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
+  FROM lineitem WHERE l_orderkey % 97 = 1),
+v AS (SELECT DISTINCT vertex FROM
+      (SELECT src AS vertex FROM raw UNION ALL SELECT dst FROM raw)),
+h0 AS (SELECT vertex, CAST(1000000000 AS HUGEINT) AS h FROM v),"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ra{i} AS (
+  SELECT v.vertex, CAST(COALESCE(s.s, 0) AS HUGEINT) AS s FROM v
+  LEFT JOIN (SELECT e.dst AS vertex, SUM(h.h) AS s
+             FROM raw e JOIN h{i - 1} h ON h.vertex = e.src
+             GROUP BY e.dst) s USING (vertex)),
+a{i} AS (
+  SELECT vertex, (2 * s * 1000000000 + (SELECT MAX(s) FROM ra{i}))
+                 // (2 * (SELECT MAX(s) FROM ra{i})) AS a
+  FROM ra{i}),
+rh{i} AS (
+  SELECT v.vertex, CAST(COALESCE(s.s, 0) AS HUGEINT) AS s FROM v
+  LEFT JOIN (SELECT e.src AS vertex, SUM(a.a) AS s
+             FROM raw e JOIN a{i} a ON a.vertex = e.dst
+             GROUP BY e.src) s USING (vertex)),
+h{i} AS (
+  SELECT vertex, (2 * s * 1000000000 + (SELECT MAX(s) FROM rh{i}))
+                 // (2 * (SELECT MAX(s) FROM rh{i})) AS h
+  FROM rh{i}),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"""SELECT a.vertex, CAST(a.a AS DOUBLE) / 1000000000.0 AS authority,
+       CAST(h.h AS DOUBLE) / 1000000000.0 AS hub
+FROM a{iterations} a JOIN h{iterations} h USING (vertex)"""
+    )
+    return "\n".join(parts)
+
+
+_KEEPER_BUCKET_SQL = _SPLIT_BUCKET_SQL.replace("doc_id", "keeper")
+
+
+def _truss_rounds_sql(rounds: int, k: int) -> str:
+    """Unrolled synchronous truss-peel rounds over c0 (src < dst canonical
+    edges): each round recounts per-edge triangle support by the NAIVE
+    common-neighbor join (deliberately a different formulation than the
+    operator's degree-ordered orientation) and keeps support >= k-2."""
+    parts = []
+    for i in range(rounds):
+        parts.append(
+            f"""und{i} AS (SELECT src AS u, dst AS w FROM c{i}
+                    UNION ALL SELECT dst, src FROM c{i}),
+       c{i + 1} AS (
+         SELECT e.src, e.dst, CAST(count(*) AS BIGINT) AS support
+         FROM c{i} e
+         JOIN und{i} x ON x.u = e.src
+         JOIN und{i} y ON y.u = e.dst AND y.w = x.w
+         GROUP BY 1, 2 HAVING count(*) >= {k - 2})"""
+        )
+    return ",\n       ".join(parts)
+
+
+def _zinterleave_sql(bits: int) -> str:
+    from ..operators.layout import _interleave_expr
+
+    return _interleave_expr(bits).replace("_zx", "zx").replace("_zy", "zy")
+
+
+# Shared dirty/clean order-KG triple construction for the kg-quality gates:
+# a (subj, pred, obj, weight_percent) table derived from orders/lineitem with
+# deterministic dirt slices (typo'd predicate %97, 10x out-of-range weight
+# %89, missing weight %83, double-valued functional pred %79, forbidden
+# weight %73, malformed subject %71).
+def _order_kg_triples(spark, sf_dir, dirty: bool):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    if dirty:
+        pred = F.when(F.col("l_orderkey") % 97 == 0, F.lit("containsPrt")).otherwise(
+            F.lit("containsPart")
+        )
+        weight = (
+            F.when(
+                F.col("l_orderkey") % 89 == 0,
+                (F.col("l_quantity") * 10).cast("string"),
+            )
+            .when(F.col("l_orderkey") % 83 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("l_quantity").cast("string"))
+        )
+        oprefix = F.when(F.col("o_orderkey") % 71 == 0, F.lit("X")).otherwise(
+            F.lit("O")
+        )
+        pweight = F.when(F.col("o_orderkey") % 73 == 0, F.lit("5")).otherwise(
+            F.lit(None).cast("string")
+        )
+    else:
+        pred = F.lit("containsPart")
+        weight = F.col("l_quantity").cast("string")
+        oprefix = F.lit("O")
+        pweight = F.lit(None).cast("string")
+    contains = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("subj"),
+        pred.alias("pred"),
+        F.col("l_partkey").cast("string").alias("obj"),
+        weight.alias("weight_percent"),
+    )
+    placed = o.select(
+        F.concat(oprefix, F.col("o_orderkey").cast("string")).alias("subj"),
+        F.lit("placedBy").alias("pred"),
+        F.col("o_custkey").cast("string").alias("obj"),
+        pweight.alias("weight_percent"),
+    )
+    t = contains.unionAll(placed)
+    if dirty:
+        dup = o.where(F.col("o_orderkey") % 79 == 0).select(
+            F.concat(oprefix, F.col("o_orderkey").cast("string")).alias("subj"),
+            F.lit("placedBy").alias("pred"),
+            (F.col("o_custkey") + 1).cast("string").alias("obj"),
+            F.lit(None).cast("string").alias("weight_percent"),
+        )
+        t = t.unionAll(dup)
+    return t
+
+
+_ORDER_KG_DIRTY_SQL = """t AS (
+         SELECT 'O' || CAST(l_orderkey AS VARCHAR) AS subj,
+                CASE WHEN l_orderkey % 97 = 0 THEN 'containsPrt'
+                     ELSE 'containsPart' END AS pred,
+                CAST(l_partkey AS VARCHAR) AS obj,
+                CASE WHEN l_orderkey % 89 = 0 THEN CAST(l_quantity * 10 AS VARCHAR)
+                     WHEN l_orderkey % 83 = 0 THEN NULL
+                     ELSE CAST(l_quantity AS VARCHAR) END AS weight_percent
+         FROM lineitem
+         UNION ALL
+         SELECT CASE WHEN o_orderkey % 71 = 0 THEN 'X' ELSE 'O' END
+                  || CAST(o_orderkey AS VARCHAR),
+                'placedBy', CAST(o_custkey AS VARCHAR),
+                CASE WHEN o_orderkey % 73 = 0 THEN '5' ELSE NULL END
+         FROM orders
+         UNION ALL
+         SELECT CASE WHEN o_orderkey % 71 = 0 THEN 'X' ELSE 'O' END
+                  || CAST(o_orderkey AS VARCHAR),
+                'placedBy', CAST(o_custkey + 1 AS VARCHAR), NULL
+         FROM orders WHERE o_orderkey % 79 = 0
+       )"""
+
+
+_JSE_THRESH = ((1 << 48) * 200_000) // 1_000_000
+_JSE_HASH = (
+    "CAST(concat('0x', substring(md5(concat(CAST(l_partkey AS VARCHAR), "
+    "'|', 'kmv')), 1, 12)) AS BIGINT)"
+)
+
+
+# -------------------------------------------------------------- BPE train --
+
+def _bpe_oracle_sql(rounds: int, encode: bool) -> str:
+    """Unrolled DuckDB replay of bpe.bpe_train / bpe_apply: per round, the
+    same lead()-window pair count, (count DESC, lhs, rhs) argmax, run-
+    parity greedy match selection, and rebuild — generated by loop so the
+    round blocks cannot drift apart."""
+    parts = [
+        """WITH words AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+               FROM documents)
+         WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+       t1 AS MATERIALIZED (
+         SELECT w, cnt, CAST(i AS INT) AS pos,
+                substring(w, CAST(i AS INT), 1) AS tok
+         FROM words, unnest(generate_series(1, length(w))) AS u(i))"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+       p{r} AS MATERIALIZED (SELECT w, cnt, pos, tok,
+                       lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+                FROM t{r}),
+       best{r} AS MATERIALIZED (SELECT tok AS lhs, nxt AS rhs,
+                          CAST(sum(cnt) AS BIGINT) AS pair_count
+                   FROM p{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
+                   ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+       keep{r} AS MATERIALIZED (
+         SELECT w, pos FROM (
+           SELECT w, pos,
+                  row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS rnk
+           FROM (SELECT m.w, m.pos,
+                        m.pos - row_number() OVER (PARTITION BY m.w
+                                                   ORDER BY m.pos) AS grp
+                 FROM p{r} m, best{r} b
+                 WHERE m.tok = b.lhs AND m.nxt = b.rhs))
+         WHERE rnk % 2 = 1),
+       t{r + 1} AS MATERIALIZED (
+         SELECT w, cnt,
+                CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS INT)
+                  AS pos,
+                tok
+         FROM (
+           SELECT p.w, p.cnt, p.pos,
+                  CASE WHEN k.pos IS NOT NULL THEN p.tok || p.nxt
+                       ELSE p.tok END AS tok,
+                  lag(CASE WHEN k.pos IS NOT NULL THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY p.w ORDER BY p.pos) AS prevm
+           FROM p{r} p LEFT JOIN keep{r} k ON p.w = k.w AND p.pos = k.pos)
+         WHERE COALESCE(prevm, 0) = 0)""")
+    if encode:
+        parts.append(f"""
+       SELECT w, cnt, string_agg(tok, ' ' ORDER BY pos) AS toks
+       FROM t{rounds + 1} GROUP BY w, cnt""")
+    else:
+        union = "\n       UNION ALL ".join(
+            f'SELECT CAST({r} AS BIGINT) AS "round", lhs, rhs, pair_count '
+            f"FROM best{r}"
+            for r in range(1, rounds + 1)
+        )
+        parts.append(f"\n       {union}")
+    return "".join(parts)
+
+
+_BPE_ROUNDS = 8
+
+
+# ------------------------------------------------- matcher calibration (ER) --
+
+# band-2 rebanding of the near-dup corpus signatures: 8 bands of 2 slots
+# widen the candidate set to include genuinely dissimilar pairs — the
+# negatives a calibration curve needs
+_ER_SWEEP_SQL = _NEARDUP_SIG_SQL + """, buckets AS (
+         SELECT doc_id, CAST(hash_id // 2 AS INT) AS band,
+                md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_id)) AS bucket
+         FROM sig GROUP BY doc_id, CAST(hash_id // 2 AS INT)
+       ), cand AS (
+         SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id
+       ), scored AS (
+         SELECT c.doc1, c.doc2, g.lang,
+                CAST(sum(CASE WHEN s1.minhash = s2.minhash THEN 1 ELSE 0 END)
+                     AS BIGINT) AS score,
+                CASE WHEN c.doc1 % 1000000 = c.doc2 % 1000000 THEN 1 ELSE 0 END AS gold
+         FROM cand c
+         JOIN sig s1 ON s1.doc_id = c.doc1
+         JOIN sig s2 ON s2.doc_id = c.doc2 AND s2.hash_id = s1.hash_id
+         JOIN aug g ON g.doc_id = c.doc1
+         GROUP BY 1, 2, 3, 5
+       ), hist AS (
+         SELECT lang, score, CAST(sum(gold) AS BIGINT) AS pos,
+                CAST(count(*) - sum(gold) AS BIGINT) AS neg
+         FROM scored GROUP BY lang, score
+       ), stats AS (
+         SELECT lang, score,
+                CAST(sum(pos) OVER (PARTITION BY lang ORDER BY score DESC) AS BIGINT) AS tp,
+                CAST(sum(neg) OVER (PARTITION BY lang ORDER BY score DESC) AS BIGINT) AS fp,
+                CAST(sum(pos) OVER (PARTITION BY lang) AS BIGINT) AS p
+         FROM hist)
+       SELECT lang, score AS threshold, tp, fp, p - tp AS fn,
+              CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+              CASE WHEN p > 0 THEN CAST(tp * 1000000 // p AS BIGINT) END AS recall_ppm,
+              CASE WHEN p > 0 THEN CAST(2 * tp * 1000000 // (tp + fp + p) AS BIGINT) END AS f1_ppm
+       FROM stats"""
+
+
+_LM_BIGRAMS = (
+    "unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),"
+    " i -> toks[i] || ' ' || toks[i + 1]))"
+)
+
+
+def _lsh_curve_oracle_sql() -> str:
+    """The banding S-curve replay, generated from the SAME
+    dedupe.lsh_curve_exprs/_pow_chain helpers the Spark operator uses —
+    one source of truth for the floor-ppm power chains ('//' here,
+    'DIV' there). Histogram = minhash agreement (0..16 slots) of band-2
+    LSH candidates over the near-dup corpus; est ppm = agree * 62500."""
+    branches = []
+    for b, r, jr, rep in D.lsh_curve_exprs(16, 62_500, "//"):
+        q = D._pow_chain("1000000 - _jr", "1000000 - _jr", b, "//")
+        branches.append(
+            f"""SELECT CAST({b} AS BIGINT) AS bands,
+                CAST({r} AS BIGINT) AS rows_per_band,
+                CAST({rep} AS BIGINT) AS jac_bucket_ppm, n_pairs,
+                CAST(1000000 - ({q}) AS BIGINT) AS p_collision_ppm,
+                CAST(CAST(n_pairs AS HUGEINT) * (1000000 - ({q}))
+                     // 1000000 AS BIGINT) AS expected_candidate_pairs
+         FROM (SELECT bucket, n_pairs, {jr} AS _jr FROM hist)"""
+        )
+    union = "\n       UNION ALL\n       ".join(branches)
+    return (
+        _NEARDUP_SIG_SQL
+        + """, buckets AS (
+         SELECT doc_id, CAST(hash_id // 2 AS INT) AS band,
+                md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY hash_id)) AS bucket
+         FROM sig GROUP BY doc_id, CAST(hash_id // 2 AS INT)
+       ), cand AS (
+         SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id
+       ), agree AS (
+         SELECT c.doc1, c.doc2,
+                CAST(sum(CASE WHEN s1.minhash = s2.minhash THEN 1 ELSE 0 END)
+                     AS BIGINT) AS agree
+         FROM cand c
+         JOIN sig s1 ON s1.doc_id = c.doc1
+         JOIN sig s2 ON s2.doc_id = c.doc2 AND s2.hash_id = s1.hash_id
+         GROUP BY 1, 2
+       ), hist AS (
+         SELECT (agree * 1000000 // 16) // 62500 AS bucket,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM agree GROUP BY 1)
+       """
+        + union
+    )
+
+
+_BLOOM_BUILD_SQL = """
+  dim AS (SELECT DISTINCT c_custkey AS k FROM customer
+          WHERE c_mktsegment = 'BUILDING'),
+  pos AS (
+    SELECT CAST(concat('0x', substring(md5(concat(CAST(k AS VARCHAR),
+           '|1')), 1, 12)) AS BIGINT) % 2048 AS p FROM dim
+    UNION ALL
+    SELECT CAST(concat('0x', substring(md5(concat(CAST(k AS VARCHAR),
+           '|2')), 1, 12)) AS BIGINT) % 2048 FROM dim),
+  bloom AS (
+    SELECT p // 63 AS w,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+    FROM pos GROUP BY 1)"""
+
+
+_HLL_M8 = 256
+_HLL_NUM = 7213 * _HLL_M8 * _HLL_M8 * _HLL_M8 * (1 << 49)
+_HLL_DEN_ALPHA = 10000 * _HLL_M8 + 10790
+
+
+_O2O_ROUND = """
+  m{r} AS (
+    SELECT l, r, s FROM (
+      SELECT l, r, s,
+        row_number() OVER (PARTITION BY l ORDER BY s DESC, r) AS rl,
+        row_number() OVER (PARTITION BY r ORDER BY s DESC, l) AS rr
+      FROM p{p}) WHERE rl = 1 AND rr = 1),
+  p{r} AS (
+    SELECT * FROM p{p}
+    WHERE l NOT IN (SELECT l FROM m{r})
+      AND r NOT IN (SELECT r FROM m{r}))"""
+
+
+_DRIFT_STACK = """
+    SELECT 'status' AS field, o_orderstatus AS v FROM {src}
+    UNION ALL SELECT 'priority', o_orderpriority FROM {src}
+    UNION ALL SELECT 'price_bucket',
+      CAST(CAST(floor(o_totalprice * 100) AS BIGINT) // 10000000 AS VARCHAR)
+      FROM {src}
+    UNION ALL SELECT 'year', CAST(year(o_orderdate) AS VARCHAR) FROM {src}"""
+
+
+_URL_SYNTH_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://'
+           || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+           || 'd' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+           || CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                              WHEN 2 THEN ':8080' ELSE '' END
+           || '/docs/' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 5 = 0 THEN '///' ELSE '' END
+           || CASE doc_id % 3
+                WHEN 0 THEN '?utm_source=' || lang || '&b=2&a=1'
+                WHEN 1 THEN '?z=9&utmost=3&a=' || lang ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN '#frag?fx=1' ELSE '' END AS url
+    FROM documents"""
+
+
+_BPE_APPLY_MERGES = [("e", "r"), ("m", "er"), ("i", "n"), ("s", "t"), ("o", "w")]
+
+
+def _bpe_apply_oracle(merges: list[tuple[str, str]]) -> str:
+    """Unrolled DuckDB replay of bpe.bpe_doc_stats with a FIXED merge
+    list — deliberately the run-parity WINDOW formulation (positional
+    token table, lead(), consecutive-run parity keep, rebuild), i.e. a
+    formulation INDEPENDENT of the engine's double-space string-replace:
+    the two agreeing is the gate. Merges apply to DISTINCT words once
+    (segmentation is a function of the word), then join back to word
+    instances for the per-doc rollup."""
+    parts = [
+        """WITH wi AS (
+         SELECT doc_id, word FROM (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                    AS word
+           FROM documents)
+         WHERE word <> ''),
+       dw AS (SELECT DISTINCT word AS w FROM wi),
+       t1 AS MATERIALIZED (
+         SELECT w, CAST(i AS INT) AS pos,
+                substring(w, CAST(i AS INT), 1) AS tok
+         FROM dw, unnest(generate_series(1, length(w))) AS u(i))"""
+    ]
+    for r, (lhs, rhs) in enumerate(merges, start=1):
+        parts.append(f""",
+       p{r} AS MATERIALIZED (SELECT w, pos, tok,
+                       lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+                FROM t{r}),
+       keep{r} AS MATERIALIZED (
+         SELECT w, pos FROM (
+           SELECT w, pos,
+                  row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS rnk
+           FROM (SELECT m.w, m.pos,
+                        m.pos - row_number() OVER (PARTITION BY m.w
+                                                   ORDER BY m.pos) AS grp
+                 FROM p{r} m
+                 WHERE m.tok = '{lhs}' AND m.nxt = '{rhs}'))
+         WHERE rnk % 2 = 1),
+       t{r + 1} AS MATERIALIZED (
+         SELECT w,
+                CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS INT)
+                  AS pos,
+                tok
+         FROM (
+           SELECT p.w, p.pos,
+                  CASE WHEN k.pos IS NOT NULL THEN p.tok || p.nxt
+                       ELSE p.tok END AS tok,
+                  lag(CASE WHEN k.pos IS NOT NULL THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY p.w ORDER BY p.pos) AS prevm
+           FROM p{r} p LEFT JOIN keep{r} k ON p.w = k.w AND p.pos = k.pos)
+         WHERE COALESCE(prevm, 0) = 0)""")
+    parts.append(f""",
+       enc AS (SELECT w, CAST(count(*) AS BIGINT) AS nt
+               FROM t{len(merges) + 1} GROUP BY w),
+       s AS (SELECT wi.doc_id, length(wi.word) AS nc, e.nt
+             FROM wi JOIN enc e ON e.w = wi.word)
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(nc) AS BIGINT) AS n_chars_tokenized,
+              CAST(sum(nt) AS BIGINT) AS n_tokens,
+              CAST(sum(nt) * 1000000 // count(*) AS BIGINT)
+                AS tokens_per_word_ppm
+       FROM s GROUP BY doc_id""")
+    return "".join(parts)
+
+
+def _rule_kg_triples(spark, sf_dir):
+    """3-predicate order KG shared by the rule-mining / rule-application
+    gates: orderedPart (every lineitem), bulkPart (the qty > 25 slice of
+    it) and containedIn (orderedPart REVERSED on the orderkey % 3 == 0
+    slice) — built so implication, inverse and symmetry rules all carry
+    mass and rule application has real holes to fill."""
+    li = _t(spark, sf_dir, "lineitem")
+    subj = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
+    obj = F.col("l_partkey").cast("string")
+    return (
+        li.select(subj.alias("subj"), F.lit("orderedPart").alias("pred"), obj.alias("obj"))
+        .unionAll(
+            li.where(F.col("l_quantity") > 25).select(
+                subj.alias("subj"), F.lit("bulkPart").alias("pred"), obj.alias("obj")
+            )
+        )
+        .unionAll(
+            li.where(F.col("l_orderkey") % 3 == 0).select(
+                obj.alias("subj"), F.lit("containedIn").alias("pred"), subj.alias("obj")
+            )
+        )
+    )
+
+
+_RULE_KG_SQL = """
+         SELECT DISTINCT 'O' || CAST(l_orderkey AS VARCHAR) AS subj,
+                'orderedPart' AS pred, CAST(l_partkey AS VARCHAR) AS obj
+         FROM lineitem
+         UNION ALL
+         SELECT DISTINCT 'O' || CAST(l_orderkey AS VARCHAR), 'bulkPart',
+                CAST(l_partkey AS VARCHAR)
+         FROM lineitem WHERE l_quantity > 25
+         UNION ALL
+         SELECT DISTINCT CAST(l_partkey AS VARCHAR), 'containedIn',
+                'O' || CAST(l_orderkey AS VARCHAR)
+         FROM lineitem WHERE l_orderkey % 3 = 0"""
+
+
+# ----------------------------------------------------------- truth discovery --
+
+_TRUTH_CLAIMS_SQL = """
+         SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS source,
+                CAST(l_partkey AS BIGINT) AS claim_key,
+                CAST(l_returnflag AS VARCHAR) AS claim_value
+         FROM lineitem"""
+
+# two unrolled rounds of the fixed-point loop (truth.py docstring): trust
+# ppm -> per-claim belief -> per-key-normalized confidence -> mean trust.
+_TRUTH_ROUNDS_SQL = f"""
+       c AS ({_TRUTH_CLAIMS_SQL}),
+       t0 AS (SELECT source, CAST(500000 AS BIGINT) AS trust_ppm
+              FROM (SELECT DISTINCT source FROM c)),
+       b1 AS (SELECT claim_key, claim_value,
+                     CAST(sum(trust_ppm) AS BIGINT) AS belief
+              FROM c JOIN t0 USING (source) GROUP BY 1, 2),
+       n1 AS (SELECT claim_key, CAST(sum(belief) AS BIGINT) AS tot
+              FROM b1 GROUP BY 1),
+       conf1 AS (SELECT claim_key, claim_value,
+                        belief * 1000000 // tot AS conf_ppm
+                 FROM b1 JOIN n1 USING (claim_key)),
+       t1 AS (SELECT source,
+                     CAST(sum(conf_ppm) // count(*) AS BIGINT) AS trust_ppm,
+                     CAST(count(*) AS BIGINT) AS n_claims
+              FROM c JOIN conf1 USING (claim_key, claim_value)
+              GROUP BY source),
+       b2 AS (SELECT claim_key, claim_value,
+                     CAST(sum(trust_ppm) AS BIGINT) AS belief
+              FROM c JOIN t1 USING (source) GROUP BY 1, 2),
+       n2 AS (SELECT claim_key, CAST(sum(belief) AS BIGINT) AS tot
+              FROM b2 GROUP BY 1),
+       conf2 AS (SELECT claim_key, claim_value,
+                        belief * 1000000 // tot AS conf_ppm
+                 FROM b2 JOIN n2 USING (claim_key)),
+       t2 AS (SELECT source,
+                     CAST(sum(conf_ppm) // count(*) AS BIGINT) AS trust_ppm,
+                     CAST(count(*) AS BIGINT) AS n_claims
+              FROM c JOIN conf2 USING (claim_key, claim_value)
+              GROUP BY source)"""
+
+
+# ------------------------------------------------------------ owl-lite pack --
+
+_ONTO_KG_SQL = """
+         SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS subj,
+                'follows' AS pred,
+                'O' || CAST(o_orderkey // 2 AS VARCHAR) AS obj
+         FROM orders WHERE o_orderkey > 1
+         UNION ALL
+         SELECT 'O' || CAST(o_orderkey AS VARCHAR), 'placedBy',
+                'C' || CAST(o_custkey AS VARCHAR)
+         FROM orders WHERE o_orderkey % 5 = 0
+         UNION ALL
+         SELECT 'C' || CAST(c_custkey AS VARCHAR), 'adjacentTo',
+                'N' || CAST(c_nationkey AS VARCHAR)
+         FROM customer"""
+
+
+def _onto_kg_triples(spark, sf_dir):
+    """Ontology-pack KG: a deep 'follows' chain (every order points at
+    order k//2 — ~log2(N) ancestor depth), a 'placedBy' slice for the
+    inverseOf rule, and customer->nation 'adjacentTo' for symmetry."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    okey = F.concat(F.lit("O"), F.col("o_orderkey").cast("string"))
+    return (
+        o.where(F.col("o_orderkey") > 1)
+        .select(
+            okey.alias("subj"),
+            F.lit("follows").alias("pred"),
+            F.concat(
+                F.lit("O"), F.expr("o_orderkey div 2").cast("string")
+            ).alias("obj"),
+        )
+        .unionAll(
+            o.where(F.col("o_orderkey") % 5 == 0).select(
+                okey.alias("subj"),
+                F.lit("placedBy").alias("pred"),
+                F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("obj"),
+            )
+        )
+        .unionAll(
+            c.select(
+                F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("subj"),
+                F.lit("adjacentTo").alias("pred"),
+                F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("obj"),
+            )
+        )
+    )
+
+
+
+# --------------------------------------------------------------- bm25 --
+
+from ..operators.ranking import log2fp_chain as _log2fp_chain  # noqa: E402
+
+_BM25_QUERIES = [
+    ("q1", "spark table scan"),
+    ("q2", "fast hash join"),
+    ("q3", "window agg group"),
+    ("q4", "customer order line"),
+    ("q5", "vector quantum flux"),
+    ("q6", "slow query filter sort"),
+]
+_BM25_L2_COLS = ", ".join(
+    f"{e} AS {a}" for a, e in _log2fp_chain("_q", 6, div="//", wide="HUGEINT")
+)
+_BM25_QS = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+
+
+_BM25_SQL_BODY = rf"""qs(qid, qtext) AS (VALUES {_BM25_QS}),
+       t AS (SELECT doc_id AS d,
+                    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+             FROM documents),
+       td AS (SELECT term, d, CAST(count(*) AS BIGINT) AS tf
+              FROM t WHERE term <> '' GROUP BY 1, 2),
+       dl AS (SELECT d, CAST(sum(tf) AS BIGINT) AS dl FROM td GROUP BY 1),
+       sc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS l FROM dl),
+       st AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY 1),
+       idf AS (SELECT term, _l2_a6 - 20 * 64 AS idf_fp FROM (
+                 SELECT term, {_BM25_L2_COLS} FROM (
+                   SELECT term,
+                          CAST(CAST(2 * sc.n + 2 AS HUGEINT) * 1048576
+                               // (2 * df + 1) AS BIGINT) AS _q
+                   FROM st, sc))),
+       qt AS (SELECT DISTINCT qid, term FROM (
+                SELECT qid,
+                       unnest(string_split_regex(trim(lower(qtext)), '\s+')) AS term
+                FROM qs) WHERE term <> ''),
+       hits AS (SELECT qt.qid, td.d,
+                       CAST(CAST(idf_fp AS HUGEINT) * 22 * tf * sc.l
+                            // (10 * CAST(sc.l AS HUGEINT) * tf + 3 * sc.l
+                                + 9 * dl.dl * sc.n) AS BIGINT) AS s
+                FROM qt JOIN td USING (term) JOIN idf USING (term)
+                JOIN dl USING (d) CROSS JOIN sc),
+       bm_scored AS (SELECT qid AS query_id, d AS doc_id,
+                         CAST(sum(s) AS BIGINT) AS bm25_fp,
+                         CAST(count(*) AS BIGINT) AS n_terms
+                  FROM hits GROUP BY 1, 2)"""
+
+
+
+def _rp_signs_sql(in_dim: int, out_dim: int, salt: str = "rp0") -> str:
+    """The JL sign matrix as a VALUES table — generated from the same
+    similarity.rp_sign the Spark side embeds as literals."""
+    rows = ", ".join(
+        f"({i}, {j}, {SIM.rp_sign(i, j, salt)})"
+        for i in range(in_dim)
+        for j in range(out_dim)
+    )
+    return f"(VALUES {rows}) signs(i, j, s)"
+
+
+
+# the scored+labeled candidate pairs shared with er_threshold_sweep,
+# sliced off before that gate's histogram/cumulative stage
+_ER_SCORED_PREFIX = _ER_SWEEP_SQL.split("), hist AS (")[0] + ")"
+
+
+def _mmr_oracle_sql(k: int = 5, lam: int = 700000, m: int = 12) -> str:
+    """Unrolled greedy-MMR oracle: one CTE pair per selection round —
+    the literal replay of ranking.mmr_rerank's k-round loop."""
+    head = rf"""WITH qs(query_id, qtext) AS (VALUES
+         ('q1', 'spark table scan'), ('q2', 'fast hash join'),
+         ('q3', 'window agg group'), ('q4', 'customer order line'),
+         ('q5', 'vector quantum flux'), ('q6', 'slow query filter sort')),
+       dt AS (SELECT DISTINCT doc_id AS d, term FROM (
+                SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+                       '\s+')) AS term FROM documents) WHERE term <> ''),
+       nd AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY 1),
+       qt AS (SELECT DISTINCT query_id AS qq, term FROM (
+                SELECT query_id, unnest(string_split_regex(trim(lower(qtext)),
+                       '\s+')) AS term FROM qs) WHERE term <> ''),
+       nq AS (SELECT qq, CAST(count(*) AS BIGINT) AS c FROM qt GROUP BY 1),
+       iq AS (SELECT qq, d, CAST(count(*) AS BIGINT) AS i
+              FROM qt JOIN dt USING (term) GROUP BY 1, 2),
+       relt AS (SELECT qq, d,
+                       CAST(i * 1000000 // (nq.c + nd.c - i) AS BIGINT) AS rel
+                FROM iq JOIN nq USING (qq) JOIN nd USING (d) WHERE i > 0),
+       cand AS (SELECT qq, d, rel FROM (
+                  SELECT *, row_number() OVER (PARTITION BY qq
+                            ORDER BY rel DESC, d) AS rn
+                  FROM relt) WHERE rn <= {m}),
+       cd AS (SELECT c.qq, c.d, dt.term FROM cand c JOIN dt ON dt.d = c.d),
+       pi AS (SELECT a.qq, a.d AS d1, b.d AS d2, CAST(count(*) AS BIGINT) AS i
+              FROM cd a JOIN cd b
+                ON a.qq = b.qq AND a.term = b.term AND a.d != b.d
+              GROUP BY 1, 2, 3),
+       sims AS (SELECT qq, d1, d2,
+                       CAST(i * 1000000 // (x.c + y.c - i) AS BIGINT) AS sim
+                FROM pi JOIN nd x ON x.d = pi.d1 JOIN nd y ON y.d = pi.d2),
+       sel1 AS (SELECT qq, d, 1 AS mmr_rank, rel,
+                       CAST(0 AS BIGINT) AS msim,
+                       CAST({lam} AS BIGINT) * rel AS score
+                FROM (SELECT *, row_number() OVER (PARTITION BY qq
+                              ORDER BY rel DESC, d) AS rn
+                      FROM cand) WHERE rn = 1),
+       selall1 AS (SELECT * FROM sel1)"""
+    rounds = []
+    for r in range(2, k + 1):
+        rounds.append(rf""",
+       rem{r} AS (SELECT c.* FROM cand c
+                  LEFT JOIN selall{r-1} s ON s.qq = c.qq AND s.d = c.d
+                  WHERE s.d IS NULL),
+       ms{r} AS (SELECT c.qq, c.d, c.rel,
+                        CAST(COALESCE(max(s2.sim), 0) AS BIGINT) AS msim
+                 FROM rem{r} c LEFT JOIN
+                   (SELECT si.qq, si.d1, si.sim FROM sims si
+                    JOIN selall{r-1} s ON s.qq = si.qq AND s.d = si.d2) s2
+                   ON s2.qq = c.qq AND s2.d1 = c.d
+                 GROUP BY 1, 2, 3),
+       sel{r} AS (SELECT qq, d, {r} AS mmr_rank, rel, msim, score FROM (
+                    SELECT *,
+                           CAST({lam} AS BIGINT) * rel
+                             - CAST({1_000_000 - lam} AS BIGINT) * msim
+                             AS score,
+                           row_number() OVER (PARTITION BY qq
+                             ORDER BY CAST({lam} AS BIGINT) * rel
+                               - CAST({1_000_000 - lam} AS BIGINT) * msim
+                               DESC, d) AS rn
+                    FROM ms{r}) WHERE rn = 1),
+       selall{r} AS (SELECT * FROM selall{r-1}
+                     UNION ALL SELECT * FROM sel{r})""")
+    tail = rf"""
+       SELECT qq AS query_id, d AS doc_id,
+              CAST(mmr_rank AS BIGINT) AS mmr_rank, rel, msim, score
+       FROM selall{k}"""
+    return head + "".join(rounds) + tail
+
+
+def _temporal_reach_oracle(hops: int = 3) -> str:
+    """Unrolled temporal-BFS oracle: one state CTE per round — the
+    literal replay of graph.temporal_reachability's merge (frontier
+    pruning is a pure optimization, so the full-state expansion here
+    converges to the identical fixpoint within the hop bound)."""
+    base = """WITH li AS (
+         SELECT o_custkey AS c, l_suppkey AS s, o_orderdate AS d
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         WHERE l_quantity >= 48),
+       e AS (SELECT 'c' || c AS src, 's' || s AS dst,
+                    CAST(d AS DATE) AS ts FROM li
+             UNION ALL
+             SELECT 's' || s, 'c' || c, CAST(d AS DATE) FROM li),
+       s0 AS (SELECT src0 AS source, src0 AS vertex,
+                     CAST(NULL AS DATE) AS arrive_ts, 0 AS hops
+              FROM (SELECT unnest(['c1','c10','c100']) AS src0))"""
+    rounds = []
+    for r in range(1, hops + 1):
+        rounds.append(f""",
+       s{r} AS (
+         SELECT source, vertex, a AS arrive_ts, h AS hops FROM (
+           SELECT source, vertex, o, a, h,
+                  row_number() OVER (PARTITION BY source, vertex
+                    ORDER BY o, a, h) AS rn
+           FROM (
+             SELECT source, vertex,
+                    CASE WHEN arrive_ts IS NULL THEN 0 ELSE 1 END AS o,
+                    arrive_ts AS a, hops AS h FROM s{r-1}
+             UNION ALL
+             SELECT s.source, e.dst, 1, e.ts, s.hops + 1
+             FROM s{r-1} s JOIN e ON e.src = s.vertex
+             WHERE s.arrive_ts IS NULL OR e.ts >= s.arrive_ts
+           )) WHERE rn = 1)""")
+    tail = f"""
+       SELECT source, vertex, CAST(arrive_ts AS VARCHAR) AS arrive_ts,
+              CAST(hops AS BIGINT) AS hops
+       FROM s{hops}"""
+    return base + "".join(rounds) + tail
+
+
+def _coverage_oracle(k: int = 6) -> str:
+    """Unrolled greedy max-coverage oracle — one (gains, pick, covered)
+    CTE triple per round, replaying sampling.coverage_select. Every CTE
+    is AS MATERIALIZED: the covered-set chain references each prior
+    round twice, and DuckDB's default inlining re-evaluates the whole
+    upstream cascade per reference — exponential in rounds (observed:
+    >400 s at sf0.1 inlined, 0.3 s materialized)."""
+    head = r"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '') AS toks
+         FROM documents),
+       ix AS MATERIALIZED (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i FROM t),
+       g AS MATERIALIZED (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+             FROM ix),
+       g1 AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+              FROM g GROUP BY 1),
+       p1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS round, doc_id, gain FROM (
+                SELECT *, row_number() OVER (ORDER BY gain DESC, doc_id)
+                       AS rn FROM g1) WHERE rn = 1),
+       c1 AS MATERIALIZED (SELECT DISTINCT g.gram FROM g JOIN p1 USING (doc_id))"""
+    parts = []
+    for r in range(2, k + 1):
+        parts.append(f""",
+       rem{r} AS MATERIALIZED (SELECT g.doc_id, g.gram FROM g
+                  LEFT JOIN c{r-1} c ON c.gram = g.gram
+                  WHERE c.gram IS NULL),
+       g{r} AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+                FROM rem{r} GROUP BY 1),
+       p{r} AS MATERIALIZED (SELECT CAST({r} AS BIGINT) AS round, doc_id, gain FROM (
+                  SELECT *, row_number() OVER (ORDER BY gain DESC, doc_id)
+                         AS rn FROM g{r}) WHERE rn = 1),
+       c{r} AS MATERIALIZED (SELECT gram FROM c{r-1}
+                UNION
+                SELECT rem{r}.gram FROM rem{r} JOIN p{r} USING (doc_id))""")
+    selects = [
+        f"""SELECT p{r}.round, p{r}.doc_id, p{r}.gain,
+               (SELECT CAST(count(*) AS BIGINT) FROM c{r}) AS covered_total
+            FROM p{r}"""
+        for r in range(1, k + 1)
+    ]
+    return head + "".join(parts) + "\n       " + "\n       UNION ALL ".join(selects)
+
+
+_PMI_L2_COLS = ", ".join(
+    f"{e} AS {a}" for a, e in _log2fp_chain("_q", 6, div="//", wide="HUGEINT")
+)
+
+
+_MI_P_COLS = ", ".join(
+    f"{e} AS {a}"
+    for a, e in _log2fp_chain("_q", 6, div="//", wide="HUGEINT", prefix="_p")
+)
+_MI_HX_COLS = ", ".join(
+    f"{e} AS {a}"
+    for a, e in _log2fp_chain("_q", 6, div="//", wide="HUGEINT", prefix="_hx")
+)
+_MI_HY_COLS = ", ".join(
+    f"{e} AS {a}"
+    for a, e in _log2fp_chain("_q", 6, div="//", wide="HUGEINT", prefix="_hy")
+)
+
+
+# -------------------------------------------------------- round-4 queries --
+# Registered after _reorder_for_driver() ran; __spark_entry__.queries()
+# re-sorts dynamically (R04_PRIORITY first, then other never-driver-checked
+# names from CORRECTNESS_r*.json, then verified ones), so position in this
+# file no longer controls the driver window.
+
+_IVF_PQ_SQL = (
+    """
+WITH ccents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY """
+    + _COS.format(a="e.embedding::DOUBLE[]", b="c.cv")
+    + """ DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN ccents c) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (ORDER BY """
+    + _COS.format(a="(SELECT qv FROM q)", b="c.cv")
+    + """ DESC, c.cid) AS rn
+    FROM ccents c) WHERE rn <= 2
+),
+cand AS (
+  SELECT vec_id FROM cassign
+  WHERE cid IN (SELECT cid FROM probe) AND vec_id <> 0
+),
+vecs AS (
+  SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)
+),
+mm AS (SELECT max(abs(v)) AS ma FROM vecs),
+q8 AS (SELECT vec_id, d, CAST(FLOOR(v * 127.0 / (SELECT ma FROM mm) + 0.5) AS BIGINT) AS qc
+       FROM vecs),
+pcents AS (SELECT vec_id AS cid, d, qc FROM q8
+           WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+subdist AS (
+  SELECT v.vec_id, v.d // 8 AS j, c.cid,
+         CAST(sum((v.qc - c.qc) * (v.qc - c.qc)) AS BIGINT) AS dist
+  FROM q8 v JOIN pcents c ON v.d = c.d
+  GROUP BY v.vec_id, v.d // 8, c.cid
+),
+passign AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+    FROM subdist) WHERE rn = 1
+),
+qd AS (SELECT j, cid, dist FROM subdist WHERE vec_id = 0),
+score AS (
+  SELECT a.vec_id, CAST(sum(qd.dist) AS BIGINT) AS pq_dist
+  FROM passign a JOIN qd ON a.j = qd.j AND a.cid = qd.cid
+  WHERE a.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY a.vec_id
+)
+SELECT vec_id, pq_dist, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT vec_id, pq_dist,
+         row_number() OVER (ORDER BY pq_dist ASC, vec_id) AS rnk
+  FROM score) WHERE rnk <= 10"""
+)
+
+
+# Names added this round, kept at the very front of the driver's window so
+# each gets a hard CORRECTNESS artifact in the round that introduced it.
+R04_PRIORITY = [
+    "ann_ivf_pq_topk",
+    "text_gopher_rules",
+]
+
+
+__all__ = [
+    'annotations',
+    'Callable',
+    'DataFrame',
+    'SparkSession',
+    'Window',
+    'F',
+    'b64_id',
+    'display_name',
+    'norm_name',
+    'D',
+    'G',
+    'MM',
+    'SIM',
+    'TQ',
+    'Q',
+    'SQL',
+    '_t',
+    'query',
+    '_DEC',
+    '_TFIDF_BUCKET_SQL',
+    '_sum2',
+    '_MH_CONSTS',
+    '_MH_HV_SQL',
+    '_neardup_docs',
+    '_NEARDUP_SQL',
+    '_NEARDUP_SIG_SQL',
+    '_LSH_BUCKETS_SQL',
+    '_ann_sql',
+    '_LSH_SIG_SQL',
+    '_COS',
+    '_IVF_SQL',
+    '_ivf_kmeans_sql',
+    'spanify_driver_documents',
+    '_DRIVER_GAZ',
+    '_KG_MENTION_SQL',
+    '_KG_TRIPLES_SQL',
+    '_KG_NODES_SQL',
+    '_HDR_RE',
+    '_CMP_RE',
+    '_synth_dir',
+    'ensure_synth_tables',
+    '_synth_triples_sql',
+    '_synth_mentions_sql',
+    '_CHUNK_SQL_BODY',
+    '_review_sql',
+    '_SAMPLE_BUCKET_SQL',
+    '_EVAL_BUCKET_SQL',
+    '_pagerank_sql',
+    '_PAIRS_CTE',
+    '_co_order_edges',
+    '_CAP_BUCKET_SQL',
+    '_PACK_BUCKET_SQL',
+    '_SPLIT_BUCKET_SQL',
+    '_MIX_BUCKET_SQL',
+    '_Q25_PAIRS_CTE',
+    '_q25_edges',
+    '_WALK_STEP_HASH',
+    '_ppr_sql',
+    '_hits_sql',
+    '_KEEPER_BUCKET_SQL',
+    '_truss_rounds_sql',
+    '_zinterleave_sql',
+    '_order_kg_triples',
+    '_ORDER_KG_DIRTY_SQL',
+    '_JSE_THRESH',
+    '_JSE_HASH',
+    '_bpe_oracle_sql',
+    '_BPE_ROUNDS',
+    '_ER_SWEEP_SQL',
+    '_LM_BIGRAMS',
+    '_lsh_curve_oracle_sql',
+    '_BLOOM_BUILD_SQL',
+    '_HLL_M8',
+    '_HLL_NUM',
+    '_HLL_DEN_ALPHA',
+    '_O2O_ROUND',
+    '_DRIFT_STACK',
+    '_URL_SYNTH_SQL',
+    '_BPE_APPLY_MERGES',
+    '_bpe_apply_oracle',
+    '_rule_kg_triples',
+    '_RULE_KG_SQL',
+    '_TRUTH_CLAIMS_SQL',
+    '_TRUTH_ROUNDS_SQL',
+    '_ONTO_KG_SQL',
+    '_onto_kg_triples',
+    '_log2fp_chain',
+    '_BM25_QUERIES',
+    '_BM25_L2_COLS',
+    '_BM25_QS',
+    '_BM25_SQL_BODY',
+    '_rp_signs_sql',
+    '_ER_SCORED_PREFIX',
+    '_mmr_oracle_sql',
+    '_temporal_reach_oracle',
+    '_coverage_oracle',
+    '_PMI_L2_COLS',
+    '_MI_P_COLS',
+    '_MI_HX_COLS',
+    '_MI_HY_COLS',
+    '_IVF_PQ_SQL',
+    'R04_PRIORITY',
+]

@@ -303,6 +303,28 @@ def embedding_near_dup_pairs(
     return pairs.distinct() if n_bands > 1 else pairs
 
 
+def probe_cells(query_vec: list[float], centroid_rows, n_probe: int) -> list:
+    """Driver-side probe-cell selection shared by ivf_topk / ivf_pq_topk
+    and the bench recall report: rank the (tiny, already-collected)
+    centroid rows by HALF_UP-rounded cosine to the query (the same
+    rounding the distributed assignment and the DuckDB oracle use; ties
+    -> lowest cid) and return the n_probe best cell ids."""
+    import math
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        if na == 0.0 or nb == 0.0:
+            return -2.0  # undefined cosine ranks below every real one
+        return _round5_half_up(d / (na * nb))
+
+    ranked = sorted(
+        centroid_rows, key=lambda r: (-_cos(query_vec, list(r["cv"])), r["cid"])
+    )
+    return [r["cid"] for r in ranked][:n_probe]
+
+
 def _assign_to_cells(df: DataFrame, cents, vec: Column, key: str) -> DataFrame:
     """Argmax-cosine cell assignment (the IVF/k-means quantization step):
     score every row against the broadcast centroid table, keep the
@@ -409,25 +431,10 @@ def ivf_topk(
     assign = _assign_to_cells(embeddings, cents, F.col(vec_col), id_col).select(
         id_col, "cid"
     )
-    # driver-side probe-cell selection (centroids are tiny and local)
-    import math
-
-    def _cos(a: list[float], b: list[float]) -> float:
-        d = sum(float(x) * float(y) for x, y in zip(a, b))
-        na = math.sqrt(sum(float(x) ** 2 for x in a))
-        nb = math.sqrt(sum(float(y) ** 2 for y in b))
-        if na == 0.0 or nb == 0.0:
-            return -2.0  # undefined cosine ranks below every real one
-        # HALF_UP (via _round5_half_up), not python round()'s half-to-even:
-        # the distributed assignment uses F.round (HALF_UP) and the DuckDB
-        # oracle ROUND (half away from zero) — all three share one mode.
-        return _round5_half_up(d / (na * nb))
-
-    crows = cents.collect()
-    probe = [
-        r["cid"]
-        for r in sorted(crows, key=lambda r: (-_cos(query_vec, list(r["cv"])), r["cid"]))
-    ][:n_probe]
+    # driver-side probe-cell selection (centroids are tiny and local);
+    # probe_cells shares the HALF_UP rounding mode with the distributed
+    # assignment (F.round) and the DuckDB oracle (ROUND) — all three agree.
+    probe = probe_cells(query_vec, cents.collect(), n_probe)
     cand = embeddings.join(assign, id_col).where(F.col("cid").isin(probe))
     if exclude_ids:
         # the query vector itself stays in the quantizer (it is corpus
@@ -810,3 +817,64 @@ def rp_topk(
         id_col=id_col,
         k=k,
     )
+
+
+# ----------------------------------------------------------------- IVF-PQ --
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    k_c: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    max_abs: float | None = None,
+    exclude_ids: list | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN — the standard FAISS pairing (IndexIVFPQ): coarse
+    cells prune WHICH rows are scanned, PQ-ADC codes shrink WHAT each
+    scanned row costs. Coarse stage is ivf_topk's quantizer verbatim
+    (training-free first-n_cells centroids or a supplied
+    kmeans_centroids table; rounded-cosine argmax, ties -> lowest cid);
+    fine stage is pq_topk's int8 -> m-subspace -> k_c-centroid ADC
+    ranking verbatim, restricted to the n_probe probed cells. Output
+    (vec_id, pq_dist, rank) by ascending ADC distance — the lossy
+    approximation of the reference's exact top-k L2 retrieval
+    (/root/reference/common/repositories/vector_repository.py:56-67).
+
+    Codebooks are trained on the FULL corpus (first k_c rows by id),
+    not the probed subset: encoding is query-independent, so a batched
+    caller encodes once and every query pays only its cell probe plus
+    the tiny ADC LUT — the production IVF-PQ serving shape.
+
+    Scale: centroids and codebooks are broadcast-sized; assignment and
+    encoding are zero-shuffle codegen maps over the corpus; the probe
+    cuts the ADC scan to ~n_probe/n_cells of the corpus; top-k is
+    TakeOrderedAndProject. Every ranking step after the int8 cast is
+    exact BIGINT arithmetic, so the DuckDB oracle
+    (contract:ann_ivf_pq_topk) replays it bit-identically."""
+    ma = corpus_max_abs(embeddings, vec_col) if max_abs is None else float(max_abs)
+    coded = quantize_embeddings(embeddings, id_col, vec_col, max_abs=ma)
+    books = pq_codebooks(coded, id_col, m=m, k_c=k_c)
+    q8 = quantize_query(query_vec, ma)
+
+    cents = (
+        F.broadcast(centroids.select("cid", "cv"))
+        if centroids is not None
+        else F.broadcast(
+            embeddings.where(F.col(id_col) < n_cells).select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+            )
+        )
+    )
+    assign = _assign_to_cells(embeddings, cents, F.col(vec_col), id_col).select(
+        id_col, "cid"
+    )
+    probe = probe_cells(query_vec, cents.collect(), n_probe)
+    cand_ids = assign.where(F.col("cid").isin(probe)).select(id_col)
+    enc = pq_encode(coded.join(cand_ids, id_col), books, id_col)
+    return pq_topk_encoded(enc, books, q8, id_col, k, exclude_ids)

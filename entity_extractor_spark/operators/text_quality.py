@@ -1129,3 +1129,126 @@ def pmi_collocations(
         "m2",
         (F.col("_pmi_raw") - F.lit(20 * (1 << int(k)))).cast("long").alias("pmi_fp"),
     )
+
+
+# ------------------------------------------------------------ Gopher rules --
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_ppm: int = 3_000_000,
+    max_mean_word_len_ppm: int = 10_000_000,
+    max_symbol_word_ppm: int = 100_000,
+    max_bullet_line_ppm: int = 900_000,
+    max_ellipsis_line_ppm: int = 300_000,
+    min_alpha_word_ppm: int = 800_000,
+    min_stopword_hits: int = 2,
+    stopwords: tuple[str, ...] = (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ),
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, "Scaling
+    Language Models: ...", Appendix A): the published heuristic battery
+    that MassiveWeb applies BEFORE any learned filtering — word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio ('#' or
+    ellipsis), bullet-started and ellipsis-ended line fractions,
+    alphabetic-word fraction, and a minimum count of distinct common
+    English stopwords present. quality_score (above) is a composite
+    grade; this is the rule-by-rule auditable keep/drop battery, one
+    published rule per output column, defaults = the paper's thresholds
+    (parameterized because a corpus with shorter documents needs
+    proportionally tighter bounds to make the gate non-vacuous). The
+    paper's REPETITION rules (§A1.1 duplicate-token / top-bigram
+    fractions) live in repetition_signals above; together the two cover
+    the published battery.
+
+    Output per doc: (doc_id, word_count, mean_word_len_ppm,
+    symbol_word_ppm, bullet_line_ppm, ellipsis_line_ppm, alpha_word_ppm,
+    stopword_hits, keep) — every ratio on the exact ppm grid (integer
+    DIV of non-negative BIGINTs, identical truncation on both engines;
+    zero-word docs report 0 ppm everywhere and fail the word-count rule
+    rather than dividing by zero), `keep` the conjunction of all eight
+    rules. The reference ingests page text with no quality gating
+    (file_analysis_service.py) — this is the curation front door its
+    extraction pipeline lacks.
+
+    Scale shape: pure per-row codegen'd array expressions (split +
+    filter + aggregate) — NO explode, NO shuffle, NO window, NO Python;
+    the whole battery is one narrow projection a 100-TB scan fuses into
+    its read stage."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    wc = F.size(toks).cast("long")
+    nl = F.size(lines).cast("long")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    sym_words = F.size(
+        F.filter(toks, lambda x: x.contains("#") | x.contains("...") | x.contains("…"))
+    ).cast("long")
+    alpha_words = F.size(
+        F.filter(toks, lambda x: x.rlike("[a-z]"))
+    ).cast("long")
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("-") | x.startswith("*") | x.startswith("•"),
+        )
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+    ).cast("long")
+    stop_hits = None
+    for w in stopwords:
+        hit = F.when(F.array_contains(toks, w), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        wc.alias("word_count"),
+        total_chars.alias("_tc"),
+        sym_words.alias("_sw"),
+        alpha_words.alias("_aw"),
+        bullet_lines.alias("_bl"),
+        ellipsis_lines.alias("_el"),
+        nl.alias("_nl"),
+        stop_hits.cast("long").alias("stopword_hits"),
+    ).select(
+        "doc_id",
+        "word_count",
+        F.expr(
+            "CAST(CASE WHEN word_count > 0 THEN _tc * 1000000 div word_count ELSE 0 END AS BIGINT)"
+        ).alias("mean_word_len_ppm"),
+        F.expr(
+            "CAST(CASE WHEN word_count > 0 THEN _sw * 1000000 div word_count ELSE 0 END AS BIGINT)"
+        ).alias("symbol_word_ppm"),
+        F.expr(
+            "CAST(CASE WHEN _nl > 0 THEN _bl * 1000000 div _nl ELSE 0 END AS BIGINT)"
+        ).alias("bullet_line_ppm"),
+        F.expr(
+            "CAST(CASE WHEN _nl > 0 THEN _el * 1000000 div _nl ELSE 0 END AS BIGINT)"
+        ).alias("ellipsis_line_ppm"),
+        F.expr(
+            "CAST(CASE WHEN word_count > 0 THEN _aw * 1000000 div word_count ELSE 0 END AS BIGINT)"
+        ).alias("alpha_word_ppm"),
+        "stopword_hits",
+    )
+    keep = (
+        F.col("word_count").between(int(min_words), int(max_words))
+        & F.col("mean_word_len_ppm").between(
+            int(min_mean_word_len_ppm), int(max_mean_word_len_ppm)
+        )
+        & (F.col("symbol_word_ppm") <= int(max_symbol_word_ppm))
+        & (F.col("bullet_line_ppm") <= int(max_bullet_line_ppm))
+        & (F.col("ellipsis_line_ppm") <= int(max_ellipsis_line_ppm))
+        & (F.col("alpha_word_ppm") >= int(min_alpha_word_ppm))
+        & (F.col("stopword_hits") >= int(min_stopword_hits))
+    )
+    return out.withColumn("keep", keep)

@@ -174,3 +174,51 @@ def test_pq_codebooks_ids_need_not_start_at_zero(spark):
     coded = _qe(df, max_abs=2.0)
     books = pq_codebooks(coded, m=1, k_c=4)
     assert len(books[0]) == 4  # rows 1000..1003, by order
+
+
+# ------------------------------------------------------------------ IVF-PQ
+from entity_extractor_spark.operators.similarity import ivf_pq_topk  # noqa: E402
+
+
+def test_ivf_pq_probe_all_equals_pq(spark):
+    """With n_probe = n_cells the coarse stage prunes nothing, so IVF-PQ
+    must reproduce pq_topk exactly (same codebooks, same ADC table, same
+    ranking) — the composition adds only the cell filter."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qv = rows[0][1]
+    want = [
+        (r["vec_id"], r["pq_dist"], r["rank"])
+        for r in pq_topk(df, qv, m=2, k_c=4, k=5, exclude_ids=[0]).collect()
+    ]
+    got = [
+        (r["vec_id"], r["pq_dist"], r["rank"])
+        for r in ivf_pq_topk(
+            df, qv, n_cells=4, n_probe=4, m=2, k_c=4, k=5, exclude_ids=[0]
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_ivf_pq_prunes_to_probed_cells(spark):
+    """On a corpus with two well-separated clusters, probing 1 of 2 cells
+    must return only vectors coarse-assigned to the query's cell — the
+    pruning that cuts the ADC scan to ~n_probe/n_cells of the corpus."""
+    # cluster A around +e0, cluster B around +e1; ids interleaved so the
+    # first-2 training-free centroids (ids 0,1) land one in each cluster
+    rows = []
+    for i in range(20):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        rows.append((i, [v + 0.01 * ((i % 5) - 2) * v for v in base]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qv = [1.0, 0.05, 0.0, 0.0]  # clearly cluster A (even ids)
+    out = ivf_pq_topk(
+        df, qv, n_cells=2, n_probe=1, m=2, k_c=4, k=10, exclude_ids=[0]
+    ).collect()
+    assert len(out) > 0
+    assert all(r["vec_id"] % 2 == 0 for r in out), [r["vec_id"] for r in out]

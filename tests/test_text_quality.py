@@ -520,3 +520,57 @@ def test_c4_page_blocklist_drops_whole_document(spark):
     # without page_blocklist the historical line-level contract is unchanged
     line_only = c4_line_filter(df, "doc_id", "text", min_kept_lines=1)
     assert [r["doc_id"] for r in line_only.orderBy("doc_id").collect()] == [1, 2, 3]
+
+
+# ------------------------------------------------------------ gopher_rules --
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """One doc per rule violation plus one clean keeper; every published
+    rule column carries the exact ppm value a hand computation gives."""
+    from entity_extractor_spark.operators.text_quality import gopher_rules
+
+    good = " ".join(["the", "report", "covers", "sample", "data"] * 12)  # 60 words
+    rows = [
+        (1, good),                                              # keeps
+        (2, "the tiny doc."),                                   # word_count < 50
+        (3, " ".join(["to", "of", "be", "at", "it", "we"] * 10)),  # mean len < 3
+        (4, " ".join(["the#tag" if i % 5 == 0 else "plain" for i in range(60)]) + " the and of"),  # symbol > 0.1
+        (5, "\n".join(["- bullet line item"] * 10) + "\nthe and of " + " ".join(["w"] * 3)),  # bullets > 0.9 (and fails mean-len anyway)
+        (6, " ".join(["1234" if i % 3 else "5678" for i in range(60)]) + " the and"),  # alpha < 0.8
+        (7, " ".join(["plain", "words", "without", "common", "stops"] * 12)),  # 0 stopword hits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # min_stopword_hits=1: the keeper doc carries only 'the' of the Gopher
+    # stopword set (the same reason the contract query relaxes it)
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(df, "doc_id", "text", min_stopword_hits=1).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[1]["word_count"] == 60
+    assert out[1]["mean_word_len_ppm"] == 5000000
+    for d in (2, 3, 7):
+        assert out[d]["keep"] is False, d
+    assert out[2]["word_count"] == 3
+    assert out[3]["mean_word_len_ppm"] == 2000000
+    assert out[4]["symbol_word_ppm"] > 100000
+    assert out[6]["alpha_word_ppm"] < 800000
+    assert out[7]["stopword_hits"] == 0
+
+
+def test_gopher_rules_zero_words_and_ppm_exactness(spark):
+    from entity_extractor_spark.operators.text_quality import gopher_rules
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \n  \n"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
+    for d in (1, 2):
+        assert out[d]["word_count"] == 0
+        assert out[d]["mean_word_len_ppm"] == 0
+        assert out[d]["keep"] is False
+    # 3 words, 14 chars -> 14*1e6 div 3 = 4666666 (truncated, both engines)
+    assert out[3]["mean_word_len_ppm"] == 4666666
+    assert out[3]["alpha_word_ppm"] == 1000000

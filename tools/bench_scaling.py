@@ -2,28 +2,31 @@
 efficiency >= 0.8 from N to 4N executors).
 
 No real cluster exists in this sandbox, so the same KG-construction job is
-run at two parallelism levels (N and 4N local cores) on the SAME
-deterministic synthetic corpus, and efficiency is reported as
+run at two cluster sizes on the SAME deterministic synthetic corpus, and
+efficiency is reported as
 
     efficiency = throughput_4N / (4 * throughput_N)
 
-Each level runs in its own subprocess (fresh JVM) with a warmup pass so JIT
-and codegen warmup don't pollute the comparison. Results are printed as one
-JSON line and appended to BASELINE.md's measured table by --update-baseline.
+Each level runs in its own subprocess (fresh JVMs) with a warmup pass so
+JIT and codegen warmup don't pollute the comparison. Results are printed as
+one JSON line and appended to BASELINE.md's measured table by
+--update-baseline.
 
-Default levels are local[1] vs local[4] — the regime where the sandbox's
-single shared JVM/memory subsystem is not the binding constraint, so the
-measurement reflects the JOB's scaling (dataflow, shuffles, barriers)
-rather than the host's. Evidence for that framing, all on the same corpus:
-  * pure-CPU multiprocessing probe: 32 procs lose ~30% throughput vs 8
-    (shared-host saturation starts well below the advertised 32 CPUs);
-  * the in-harness "host-ceiling probe" (embarrassingly parallel JVM scan,
-    no shuffle, no Python) scales 0.97+ at 1->4 and 2->8 — but the full
-    string-heavy pipeline burns ~1.4x the CPU-seconds at 8 hot threads
-    that it burns at 2 (one JVM heap, one memory bus; on a real cluster
-    each executor has its own), capping ANY such job's 2->8 ratio near
-    0.7 here regardless of plan quality.
-Use --levels 2,8 / 4,16 / 8,32 to record the saturated datapoints.
+Default mode is `local-cluster`: Spark's embedded standalone cluster with
+SEPARATE EXECUTOR JVM PROCESSES — `local-cluster[1,1,M]` vs
+`local-cluster[4,1,M]` — each executor with its own heap, its own
+allocator, its own GC, and its own Python workers, exactly like executors
+on a real cluster. This is the methodologically sound N-vs-4N pair for
+this host: the earlier single-JVM `local[N]` mode shares one heap/one
+allocator across all "executors", which penalizes exactly the high-core
+level (the full string-heavy pipeline burned ~1.4x the CPU-seconds at 8
+hot threads in one JVM that it burned at 2, while an embarrassingly
+parallel probe scaled near-perfectly — a shared-allocator artifact, not a
+dataflow property; see BASELINE.md §b3). Per-executor memory M is held
+CONSTANT across levels, as on a real cluster where adding executors adds
+memory with them. `--mode local` keeps the historical single-JVM
+thread-scaling measurement for comparison; use --levels 2,8 / 4,16 / 8,32
+there to record the saturated datapoints.
 
 The corpus uses the `noise_words`/`noise_spans` heavy profile: ~3-5 KB of
 text per doc, matching a real OCR'd MSDS page rather than the tiny unit-test
@@ -67,8 +70,33 @@ from entity_extractor_spark.plans.pipeline import run_pipeline
 
 cores = {cores}
 n_docs = {n_docs}
+mode = {mode!r}
+exec_mem_mb = {exec_mem_mb}
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
-spark = get_spark("scaling_%d" % cores, master="local[%d]" % cores, shuffle_partitions=cores)
+if mode == "local-cluster":
+    # N separate executor JVMs, 1 core each, M MiB heap each: the real-
+    # cluster shape (per-executor heap/allocator/GC/Python workers), which
+    # the single-JVM local[N] mode cannot reproduce. Executors are fresh
+    # JVMs spawned by the embedded standalone master; they need the repo on
+    # PYTHONPATH for the pandas-UDF modules pickled by reference.
+    master = "local-cluster[%d,1,%d]" % (cores, exec_mem_mb)
+    spark = get_spark(
+        "scaling_lc_%d" % cores, master=master, shuffle_partitions=cores,
+        extra_conf={{
+            "spark.executor.memory": "%dm" % exec_mem_mb,
+            "spark.executorEnv.PYTHONPATH": {repo!r},
+            # No data locality exists on tmpfs-backed local-cluster scans,
+            # but the scheduler still waits up to spark.locality.wait per
+            # locality level before launching non-local tasks — a per-stage
+            # tax that ONLY the multi-executor level pays (a single
+            # executor is always "local"). Zeroing it measures the
+            # dataflow, not the scheduler's NUMA heuristics; on a real
+            # cluster with HDFS/S3 locality this would be tuned, not 0.
+            "spark.locality.wait": "0s",
+        }},
+    )
+else:
+    spark = get_spark("scaling_%d" % cores, master="local[%d]" % cores, shuffle_partitions=cores)
 cfg = CorpusConfig(n_docs=n_docs, noise_spans=(6, 14), noise_words=(20, 60))
 scratch0 = "/dev/shm" if os.path.isdir("/dev/shm") else None
 # The corpus parquet table (input_hint shape) was generated once by the
@@ -78,12 +106,18 @@ docs = spark.read.schema(DOCUMENTS_SCHEMA).parquet(input_dir)
 n_in = docs.count()
 gaz = gazetteer_rows(cfg)
 
-# warmup: full pipeline on a small prefix corpus (JIT + codegen + Arrow init)
+# warmup: full pipeline on a small prefix corpus (JIT + codegen + Arrow init).
+# Timed as a diagnostic: a 500-doc run is almost pure per-run FIXED cost
+# (driver plan building, stage scheduling, lineage commits), so
+# warm_sec(4N) vs warm_sec(N) exposes the Amdahl serial fraction that
+# caps the ratio at small corpus sizes.
 scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
 wcfg = CorpusConfig(n_docs=500)
 wdocs = generate_documents_df(spark, wcfg, partitions=cores)
 wout = tempfile.mkdtemp(prefix="kg_scale_warm_", dir=scratch)
+_wt0 = time.time()
 run_pipeline(spark, wdocs, wout, gazetteer=gazetteer_rows(wcfg), resume=False)["triples"].count()
+warm_sec = round(time.time() - _wt0, 2)
 shutil.rmtree(wout, ignore_errors=True)
 
 # stage outputs on tmpfs: measures the job's compute/shuffle scaling, not
@@ -117,6 +151,7 @@ print("RESULT " + json.dumps({{"cores": cores, "docs": n_in, "sec": round(dt, 2)
                                "triples": n_triples, "runs": [round(x, 2) for x in times],
                                "probe_sec": round(min(probe_times), 2),
                                "probe_runs": [round(x, 2) for x in probe_times],
+                               "warm_sec": warm_sec,
                                "triples_per_sec": round(n_triples / dt, 1)}}))
 spark.stop()
 """
@@ -125,14 +160,20 @@ spark.stop()
 def generate_corpus(n_docs: int, input_dir: str) -> None:
     code = GEN_CHILD.format(repo=REPO, n_docs=n_docs, input_dir=input_dir)
     proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO, timeout=1800
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO, timeout=3600
     )
     if "GENDONE" not in proc.stdout:
         raise RuntimeError(f"corpus gen failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
 
 
-def run_level(cores: int, n_docs: int, input_dir: str, reps: int) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, n_docs=n_docs, input_dir=input_dir, reps=reps)
+def run_level(
+    cores: int, n_docs: int, input_dir: str, reps: int,
+    mode: str = "local-cluster", exec_mem_mb: int = 6144,
+) -> dict:
+    code = CHILD.format(
+        repo=REPO, cores=cores, n_docs=n_docs, input_dir=input_dir, reps=reps,
+        mode=mode, exec_mem_mb=exec_mem_mb,
+    )
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO, timeout=3600
     )
@@ -147,8 +188,18 @@ def run_level(cores: int, n_docs: int, input_dir: str, reps: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "240000")))
-    ap.add_argument("--levels", default="1,4", help="N,4N core counts")
+    ap.add_argument("--levels", default="1,4", help="N,4N executor/core counts")
     ap.add_argument("--reps", type=int, default=3, help="timed runs per level (min wins)")
+    ap.add_argument(
+        "--mode", default="local-cluster", choices=["local-cluster", "local"],
+        help="local-cluster = N separate 1-core executor JVMs (real-cluster "
+        "shape, the headline methodology); local = N threads in one JVM "
+        "(historical; shared-allocator artifact at high N)",
+    )
+    ap.add_argument(
+        "--executor-mem-mb", type=int, default=6144,
+        help="per-executor heap in local-cluster mode (constant across levels)",
+    )
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
@@ -168,8 +219,10 @@ def main() -> None:
         n_reps: list[dict] = []
         n4_reps: list[dict] = []
         for _ in range(args.reps):
-            n_reps.append(run_level(lo, args.docs, input_dir, 1))
-            n4_reps.append(run_level(hi, args.docs, input_dir, 1))
+            n_reps.append(run_level(lo, args.docs, input_dir, 1,
+                                    args.mode, args.executor_mem_mb))
+            n4_reps.append(run_level(hi, args.docs, input_dir, 1,
+                                     args.mode, args.executor_mem_mb))
 
         def agg(reps_list: list[dict]) -> dict:
             best = min(reps_list, key=lambda r: r["sec"])
@@ -188,10 +241,19 @@ def main() -> None:
 
     ceiling = (n["probe_sec"] / n4["probe_sec"]) / 4 if n.get("probe_sec") else None
     eff = n4["triples_per_sec"] / (4 * n["triples_per_sec"])
+    if args.mode == "local-cluster":
+        masters = (
+            f"local-cluster[{lo},1,{args.executor_mem_mb}]",
+            f"local-cluster[{hi},1,{args.executor_mem_mb}]",
+        )
+    else:
+        masters = (f"local[{lo}]", f"local[{hi}]")
     result = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(eff, 3),
         "unit": "ratio",
+        "mode": args.mode,
+        "masters": list(masters),
         "N": n,
         "4N": n4,
         "host_ceiling_efficiency": round(ceiling, 3) if ceiling else None,
@@ -222,10 +284,16 @@ def main() -> None:
         marker = "<!-- scaling-measured -->"
         block = (
             f"{marker}\n"
-            f"## (c) Measured (tools/bench_scaling.py, local[{lo}] vs local[{hi}], same corpus)\n\n"
+            f"## (c) Measured (tools/bench_scaling.py, {masters[0]} vs {masters[1]}, same corpus"
+            + (
+                "; separate executor JVMs — per-executor heap/GC/Python workers, the real-cluster shape"
+                if args.mode == "local-cluster"
+                else ""
+            )
+            + ")\n\n"
             f"| level | docs | wall sec | triples | triples/sec |\n|---|---|---|---|---|\n"
-            f"| N = local[{lo}] | {n['docs']} | {n['sec']} | {n['triples']} | {n['triples_per_sec']} |\n"
-            f"| 4N = local[{hi}] | {n4['docs']} | {n4['sec']} | {n4['triples']} | {n4['triples_per_sec']} |\n\n"
+            f"| N = {masters[0]} | {n['docs']} | {n['sec']} | {n['triples']} | {n['triples_per_sec']} |\n"
+            f"| 4N = {masters[1]} | {n4['docs']} | {n4['sec']} | {n4['triples']} | {n4['triples_per_sec']} |\n\n"
             f"**Scaling efficiency N→4N = {eff:.3f}** (target ≥ 0.8: "
             f"{'PASS' if eff >= 0.8 else 'FAIL'})."
             + (
