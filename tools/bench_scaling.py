@@ -200,6 +200,11 @@ def main() -> None:
         "--executor-mem-mb", type=int, default=6144,
         help="per-executor heap in local-cluster mode (constant across levels)",
     )
+    ap.add_argument(
+        "--corpus-dir", default=None,
+        help="reuse an existing generated corpus parquet dir (skips gen; "
+        "NOT deleted afterwards)",
+    )
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
@@ -208,9 +213,13 @@ def main() -> None:
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     import tempfile
 
-    input_dir = tempfile.mkdtemp(prefix="kg_scale_corpus_", dir=scratch)
+    if args.corpus_dir:
+        input_dir = args.corpus_dir
+    else:
+        input_dir = tempfile.mkdtemp(prefix="kg_scale_corpus_", dir=scratch)
     try:
-        generate_corpus(args.docs, input_dir)
+        if not args.corpus_dir:
+            generate_corpus(args.docs, input_dir)
         # INTERLEAVED reps: the sandbox shares the host with invisible
         # co-tenants whose load drifts over minutes. Running all N reps then
         # all 4N reps lets a load spike poison one whole level; alternating
@@ -235,9 +244,10 @@ def main() -> None:
 
         n, n4 = agg(n_reps), agg(n4_reps)
     finally:
-        import shutil
+        if not args.corpus_dir:
+            import shutil
 
-        shutil.rmtree(input_dir, ignore_errors=True)
+            shutil.rmtree(input_dir, ignore_errors=True)
 
     ceiling = (n["probe_sec"] / n4["probe_sec"]) / 4 if n.get("probe_sec") else None
     eff = n4["triples_per_sec"] / (4 * n["triples_per_sec"])

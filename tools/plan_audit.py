@@ -43,9 +43,10 @@ BNLJ_ALLOWED = {
     "kg_mentions_synthetic",
     # centroid assignment: corpus x broadcast(n_cells=8 rows) — the nested
     # loop side is a CONSTANT-size centroid table (similarity.py ivf_topk /
-    # kmeans_centroids)
+    # kmeans_centroids / ivf_pq_topk's coarse stage)
     "ann_ivf_topk",
     "ann_ivf_kmeans",
+    "ann_ivf_pq_topk",
     # documented EXACT all-pairs baseline (task spec: "brute-force ... as
     # the baseline"); dedup_embedding_blocked is the banded-LSH scale path
     # and must NOT appear here
