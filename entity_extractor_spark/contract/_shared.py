@@ -1824,6 +1824,7 @@ SELECT vec_id, pq_dist, CAST(rnk AS BIGINT) AS rank FROM (
 R04_PRIORITY = [
     "ann_ivf_pq_topk",
     "text_gopher_rules",
+    "stats_ks_two_sample",
 ]
 
 

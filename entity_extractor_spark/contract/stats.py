@@ -816,3 +816,52 @@ def stats_mutual_information(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     return mutual_information(li, "l_returnflag", "l_linestatus", k=6)
+
+
+@query(
+    "stats_ks_two_sample",
+    """WITH base AS (
+         SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+         FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+       counts AS (SELECT g, v, count(*) AS n FROM base GROUP BY g, v),
+       tot AS (SELECT
+                 CAST(sum(CASE WHEN g = 'R' THEN n ELSE 0 END) AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN g = 'A' THEN n ELSE 0 END) AS BIGINT) AS nb
+               FROM counts),
+       grid AS (SELECT v, g FROM (SELECT DISTINCT v FROM counts)
+                CROSS JOIN (SELECT unnest(['R', 'A']) AS g)),
+       filled AS (SELECT grid.g, grid.v, COALESCE(counts.n, 0) AS n
+                  FROM grid LEFT JOIN counts ON grid.g = counts.g AND grid.v = counts.v),
+       cum AS (SELECT g, v, SUM(n) OVER (PARTITION BY g ORDER BY v) AS c FROM filled),
+       j AS (SELECT a.v, a.c AS ca, b.c AS cb
+             FROM cum a JOIN cum b ON a.v = b.v AND a.g = 'R' AND b.g = 'A'),
+       scored AS (SELECT v, ca, cb,
+                         abs(ca * (SELECT nb FROM tot) - cb * (SELECT na FROM tot)) AS dnum
+                  FROM j)
+       SELECT (SELECT na FROM tot) AS n_a,
+              (SELECT nb FROM tot) AS n_b,
+              CAST(v AS BIGINT) AS at_value,
+              CAST(dnum AS BIGINT) AS d_num,
+              CAST(dnum * 1000000 // ((SELECT na FROM tot) * (SELECT nb FROM tot)) AS BIGINT) AS d_ppm,
+              CAST(ca * 1000000 // (SELECT na FROM tot) AS BIGINT) AS cdf_a_ppm,
+              CAST(cb * 1000000 // (SELECT nb FROM tot) AS BIGINT) AS cdf_b_ppm
+       FROM scored ORDER BY dnum DESC, v LIMIT 1""",
+)
+def stats_ks_two_sample(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic (stats.ks_statistic)
+    between returned ('R') and accepted-return-flag 'A' lineitem quantity
+    distributions: D located by cross-multiplied BIGINT cumulative counts
+    over the union value axis, argmax earliest-value-tie-broken — the
+    ordered-numeric drift test audit_distribution_drift's categorical
+    TVD cannot express. Windows are group-partitioned (never
+    partitionless), the value axis fans to both groups by exploding a
+    2-literal array (no BNLJ), and the two totals fold in as collected
+    scalars (the bm25 scalar doctrine). The two flags' quantity
+    distributions are near-identical by construction, so D is small but
+    nonzero — the gate checks exact location+magnitude agreement, which
+    is where float ECDFs diverge."""
+    from ..operators.stats import ks_statistic
+
+    return ks_statistic(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_quantity", "R", "A"
+    )

@@ -750,3 +750,90 @@ def mutual_information(
         [(n, int(mi_row.n_cells), int(mi_row.mi_fp), hx, hy, nmi)],
         "n long, n_cells long, mi_fp long, h_x_fp long, h_y_fp long, nmi_ppm long",
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between two groups'
+    value distributions — the ordered-numeric drift test that
+    audit.distribution_drift's categorical TVD cannot express (TVD sees
+    "bin 30 gained mass"; KS sees "the whole distribution shifted
+    right"). The classic D = max_v |ECDF_a(v) - ECDF_b(v)| is kept
+    float-free by cross-multiplying: D_num = max_v |cum_a(v)*n_b -
+    cum_b(v)*n_a| over the UNION of observed values, reported with
+    d_ppm = D_num * 1e6 div (n_a*n_b) — every quantity a non-negative
+    BIGINT (div == floor on both engines), ties in the argmax broken by
+    the earliest value, so location and magnitude are engine- and
+    partition-invariant. value_col must already be integral (quantize
+    upstream — the winsorize doctrine). Statistical caveat, stated
+    plainly: this computes the STATISTIC; the caller supplies the
+    critical value / permutation test for significance, as with
+    change_point.
+
+    Output ONE row: (n_a, n_b, at_value, d_num, d_ppm, cdf_a_ppm,
+    cdf_b_ppm) — the ECDFs at the argmax on the same ppm grid.
+
+    Scale shape: the row mass collapses to DISTINCT (group, value)
+    counts through one algebraic aggregation (the percentile_rank
+    pattern); the value axis materializes once and fans to both groups
+    by exploding a 2-literal array (narrow — no cross join, no BNLJ);
+    cumulative sums run in windows PARTITIONED BY GROUP (never a
+    partitionless window); the two ECDFs meet in one equi-join on
+    value; totals are two collected scalars folded in as literals (the
+    bm25/pagerank scalar doctrine); the argmax is an algebraic
+    min(struct). A 10^9-row pair with 10^4 distinct values windows 10^4
+    rows."""
+    ga, gb = str(group_a), str(group_b)
+    if ga == gb:
+        raise ValueError("group_a and group_b must differ")
+    base = df.where(
+        F.col(group_col).cast("string").isin(ga, gb) & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    counts = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_n"))
+    totals = {
+        r["_g"]: int(r["t"])
+        for r in counts.groupBy("_g").agg(F.sum("_n").alias("t")).collect()
+    }
+    n_a, n_b = totals.get(ga, 0), totals.get(gb, 0)
+    if n_a == 0 or n_b == 0:
+        raise ValueError(f"both groups need rows: {ga}={n_a}, {gb}={n_b}")
+    grid = (
+        counts.select("_v").distinct()
+        .select("_v", F.explode(F.array(F.lit(ga), F.lit(gb))).alias("_g"))
+    )
+    filled = grid.join(counts, ["_g", "_v"], "left").fillna({"_n": 0})
+    w = Window.partitionBy("_g").orderBy("_v")
+    cum = filled.withColumn("_c", F.sum("_n").over(w))
+    a_side = cum.where(F.col("_g") == ga).select("_v", F.col("_c").alias("_ca"))
+    b_side = cum.where(F.col("_g") == gb).select("_v", F.col("_c").alias("_cb"))
+    scored = a_side.join(b_side, "_v").select(
+        "_v", "_ca", "_cb",
+        F.abs(F.col("_ca") * F.lit(n_b) - F.col("_cb") * F.lit(n_a)).alias("_d"),
+    )
+    best = scored.agg(
+        F.min(
+            F.struct(
+                (-F.col("_d")).alias("nd"),
+                F.col("_v").alias("v"),
+                F.col("_ca").alias("ca"),
+                F.col("_cb").alias("cb"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.col("_b.v").cast("long").alias("at_value"),
+        (-F.col("_b.nd")).cast("long").alias("d_num"),
+        F.expr(f"CAST((-_b.nd) * 1000000 div ({n_a} * CAST({n_b} AS BIGINT)) AS BIGINT)").alias("d_ppm"),
+        F.expr(f"CAST(_b.ca * 1000000 div {n_a} AS BIGINT)").alias("cdf_a_ppm"),
+        F.expr(f"CAST(_b.cb * 1000000 div {n_b} AS BIGINT)").alias("cdf_b_ppm"),
+    )

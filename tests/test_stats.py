@@ -514,3 +514,51 @@ def test_change_point_negative_values_floor_division(spark):
         i, cum // i, (tot - cum) // (n - i)
     )
     assert r["mean_before"] == -4  # floor(-7/2), not trunc -3
+
+
+# ---------------------------------------------------------------- ks_statistic --
+
+
+def test_ks_known_answer_and_brute_force(spark):
+    """Planted shift: group b = group a shifted right by 2 -> D peaks
+    between the supports; verify exact D and location against a pure-
+    Python ECDF replay."""
+    from entity_extractor_spark.operators.stats import ks_statistic
+
+    a_vals = [1, 1, 2, 3, 3, 4, 5, 5, 5, 6]
+    b_vals = [v + 2 for v in a_vals] + [9]
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = ks_statistic(df, "g", "v", "a", "b").collect()[0]
+    n_a, n_b = len(a_vals), len(b_vals)
+    vals = sorted(set(a_vals + b_vals))
+    best = None
+    for v in vals:
+        ca = sum(1 for x in a_vals if x <= v)
+        cb = sum(1 for x in b_vals if x <= v)
+        d = abs(ca * n_b - cb * n_a)
+        if best is None or d > best[0]:
+            best = (d, v, ca, cb)
+    d, v, ca, cb = best
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    assert (r["d_num"], r["at_value"]) == (d, v)
+    assert r["d_ppm"] == d * 1_000_000 // (n_a * n_b)
+    assert r["cdf_a_ppm"] == ca * 1_000_000 // n_a
+    assert r["cdf_b_ppm"] == cb * 1_000_000 // n_b
+    assert r["d_ppm"] > 400_000  # the planted shift carries real mass (5/11)
+
+
+def test_ks_identical_and_validation(spark):
+    import pytest
+
+    from entity_extractor_spark.operators.stats import ks_statistic
+
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = ks_statistic(df, "g", "v", "a", "b").collect()[0]
+    assert r["d_num"] == 0 and r["d_ppm"] == 0
+    assert r["at_value"] == 1  # earliest-value tie-break among all-zero rows
+    with pytest.raises(ValueError, match="must differ"):
+        ks_statistic(df, "g", "v", "a", "a")
+    with pytest.raises(ValueError, match="both groups"):
+        ks_statistic(df, "g", "v", "a", "zz")
