@@ -842,9 +842,13 @@ def stats_mutual_information(spark, sf_dir):
               (SELECT nb FROM tot) AS n_b,
               CAST(v AS BIGINT) AS at_value,
               CAST(dnum AS BIGINT) AS d_num,
-              CAST(dnum * 1000000 // ((SELECT na FROM tot) * (SELECT nb FROM tot)) AS BIGINT) AS d_ppm,
-              CAST(ca * 1000000 // (SELECT na FROM tot) AS BIGINT) AS cdf_a_ppm,
-              CAST(cb * 1000000 // (SELECT nb FROM tot) AS BIGINT) AS cdf_b_ppm
+              CAST(CAST(dnum AS HUGEINT) * 1000000
+                   // (CAST((SELECT na FROM tot) AS HUGEINT)
+                       * (SELECT nb FROM tot)) AS BIGINT) AS d_ppm,
+              CAST(CAST(ca AS HUGEINT) * 1000000
+                   // (SELECT na FROM tot) AS BIGINT) AS cdf_a_ppm,
+              CAST(CAST(cb AS HUGEINT) * 1000000
+                   // (SELECT nb FROM tot) AS BIGINT) AS cdf_b_ppm
        FROM scored ORDER BY dnum DESC, v LIMIT 1""",
 )
 def stats_ks_two_sample(spark, sf_dir):

@@ -964,9 +964,9 @@ _GOPHER_HITS_SQL = " + ".join(
     "text_gopher_rules",
     f"""WITH base AS (
          SELECT doc_id,
-                list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
                             x -> x <> '') AS toks,
-                list_filter(list_transform(string_split_regex(text, '\\n'),
+                list_filter(list_transform(string_split_regex(coalesce(text, ''), '\\n'),
                                            x -> trim(x)), x -> x <> '') AS lns
          FROM documents),
        m AS (

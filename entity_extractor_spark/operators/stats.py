@@ -766,10 +766,13 @@ def ks_statistic(
     right"). The classic D = max_v |ECDF_a(v) - ECDF_b(v)| is kept
     float-free by cross-multiplying: D_num = max_v |cum_a(v)*n_b -
     cum_b(v)*n_a| over the UNION of observed values, reported with
-    d_ppm = D_num * 1e6 div (n_a*n_b) — every quantity a non-negative
-    BIGINT (div == floor on both engines), ties in the argmax broken by
-    the earliest value, so location and magnitude are engine- and
-    partition-invariant. value_col must already be integral (quantize
+    d_ppm = D_num * 1e6 div (n_a*n_b) — the cross-multiplies are
+    non-negative BIGINT (exact to n_a*n_b < 2^63, i.e. ~3e9 rows per
+    group) and the *1e6 ppm rescale runs in DECIMAL(38,0) on Spark /
+    HUGEINT on DuckDB (the mutual_information doctrine), since
+    D_num*1e6 would wrap BIGINT past ~3e6 rows per group; div == floor
+    on both engines, ties in the argmax broken by the earliest value,
+    so location and magnitude are engine- and partition-invariant. value_col must already be integral (quantize
     upstream — the winsorize doctrine). Statistical caveat, stated
     plainly: this computes the STATISTIC; the caller supplies the
     critical value / permutation test for significance, as with
@@ -833,7 +836,14 @@ def ks_statistic(
         F.lit(n_b).cast("long").alias("n_b"),
         F.col("_b.v").cast("long").alias("at_value"),
         (-F.col("_b.nd")).cast("long").alias("d_num"),
-        F.expr(f"CAST((-_b.nd) * 1000000 div ({n_a} * CAST({n_b} AS BIGINT)) AS BIGINT)").alias("d_ppm"),
-        F.expr(f"CAST(_b.ca * 1000000 div {n_a} AS BIGINT)").alias("cdf_a_ppm"),
-        F.expr(f"CAST(_b.cb * 1000000 div {n_b} AS BIGINT)").alias("cdf_b_ppm"),
+        F.expr(
+            f"CAST(CAST((-_b.nd) AS DECIMAL(38,0)) * 1000000"
+            f" div (CAST({n_a} AS DECIMAL(38,0)) * {n_b}) AS BIGINT)"
+        ).alias("d_ppm"),
+        F.expr(
+            f"CAST(CAST(_b.ca AS DECIMAL(38,0)) * 1000000 div {n_a} AS BIGINT)"
+        ).alias("cdf_a_ppm"),
+        F.expr(
+            f"CAST(CAST(_b.cb AS DECIMAL(38,0)) * 1000000 div {n_b} AS BIGINT)"
+        ).alias("cdf_b_ppm"),
     )

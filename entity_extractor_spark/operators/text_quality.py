@@ -1179,11 +1179,17 @@ def gopher_rules(
     filter + aggregate) — NO explode, NO shuffle, NO window, NO Python;
     the whole battery is one narrow projection a 100-TB scan fuses into
     its read stage."""
+    # NULL text must behave exactly like empty text (word_count=0,
+    # keep=false) — without the coalesce, split/size propagate NULL into
+    # every stat AND into `keep`, and a later .where(keep) / .where(~keep)
+    # would treat the doc asymmetrically instead of deterministically
+    # dropping it.
+    txt = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
     toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+        F.split(F.trim(F.lower(txt)), r"\s+"), lambda x: x != ""
     )
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)),
+        F.transform(F.split(txt, r"\n"), lambda x: F.trim(x)),
         lambda x: x != "",
     )
     wc = F.size(toks).cast("long")

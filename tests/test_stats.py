@@ -562,3 +562,25 @@ def test_ks_identical_and_validation(spark):
         ks_statistic(df, "g", "v", "a", "a")
     with pytest.raises(ValueError, match="both groups"):
         ks_statistic(df, "g", "v", "a", "zz")
+
+
+def test_ks_ppm_no_bigint_overflow(spark):
+    """ADVICE r04: d_num can reach n_a*n_b, so d_num*1e6 wraps BIGINT once
+    n_a*n_b > ~9.2e12 (~3M rows per group). 4M disjoint rows per group put
+    d_num = 1.6e13; the DECIMAL(38,0) ppm rescale must still report exactly
+    1e6 ppm (the distributions are perfectly separated)."""
+    from pyspark.sql import functions as F
+
+    from entity_extractor_spark.operators.stats import ks_statistic
+
+    n = 4_000_000
+    df = spark.range(2 * n).select(
+        F.when(F.col("id") < n, "a").otherwise("b").alias("g"),
+        F.when(F.col("id") < n, F.lit(1)).otherwise(F.lit(2)).cast("long").alias("v"),
+    )
+    r = ks_statistic(df, "g", "v", "a", "b").collect()[0]
+    assert r["n_a"] == n and r["n_b"] == n
+    assert r["at_value"] == 1
+    assert r["d_num"] == n * n  # 1.6e13 — already past the BIGINT*1e6 wrap point
+    assert r["d_ppm"] == 1_000_000
+    assert r["cdf_a_ppm"] == 1_000_000 and r["cdf_b_ppm"] == 0

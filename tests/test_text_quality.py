@@ -563,11 +563,14 @@ def test_gopher_rules_zero_words_and_ppm_exactness(spark):
     from entity_extractor_spark.operators.text_quality import gopher_rules
 
     df = spark.createDataFrame(
-        [(1, ""), (2, "   \n  \n"), (3, "alpha beta gamma")],
+        [(1, ""), (2, "   \n  \n"), (3, "alpha beta gamma"), (4, None)],
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
-    for d in (1, 2):
+    # NULL text == empty text: deterministic word_count=0 / keep=False,
+    # never NULL stats (ADVICE r04 — a .where(keep)/.where(~keep) pair
+    # must partition the corpus, not silently drop NULL-text docs).
+    for d in (1, 2, 4):
         assert out[d]["word_count"] == 0
         assert out[d]["mean_word_len_ppm"] == 0
         assert out[d]["keep"] is False
