@@ -46,61 +46,118 @@ def text_spans(documents: DataFrame) -> DataFrame:
     )
 
 
-def parse_headers(spans: DataFrame) -> DataFrame:
-    """One material header per doc: first matching span by offset."""
-    # cheap substring prefilter first: the lazy-quantifier header regex
-    # backtracks on long non-matching noise lines, so only run it on spans
-    # that can possibly match (predicate order is preserved by codegen).
-    h = spans.where(F.col("text").contains(" manufactured by ") & F.col("text").rlike(HEADER_RE))
-    w = Window.partitionBy("doc_id").orderBy("offset")
-    h = h.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
-    ex = lambda i: F.regexp_extract("text", HEADER_RE, i)  # noqa: E731
-    return h.select(
-        "doc_id",
-        ex(1).alias("material_name"),
-        ex(2).alias("product_number"),
-        ex(3).alias("upc_number"),
-        ex(4).alias("manufacturer_name"),
-        ex(5).alias("manufacturer_city"),
-        ex(6).alias("manufacturer_country"),
-    ).withColumn(
-        "display_name",
-        display_name(F.col("material_name"), F.col("product_number"), F.col("upc_number")),
+def parse_spans(spans: DataFrame) -> DataFrame:
+    """ONE classify+parse pass over the raw text-span stream -> narrow
+    parsed rows (doc_id, offset, h: header-fields struct | NULL, c:
+    chem-fields struct | NULL). Headers and chemicals previously each ran
+    their own corpus-wide scan; sharing one pass means the 100-TB noise
+    text is read ONCE for the whole extract path and only these narrow
+    parsed lines (~1/8 of corpus bytes on the bench profile — noise never
+    survives the prefilters) flow into any exchange or cache downstream.
+
+    Cheap substring prefilters gate both regexes: the lazy-quantifier
+    header regex backtracks on long non-matching noise lines, so it only
+    runs on spans that can possibly match (predicate order is preserved by
+    codegen). A span can in principle populate both structs (by corpus
+    construction a header line can't match COMP_RE, but this pass does not
+    rely on that — each struct has its own independent predicate, exactly
+    like the former two-scan shape)."""
+    is_h = F.col("text").contains(" manufactured by ") & F.col("text").rlike(HEADER_RE)
+    is_c = F.col("text").contains(" CAS ") & F.col("text").rlike(COMP_RE)
+    exh = lambda i: F.regexp_extract("text", HEADER_RE, i)  # noqa: E731
+    exc = lambda i: F.regexp_extract("text", COMP_RE, i)  # noqa: E731
+    return (
+        spans.where(
+            F.col("text").contains(" manufactured by ") | F.col("text").contains(" CAS ")
+        )
+        .select(
+            "doc_id",
+            "offset",
+            F.when(
+                is_h,
+                F.struct(
+                    exh(1).alias("material_name"),
+                    exh(2).alias("product_number"),
+                    exh(3).alias("upc_number"),
+                    exh(4).alias("manufacturer_name"),
+                    exh(5).alias("manufacturer_city"),
+                    exh(6).alias("manufacturer_country"),
+                ),
+            ).alias("h"),
+            F.when(
+                is_c,
+                F.struct(
+                    exc(1).alias("chemical_name"),
+                    cas_trim_or_null(exc(2)).alias("cas_number"),
+                    exc(3).alias("weight_percent"),
+                    exc(4).alias("tag"),
+                    exc(5).alias("source"),
+                ),
+            ).alias("c"),
+        )
+        .where(F.col("h").isNotNull() | F.col("c").isNotNull())
     )
+
+
+def resolve_headers(parsed: DataFrame) -> DataFrame:
+    """One material header per doc: first matching span by offset, as an
+    ALGEBRAIC min(struct(offset, h)) aggregation — map-side combinable, so
+    at most one header row per doc ever crosses an exchange (the former
+    row_number window shuffled every candidate row and could not partial-
+    agg). Offsets are unique within a doc, so the lexicographic struct min
+    is exactly first-by-offset."""
+    return (
+        parsed.where(F.col("h").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.min(F.struct(F.col("offset"), F.col("h"))).alias("_m"))
+        .select("doc_id", "_m.h.*")
+        .withColumn(
+            "display_name",
+            display_name(F.col("material_name"), F.col("product_number"), F.col("upc_number")),
+        )
+    )
+
+
+def dedupe_chemicals(parsed: DataFrame) -> DataFrame:
+    """A5 last-wins dedupe per (doc, chemical_name) with first-occurrence
+    ordering, as ONE algebraic aggregation: seq = min(offset), values =
+    max(struct(offset, c)).c (offsets unique per doc -> the max struct IS
+    the last occurrence). Replaces the min/max window + self-filter: fully
+    map-side combinable, and never needs the input pre-shuffled."""
+    c = parsed.where(F.col("c").isNotNull())
+    return (
+        c.groupBy("doc_id", F.col("c.chemical_name").alias("chemical_name"))
+        .agg(
+            F.min("offset").alias("seq"),
+            F.max(F.struct(F.col("offset"), F.col("c"))).alias("_last"),
+        )
+        .select(
+            "doc_id",
+            "seq",
+            "chemical_name",
+            F.col("_last.c.cas_number").alias("cas_number"),
+            F.col("_last.c.weight_percent").alias("weight_percent"),
+            F.col("_last.c.tag").alias("tag"),
+            F.col("_last.c.source").alias("source"),
+        )
+    )
+
+
+def parse_headers(spans: DataFrame) -> DataFrame:
+    """One material header per doc (first matching span by offset).
+    Compatibility wrapper over parse_spans -> resolve_headers; callers that
+    also need chemicals should parse once with parse_spans and derive both
+    (plans/pipeline.py does)."""
+    return resolve_headers(parse_spans(spans))
 
 
 def parse_chemicals(spans: DataFrame, headers: DataFrame) -> DataFrame:
     """Chemical observation lines, deduped last-wins per (doc, name) with
-    first-occurrence ordering (A5). Header spans are excluded from the
-    chemical scan by construction (a header line can't match COMP_RE)."""
-    c = spans.where(F.col("text").contains(" CAS ") & F.col("text").rlike(COMP_RE))
-    ex = lambda i: F.regexp_extract("text", COMP_RE, i)  # noqa: E731
-    obs = c.select(
-        "doc_id",
-        F.col("offset").alias("seq"),
-        ex(1).alias("chemical_name"),
-        cas_trim_or_null(ex(2)).alias("cas_number"),
-        ex(3).alias("weight_percent"),
-        ex(4).alias("tag"),
-        ex(5).alias("source"),
+    first-occurrence ordering (A5), restricted to docs that have a header.
+    Compatibility wrapper over parse_spans -> dedupe_chemicals."""
+    return dedupe_chemicals(parse_spans(spans)).join(
+        headers.select("doc_id"), "doc_id", "left_semi"
     )
-    # A5: values from the LAST occurrence, position of the FIRST occurrence
-    w = Window.partitionBy("doc_id", "chemical_name")
-    obs = (
-        obs.withColumn("first_seq", F.min("seq").over(w))
-        .withColumn("last_seq", F.max("seq").over(w))
-        .where(F.col("seq") == F.col("last_seq"))
-        .select(
-            "doc_id",
-            F.col("first_seq").alias("seq"),
-            "chemical_name",
-            "cas_number",
-            "weight_percent",
-            "tag",
-            "source",
-        )
-    )
-    return obs.join(headers.select("doc_id"), "doc_id", "left_semi")
 
 
 def winner_docs(headers: DataFrame, chem_counts: DataFrame, existing_material_keys: DataFrame | None = None) -> DataFrame:

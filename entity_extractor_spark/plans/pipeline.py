@@ -5,9 +5,14 @@ s4+s5 link+canonicalize -> s6 propagate -> s7 materialize
 (nodes, edges, triples, mentions, manufacturers) with per-stage lineage
 commits so a killed run resumes without recomputing done stages.
 
-Partitioning: documents are explicitly repartitioned on hash(doc_id) before
-the extract stage (north rule) so all per-doc work is co-located and the
-winner-filter / dedupe windows shuffle once on doc-aligned keys.
+Partitioning: the NARROW parsed-line stream (header/chem lines only — one
+classify+parse scan of the corpus, extract.parse_spans) is explicitly
+repartitioned on hash(doc_id) (north rule) so all per-doc work is
+co-located and every doc-keyed agg/join reuses that one exchange. The raw
+corpus itself is never shuffled and never cached — at 100 TB the noise
+text must stay inside its scan stage, and on the shared-socket sandbox the
+former full-corpus repartition+persist was the measured memory-bandwidth
+tax that capped multi-executor scaling (BENCH_scaling r04).
 
 Scheduling: stages form a DAG, not a chain — independent stages (e.g. the
 mention scan and the extract path; the three projections of `winners`) are
@@ -98,25 +103,38 @@ def run_pipeline(
     # concurrent-stage phases (a straggler wastes 1/4 core-second instead of
     # a whole stage tail) and give AQE room to split skewed partitions.
     n_part = repartition or 4 * spark.sparkContext.defaultParallelism
-    # One explicit hash(doc_id) repartition (north rule), persisted so the
-    # multiple stages that scan the corpus (mentions, winners, observations)
-    # reuse one shuffle instead of re-shuffling the full corpus per job.
+
+    # s3 — extract. ONE classify+parse scan of the raw corpus produces the
+    # narrow `parsed` stream (header/chem lines only — noise text, media
+    # spans and raw span structs never leave the scan stage), and THAT is
+    # what gets the explicit hash(doc_id) repartition (north rule) and the
+    # persist. The raw 100-TB corpus is never shuffled and never cached:
+    # the former repartition+persist of the full documents DF pushed every
+    # noise byte through an exchange, a cache write and 4 cache scans —
+    # pure memory-bandwidth tax, which is exactly what capped multi-
+    # executor scaling on a shared socket (BENCH_scaling r04 forensics:
+    # 1.33x task-CPU inflation at 4 executors, zero spill, zero fetch
+    # wait). Now the corpus is read exactly twice (this parse + the
+    # mention scan), both pure map-side scans.
+    #
     # Partition on the COLUMN (hash partitioning on doc_id), not on
     # F.hash(doc_id): HashPartitioning(doc_id) satisfies the clustering
-    # required by every downstream window/join keyed on doc_id (or any
-    # superset key), so the header window, the A5 dedupe window and the
-    # doc_id joins all reuse this one exchange instead of re-shuffling.
-    docs = documents.repartition(n_part, F.col("doc_id")).persist()
-
-    # s3 — extract. headers/chems are cheap narrow scans; winners is the
-    # one keyed shuffle (window over mat_key). `winners` is committed so the
-    # three consumers (observations/materials/manufacturers) read the small
-    # committed table instead of re-running the span parse chain.
-    spans = X.text_spans(docs)
-    headers = X.parse_headers(spans)
-    # chems feeds BOTH the winner filter (doc ids with >=1 chemical) and the
-    # observations stage; persist so the corpus-wide regex scan runs once.
-    chems = X.parse_chemicals(spans, headers).persist()
+    # required by every downstream agg/join keyed on doc_id or any
+    # superset key, so the header min-agg (doc_id), the A5 dedupe agg
+    # (doc_id, chemical_name), the header semi-join and the observations
+    # join all reuse this ONE narrow exchange instead of re-shuffling.
+    parsed = (
+        X.parse_spans(X.text_spans(documents))
+        .repartition(n_part, F.col("doc_id"))
+        .persist()
+    )
+    headers = X.resolve_headers(parsed)
+    # chems feeds BOTH the winner filter (doc ids with >=1 chemical) and
+    # the observations stage; both re-derive it from the parsed cache with
+    # cheap partition-local aggs (no raw-corpus rescan, no extra exchange).
+    chems = X.dedupe_chemicals(parsed).join(
+        headers.select("doc_id"), "doc_id", "left_semi"
+    )
     existing_keys = None
     if existing_nodes is not None and "manufacturer_name" in existing_nodes.columns:
         # re-ingest MERGE: prior materials make their identity keys occupied.
@@ -200,7 +218,7 @@ def run_pipeline(
         return has_chem.unionByName(made_by).unionByName(evidenced)
 
     builders: dict[str, object] = {
-        "mentions": lambda out: M.detect_mentions(docs, gazetteer),
+        "mentions": lambda out: M.detect_mentions(documents, gazetteer),
         "winners": lambda out: X.winner_docs(
             headers, chems.select("doc_id").distinct(), existing_keys
         ),
@@ -247,14 +265,15 @@ def run_pipeline(
             depth[s] = 1 + max((_depth(d) for d in below), default=0)
         return depth[s]
 
-    # Materialize the doc cache once, fully parallel, before any stage runs:
-    # two concurrent first jobs would otherwise race to compute the same
-    # cached partitions (block-lock waits + duplicated shuffle reads).
-    # Only the stages that actually SCAN the corpus gate this — mentions
-    # (direct), winners and observations (via the spans/headers/chems
-    # chains); a partial resume where only post-corpus stages remain
-    # (clustered/edges/nodes/triples read committed stage parquet) must not
-    # re-scan and re-cache 100 TB of input for nothing.
+    # Materialize the parsed cache once, fully parallel, before any stage
+    # runs: two concurrent first jobs would otherwise race to compute the
+    # same cached partitions (block-lock waits + duplicated shuffle reads).
+    # Only the stages that traverse `parsed` gate this — winners and
+    # observations (via the headers/chems chains); `mentions` scans the raw
+    # corpus directly and shares no cache. A partial resume where only
+    # post-extract stages remain (clustered/edges/nodes/triples read
+    # committed stage parquet) must not re-parse 100 TB of input for
+    # nothing.
     # Fold replay order contract: every first-wins / last-wins fold orders
     # by doc_id in the column's NATIVE order — numeric for numeric ids,
     # plain string order for string ids ('doc-10' < 'doc-9'). That order is
@@ -262,12 +281,12 @@ def run_pipeline(
     # oracles replay the same comparison), which is the property the
     # contract needs; corpora that want numeric replay order for string
     # ids must zero-pad ('doc-%08d' — the corpus convention).
-    _doc_scanners = ("mentions", "winners", "observations")
+    _parsed_consumers = ("winners", "observations")
     if not (
         resume
-        and all(log.is_done(s) for s in active if s in _doc_scanners)
+        and all(log.is_done(s) for s in active if s in _parsed_consumers)
     ):
-        docs.count()
+        parsed.count()
 
     done: set[str] = set()
     submitted: set[str] = set()
@@ -293,6 +312,5 @@ def run_pipeline(
                 done.add(s)
             submit_ready()
 
-    docs.unpersist()  # all outputs read from committed stage tables
-    chems.unpersist()
+    parsed.unpersist()  # all outputs read from committed stage tables
     return out
