@@ -37,6 +37,8 @@ COMP_RE = r"^(.*?) CAS ([0-9\-]+|-) ([0-9.]+)% (PFAS|NO_PFAS|PENDING) src=([A-Z]
 
 
 def text_spans(documents: DataFrame) -> DataFrame:
+    """Explode documents(doc_id, spans) to the text-span stream
+    (doc_id, offset, text) — media spans filtered out at the scan."""
     return documents.select(
         "doc_id", F.explode("spans").alias("span")
     ).where(F.col("span.kind") == "text").select(
