@@ -1,0 +1,217 @@
+"""10x-corpus endurance run (VERDICT r04 ask #5): direct memory-behavior
+evidence for the 100x design claims, complementing the CPU-parallelism
+scaling ladder (tools/bench_scaling.py).
+
+What it does, all inside ONE local[32] session so both scales share one
+noise window:
+  * synthesizes a DISJOINT 10x replica of the sf0.1 driver tables into
+    /dev/shm — lineitem x10 with (l_orderkey, l_partkey, l_suppkey) offset
+    per copy (10 disjoint co-order subgraphs: edge/triangle mass scales
+    exactly 10x, density does NOT — the honest linear-scale-up), and
+    documents x10 with doc_id offset by 10^4 per copy (stays under the
+    near-dup corpus's 10^6 variant-id split);
+  * runs the 5 heaviest contract operators (r04 bench ordering) at sf0.1
+    and then at the 10x dir, back to back;
+  * runs the flagship KG pipeline at 12k and 120k bench-profile docs;
+  * after each timed run, drains the driver REST API for spill bytes
+    (memory+disk) and peak execution memory across that run's stages.
+
+Pass criteria reported in BENCH_sf1.json: zero spill-to-failure (any
+nonzero spill is reported, an OOM aborts the script), and per-query
+time ratios ~linear in the 10x data (ratio <= ~15 leaves headroom for
+partition-count and constant effects at local[32]).
+
+Usage: python tools/bench_sf1.py [--out BENCH_sf1.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEAVY = [
+    "graph_triangles",
+    "dedup_setsim_join",
+    "graph_k_truss",
+    "graph_common_neighbors",
+    "dedup_incremental_lsh",
+]
+
+N_COPIES = 10
+
+
+def synth_10x(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    parts = []
+    for k in range(N_COPIES):
+        parts.append(
+            li.select(
+                (F.col("l_orderkey") + F.lit(k * 10_000_000)).alias("l_orderkey"),
+                (F.col("l_partkey") + F.lit(k * 1_000_000)).alias("l_partkey"),
+                (F.col("l_suppkey") + F.lit(k * 100_000)).alias("l_suppkey"),
+                "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+                "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(64).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    dparts = []
+    for k in range(N_COPIES):
+        dparts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * 10_000)).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+        )
+    dbig = dparts[0]
+    for p in dparts[1:]:
+        dbig = dbig.unionByName(p)
+    dbig.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    # small untouched tables some query preambles read
+    for t in ("embeddings", "orders", "part", "supplier", "customer", "nation", "region", "events"):
+        src = f"{SF01}/{t}.parquet"
+        if os.path.exists(src):
+            spark.read.parquet(src).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+class StageMetrics:
+    """Per-run spill/peak-memory accounting via the driver REST API —
+    records the max completed stage id before a run, then sums metrics of
+    stages completed after it."""
+
+    def __init__(self, spark):
+        self.base = spark.sparkContext.uiWebUrl + "/api/v1/applications/" + spark.sparkContext.applicationId
+        self.seen = self._max_stage()
+
+    def _stages(self):
+        try:
+            with urllib.request.urlopen(self.base + "/stages?status=complete", timeout=10) as r:
+                return json.load(r)
+        except Exception:
+            return []
+
+    def _max_stage(self) -> int:
+        return max((s["stageId"] for s in self._stages()), default=-1)
+
+    def drain(self) -> dict:
+        new = [s for s in self._stages() if s["stageId"] > self.seen]
+        self.seen = self._max_stage()
+        return {
+            "stages": len(new),
+            "memory_spill_bytes": sum(s.get("memoryBytesSpilled", 0) for s in new),
+            "disk_spill_bytes": sum(s.get("diskBytesSpilled", 0) for s in new),
+            "peak_execution_memory": max(
+                (s.get("peakExecutionMemory", 0) for s in new), default=0
+            ),
+            "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in new),
+        }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_sf1.json"))
+    ap.add_argument("--docs-small", type=int, default=12000)
+    ap.add_argument("--docs-big", type=int, default=120000)
+    args = ap.parse_args()
+
+    from entity_extractor_spark.session import get_spark
+    from entity_extractor_spark import contract
+    from entity_extractor_spark.corpus import CorpusConfig, gazetteer_rows, generate_documents_df
+    from entity_extractor_spark.plans.pipeline import run_pipeline
+
+    spark = get_spark("bench_sf1", master="local[32]", shuffle_partitions=64)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    ten_dir = os.path.join(scratch, "kg_sf1_synth")
+    mets = StageMetrics(spark)
+
+    t0 = time.time()
+    synth_10x(spark, ten_dir)
+    synth_sec = round(time.time() - t0, 1)
+    mets.drain()
+
+    result: dict = {
+        "metric": "sf1_endurance_10x",
+        "sf01_dir": SF01,
+        "synth_sec": synth_sec,
+        "queries": {},
+    }
+    try:
+        for name in HEAVY:
+            fn = contract.Q[name]
+            entry: dict = {}
+            for label, d in (("sf0.1", SF01), ("10x", ten_dir)):
+                t0 = time.time()
+                n = fn(spark, d).count()
+                dt = round(time.time() - t0, 2)
+                entry[label] = {"sec": dt, "rows": n, **mets.drain()}
+            entry["time_ratio_10x"] = round(
+                entry["10x"]["sec"] / max(entry["sf0.1"]["sec"], 1e-9), 2
+            )
+            entry["rows_ratio_10x"] = round(
+                entry["10x"]["rows"] / max(entry["sf0.1"]["rows"], 1), 2
+            )
+            result["queries"][name] = entry
+            print(name, json.dumps(entry)[:300], flush=True)
+
+        # flagship pipeline at 12k and 120k bench-profile docs
+        pipe: dict = {}
+        for label, n_docs in (("12k", args.docs_small), ("120k", args.docs_big)):
+            cfg = CorpusConfig(n_docs=n_docs)
+            docs = generate_documents_df(spark, cfg).cache()
+            docs.count()
+            mets.drain()
+            out = tempfile.mkdtemp(prefix="kg_sf1_", dir=scratch)
+            t0 = time.time()
+            tables = run_pipeline(spark, docs, out, gazetteer=gazetteer_rows(cfg), resume=False)
+            n_triples = tables["triples"].count()
+            dt = round(time.time() - t0, 2)
+            pipe[label] = {"sec": dt, "docs": n_docs, "triples": n_triples, **mets.drain()}
+            shutil.rmtree(out, ignore_errors=True)
+            docs.unpersist()
+            print("pipeline", label, json.dumps(pipe[label])[:300], flush=True)
+        pipe["time_ratio_10x"] = round(pipe["120k"]["sec"] / max(pipe["12k"]["sec"], 1e-9), 2)
+        result["pipeline"] = pipe
+
+        total_spill = sum(
+            e[l]["memory_spill_bytes"] + e[l]["disk_spill_bytes"]
+            for e in result["queries"].values()
+            for l in ("sf0.1", "10x")
+        ) + sum(
+            pipe[l]["memory_spill_bytes"] + pipe[l]["disk_spill_bytes"]
+            for l in ("12k", "120k")
+        )
+        result["total_spill_bytes"] = total_spill
+        result["max_time_ratio_10x"] = max(
+            [e["time_ratio_10x"] for e in result["queries"].values()]
+            + [pipe["time_ratio_10x"]]
+        )
+        result["pass"] = total_spill == 0 and result["max_time_ratio_10x"] <= 15.0
+    finally:
+        shutil.rmtree(ten_dir, ignore_errors=True)
+        spark.stop()
+
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "queries"}))
+
+
+if __name__ == "__main__":
+    main()
