@@ -82,6 +82,8 @@ class _Pools:
 
 
 def build_pools(cfg: CorpusConfig) -> _Pools:
+    """Deterministic manufacturer/chemical pools for a corpus config —
+    pure function of cfg.seed."""
     rng = random.Random(cfg.seed * 7_919 + 17)
     pools = _Pools()
     for j in range(cfg.n_manufacturers):
@@ -248,6 +250,8 @@ def _perturb_case(s: str, rng: random.Random) -> str:
 
 
 def generate_documents_local(cfg: CorpusConfig) -> list[dict]:
+    """Driver-local corpus generation (tests/oracle replay); the
+    distributed twin is generate_documents_df."""
     pools = build_pools(cfg)
     return [make_doc(i, cfg, pools) for i in range(cfg.n_docs)]
 
@@ -394,6 +398,7 @@ def gazetteer_rows(cfg: CorpusConfig) -> list[dict]:
 
 
 def gazetteer_df(spark: SparkSession, cfg: CorpusConfig) -> DataFrame:
+    """gazetteer_rows as a pinned-schema DataFrame (S5 source)."""
     from .schemas import GAZETTEER_SCHEMA
 
     return spark.createDataFrame(

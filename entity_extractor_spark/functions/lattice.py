@@ -57,6 +57,8 @@ class TransitionError(ValueError):
 
 
 def status_from_tag(tag: str | None) -> str:
+    """F11 tag->status decode (PFAS/NO_PFAS/else->PENDING) — the Python
+    reference copy of the fold's inlined JVM expression."""
     # reference: artifact_ingestor_service.py:881-887
     if tag == "PFAS":
         return YES
@@ -66,6 +68,8 @@ def status_from_tag(tag: str | None) -> str:
 
 
 def merge_source(existing_source: str, new_source: str) -> str:
+    """F12 source-lattice transition: the 16-cell TRANSITION_MAP lookup
+    with identity fallback."""
     # reference: determine_final_source, artifact_ingestor_service.py:1235-1241
     final = TRANSITION_MAP.get(f"{existing_source}_{new_source}")
     if final is None:
@@ -78,6 +82,8 @@ def merge_source(existing_source: str, new_source: str) -> str:
 def merge_status(
     existing_source: str, new_source: str, existing_status: str, new_status: str
 ) -> str:
+    """F12 status merge under the source lattice: REPLACING pairs take the
+    new status, ERROR cells raise, everything else keeps the existing."""
     # reference: determine_final_status, artifact_ingestor_service.py:1171-1205
     if (existing_source, new_source) in _STATUS_REPLACING_PAIRS:
         return new_status

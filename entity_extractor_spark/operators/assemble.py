@@ -14,6 +14,9 @@ from ..functions.core import page_text_concat, span_sequence_fingerprint
 
 
 def assemble(documents: DataFrame) -> DataFrame:
+    """F10 document assembly: per-doc concatenated page text plus the
+    ordered span-sequence fingerprint (the input_hint per-row invariant's
+    check column) — one narrow projection, no shuffle."""
     return documents.select(
         "doc_id",
         "spans",

@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array<float> columns (zip_with +
+    aggregate — no Python, no explode)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -35,6 +37,7 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def norm(a: Column) -> Column:
+    """L2 norm of an array<float> column, JVM-side."""
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -45,6 +48,8 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns; NULL (never a
+    divide-by-zero) when either vector has zero norm."""
     # null (not an ANSI DIVIDE_BY_ZERO crash) when either vector has zero
     # norm — cosine is undefined there; consumers filter zero-norm rows out
     na, nb = norm(a), norm(b)

@@ -142,6 +142,8 @@ def commit_stage(
 
 
 def load_stage(log: LineageLog, spark: SparkSession, stage: str) -> DataFrame:
+    """Read a committed stage table back with its lineage-recorded schema
+    (an empty commit still reproduces the exact StructType)."""
     schema_json = log._read()["stages"].get(stage, {}).get("schema")
     if schema_json:
         from pyspark.sql.types import StructType

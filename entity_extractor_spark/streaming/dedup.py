@@ -126,6 +126,8 @@ def dedup_batch(
 
 
 def read_decisions(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """All keep/drop decisions the streaming dedup gate has committed so
+    far (batch column stripped), or None before the first batch."""
     df = read_state(spark, DEC_SCHEMA, _dec_dir(out_dir))
     return None if df is None else df.drop("_batch")
 

@@ -55,6 +55,8 @@ def _acc_dir(out_dir: str) -> str:
 
 
 def read_accumulated_nodes(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Current accumulated node state of a streaming ingest dir (newest
+    compaction + live batch tail), or None before the first batch."""
     # Probes go through the Spark reader (not driver-local os.path) so the
     # accumulator works on any Hadoop URI; reads see the newest compaction
     # plus the live batch tail (stateio.read_state).
